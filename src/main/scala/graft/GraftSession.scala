@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the settings every entry point shares.
+  *
+  * - UTC session timezone: the DuckDB oracle compares naive timestamps.
+  * - shuffle.partitions sized to cores (local mode), not the 200 default;
+  *   on a real cluster AQE coalesces post-shuffle partitions anyway.
+  * - AQE on: runtime re-plan (skew-join splitting, shuffle coalescing,
+  *   broadcast-join demotion/promotion) is the 100 TB safety net.
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,470 @@
+package graft.queries
+
+import graft.tables.Tables
+import graft.syntax._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY §2.2–§2.8 operator inventory, re-expressed over the driver's
+  * TPC-H-ish corpus (role mapping in FIXTURES.md §5: orders = fact header,
+  * lineitem = fact detail, part = items dim, supplier/nation =
+  * coffee_profiles, customer = qb_customers).
+  *
+  * Every query here has a DuckDB oracle in [[Relational.oracles]]. Two
+  * cross-engine determinism rules are applied throughout:
+  *
+  *  1. '''Money sums go through DECIMAL.''' A sum of 2-decimal doubles is
+  *     order-dependent in the last ulp; Spark's partial aggregation over 32
+  *     partitions and DuckDB's sequential scan disagree. Casting each
+  *     addend to an exact decimal makes the sum associative, then the final
+  *     cast back to double is a single deterministic conversion. At scale
+  *     this is also the *principled* choice (SURVEY §1.2: money as
+  *     DecimalType).
+  *  2. '''Every query ends in a total-order sort''' on its full key so the
+  *     row order of the dumped parquet is deterministic no matter how the
+  *     driver hashes.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a 2-decimal double column (see ADR in
+    * the scaladoc above). Cites the money-as-float quirk of the reference
+    * (`/root/reference/bin/etl/square_ETL.py:128,132-133`).
+    */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Same for derived per-row products (price × (1-disc)): the double
+    * product is bit-exact per row in both engines; rounding it to an exact
+    * decimal(18,6) before summing makes the reduction order-free.
+    */
+  private def derivedSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // F5 / F7 — projection + filters (manual .loc / WHERE in the reference,
+  // `square_ETL.py:193-201`, `arima_models.py:89-90`). Catalyst pushes both
+  // into the parquet scan (PushedFilters + ReadSchema) — verified via
+  // .explain in RelationalSpec.
+  // ---------------------------------------------------------------------
+  val f5Projection: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  val f7FilterRange: Q = (s, d) =>
+    Tables
+      .orders(s, d)
+      .filter($"o_orderstatus" === "F" && $"o_orderdate" > lit("1996-06-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_orderkey")
+
+  // ---------------------------------------------------------------------
+  // F8/F9/F10 — arithmetic derivations (`quickbooks_ETL.py:184`,
+  // `shopify_ETL.py:151,160`, cents→dollars `square_ETL.py:128`). Pure
+  // per-row IEEE ops: bit-exact across engines, stays in whole-stage
+  // codegen.
+  // ---------------------------------------------------------------------
+  val f8Derive: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .select(
+        $"l_orderkey",
+        $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        ($"l_extendedprice" + $"l_tax").as("price_with_tax"),
+        (floor($"l_extendedprice" * 100) / lit(100.0)).as("dollars")
+      )
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  // ---------------------------------------------------------------------
+  // F11 + T5 — the market-attribution CASE cascade on day-of-week
+  // (`square_ETL.py:185-190`), Mon=0 semantics via weekday(). Spark
+  // weekday() == DuckDB isodow()-1.
+  // ---------------------------------------------------------------------
+  val f11CaseMarket: Q = (s, d) => {
+    val dow = weekday($"o_orderdate")
+    Tables
+      .orders(s, d)
+      .withColumn(
+        "market",
+        when(dow === 3, "San Rafael Thurs")
+          .when(dow === 5, "Danville Farmers Market")
+          .when(dow === 6 && hour($"o_orderdate") < 7, "Alameda Antique Faire")
+          .when(dow === 6 && hour($"o_orderdate") > 7, "San Rafael Sunday")
+          .otherwise("other")
+      )
+      .groupBy($"market")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("total_dollars"))
+      .orderBy($"market")
+  }
+
+  // ---------------------------------------------------------------------
+  // F12 — per-element string aggregation (';'.join over modifiers,
+  // `square_ETL.py:137-140`) as array_join(transform(...)) — built-in
+  // higher-order functions, no UDF, fully codegen'd.
+  // ---------------------------------------------------------------------
+  val f12ArrayJoin: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        array_join(transform(split($"text", " "), w => upper(w)), ";").as("joined_upper"),
+        size(split($"text", " ")).as("n_words")
+      )
+      .orderBy($"doc_id")
+
+  // ---------------------------------------------------------------------
+  // F13 — regex extraction (batch_token from Link header,
+  // `square_ETL.py:91-92`) over the events props payload.
+  // ---------------------------------------------------------------------
+  val f13RegexExtract: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .select(
+        $"event_id",
+        regexp_extract($"props", "\"k\": (\\d+)", 1).cast("int").as("k_val")
+      )
+      .orderBy($"event_id")
+
+  // ---------------------------------------------------------------------
+  // F14 + J5/J7 — join with cast key (`arima_models.py:101,116`:
+  // shdt.shopify_id = cast(i.shopify_id as text)). The cast sits on the
+  // join condition; Catalyst still plans a hash join on the casted key.
+  // ---------------------------------------------------------------------
+  val f14CastJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey").cast("string") === p("p_partkey").cast("string"), "left")
+      .groupBy($"p_brand")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  // ---------------------------------------------------------------------
+  // T1–T7 — date/time kernel (`square_ETL.py:175-181`,
+  // `arima_models.py:80`): parse, fixed -7h shift, date part, hour,
+  // weekday (Mon=0), Monday-start week truncation.
+  // ---------------------------------------------------------------------
+  val tDatetime: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .select(
+        $"event_id",
+        ($"ts" - expr("INTERVAL 7 HOURS")).as("ts_local"),
+        to_date($"ts").as("event_date"),
+        hour($"ts").as("event_hour"),
+        weekday($"ts").as("dow_mon0"),
+        date_trunc("week", $"ts").cast("date").as("week_date")
+      )
+      .orderBy($"event_id")
+
+  // ---------------------------------------------------------------------
+  // J1 — fact header ⟕ detail on the natural key (`arima_models.py:82-84`).
+  // Both sides shuffle-hash/sort-merge on orderkey; at 100 TB both tables
+  // would be bucketed by orderkey to make this co-located.
+  // ---------------------------------------------------------------------
+  val j1HeaderDetail: Q = (s, d) => {
+    val o  = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        count($"l_linenumber").as("n_lines"),
+        derivedSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue")
+      )
+      .orderBy($"o_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // J2/J3 — detail ⟕ dimension, dimension ⨝ dimension with filter
+  // (`arima_models.py:85-88`). Dimensions are broadcast — no shuffle of
+  // the fact side; at 100 TB `part` (a few GB) still broadcasts.
+  // ---------------------------------------------------------------------
+  val j2DimJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p  = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .join(broadcast(Tables.supplier(s, d)), li("l_suppkey") === $"s_suppkey", "left")
+      .groupBy($"p_brand", $"s_name")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_price")
+      )
+      .orderBy($"p_brand", $"s_name")
+  }
+
+  val j3InnerDimFilter: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).filter($"n_regionkey" < 3) // active=1 analog
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"), moneySum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"n_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // W1 — grouped min broadcast back onto every row (first transaction time
+  // per (date, device), `square_ETL.py:182`): unbounded-frame window agg.
+  // ---------------------------------------------------------------------
+  val w1WindowMin: Q = (s, d) => {
+    val w = Window.partitionBy(to_date($"ts"), $"event_type")
+    Tables
+      .events(s, d)
+      .select(
+        $"event_id",
+        $"event_type",
+        to_date($"ts").as("event_date"),
+        min($"ts").over(w).as("first_ts"),
+        max($"value").over(w).as("max_value")
+      )
+      .orderBy($"event_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // W2 — HAVING-style group-size filter via count window
+  // (`arima_models.py:161-162`): keep rows of groups with > N members.
+  // ---------------------------------------------------------------------
+  val w2HavingCount: Q = (s, d) => {
+    val w = Window.partitionBy($"l_partkey")
+    Tables
+      .lineitem(s, d)
+      .withColumn("group_n", count(lit(1)).over(w))
+      .filter($"group_n" > 35)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"group_n")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // ---------------------------------------------------------------------
+  // A1/A3 — multi-aggregate groupBy: line items → payment header
+  // (`square_ETL.py:203-209`, `quickbooks_ETL.py:186-194`).
+  // ---------------------------------------------------------------------
+  val a1MultiAgg: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(
+        moneySum($"l_extendedprice").as("sum_price"),
+        sum($"l_quantity").as("sum_qty"),
+        min($"l_discount").as("min_disc"),
+        max($"l_tax").as("max_tax"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy($"l_orderkey")
+
+  // ---------------------------------------------------------------------
+  // A7 + O2 — distinct + sort (driver loop keys, `arima_models.py:194`).
+  // ---------------------------------------------------------------------
+  val a7DistinctSort: Q = (s, d) =>
+    Tables.orders(s, d).select($"o_orderpriority").distinct().orderBy($"o_orderpriority")
+
+  // ---------------------------------------------------------------------
+  // U1 — positional UNION ALL of three per-source weekly slices
+  // (`arima_models.py:127-137`). Source systems are emulated by the
+  // orderpriority bands; columns line up positionally, exactly like the
+  // reference SQL.
+  // ---------------------------------------------------------------------
+  val u1UnionAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def slice(pred: Column, src: String): DataFrame =
+      o.filter(pred)
+        .select(
+          lit(src).as("source"),
+          $"o_orderkey".as("order_key"),
+          $"o_totalprice".as("dollars")
+        )
+    slice($"o_orderpriority" === "1-URGENT", "square")
+      .union(slice($"o_orderpriority" === "2-HIGH", "shopify"))
+      .union(slice($"o_orderpriority" === "3-MEDIUM", "quickbooks"))
+      .orderBy($"source", $"order_key")
+  }
+
+  // ---------------------------------------------------------------------
+  // O1 — full multi-column ORDER BY establishing series order
+  // (`arima_models.py:139`), on an aggregated (small) result.
+  // ---------------------------------------------------------------------
+  val o1Sort: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag", date_trunc("week", $"l_shipdate").cast("date").as("week_date"))
+      .agg(sum($"l_quantity").as("weight"))
+      .orderBy($"l_returnflag", $"week_date")
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q1 shape — the headline scan-heavy aggregation (bench anchor).
+  // One pass over lineitem, map-side partial agg, 6-group output.
+  // ---------------------------------------------------------------------
+  val q1PricingSummary: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .filter($"l_shipdate" <= lit("2001-06-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        derivedSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        derivedSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .as("sum_charge"),
+        (moneySum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  // ---------------------------------------------------------------------
+  // S10 — incremental watermark scan (`square_ETL.py:20-22`): batch form,
+  // WHERE ts > last high-water mark.
+  // ---------------------------------------------------------------------
+  val s10WatermarkScan: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .filter($"ts" > lit("2024-01-20 00:00:00").cast("timestamp"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), derivedSum($"value").as("sum_value"))
+      .orderBy($"event_type")
+
+  val queries: Map[String, Q] = Map(
+    "f5_projection"    -> f5Projection,
+    "f7_filter_range"  -> f7FilterRange,
+    "f8_derive"        -> f8Derive,
+    "f11_case_market"  -> f11CaseMarket,
+    "f12_array_join"   -> f12ArrayJoin,
+    "f13_regex_extract" -> f13RegexExtract,
+    "f14_cast_join"    -> f14CastJoin,
+    "t_datetime"       -> tDatetime,
+    "j1_header_detail" -> j1HeaderDetail,
+    "j2_dim_join"      -> j2DimJoin,
+    "j3_inner_dim_filter" -> j3InnerDimFilter,
+    "w1_window_min"    -> w1WindowMin,
+    "w2_having_count"  -> w2HavingCount,
+    "a1_multi_agg"     -> a1MultiAgg,
+    "a7_distinct_sort" -> a7DistinctSort,
+    "u1_union_all"     -> u1UnionAll,
+    "o1_sort"          -> o1Sort,
+    "q1_pricing_summary" -> q1PricingSummary,
+    "s10_watermark_scan" -> s10WatermarkScan
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f5_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f7_filter_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderdate > TIMESTAMP '1996-06-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "f8_derive" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_extendedprice + l_tax AS price_with_tax,
+        |  CAST(floor(l_extendedprice * 100) AS BIGINT) / 100.0 AS dollars
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f11_case_market" ->
+      """SELECT CASE
+        |    WHEN isodow(o_orderdate) - 1 = 3 THEN 'San Rafael Thurs'
+        |    WHEN isodow(o_orderdate) - 1 = 5 THEN 'Danville Farmers Market'
+        |    WHEN isodow(o_orderdate) - 1 = 6 AND hour(o_orderdate) < 7 THEN 'Alameda Antique Faire'
+        |    WHEN isodow(o_orderdate) - 1 = 6 AND hour(o_orderdate) > 7 THEN 'San Rafael Sunday'
+        |    ELSE 'other' END AS market,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_dollars
+        |FROM orders GROUP BY 1 ORDER BY market""".stripMargin,
+    "f12_array_join" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '), w -> upper(w)), ';') AS joined_upper,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f13_regex_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f14_cast_join" ->
+      """SELECT p_brand, SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem LEFT JOIN part
+        |  ON CAST(l_partkey AS VARCHAR) = CAST(p_partkey AS VARCHAR)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "t_datetime" ->
+      """SELECT event_id,
+        |  ts - INTERVAL 7 HOUR AS ts_local,
+        |  CAST(ts AS DATE) AS event_date,
+        |  CAST(hour(ts) AS INT) AS event_hour,
+        |  CAST(isodow(ts) - 1 AS INT) AS dow_mon0,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week_date
+        |FROM events ORDER BY event_id""".stripMargin,
+    "j1_header_detail" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(COUNT(l_linenumber) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+    "j2_dim_join" ->
+      """SELECT p_brand, s_name,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin,
+    "j3_inner_dim_filter" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey < 3
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "w1_window_min" ->
+      """SELECT event_id, event_type, CAST(ts AS DATE) AS event_date,
+        |  MIN(ts) OVER (PARTITION BY CAST(ts AS DATE), event_type) AS first_ts,
+        |  MAX(value) OVER (PARTITION BY CAST(ts AS DATE), event_type) AS max_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w2_having_count" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, group_n FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS group_n
+        |  FROM lineitem) t
+        |WHERE group_n > 35 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a1_multi_agg" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  SUM(l_quantity) AS sum_qty,
+        |  MIN(l_discount) AS min_disc,
+        |  MAX(l_tax) AS max_tax,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a7_distinct_sort" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "u1_union_all" ->
+      """SELECT 'square' AS source, o_orderkey AS order_key, o_totalprice AS dollars
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT 'shopify', o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |UNION ALL
+        |SELECT 'quickbooks', o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderpriority = '3-MEDIUM'
+        |ORDER BY source, order_key""".stripMargin,
+    "o1_sort" ->
+      """SELECT l_returnflag, CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |  SUM(l_quantity) AS weight
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, week_date""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s10_watermark_scan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

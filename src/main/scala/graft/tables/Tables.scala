@@ -1,0 +1,44 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated TPC-H-ish corpus (TESTDATA.md).
+  *
+  * Role mapping onto the reference warehouse (FIXTURES.md §5):
+  * orders = fact header (square/shopify/qb_trans), lineitem = fact detail,
+  * part = items dimension, supplier/nation = coffee_profiles, customer =
+  * qb_customers, events = streaming source, documents/embeddings = the
+  * LLM-pipeline corpus.
+  *
+  * All reads are bare `spark.read.parquet` so Catalyst sees a plain file
+  * scan: filter pushdown, column pruning, and partition coalescing all
+  * apply. At 100 TB these would be partitioned tables (orders/lineitem by
+  * date), but the read API is identical.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true
+    * (set by every graft session) it lands as a long we truncate to micros.
+    * Integer `div` — a double division would lose precision at ~1.7e18 ns.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
