@@ -1,0 +1,72 @@
+package graft.etl
+
+import graft.syntax._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse layer — S6 CSV seed scan, S7 append / S8 overwrite sinks,
+  * S9 catalog bootstrap, S10 batch watermark (SURVEY §2.1).
+  *
+  * The reference's `config.yml` watermark (`square_ETL.py:17-22,53-56`) is
+  * replaced by a tiny watermark parquet table read at job start and
+  * overwritten post-load — same at-least-once semantics, but paired with
+  * [[appendDedup]] the pipeline becomes effectively-once (the reference has
+  * no dedup at all; SURVEY §3.1 step 5 notes the duplicate-row hazard).
+  */
+object Warehouse {
+
+  /** S6 — seed dimension scan (`load_ref_tables.py:58-59`), explicit
+    * schemas, never inferSchema.
+    */
+  def readItems(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(ZoloSchemas.items).option("header", "true").csv(path)
+
+  def readCoffeeProfiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(ZoloSchemas.coffeeProfiles).option("header", "true").csv(path)
+
+  /** S7 — append sink (`square_ETL.py:232-233`). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S7 + dedup-on-key: drop rows whose key already exists in the target —
+    * the MERGE-shaped fix for the reference's crash-between-load-and-
+    * watermark duplicate hazard. Left-anti join against the existing keys;
+    * at 100 TB the target side is pruned to the key column only (column
+    * pruning) and the incremental batch is small, so the anti-join
+    * broadcasts the batch keys.
+    */
+  def appendDedup(spark: SparkSession, df: DataFrame, path: String, key: String): Unit = {
+    val fresh =
+      if (new java.io.File(path).exists()) {
+        val existing = spark.read.parquet(path).select(col(key)).distinct()
+        df.join(existing, Seq(key), "left_anti")
+      } else df
+    fresh.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** S8 — overwrite sink for dimensions (`qb_customers_ETL.py:190`). */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S10 — batch watermark table: one row (pipeline, high_water_mark). */
+  def readWatermark(spark: SparkSession, path: String, pipeline: String): Option[java.sql.Timestamp] =
+    if (!new java.io.File(path).exists()) None
+    else
+      spark.read
+        .parquet(path)
+        .filter($"pipeline" === pipeline)
+        .orderBy($"high_water_mark".desc)
+        .limit(1)
+        .collect()
+        .headOption
+        .map(_.getTimestamp(1))
+
+  def writeWatermark(spark: SparkSession, path: String, pipeline: String, hwm: java.sql.Timestamp): Unit = {
+    import spark.implicits._
+    Seq((pipeline, hwm))
+      .toDF("pipeline", "high_water_mark")
+      .write
+      .mode(SaveMode.Append)
+      .parquet(path)
+  }
+}

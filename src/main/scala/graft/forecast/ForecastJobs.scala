@@ -1,0 +1,164 @@
+package graft.forecast
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** M1 — the per-group model loop (`/root/reference/bin/modelling/
+  * arima_models.py:193-213`, `holt_model.py:182-199`,
+  * `simp_avg_model.py:182-199`) as `groupByKey.flatMapGroups`.
+  *
+  * Scale design: the input is a (profile, week, weight) weekly rollup —
+  * tiny relative to the fact data even at 100 TB of transactions (cardinality
+  * = profiles × weeks). The expensive part is the model grid (50 ARIMA
+  * configs × walk-forward refits per profile), which parallelizes across
+  * profiles: one shuffle on profile_name, then embarrassingly parallel
+  * tasks. Series are sorted in-group by week — the positional-order
+  * dependence the reference gets implicitly from its ORDER BY
+  * (`arima_models.py:139,200`; SURVEY §2.8 O1).
+  */
+object ForecastJobs {
+
+  final case class WeeklyRow(profile_name: String, week_date: java.sql.Date, weight: Double)
+  final case class SesResult(profile_name: String, mse: Double, prediction: Double)
+  final case class HoltResult(profile_name: String, mse: Double, prediction: Double)
+  final case class ArimaResult(
+      profile_name: String,
+      best_config: String,
+      mse: Double,
+      prediction: Double,
+      std_error: Double,
+      lower_bound: Double,
+      upper_bound: Double
+  )
+
+  /** The weekly-demand series over the oracle corpus: detail × dim joins →
+    * weight per (profile, week). `p_brand` plays profile_name, quantity ×
+    * a per-part weight plays (i.weight * quantity) (`arima_models.py:81`).
+    * F6 (time filter) + W2 (min-history HAVING via count window) applied,
+    * mirroring `arima_models.py:155-162`.
+    */
+  def weeklySeries(s: SparkSession, dir: String, minWeeks: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    val weekly = li
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .filter($"l_shipdate" < lit("2001-06-01").cast("timestamp")) // F6
+      .groupBy(
+        $"p_brand".as("profile_name"),
+        date_trunc("week", $"l_shipdate").cast("date").as("week_date")
+      )
+      .agg(
+        sum(($"l_quantity" * $"p_retailprice" / lit(100.0))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType)
+          .as("weight")
+      )
+    val w = Window.partitionBy($"profile_name")
+    weekly
+      .withColumn("n_weeks", count(lit(1)).over(w)) // W2
+      .filter($"n_weeks" > minWeeks)
+      .drop("n_weeks")
+  }
+
+  private def series(it: Iterator[WeeklyRow]): Array[Double] =
+    it.toArray.sortBy(r => r.week_date.getTime).map(_.weight)
+
+  /** SES driver (`simp_avg_model.py`): fixed α = 0.6, > 8 weeks history. */
+  def sesJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 8)
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = series(rows)
+        val (m, _) = Models.sesWalkForward(xs, alpha = 0.6)
+        Iterator.single(SesResult(profile, m, Models.sesForecast(xs, 0.6)))
+      }
+      .toDF()
+      .orderBy(col("profile_name"))
+  }
+
+  /** Holt driver (`holt_model.py`): optimized (α,β), > 10 weeks history. */
+  def holtJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 10)
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = series(rows)
+        val (m, _) = Models.holtWalkForward(xs)
+        Iterator.single(HoltResult(profile, m, Models.holtForecast(xs)))
+      }
+      .toDF()
+      .orderBy(col("profile_name"))
+  }
+
+  /** ARIMA driver (`arima_models.py`): 50-config grid, walk-forward MSE,
+    * 95% CI bounds (M9: prediction ± 1.96 × std_error,
+    * `arima_models.py:216-217`), > 5 weeks history.
+    */
+  def arimaJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 5)
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = series(rows)
+        Models.arimaGridSearch(xs) match {
+          case Some((p, d, q, m)) =>
+            Models.arimaFit(xs, p, d, q) match {
+              case Some(fit) =>
+                Iterator.single(
+                  ArimaResult(
+                    profile,
+                    s"($p, $d, $q)",
+                    m,
+                    fit.forecast,
+                    fit.stdError,
+                    fit.forecast - 1.96 * fit.stdError, // M9
+                    fit.forecast + 1.96 * fit.stdError
+                  )
+                )
+              case None => Iterator.empty
+            }
+          case None => Iterator.empty
+        }
+      }
+      .toDF()
+      .orderBy(col("profile_name"))
+  }
+
+  private def typedWeekly(s: SparkSession, dir: String, minWeeks: Int): Dataset[WeeklyRow] = {
+    import s.implicits._
+    weeklySeries(s, dir, minWeeks)
+      .repartition(col("profile_name")) // co-locate each series in one task
+      .as[WeeklyRow]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_ses_forecast"   -> (sesJob(_, _)),
+    "m_holt_forecast"  -> (holtJob(_, _)),
+    "m_arima_forecast" -> (arimaJob(_, _)),
+    "m_weekly_series"  -> ((s, d) =>
+      weeklySeries(s, d, minWeeks = 5).orderBy($"profile_name", $"week_date"))
+  )
+
+  /** The weekly series itself is SQL-expressible — oracle-checked; the
+    * model fits are iterative optimizer output (rows-only + ScalaTest
+    * goldens, BASELINE.md note).
+    */
+  val oracles: Map[String, String] = Map(
+    "m_weekly_series" ->
+      """SELECT profile_name, week_date,
+        |  CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |FROM (
+        |  SELECT p_brand AS profile_name,
+        |    CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |    l_quantity, p_retailprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |GROUP BY profile_name, week_date
+        |QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 5
+        |ORDER BY profile_name, week_date""".stripMargin
+  )
+}

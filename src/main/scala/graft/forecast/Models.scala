@@ -1,0 +1,358 @@
+package graft.forecast
+
+import scala.util.Try
+
+/** Pure-Scala time-series models mirroring the reference's statsmodels
+  * usage (`/root/reference/bin/modelling/lib.py:7-132`). These run INSIDE
+  * `flatMapGroups` tasks — per-profile series are small (weekly grain), so
+  * each fit is a local O(n·grid) computation; the distribution axis is
+  * profiles-across-tasks, not math-across-tasks.
+  *
+  * M2 train/test split, M3 walk-forward validation, M4 MSE, M5/M8 ARIMA
+  * grid, M6 Holt, M7 SES (fixed α=0.6, `lib.py:84`).
+  */
+object Models {
+
+  /** M4 — mean squared error (`lib.py:34,64,94`). */
+  def mse(pred: Array[Double], actual: Array[Double]): Double = {
+    require(pred.length == actual.length && pred.nonEmpty)
+    var s = 0.0
+    var i = 0
+    while (i < pred.length) { val e = pred(i) - actual(i); s += e * e; i += 1 }
+    s / pred.length
+  }
+
+  /** M2 — positional 75/25 split (`lib.py:15-16`). */
+  def split75(xs: Array[Double]): (Array[Double], Array[Double]) =
+    xs.splitAt((xs.length * 0.75).toInt)
+
+  // ------------------------------------------------------------------
+  // M7 — simple exponential smoothing, fixed alpha (`lib.py:83-87`).
+  // ------------------------------------------------------------------
+  /** Level after smoothing the whole series; the h-step forecast is flat at
+    * this level. Initial level = first observation (statsmodels' default
+    * initialization for fixed-alpha SES).
+    */
+  def sesLevel(xs: Array[Double], alpha: Double): Double = {
+    require(xs.nonEmpty)
+    var s = xs(0)
+    var i = 1
+    while (i < xs.length) { s = alpha * xs(i) + (1 - alpha) * s; i += 1 }
+    s
+  }
+
+  def sesForecast(xs: Array[Double], alpha: Double = 0.6): Double = sesLevel(xs, alpha)
+
+  /** M3 walk-forward for SES (`lib.py:79-94`): predict 1 step, append the
+    * actual, refit, repeat across the test slice. Returns (mse, predictions).
+    */
+  def sesWalkForward(xs: Array[Double], alpha: Double = 0.6): (Double, Array[Double]) = {
+    val (train, test) = split75(xs)
+    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val preds = new Array[Double](test.length)
+    var i = 0
+    while (i < test.length) {
+      preds(i) = sesForecast(history.toArray, alpha)
+      history += test(i)
+      i += 1
+    }
+    (mse(preds, test), preds)
+  }
+
+  // ------------------------------------------------------------------
+  // M6 — Holt linear trend (`lib.py:53-57`). statsmodels Holt().fit()
+  // optimizes (alpha, beta) by SSE; we grid-search then locally refine,
+  // with l0 = x(0), b0 = x(1) - x(0) (statsmodels' simple initialization).
+  // ------------------------------------------------------------------
+  def holtSse(xs: Array[Double], alpha: Double, beta: Double): Double = {
+    var l = xs(0)
+    var b = if (xs.length > 1) xs(1) - xs(0) else 0.0
+    var sse = 0.0
+    var i = 1
+    while (i < xs.length) {
+      val f = l + b
+      val e = xs(i) - f
+      sse += e * e
+      val lNew = alpha * xs(i) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      l = lNew
+      i += 1
+    }
+    sse
+  }
+
+  /** Fit (alpha, beta) minimizing SSE: coarse grid then two refinement
+    * passes around the best cell. Deterministic, derivative-free.
+    */
+  def holtFit(xs: Array[Double]): (Double, Double) = {
+    require(xs.length >= 2)
+    var best = (0.5, 0.1)
+    var bestSse = Double.MaxValue
+    def sweep(aLo: Double, aHi: Double, bLo: Double, bHi: Double, steps: Int): Unit = {
+      val da = (aHi - aLo) / steps
+      val db = (bHi - bLo) / steps
+      var ai = 0
+      while (ai <= steps) {
+        val a = (aLo + ai * da).max(1e-4).min(1.0)
+        var bi = 0
+        while (bi <= steps) {
+          val b = (bLo + bi * db).max(1e-4).min(1.0)
+          val s = holtSse(xs, a, b)
+          if (s < bestSse) { bestSse = s; best = (a, b) }
+          bi += 1
+        }
+        ai += 1
+      }
+    }
+    sweep(0.0, 1.0, 0.0, 1.0, 20)
+    var r = 0.05
+    var pass = 0
+    while (pass < 3) {
+      val (a0, b0) = best
+      sweep(a0 - r, a0 + r, b0 - r, b0 + r, 10)
+      r /= 5
+      pass += 1
+    }
+    best
+  }
+
+  /** 1-step Holt forecast with optimized smoothing. */
+  def holtForecast(xs: Array[Double]): Double = {
+    val (alpha, beta) = holtFit(xs)
+    var l = xs(0)
+    var b = if (xs.length > 1) xs(1) - xs(0) else 0.0
+    var i = 1
+    while (i < xs.length) {
+      val lNew = alpha * xs(i) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      l = lNew
+      i += 1
+    }
+    l + b
+  }
+
+  def holtWalkForward(xs: Array[Double]): (Double, Array[Double]) = {
+    val (train, test) = split75(xs)
+    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val preds = new Array[Double](test.length)
+    var i = 0
+    while (i < test.length) {
+      preds(i) = holtForecast(history.toArray)
+      history += test(i)
+      i += 1
+    }
+    (mse(preds, test), preds)
+  }
+
+  // ------------------------------------------------------------------
+  // M5 — ARIMA(p,d,q) via differencing + Hannan–Rissanen two-stage OLS.
+  // statsmodels does MLE with a Kalman filter (`lib.py:23-27`); on the
+  // JVM we use the deterministic HR estimator: (1) long-AR fit to get
+  // residual proxies, (2) OLS of x_t on p lags + q lagged residuals.
+  // Validated against goldens at coarse tolerance (FIXTURES.md §4).
+  // ------------------------------------------------------------------
+  final case class ArimaFit(
+      p: Int,
+      d: Int,
+      q: Int,
+      phi: Array[Double],
+      theta: Array[Double],
+      c: Double,
+      sigma2: Double,
+      forecast: Double,
+      stdError: Double
+  )
+
+  /** Difference a series d times. */
+  def diff(xs: Array[Double], d: Int): Array[Double] = {
+    var cur = xs
+    var k = 0
+    while (k < d) {
+      cur = cur.indices.drop(1).map(i => cur(i) - cur(i - 1)).toArray
+      k += 1
+    }
+    cur
+  }
+
+  /** Solve the least squares system X b = y via normal equations with
+    * Gaussian elimination + partial pivoting; dims are tiny (≤ ~12).
+    * Returns None on singular systems.
+    */
+  def olsSolve(x: Array[Array[Double]], y: Array[Double]): Option[Array[Double]] = {
+    val n = x.length
+    if (n == 0) return None
+    val k = x(0).length
+    if (n < k) return None
+    val a = Array.ofDim[Double](k, k + 1)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j < k) {
+        var s = 0.0
+        var r = 0
+        while (r < n) { s += x(r)(i) * x(r)(j); r += 1 }
+        a(i)(j) = s
+        j += 1
+      }
+      var s = 0.0
+      var r = 0
+      while (r < n) { s += x(r)(i) * y(r); r += 1 }
+      a(i)(k) = s
+      i += 1
+    }
+    // gaussian elimination
+    var col = 0
+    while (col < k) {
+      var piv = col
+      var row = col + 1
+      while (row < k) { if (math.abs(a(row)(col)) > math.abs(a(piv)(col))) piv = row; row += 1 }
+      if (math.abs(a(piv)(col)) < 1e-10) return None
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t }
+      var r2 = 0
+      while (r2 < k) {
+        if (r2 != col) {
+          val f = a(r2)(col) / a(col)(col)
+          var c2 = col
+          while (c2 <= k) { a(r2)(c2) -= f * a(col)(c2); c2 += 1 }
+        }
+        r2 += 1
+      }
+      col += 1
+    }
+    Some(Array.tabulate(k)(i2 => a(i2)(k) / a(i2)(i2)))
+  }
+
+  /** Fit ARMA(p,q)+intercept on a (possibly differenced) series via
+    * Hannan–Rissanen; returns coefficients and in-sample residual variance.
+    */
+  private def armaFit(w: Array[Double], p: Int, q: Int): Option[(Array[Double], Array[Double], Double, Double)] = {
+    val n = w.length
+    if (p == 0 && q == 0) {
+      val c = w.sum / n
+      val s2 = w.map(v => (v - c) * (v - c)).sum / math.max(1, n - 1)
+      return Some((Array.empty, Array.empty, c, s2))
+    }
+    // stage 1: long AR for residual proxies (only needed when q > 0)
+    val resid: Array[Double] =
+      if (q == 0) Array.fill(n)(0.0)
+      else {
+        val m = math.min(math.max(p + q + 2, 4), math.max(1, n / 4))
+        if (n <= m + p + q + 1) return None
+        val xr = (m until n).map(t => 1.0 +: (1 to m).map(j => w(t - j)).toArray).map(_.toArray).toArray
+        val yr = (m until n).map(w).toArray
+        val b = olsSolve(xr, yr).getOrElse(return None)
+        val res = new Array[Double](n)
+        var t = m
+        while (t < n) {
+          var f = b(0)
+          var j = 1
+          while (j <= m) { f += b(j) * w(t - j); j += 1 }
+          res(t) = w(t) - f
+          t += 1
+        }
+        res
+      }
+    // stage 2: OLS of w_t on [1, p lags of w, q lags of resid]
+    val start = math.max(p, q) + (if (q > 0) math.max(p + q + 2, 4).min(math.max(1, n / 4)) else 0)
+    if (n - start < p + q + 2) return None
+    val rows = (start until n).map { t =>
+      val lagW = (1 to p).map(j => w(t - j))
+      val lagE = (1 to q).map(j => resid(t - j))
+      (1.0 +: (lagW ++ lagE)).toArray
+    }.toArray
+    val ys = (start until n).map(w).toArray
+    val b = olsSolve(rows, ys).getOrElse(return None)
+    val c = b(0)
+    val phi = b.slice(1, 1 + p)
+    val theta = b.slice(1 + p, 1 + p + q)
+    // in-sample 1-step residuals (for sigma^2 and forecasting)
+    var s2 = 0.0
+    var cnt = 0
+    val eps = new Array[Double](n)
+    var t = math.max(p, q)
+    while (t < n) {
+      var f = c
+      var j = 0
+      while (j < p) { f += phi(j) * w(t - 1 - j); j += 1 }
+      j = 0
+      while (j < q) { f += theta(j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
+      eps(t) = w(t) - f
+      s2 += eps(t) * eps(t)
+      cnt += 1
+      t += 1
+    }
+    if (cnt == 0) return None
+    Some((phi, theta, c, s2 / cnt))
+  }
+
+  /** M5 — fit ARIMA(p,d,q) and produce the 1-step forecast on the original
+    * scale plus its standard error (sqrt of innovation variance — the
+    * 1-step-ahead case, matching `arima_models.py:203-209`'s use of
+    * `forecast()`'s stderr).
+    */
+  def arimaFit(xs: Array[Double], p: Int, d: Int, q: Int): Option[ArimaFit] = {
+    if (xs.length < d + math.max(p, q) + 5) return None
+    val w = diff(xs, d)
+    armaFit(w, p, q).map { case (phi, theta, c, s2) =>
+      val n = w.length
+      // recompute eps for forecasting
+      val eps = new Array[Double](n)
+      var t = math.max(p, q)
+      while (t < n) {
+        var f = c
+        var j = 0
+        while (j < p) { f += phi(j) * w(t - 1 - j); j += 1 }
+        j = 0
+        while (j < q) { f += theta(j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
+        eps(t) = w(t) - f
+        t += 1
+      }
+      var fNext = c
+      var j = 0
+      while (j < p) { fNext += phi(j) * w(n - 1 - j); j += 1 }
+      j = 0
+      while (j < q) { fNext += theta(j) * eps(n - 1 - j); j += 1 }
+      // Invert differencing: x̂(n+1) = ŵ(n+1) + Σ_{k=0}^{d-1} last(Δᵏx),
+      // i.e. add back the final value of every lower differencing stage.
+      var fc = fNext
+      var series = xs
+      var k = 0
+      while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+      ArimaFit(p, d, q, phi, theta, c, s2, fc, math.sqrt(math.max(s2, 0.0)))
+    }
+  }
+
+  def arimaWalkForward(xs: Array[Double], p: Int, d: Int, q: Int): Option[(Double, Array[Double])] = {
+    val (train, test) = split75(xs)
+    if (train.length < d + math.max(p, q) + 5 || test.isEmpty) return None
+    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val preds = new Array[Double](test.length)
+    var i = 0
+    while (i < test.length) {
+      val fit = arimaFit(history.toArray, p, d, q).getOrElse(return None)
+      preds(i) = fit.forecast
+      history += test(i)
+      i += 1
+    }
+    Some((mse(preds, test), preds))
+  }
+
+  /** M8 — grid search p∈0..4, d∈0..1, q∈0..4 keeping min walk-forward MSE,
+    * swallowing failed configs (`lib.py:98-132`, ranges
+    * `arima_models.py:47-49`).
+    */
+  def arimaGridSearch(
+      xs: Array[Double],
+      ps: Range = 0 until 5,
+      ds: Range = 0 until 2,
+      qs: Range = 0 until 5
+  ): Option[(Int, Int, Int, Double)] = {
+    var best: Option[(Int, Int, Int, Double)] = None
+    for (p <- ps; d <- ds; q <- qs) {
+      Try(arimaWalkForward(xs, p, d, q)).toOption.flatten.foreach { case (m, _) =>
+        if (m.isFinite && best.forall(_._4 > m)) best = Some((p, d, q, m))
+      }
+    }
+    best
+  }
+}

@@ -1,0 +1,94 @@
+package graft.forecast
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-math goldens (FIXTURES.md §4): closed-form sanity series — SES on
+  * a constant is the constant, Holt on a linear ramp extrapolates the
+  * slope, AR(1) recovery on a synthetic process — plus hand-computed SES
+  * recursions at 1e-9.
+  */
+class ModelsSpec extends AnyFunSuite {
+
+  test("SES on a constant series forecasts the constant") {
+    val xs = Array.fill(20)(42.0)
+    assert(math.abs(Models.sesForecast(xs, 0.6) - 42.0) < 1e-12)
+  }
+
+  test("SES recursion matches hand computation at alpha=0.6") {
+    // s0=10; s1=.6*20+.4*10=16; s2=.6*30+.4*16=24.4; s3=.6*10+.4*24.4=15.76
+    val xs = Array(10.0, 20.0, 30.0, 10.0)
+    assert(math.abs(Models.sesForecast(xs, 0.6) - 15.76) < 1e-9)
+  }
+
+  test("SES level stays within series bounds (property)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val xs = Array.fill(30)(rnd.nextDouble() * 100)
+      val f = Models.sesForecast(xs, 0.6)
+      assert(f >= xs.min - 1e-9 && f <= xs.max + 1e-9)
+    }
+  }
+
+  test("SES walk-forward on constant series has zero MSE") {
+    val (m, _) = Models.sesWalkForward(Array.fill(16)(5.0), 0.6)
+    assert(m == 0.0)
+  }
+
+  test("Holt on a linear ramp extrapolates the slope") {
+    val xs = Array.tabulate(24)(i => 3.0 + 2.5 * i)
+    val f = Models.holtForecast(xs)
+    assert(math.abs(f - (3.0 + 2.5 * 24)) < 0.3, s"got $f expected ${3.0 + 2.5 * 24}")
+  }
+
+  test("Holt walk-forward beats SES on trending data") {
+    val xs = Array.tabulate(40)(i => 10.0 + 3.0 * i)
+    val (holtMse, _) = Models.holtWalkForward(xs)
+    val (sesMse, _) = Models.sesWalkForward(xs, 0.6)
+    assert(holtMse < sesMse)
+  }
+
+  test("AR(1) coefficient recovery within tolerance") {
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val phi = 0.7
+    val xs = new Array[Double](n)
+    xs(0) = 0.0
+    for (i <- 1 until n) xs(i) = phi * xs(i - 1) + rnd.nextGaussian()
+    val fit = Models.arimaFit(xs, 1, 0, 0).get
+    assert(math.abs(fit.phi(0) - phi) < 0.1, s"phi=${fit.phi(0)}")
+  }
+
+  test("ARIMA(0,1,0) on a linear ramp forecasts next step exactly") {
+    // differenced series is constant => forecast = last + slope
+    val xs = Array.tabulate(30)(i => 5.0 + 4.0 * i)
+    val fit = Models.arimaFit(xs, 0, 1, 0).get
+    assert(math.abs(fit.forecast - (5.0 + 4.0 * 30)) < 1e-6, s"got ${fit.forecast}")
+    assert(fit.stdError < 1e-6)
+  }
+
+  test("grid search picks a finite-MSE config and d=1 family on ramp") {
+    val rnd = new scala.util.Random(1)
+    val xs = Array.tabulate(40)(i => 2.0 * i + rnd.nextGaussian() * 0.1)
+    val (p, d, q, m) = Models.arimaGridSearch(xs).get
+    assert(m.isFinite && m < 1.0, s"config ($p,$d,$q) mse=$m")
+  }
+
+  test("olsSolve solves a known 2x2 system") {
+    // y = 1 + 2x on points x=0..3
+    val x = Array(Array(1.0, 0.0), Array(1.0, 1.0), Array(1.0, 2.0), Array(1.0, 3.0))
+    val y = Array(1.0, 3.0, 5.0, 7.0)
+    val b = Models.olsSolve(x, y).get
+    assert(math.abs(b(0) - 1.0) < 1e-9 && math.abs(b(1) - 2.0) < 1e-9)
+  }
+
+  test("diff twice of quadratic is constant") {
+    val xs = Array.tabulate(10)(i => (i * i).toDouble)
+    val d2 = Models.diff(xs, 2)
+    assert(d2.forall(v => math.abs(v - 2.0) < 1e-12))
+  }
+
+  test("75/25 split is positional") {
+    val (tr, te) = Models.split75(Array.tabulate(10)(_.toDouble))
+    assert(tr.length == 7 && te.length == 3 && te(0) == 7.0)
+  }
+}
