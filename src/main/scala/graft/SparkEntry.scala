@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
 import graft.forecast.ForecastJobs
 import graft.etl.ZoloPipeline
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.mm.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +25,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ ForecastJobs.queries ++ ZoloPipeline.queries
+    Relational.queries ++ ForecastJobs.queries ++ ZoloPipeline.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ ForecastJobs.oracles
+    Relational.oracles ++ ForecastJobs.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

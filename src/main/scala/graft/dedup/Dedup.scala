@@ -1,0 +1,254 @@
+package graft.dedup
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface — exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine — over the
+  * `documents` / `embeddings` corpus.
+  *
+  * Scale design (the whole point of each variant):
+  *  - '''exact''' — one hash-groupBy: shuffle on the digest, map-side
+  *    partial agg. Linear; the only correct O(n) full dedup.
+  *  - '''minhash_lsh''' — the 100 TB near-dup path: per-doc signature
+  *    (map-only) → band buckets (shuffle on band hash) → pairwise verify
+  *    ONLY within buckets. Never materializes the O(n²) pair space.
+  *  - '''ngram_jaccard''' — exact pairwise similarity, quadratic; only
+  *    ever run on a bounded slice/bucket (here: a keyed sample), exactly
+  *    how it's used as the verify stage of LSH.
+  *  - '''simhash''' — 64-bit signature, map-only; near-dups are hash
+  *    neighbors within Hamming distance k, found by pigeonhole banding of
+  *    16-bit segments — again no O(n²).
+  *  - '''embedding cosine''' — the verify stage of ANN-based near-dup;
+  *    bounded slice here, IVF/LSH-bucketed at scale (see
+  *    [[graft.sim.Similarity]]).
+  *
+  * Shingling uses word 3-grams (`shingles`), NOT token sets: on a small
+  * shared vocabulary token-set Jaccard saturates (~0.6+ for unrelated
+  * docs — measured on this corpus), which would make every LSH bucket
+  * quadratic. 3-gram shingles keep unrelated-doc similarity near zero —
+  * banding then only pays for true near-dups.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingle set of the text column (empty for < 3 tokens). */
+  def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    when(
+      size(w) >= 3,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", try_element_at(w, i), try_element_at(w, i + 1), try_element_at(w, i + 2))
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  val numPerms  = 16
+  val numBands  = 4 // 4 rows per band; P(candidate) = 1-(1-j^4)^4
+  val rowsPerBand: Int = numPerms / numBands
+
+  /** Per-doc MinHash signature: explode distinct shingles, take
+    * min(xxhash64(seed, shingle)) per seed — map + one groupBy(doc_id)
+    * with partial aggregation; no pairwise work.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until numPerms).map(i => min(xxhash64(lit(i), $"shingle")).as(s"sig$i"))
+    val withSh = docs
+      .select($"doc_id", explode(shingles($"text")).as("shingle"))
+      .groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)
+        .as(s"band$b")
+    }
+    withSh.select(col("doc_id") +: (0 until numPerms).map(i => col(s"sig$i")) ++: bandCols: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket; verified with
+    * exact shingle-Jaccard ≥ threshold. The self-join happens on band
+    * hash — bucket sizes are the only quadratic term.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = (0 until numBands)
+      .map(b => sigs.select($"doc_id", lit(b).as("band_id"), col(s"band$b").as("band_hash")))
+      .reduce(_ union _)
+    val cand = bands
+      .as("a")
+      .join(bands.as("b"), $"a.band_id" === $"b.band_id" && $"a.band_hash" === $"b.band_hash" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sh = docs.select($"doc_id", shingles($"text").as("sh"))
+    cand
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select(
+        $"doc_a",
+        $"doc_b",
+        (size(array_intersect($"sa.sh", $"sb.sh")) / size(array_union($"sa.sh", $"sb.sh")))
+          .as("jaccard")
+      )
+      .filter($"jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 64-bit SimHash over shingle hashes: per bit, +1 if set else −1,
+    * signature bit = sign of the sum. Expressed as an explode + groupBy
+    * with 64 conditional sums folded into a packed long via bit ops —
+    * stays in codegen, no UDF.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val h = xxhash64($"shingle")
+    // per shingle, per bit b: contribution sign = 2*bit-1; sum over doc
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    docs
+      .select($"doc_id", explode(shingles($"text")).as("shingle"))
+      .groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole on 16-bit segments (Hamming ≤ 3
+    * ⇒ at least one of 4 segments equal), verify exact Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val segs = (0 until 4)
+      .map(k =>
+        sh.select(
+          $"doc_id",
+          $"simhash",
+          lit(k).as("seg_id"),
+          shiftright($"simhash", k * 16).bitwiseAND(lit(0xffffL)).as("seg")
+        )
+      )
+      .reduce(_ union _)
+    val hamming = {
+      val x = $"a.simhash".bitwiseXOR($"b.simhash")
+      (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)
+    }
+    segs
+      .as("a")
+      .join(segs.as("b"), $"a.seg_id" === $"b.seg_id" && $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), hamming.as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ------------------------------------------------------------------
+  // Driver queries
+  // ------------------------------------------------------------------
+
+  val dedupExact: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .groupBy(md5($"text".cast("binary")).as("content_hash"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"content_hash")
+
+  /** Exact pairwise token-set Jaccard on a 1-in-50 keyed slice — the
+    * bounded "verify" shape (oracle-checked; int/int division is
+    * deterministic across engines).
+    */
+  val dedupNgramJaccard: Q = (s, d) => {
+    val sliced = Tables
+      .documents(s, d)
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("toks"))
+    sliced
+      .as("a")
+      .join(sliced.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select(
+        $"a.doc_id".as("doc_a"),
+        $"b.doc_id".as("doc_b"),
+        (size(array_intersect($"a.toks", $"b.toks")) / size(array_union($"a.toks", $"b.toks")))
+          .as("jaccard")
+      )
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupMinhashSignatures: Q = (s, d) =>
+    minhashSignatures(Tables.documents(s, d)).orderBy($"doc_id")
+
+  val dedupMinhashPairs: Q = (s, d) =>
+    minhashPairs(Tables.documents(s, d), threshold = 0.5)
+
+  val dedupSimhash: Q = (s, d) => simhash(Tables.documents(s, d)).orderBy($"doc_id")
+
+  val dedupSimhashPairs: Q = (s, d) => simhashPairs(Tables.documents(s, d), maxHamming = 3)
+
+  /** Embedding-cosine near-dup on a keyed slice (double-cast arrays; the
+    * fold order matches DuckDB's sequential list_dot_product).
+    */
+  val dedupEmbeddingCosine: Q = (s, d) => {
+    val e = Tables
+      .embeddings(s, d)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val dot   = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cos = round(
+      dot($"a.v", $"b.v") / sqrt(dot($"a.v", $"a.v") * dot($"b.v", $"b.v")),
+      6
+    )
+    e.as("a")
+      .join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), cos.as("cosine"))
+      .filter($"cosine" >= 0.25)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact"           -> dedupExact,
+    "dedup_ngram_jaccard"   -> dedupNgramJaccard,
+    "dedup_minhash_sigs"    -> dedupMinhashSignatures,
+    "dedup_minhash_pairs"   -> dedupMinhashPairs,
+    "dedup_simhash"         -> dedupSimhash,
+    "dedup_simhash_pairs"   -> dedupSimhashPairs,
+    "dedup_embedding_cos"   -> dedupEmbeddingCosine
+  )
+
+  /** xxhash64-based signatures aren't DuckDB-expressible → rows-only;
+    * the rest are oracle-checked.
+    */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.toks, b.toks))
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks))
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_cos" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.v, b.v)
+        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.25
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

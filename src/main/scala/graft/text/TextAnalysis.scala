@@ -1,0 +1,151 @@
+package graft.text
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (builder
+  * brief): token counting, quality scoring, language-ID, fingerprinting —
+  * all over the `documents` corpus.
+  *
+  * Everything here is built-in-function composition (split / filter /
+  * transform / regexp), fully codegen'd, no UDFs: at 100 TB these run as a
+  * single scan with map-side-only work — no shuffle at all until an
+  * aggregation is stacked on top.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tiny embedded stopword list — enough to drive ratio features; the
+    * 100 TB path would broadcast a real lexicon.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  private def toks: Column = split($"text", " ")
+
+  private def isStop(t: Column): Column =
+    stopwords.map(t === _).reduce(_ || _)
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (chars/4 is the classic approximation) + distinct counts.
+    */
+  val textTokens: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        length($"text").as("n_chars"),
+        floor(length($"text") / lit(4)).cast("int").as("bpe_est_tokens"),
+        (length(regexp_replace($"text", " ", "")) / size(toks)).as("avg_token_len")
+      )
+      .orderBy($"doc_id")
+
+  /** Quality scoring: stopword ratio, short-token ratio, type-token
+    * ratio, and a deterministic 0–3 integer score.
+    */
+  val textQuality: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        (size(filter(toks, isStop _)) / size(toks)).as("stop_ratio"),
+        (size(filter(toks, t => length(t) <= 2)) / size(toks)).as("short_ratio"),
+        (size(array_distinct(toks)) / size(toks)).as("type_token_ratio")
+      )
+      .withColumn(
+        "quality_score",
+        ($"n_tokens" >= 20 && $"n_tokens" <= 1000).cast("int")
+          + ($"stop_ratio" >= 0.05).cast("int")
+          + ($"type_token_ratio" >= 0.1).cast("int")
+      )
+      .orderBy($"doc_id")
+
+  /** Marker-based language ID — deterministic stopword-marker CASE,
+    * oracle-expressible. The trigram-profile classifier (the *real*
+    * heuristic) is [[NgramLangId]], exposed as a rows-only query.
+    */
+  val textLangMarkers: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        $"lang".as("labeled_lang"),
+        when(size(filter(toks, isStop _)) / size(toks) >= 0.05, "en")
+          .otherwise("und")
+          .as("marker_lang")
+      )
+      .orderBy($"doc_id")
+
+  /** Document fingerprinting: full-content md5 + a normalized (lowercase,
+    * squeezed whitespace) md5 — the exact-dedup keys.
+    */
+  val textFingerprint: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        md5($"text".cast("binary")).as("md5_raw"),
+        md5(lower(regexp_replace($"text", "\\s+", " ")).cast("binary")).as("md5_norm")
+      )
+      .orderBy($"doc_id")
+
+  /** Rows-only: trigram-profile language ID (the n-gram heuristic of the
+    * brief) — not SQL-expressible; locked by TextSpec instead.
+    */
+  val textLangIdNgram: Q = (s, d) => {
+    val scoreFn = udf((text: String) => NgramLangId.classify(text))
+    Tables
+      .documents(s, d)
+      .select($"doc_id", $"lang".as("labeled_lang"), scoreFn($"text").as("ngram_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens"       -> textTokens,
+    "text_quality"      -> textQuality,
+    "text_lang_markers" -> textLangMarkers,
+    "text_fingerprint"  -> textFingerprint,
+    "text_langid_ngram" -> textLangIdNgram
+  )
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(floor(length(text) / 4.0) AS INT) AS bpe_est_tokens,
+        |  length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, short_ratio, type_token_ratio,
+         |  CAST(n_tokens BETWEEN 20 AND 1000 AS INT)
+         |    + CAST(stop_ratio >= 0.05 AS INT)
+         |    + CAST(type_token_ratio >= 0.1 AS INT) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS INT) AS n_tokens,
+         |    len(list_filter(t, x -> x IN ($stopList))) / len(t) AS stop_ratio,
+         |    len(list_filter(t, x -> length(x) <= 2)) / len(t) AS short_ratio,
+         |    len(list_distinct(t)) / len(t) AS type_token_ratio
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s) q
+         |ORDER BY doc_id""".stripMargin,
+    "text_lang_markers" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ($stopList)))
+         |            / len(string_split(text, ' ')) >= 0.05
+         |       THEN 'en' ELSE 'und' END AS marker_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS md5_raw,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS md5_norm
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

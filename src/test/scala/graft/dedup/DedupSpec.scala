@@ -1,0 +1,89 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate tests: LSH/SimHash must find known near-dups and
+  * must not pair unrelated docs; minhash similarity must approximate true
+  * Jaccard.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill near the garden gate every single morning"
+
+  lazy val planted = Seq(
+    (0L, base),
+    (1L, base.replace("lazy", "sleepy")),              // near-dup of 0
+    (2L, base),                                        // exact dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules and whole stage code generation for analytical queries at scale"),
+    (4L, "another unrelated document mentioning parquet columnar storage predicate pushdown and partition pruning techniques in modern engines")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dups and exact dups") {
+    val pairs = Dedup
+      .minhashPairs(planted, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 2L))) // exact dup
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (a, b) => a >= 3L || b >= 3L }) // no false pairs
+  }
+
+  test("exact-dup pair has jaccard 1.0") {
+    val m = Dedup
+      .minhashPairs(planted, 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(m((0L, 2L)) == 1.0)
+    assert(m((0L, 1L)) < 1.0 && m((0L, 1L)) > 0.5)
+  }
+
+  test("simhash: identical docs share signature, near-dups within hamming 3") {
+    val sh = Dedup.simhash(planted).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) <= 12)  // near-dup: few bits differ
+    assert(ham(sh(0L), sh(3L)) > 14)   // unrelated: many bits differ
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(3L)))
+  }
+
+  test("simhash pairs finds the exact dup via pigeonhole banding") {
+    val pairs = Dedup
+      .simhashPairs(planted, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => (a, b) == (3L, 4L) })
+  }
+
+  test("minhash band collision implies high estimated similarity (corpus)") {
+    // on the driver corpus the planted near-dups surface as pairs with
+    // verified jaccard >= 0.5; every reported pair must satisfy the
+    // threshold (the verify stage is exact)
+    val rows = Dedup.minhashPairs(
+      graft.tables.Tables.documents(spark, sf0001), 0.5).collect()
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("shingles: word 3-grams, distinct, empty for short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val m = df
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L).isEmpty)
+  }
+
+  test("exact dedup keeps min doc_id per content hash") {
+    val out = Dedup.dedupExact(spark, sf0001).collect()
+    assert(out.map(_.getLong(2)).sum == 500) // copies sum to corpus size
+    assert(out.forall(_.getLong(2) >= 1))
+  }
+}
