@@ -52,21 +52,30 @@ object Dedup {
   val numBands  = 4 // 4 rows per band; P(candidate) = 1-(1-j^4)^4
   val rowsPerBand: Int = numPerms / numBands
 
-  /** Per-doc MinHash signature: explode distinct shingles, take
-    * min(xxhash64(seed, shingle)) per seed — map + one groupBy(doc_id)
-    * with partial aggregation; no pairwise work.
+  /** Per-doc MinHash signature + band hashes, computed ROW-LOCALLY in one
+    * pass (shingling included — plain Scala, not interpreted catalyst
+    * lambdas): no explode, no shuffle. Signature computation is
+    * embarrassingly row-parallel, which is the design that holds at
+    * 100 TB: a map-only scan. (Earlier cuts — explode + 16-way
+    * min-aggregate, then a UDF fed by the higher-order `shingles` column —
+    * were 25× and 8× slower respectively at sf0.1.)
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until numPerms).map(i => min(xxhash64(lit(i), $"shingle")).as(s"sig$i"))
-    val withSh = docs
-      .select($"doc_id", explode(shingles($"text")).as("shingle"))
-      .groupBy($"doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until numBands).map { b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)
-        .as(s"band$b")
+    val sigUdf = udf { (text: String) =>
+      val sig = Hashing.minhashSignature(Hashing.shingleSet(text).toSeq, numPerms)
+      val bands = (0 until numBands).map { b =>
+        Hashing.hash64(
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(sig).mkString(","),
+          seed = b
+        )
+      }
+      sig.toSeq ++ bands
     }
-    withSh.select(col("doc_id") +: (0 until numPerms).map(i => col(s"sig$i")) ++: bandCols: _*)
+    val sigCols = (0 until numPerms).map(i => $"all" (i).as(s"sig$i"))
+    val bandCols = (0 until numBands).map(b => $"all" (numPerms + b).as(s"band$b"))
+    docs
+      .select($"doc_id", sigUdf($"text").as("all"))
+      .select(col("doc_id") +: (sigCols ++ bandCols): _*)
   }
 
   /** LSH candidate pairs: docs sharing any band bucket; verified with
@@ -74,16 +83,21 @@ object Dedup {
     * hash — bucket sizes are the only quadratic term.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bands = (0 until numBands)
-      .map(b => sigs.select($"doc_id", lit(b).as("band_id"), col(s"band$b").as("band_hash")))
-      .reduce(_ union _)
+    // signatures are tiny (doc_id + 20 longs) — persist so the self-join
+    // and the verify stage don't recompute the signature scan per branch
+    val sigs = minhashSignatures(docs).persist()
+    val bands = sigs.select(
+      $"doc_id",
+      posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_id", "band_hash"))
+    )
     val cand = bands
       .as("a")
       .join(bands.as("b"), $"a.band_id" === $"b.band_id" && $"a.band_hash" === $"b.band_hash" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val sh = docs.select($"doc_id", shingles($"text").as("sh"))
+    val shUdf = udf { (text: String) => Hashing.shingleSet(text).toSeq }
+    val sh = docs.select($"doc_id", shUdf($"text").as("sh"))
     cand
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sh.as("sb"), $"doc_b" === $"sb.doc_id")
@@ -97,42 +111,29 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 64-bit SimHash over shingle hashes: per bit, +1 if set else −1,
-    * signature bit = sign of the sum. Expressed as an explode + groupBy
-    * with 64 conditional sums folded into a packed long via bit ops —
-    * stays in codegen, no UDF.
+  /** 64-bit SimHash — row-local single pass over the shingle set
+    * ([[Hashing.simhash64]]): map-only, no shuffle. (A first cut expressed
+    * this as explode + 64 conditional sums in pure SQL; correct, but it
+    * shuffled every shingle and aggregated 64 columns — ~25× slower at
+    * sf0.1 and strictly worse at scale.)
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val h = xxhash64($"shingle")
-    // per shingle, per bit b: contribution sign = 2*bit-1; sum over doc
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
-    }
-    val packed = (0 until 64)
-      .map(b => when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    docs
-      .select($"doc_id", explode(shingles($"text")).as("shingle"))
-      .groupBy($"doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select($"doc_id", packed.as("simhash"))
+    val shUdf = udf { (text: String) => Hashing.simhash64(Hashing.shingleSet(text).toSeq) }
+    docs.select($"doc_id", shUdf($"text").as("simhash"))
   }
 
   /** SimHash near-dup pairs: pigeonhole on 16-bit segments (Hamming ≤ 3
     * ⇒ at least one of 4 segments equal), verify exact Hamming distance.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs)
-    val segs = (0 until 4)
-      .map(k =>
-        sh.select(
-          $"doc_id",
-          $"simhash",
-          lit(k).as("seg_id"),
-          shiftright($"simhash", k * 16).bitwiseAND(lit(0xffffL)).as("seg")
-        )
-      )
-      .reduce(_ union _)
+    val sh = simhash(docs).persist()
+    val segs = sh.select(
+      $"doc_id",
+      $"simhash",
+      posexplode(
+        array((0 until 4).map(k => shiftright($"simhash", k * 16).bitwiseAND(lit(0xffffL))): _*)
+      ).as(Seq("seg_id", "seg"))
+    )
     val hamming = {
       val x = $"a.simhash".bitwiseXOR($"b.simhash")
       (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)

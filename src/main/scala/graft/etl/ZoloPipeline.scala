@@ -14,8 +14,17 @@ object ZoloPipeline {
 
   val fixturesDir = "/root/repo/fixtures"
 
-  /** Register all 8 warehouse tables as temp views from the fixture data. */
+  /** Register all 8 warehouse tables as temp views from the fixture data.
+    * Idempotent per session — repeated driver queries skip re-planning the
+    * whole ETL fixture read.
+    */
   def registerAll(spark: SparkSession, dir: String = fixturesDir): Unit = {
+    if (spark.catalog.tableExists("coffee_profiles")) return
+    registerAllForce(spark, dir)
+  }
+
+  /** Unconditional registration (tests that mutate fixtures would use this). */
+  def registerAllForce(spark: SparkSession, dir: String = fixturesDir): Unit = {
     val (sqTrans, sqDetails) = SquareEtl.run(spark, s"$dir/square_payments.json")
     val (shTrans, shDetails) = ShopifyEtl.run(spark, s"$dir/shopify_orders.json")
     val (qbTrans, qbDetails) = QuickbooksEtl.run(spark, s"$dir/qb_invoices.json")

@@ -104,13 +104,13 @@ object Models {
         ai += 1
       }
     }
-    sweep(0.0, 1.0, 0.0, 1.0, 20)
-    var r = 0.05
+    sweep(0.0, 1.0, 0.0, 1.0, 12)
+    var r = 1.0 / 12
     var pass = 0
     while (pass < 3) {
       val (a0, b0) = best
-      sweep(a0 - r, a0 + r, b0 - r, b0 + r, 10)
-      r /= 5
+      sweep(a0 - r, a0 + r, b0 - r, b0 + r, 8)
+      r /= 4
       pass += 1
     }
     best
@@ -234,15 +234,25 @@ object Models {
     }
     // stage 1: long AR for residual proxies (only needed when q > 0)
     val resid: Array[Double] =
-      if (q == 0) Array.fill(n)(0.0)
+      if (q == 0) new Array[Double](n)
       else {
         val m = math.min(math.max(p + q + 2, 4), math.max(1, n / 4))
         if (n <= m + p + q + 1) return None
-        val xr = (m until n).map(t => 1.0 +: (1 to m).map(j => w(t - j)).toArray).map(_.toArray).toArray
-        val yr = (m until n).map(w).toArray
+        val nr = n - m
+        val xr = Array.ofDim[Double](nr, m + 1)
+        val yr = new Array[Double](nr)
+        var t = m
+        while (t < n) {
+          val row = xr(t - m)
+          row(0) = 1.0
+          var j = 1
+          while (j <= m) { row(j) = w(t - j); j += 1 }
+          yr(t - m) = w(t)
+          t += 1
+        }
         val b = olsSolve(xr, yr).getOrElse(return None)
         val res = new Array[Double](n)
-        var t = m
+        t = m
         while (t < n) {
           var f = b(0)
           var j = 1
@@ -255,12 +265,20 @@ object Models {
     // stage 2: OLS of w_t on [1, p lags of w, q lags of resid]
     val start = math.max(p, q) + (if (q > 0) math.max(p + q + 2, 4).min(math.max(1, n / 4)) else 0)
     if (n - start < p + q + 2) return None
-    val rows = (start until n).map { t =>
-      val lagW = (1 to p).map(j => w(t - j))
-      val lagE = (1 to q).map(j => resid(t - j))
-      (1.0 +: (lagW ++ lagE)).toArray
-    }.toArray
-    val ys = (start until n).map(w).toArray
+    val nr2 = n - start
+    val rows = Array.ofDim[Double](nr2, 1 + p + q)
+    val ys = new Array[Double](nr2)
+    var t2 = start
+    while (t2 < n) {
+      val row = rows(t2 - start)
+      row(0) = 1.0
+      var j = 1
+      while (j <= p) { row(j) = w(t2 - j); j += 1 }
+      j = 1
+      while (j <= q) { row(p + j) = resid(t2 - j); j += 1 }
+      ys(t2 - start) = w(t2)
+      t2 += 1
+    }
     val b = olsSolve(rows, ys).getOrElse(return None)
     val c = b(0)
     val phi = b.slice(1, 1 + p)

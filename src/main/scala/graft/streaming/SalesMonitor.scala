@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.syntax._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The "Quittin Time" streaming workload the reference *describes* but
+  * never implements (`/root/reference/README.md:19-20`: continuously
+  * monitor sales, forecast the next 30 minutes), plus the streaming
+  * replacement for the hand-rolled config.yml watermark (S10,
+  * `square_ETL.py:20-22,53-56`).
+  *
+  * Structure: source → event-time watermark → 30-minute tumbling window
+  * aggregation; checkpointing gives exactly the incremental/offset
+  * semantics the reference maintained by hand, and the watermark bounds
+  * state for late data (the reference's wall-clock range reprocessing
+  * had no late-data story at all).
+  *
+  * Scale: state is (window × market) — tiny; throughput is bounded by the
+  * source. A 100 TB/day firehose shards the source (Kafka partitions);
+  * the windowed agg is a streaming partial-agg with the same shuffle key.
+  */
+object SalesMonitor {
+
+  /** 30-minute tumbling sales per market with a 1-hour watermark.
+    * Input schema: (created_at timestamp, market string, dollars double).
+    */
+  def windowedSales(payments: DataFrame): DataFrame =
+    payments
+      .withWatermark("created_at", "1 hour")
+      .groupBy(window($"created_at", "30 minutes").as("w"), $"market")
+      .agg(
+        sum($"dollars").as("dollars"),
+        count(lit(1)).as("n_payments")
+      )
+      .select($"w.start".as("window_start"), $"w.end".as("window_end"), $"market", $"dollars", $"n_payments")
+
+  final case class Payment(created_at: java.sql.Timestamp, market: String, dollars: Double)
+  final case class MarketState(total: Double, n: Long)
+  final case class MarketRunning(market: String, total_dollars: Double, n_payments: Long)
+
+  /** Custom stateful operator — running per-market totals via
+    * mapGroupsWithState (the KeyValueGroupedDataset path of the brief):
+    * the forecast seed for "sales in the next 30 min" style monitoring.
+    */
+  def runningTotals(spark: SparkSession, payments: DataFrame): DataFrame = {
+    import spark.implicits._
+    payments
+      .as[Payment]
+      .groupByKey(_.market)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (market: String, rows: Iterator[Payment], state: GroupState[MarketState]) =>
+          val prev  = state.getOption.getOrElse(MarketState(0.0, 0L))
+          var total = prev.total
+          var n     = prev.n
+          rows.foreach { p => total += p.dollars; n += 1 }
+          state.update(MarketState(total, n))
+          MarketRunning(market, total, n)
+      }
+      .toDF()
+  }
+
+  /** Batch-mode equivalence shape: the same windowedSales plan applied to
+    * a static frame gives the golden result the streaming output must
+    * converge to (used by StreamingSpec).
+    */
+  def windowedSalesBatch(payments: DataFrame): DataFrame =
+    payments
+      .groupBy(window($"created_at", "30 minutes").as("w"), $"market")
+      .agg(sum($"dollars").as("dollars"), count(lit(1)).as("n_payments"))
+      .select($"w.start".as("window_start"), $"w.end".as("window_end"), $"market", $"dollars", $"n_payments")
+}
