@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.forecast.ForecastJobs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the scale-readiness contract. Each test
+  * pins a property that must survive refactors because it is what makes
+  * the plan work at 100 TB: filters and projections reaching the parquet
+  * scan, dimensions broadcast instead of shuffled, whole-stage codegen
+  * covering the hot path.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("F7: filter is pushed to the parquet scan") {
+    val p = plan(Relational.f7FilterRange(spark, sf0001))
+    assert(p.contains("PushedFilters:"), p)
+    assert(
+      p.contains("EqualTo(o_orderstatus,F)") || p.contains("IsNotNull(o_orderstatus)"),
+      s"order-status filter not pushed:\n$p"
+    )
+  }
+
+  test("F5: column pruning — scan reads only the projected columns") {
+    val p = plan(Relational.f5Projection(spark, sf0001))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_extendedprice"), s"scan reads unprojected column:\n$readSchema")
+  }
+
+  test("J2: dimension joins are broadcast, fact side never shuffles for the join") {
+    val p = plan(Relational.j2DimJoin(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("Q1: aggregation is partial (map-side) before the exchange") {
+    val p = plan(Relational.q1PricingSummary(spark, sf0001))
+    // two HashAggregates around one Exchange = partial + final
+    val aggCount = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggCount >= 2, s"no partial aggregation:\n$p")
+    // simple-mode plan marks codegen stages with *(n); AQE only shows the
+    // final plan (with codegen spans) after execution
+    val df = Relational.q1PricingSummary(spark, sf0001)
+    df.collect()
+    val simple = df.queryExecution.executedPlan.toString
+    assert(simple.contains("*("), s"hot path fell out of codegen:\n$simple")
+  }
+
+  test("weekly series: broadcast dim join + single shuffle for the rollup") {
+    val df = ForecastJobs.weeklySeries(spark, sf0001, minWeeks = 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("S10 watermark scan: timestamp range filter reaches the scan") {
+    val p = plan(Relational.s10WatermarkScan(spark, sf0001))
+    assert(p.contains("PushedFilters:"), p)
+  }
+}
