@@ -126,6 +126,7 @@ object Dedup {
     * ⇒ at least one of 4 segments equal), verify exact Hamming distance.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = simhash(docs).persist()
     val segs = sh.select(
       $"doc_id",
@@ -134,10 +135,8 @@ object Dedup {
         array((0 until 4).map(k => shiftright($"simhash", k * 16).bitwiseAND(lit(0xffffL))): _*)
       ).as(Seq("seg_id", "seg"))
     )
-    val hamming = {
-      val x = $"a.simhash".bitwiseXOR($"b.simhash")
-      (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)
-    }
+    // native expression: Long.bitCount codegen vs a 64-term shift/and tree
+    val hamming = graft.functions.GraftFunctions.hamming64($"a.simhash", $"b.simhash")
     segs
       .as("a")
       .join(segs.as("b"), $"a.seg_id" === $"b.seg_id" && $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id")
@@ -194,16 +193,12 @@ object Dedup {
     * fold order matches DuckDB's sequential list_dot_product).
     */
   val dedupEmbeddingCosine: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables
       .embeddings(s, d)
       .filter($"vec_id" % 50 === 0)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    val dot   = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val cos = round(
-      dot($"a.v", $"b.v") / sqrt(dot($"a.v", $"a.v") * dot($"b.v", $"b.v")),
-      6
-    )
+    val cos = round(graft.functions.GraftFunctions.cosine64($"a.v", $"b.v"), 6)
     e.as("a")
       .join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), cos.as("cosine"))

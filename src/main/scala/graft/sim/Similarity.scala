@@ -26,11 +26,18 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  def dot(a: Column, b: Column): Column =
+  /** Higher-order-function formulation — kept as the reference/back-up
+    * path; interpreted per element, ~10× slower than [[cosine]].
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd kernel ([[graft.functions.Cosine64]]); same
+    * left-to-right double folds, so values are bit-identical to the HOF
+    * formulation and the DuckDB oracle.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    graft.functions.GraftFunctions.cosine64(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -39,6 +46,7 @@ object Similarity {
     * deterministic cross-engine.
     */
   def bruteForceTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
@@ -62,6 +70,7 @@ object Similarity {
     * max-cosine centroid; probes search their `nprobe` best cells only.
     */
   def ivfTopK(s: SparkSession, d: String, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val cents = e.filter($"vec_id" < nCells)
       .select($"vec_id".as("cell_id"), $"v".as("cv"))
