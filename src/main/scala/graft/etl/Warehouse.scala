@@ -48,6 +48,19 @@ object Warehouse {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed co-located layout — the 100 TB answer to the header⟕detail
+    * joins (J1/J4/J6): write both fact tables bucketed AND sorted by the
+    * join key; equal bucket counts let the sort-merge join run with NO
+    * exchange and NO sort on either side (BucketingSpec pins the plan).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** S10 — batch watermark table: one row (pipeline, high_water_mark). */
   def readWatermark(spark: SparkSession, path: String, pipeline: String): Option[java.sql.Timestamp] =
     if (!new java.io.File(path).exists()) None
