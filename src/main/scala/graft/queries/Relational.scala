@@ -326,7 +326,57 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), derivedSum($"value").as("sum_value"))
       .orderBy($"event_type")
 
+  // ---------------------------------------------------------------------
+  // Beyond-the-reference relational surface (a user of a complete engine
+  // expects these): semi/anti joins, rollup, exact distinct counts.
+  // ---------------------------------------------------------------------
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with and
+    * without orders, as one unioned labeled result.
+    */
+  val jSemiAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(lit("has_orders").as("bucket"), $"c_custkey")
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("bucket"), $"c_custkey")
+    semi.union(anti).orderBy($"bucket", $"c_custkey")
+  }
+
+  /** ROLLUP over (returnflag, linestatus) with grouping_id — subtotal and
+    * grand-total rows. Cross-engine null-ordering trap: Spark sorts nulls
+    * first ASC, DuckDB last — the oracle says NULLS FIRST explicitly.
+    */
+  val aRollup: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        sum($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  /** Exact distinct counts (the reference's A7 driver-loop keys,
+    * warehouse-grade): per returnflag, distinct parts / suppliers /orders.
+    */
+  val aDistinctCounts: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders")
+      )
+      .orderBy($"l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "j_semi_anti"       -> jSemiAnti,
+    "a_rollup"          -> aRollup,
+    "a_distinct_counts" -> aDistinctCounts,
     "f5_projection"    -> f5Projection,
     "f7_filter_range"  -> f7FilterRange,
     "f8_derive"        -> f8Derive,
@@ -349,6 +399,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "j_semi_anti" ->
+      """SELECT 'has_orders' AS bucket, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders', c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY bucket, c_custkey""".stripMargin,
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "a_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "f5_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

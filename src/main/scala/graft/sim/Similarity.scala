@@ -64,37 +64,88 @@ object Similarity {
       .orderBy($"probe_id", $"rank")
   }
 
-  /** IVF top-k: centroids = vectors with vec_id < nCells (deterministic
-    * "training" stand-in for k-means — the plumbing, partitioning and
-    * probe strategy are the real content); every vector assigned to its
-    * max-cosine centroid; probes search their `nprobe` best cells only.
+  /** Row-local cosine for training/assignment closures. */
+  private def cosLocal(a: Array[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Spherical k-means (Lloyd's): deterministic init (vec_id < nCells),
+    * map-only assignment against broadcast centroids each iteration,
+    * per-cell normalized mean. Centroids are tiny (nCells × dim) so the
+    * per-iteration collect is driver-cheap at any corpus size — each
+    * iteration's cluster cost is one scan + one groupBy.
+    */
+  def trainCentroids(s: SparkSession, e: DataFrame, nCells: Int, iters: Int): Array[Array[Double]] = {
+    import s.implicits._
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    var cents: Array[Array[Double]] =
+      ds.filter(_._1 < nCells).collect().sortBy(_._1).map(_._2)
+    for (_ <- 1 to iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val updated = ds
+        .map { case (_, v) =>
+          var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+          while (c < bc.value.length) {
+            val sim = cosLocal(bc.value(c), v.toSeq)
+            if (sim > bestSim) { bestSim = sim; best = c }
+            c += 1
+          }
+          (best, v)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (cell, rows) =>
+          val sum = new Array[Double](bc.value(0).length)
+          rows.foreach { case (_, v) =>
+            var i = 0; while (i < sum.length) { sum(i) += v(i); i += 1 }
+          }
+          val norm = math.sqrt(sum.map(x => x * x).sum)
+          (cell, if (norm > 0) sum.map(_ / norm) else sum)
+        }
+        .collect()
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(c => updated.getOrElse(c, cents(c))).toArray
+    }
+    cents
+  }
+
+  /** IVF top-k: spherical-k-means cells, map-only cell assignment via a
+    * broadcast-centroid UDF (no cross-join materialization of
+    * corpus × centroids), probes search only their `nprobe` best cells.
+    * At 100 TB the corpus would be WRITTEN partitioned by cell_id so a
+    * probe reads nprobe partitions instead of the full scan.
     */
   def ivfTopK(s: SparkSession, d: String, k: Int, nCells: Int, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
-    val cents = e.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell_id"), $"v".as("cv"))
-    // assign: argmax cosine over broadcast centroids (map-only)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell_id")
-    val assigned = e
-      .join(broadcast(cents), Nil, "cross")
-      .select($"vec_id", $"v", $"cell_id", round(cosine($"v", $"cv"), 9).as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"cell_id")
-    // probes: top nprobe cells each
-    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
-    val wProbe = Window.partitionBy($"probe_id").orderBy($"csim".desc, $"cell_id")
-    val probeCells = probes
-      .join(broadcast(cents), Nil, "cross")
-      .select($"probe_id", $"pv", $"cell_id", round(cosine($"pv", $"cv"), 9).as("csim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter($"rn" <= nprobe)
-      .select($"probe_id", $"pv", $"cell_id")
-    // search only assigned cells
+    val cents = trainCentroids(s, e, nCells, iters = 3)
+    val bc = s.sparkContext.broadcast(cents)
+    val assignCell = udf { (v: Seq[Double]) =>
+      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+      while (c < bc.value.length) {
+        val sim = cosLocal(bc.value(c), v)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    val probeCellsUdf = udf { (v: Seq[Double]) =>
+      bc.value.indices
+        .map(c => (cosLocal(bc.value(c), v), c))
+        .sortBy { case (sim, c) => (-sim, c) }
+        .take(nprobe)
+        .map(_._2)
+    }
+    val assigned = e.withColumn("cell_id", assignCell($"v"))
+    val probes = e
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), explode(probeCellsUdf($"v")).as("cell_id"))
     val wRank = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
     assigned
-      .join(probeCells, Seq("cell_id"))
+      .join(probes, Seq("cell_id"))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id".as("neighbor_id"), round(cosine($"pv", $"v"), 6).as("cosine"))
       .withColumn("rank", row_number().over(wRank))

@@ -1,0 +1,48 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** S7/S8/S10 integration: the incremental batch flow — watermark scan →
+  * append → watermark commit — and the crash-duplicate hazard the
+  * reference carries (SURVEY §3.1 step 5) closed by appendDedup.
+  */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-wh").toString
+
+  test("append accumulates, overwrite replaces") {
+    val dir = tmp() + "/t"
+    Warehouse.append(Seq((1, "a")).toDF("id", "v"), dir)
+    Warehouse.append(Seq((2, "b")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+    Warehouse.overwrite(Seq((9, "z")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("appendDedup makes re-extraction idempotent (at-least-once → effectively-once)") {
+    val dir = tmp() + "/t"
+    val batch = Seq(("p1", 10.0), ("p2", 20.0)).toDF("payment_id", "dollars")
+    Warehouse.appendDedup(spark, batch, dir, "payment_id")
+    // crash-before-watermark-commit replays the same batch plus one new row
+    val replay = Seq(("p1", 10.0), ("p2", 20.0), ("p3", 30.0)).toDF("payment_id", "dollars")
+    Warehouse.appendDedup(spark, replay, dir, "payment_id")
+    val out = spark.read.parquet(dir).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("p1", "p2", "p3"))
+  }
+
+  test("watermark table roundtrip keeps the high-water mark per pipeline") {
+    val dir = tmp() + "/wm"
+    assert(Warehouse.readWatermark(spark, dir, "square").isEmpty)
+    val t1 = java.sql.Timestamp.valueOf("2019-06-09 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2019-06-10 00:00:00")
+    Warehouse.writeWatermark(spark, dir, "square", t1)
+    Warehouse.writeWatermark(spark, dir, "shopify", t2)
+    assert(Warehouse.readWatermark(spark, dir, "square").contains(t1))
+    Warehouse.writeWatermark(spark, dir, "square", t2)
+    assert(Warehouse.readWatermark(spark, dir, "square").contains(t2)) // latest wins
+    assert(Warehouse.readWatermark(spark, dir, "shopify").contains(t2))
+  }
+}
