@@ -25,13 +25,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ ForecastJobs.queries ++ ZoloPipeline.queries ++
+    Relational.queries ++ graft.queries.Advanced.queries ++
+      ForecastJobs.queries ++ ZoloPipeline.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ ForecastJobs.oracles ++
+    Relational.oracles ++ graft.queries.Advanced.oracles ++ ForecastJobs.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -80,15 +80,40 @@ object ForecastJobs {
       .orderBy(col("profile_name"))
   }
 
-  /** Holt driver (`holt_model.py`): optimized (α,β), > 10 weeks history. */
+  /** Holt driver (`holt_model.py`): optimized (α,β), > 10 weeks history.
+    *
+    * Walk-forward steps are DISTRIBUTED: step i's fit depends only on the
+    * prefix xs[0, split+i), which is known upfront — so each (profile,
+    * step) is an independent task (plus a sentinel step for the final
+    * full-series forecast), reduced back to (mse, prediction) per
+    * profile. Parallelism = profiles × test points instead of profiles.
+    */
   def holtJob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val cores = s.sparkContext.defaultParallelism
     typedWeekly(s, dir, minWeeks = 10)
       .groupByKey(_.profile_name)
-      .flatMapGroups { (profile, rows) =>
-        val xs = series(rows)
-        val (m, _) = Models.holtWalkForward(xs)
-        Iterator.single(HoltResult(profile, m, Models.holtForecast(xs)))
+      .mapGroups((k, rows) => (k, series(rows)))
+      .flatMap { case (k, xs) =>
+        val (train, test) = Models.split75(xs)
+        val steps = test.indices.map { i =>
+          (k, i, train.length + i, xs)
+        }
+        steps :+ ((k, test.length, xs.length, xs)) // sentinel: final fit
+      }
+      .repartition(math.max(cores * 2, 8))
+      .map { case (k, i, prefixLen, xs) =>
+        val pred = Models.holtForecast(xs.take(prefixLen))
+        val actual = if (prefixLen < xs.length) xs(prefixLen) else Double.NaN
+        (k, i, pred, actual)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (profile, it) =>
+        val steps = it.toArray
+        val wf = steps.filter(t => !t._4.isNaN)
+        val m = wf.map(t => { val e = t._3 - t._4; e * e }).sum / wf.length
+        val finalPred = steps.maxBy(_._2)._3
+        HoltResult(profile, m, finalPred)
       }
       .toDF()
       .orderBy(col("profile_name"))

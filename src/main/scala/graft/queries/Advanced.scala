@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.tables.Tables
+import graft.syntax._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Advanced analytics surface a complete warehouse engine needs beyond
+  * the reference: sessionization, pivot, sketch-based distinct counts,
+  * percentiles. All over the `events`/`lineitem` corpus.
+  */
+object Advanced {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sessionization by inactivity gap (30 min) — composed from lag +
+    * cumulative-sum windows, so it is portable SQL (oracle-checked)
+    * rather than Spark-only `session_window` semantics. Two exchanges:
+    * one per-user sort for the lag, reused by the running sum; the final
+    * per-session rollup shuffles on (user, session).
+    */
+  val wSessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables
+      .events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        ($"prev_ts".isNull || unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800).cast("int")
+      )
+      .withColumn("session_id", sum($"new_session").over(byUser))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value")
+      )
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Pivot: quantity by returnflag × linestatus, expressed with an
+    * explicit value list so the output schema is static (and the oracle
+    * is plain conditional aggregation).
+    */
+  val aPivot: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity"))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy($"l_returnflag")
+
+  /** HLL approximate distinct — cross-engine sketches differ, so this is
+    * rows-only; AdvancedSpec bounds the relative error against the exact
+    * count. At 100 TB this replaces countDistinct's full shuffle with a
+    * fixed-size sketch merge.
+    */
+  val aApproxDistinct: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders")
+      )
+      .orderBy($"l_returnflag")
+
+  /** Exact interpolated percentiles (median, p90) of an integral-valued
+    * measure — linear interpolation on sorted values is deterministic in
+    * both engines.
+    */
+  val aPercentiles: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty")
+      )
+      .orderBy($"l_returnflag")
+
+  val queries: Map[String, Q] = Map(
+    "w_sessionize"      -> wSessionize,
+    "a_pivot"           -> aPivot,
+    "a_approx_distinct" -> aApproxDistinct,
+    "a_percentiles"     -> aPercentiles
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "a_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+        |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
