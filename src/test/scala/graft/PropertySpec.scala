@@ -1,0 +1,105 @@
+package graft
+
+import graft.etl.{ShopifyEtl, SquareEtl, ZoloSchemas}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY §5.4 property-based invariants over generated payloads:
+  * explode conservation, header/detail consistency, market-attribution
+  * totality, SES bounds.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling loop (the scalatest/scalacheck bridge is not
+    * in the offline cache — raw Gen + seeds gives the same coverage).
+    */
+  private def forSamples[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  import spark.implicits._
+
+  private val genItemization = for {
+    qty  <- Gen.choose(1, 9)
+    cents <- Gen.choose(100L, 99999L)
+    vid  <- Gen.choose(100, 120)
+  } yield (qty.toDouble, s"sq-$vid", cents)
+
+  private val genPayment = for {
+    id    <- Gen.uuid.map(_.toString.take(8))
+    items <- Gen.nonEmptyListOf(genItemization).map(_.take(6))
+    hour  <- Gen.choose(0, 23)
+    day   <- Gen.choose(1, 28)
+  } yield (id, f"2019-06-$day%02dT$hour%02d:30:00Z", items)
+
+  private def paymentsDf(ps: List[(String, String, List[(Double, String, Long)])]) = {
+    val rows = ps.map { case (id, ts, items) =>
+      Row(
+        id,
+        ts,
+        Row("dev1"),
+        items.map { case (q, vid, c) => Row(q, "var", Row(vid), Row(c), null) },
+        Seq(Row(Row(1000L), Row(100L)))
+      )
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      ZoloSchemas.squarePayment
+    )
+  }
+
+  test("explode conserves quantity and dollars; market attribution is total") {
+    forSamples(Gen.nonEmptyListOf(genPayment).map(_.take(8)), 10) { ps0 =>
+      val ps = ps0.distinctBy(_._1)
+      if (ps.nonEmpty) {
+        val raw = paymentsDf(ps)
+        val det = SquareEtl.details(raw)
+        // explode row count = total itemizations
+        assert(det.count() == ps.map(_._3.size).sum)
+        // conservation: sum of detail quantities equals input sum
+        val qtySum = det.agg(sum($"quantity")).collect()(0).getLong(0)
+        assert(qtySum == ps.flatMap(_._3).map(_._1.toInt).sum)
+        val wm = SquareEtl.withMarket(det)
+        // attribution total: never null
+        assert(wm.filter($"market".isNull).count() == 0)
+        // header/detail consistency: header dollars = per-payment detail sums
+        val header = SquareEtl.headerTable(wm).collect()
+          .map(r => r.getString(0) -> r.getDouble(3)).toMap
+        val detSums = wm.groupBy($"payment_id").agg(sum($"dollars").as("s"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(header.keySet == detSums.keySet)
+        header.foreach { case (k, v) => assert(math.abs(v - detSums(k)) < 1e-9) }
+      }
+    }
+  }
+
+  test("union row counts add across source slices") {
+    forSamples(Gen.zip(Gen.choose(1, 20), Gen.choose(1, 20)), 5) { case (a, b) =>
+      val d1 = (1 to a).map(i => (s"a$i", 1.0)).toDF("id", "v")
+      val d2 = (1 to b).map(i => (s"b$i", 2.0)).toDF("id", "v")
+      assert(d1.union(d2).count() == a + b)
+    }
+  }
+
+  test("SES forecast bounded by series min/max for any alpha in (0,1]") {
+    forSamples(
+      Gen.zip(Gen.nonEmptyListOf(Gen.choose(0.0, 1000.0)).map(_.take(50)), Gen.choose(0.01, 1.0)),
+      50
+    ) { case (xs0, alpha) =>
+      if (xs0.nonEmpty) {
+        val xs = xs0.toArray
+        val f = graft.forecast.Models.sesForecast(xs, alpha)
+        assert(f >= xs.min - 1e-9 && f <= xs.max + 1e-9)
+      }
+    }
+  }
+
+  test("watermark filter is monotone: later watermark keeps a subset") {
+    val df = graft.tables.Tables.events(spark, sf0001)
+    val w1 = df.filter($"ts" > lit("2024-01-10").cast("timestamp")).count()
+    val w2 = df.filter($"ts" > lit("2024-01-20").cast("timestamp")).count()
+    assert(w2 <= w1)
+  }
+}
