@@ -200,11 +200,42 @@ object ForecastJobs {
       weeklySeries(s, d, minWeeks = 5).orderBy($"profile_name", $"week_date"))
   )
 
-  /** The weekly series itself is SQL-expressible — oracle-checked; the
-    * model fits are iterative optimizer output (rows-only + ScalaTest
-    * goldens, BASELINE.md note).
+  /** The weekly series is SQL-expressible — oracle-checked. So is SES:
+    * the smoothing recursion is a left fold, which DuckDB's list_reduce
+    * replays in the identical double-op order (same multiply-add shape,
+    * same `1 - 0.6` subtraction), so walk-forward MSE and the forecast
+    * hash-match bit-exactly. Holt/ARIMA are iterative-optimizer output —
+    * rows-only + ScalaTest goldens (BASELINE.md note).
     */
   val oracles: Map[String, String] = Map(
+    "m_ses_forecast" ->
+      """WITH weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 8),
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM weekly GROUP BY profile_name),
+        |calc AS (
+        |  SELECT profile_name, xs, len(xs) AS n,
+        |    CAST(floor(len(xs) * 0.75) AS INT) AS sp
+        |  FROM series),
+        |wf AS (
+        |  SELECT profile_name, xs, n, sp,
+        |    [ xs[sp + i + 1] - list_reduce(xs[1:sp + i], (acc, x) -> 0.6 * x + (1 - 0.6) * acc)
+        |      for i in range(0, n - sp) ] AS errs
+        |  FROM calc)
+        |SELECT profile_name,
+        |  list_reduce([e * e for e in errs], (a, b) -> a + b) / (n - sp) AS mse,
+        |  list_reduce(xs, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS prediction
+        |FROM wf ORDER BY profile_name""".stripMargin,
     "m_weekly_series" ->
       """SELECT profile_name, week_date,
         |  CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
