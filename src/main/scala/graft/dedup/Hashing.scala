@@ -55,6 +55,55 @@ object Hashing {
     z ^ (z >>> 31)
   }
 
+  /** Rabin–Karp polynomial rolling hashes of every k-char window, one
+    * hash per position in O(n): h(i+1) = (h(i) - s(i)·B^(k-1))·B + s(i+k).
+    */
+  def rollingHashes(s: String, k: Int): Array[Long] = {
+    if (s == null || s.length < k) return Array.empty
+    val B = 1000000007L
+    var bPow = 1L
+    var i = 0
+    while (i < k - 1) { bPow *= B; i += 1 }
+    val out = new Array[Long](s.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= s.length - k) {
+      h = (h - s.charAt(i - 1) * bPow) * B + s.charAt(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowing (Schleimer et al.): keep the minimum rolling hash of each
+    * window of `w` consecutive k-gram hashes (rightmost on ties), dedup.
+    * Guarantees any match of length ≥ w+k−1 shares a fingerprint — the
+    * local-substring-overlap detector that md5 whole-doc hashing can't
+    * give. Row-local, map-only at any scale.
+    */
+  def winnow(s: String, k: Int = 8, w: Int = 8): Array[Long] = {
+    val hs = rollingHashes(s, k)
+    if (hs.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.LinkedHashSet[Long]
+    var start = 0
+    val lastStart = math.max(hs.length - w, 0)
+    while (start <= lastStart) {
+      var minIdx = start
+      var i = start
+      val end = math.min(start + w, hs.length)
+      while (i < end) {
+        if (hs(i) <= hs(minIdx)) minIdx = i // rightmost minimum
+        i += 1
+      }
+      out += hs(minIdx)
+      start += 1
+    }
+    out.toArray
+  }
+
   /** k-permutation MinHash signature of a shingle set — one pass per
     * permutation over the shingles, all row-local.
     */

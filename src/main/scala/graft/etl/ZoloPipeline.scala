@@ -25,19 +25,25 @@ object ZoloPipeline {
 
   /** Unconditional registration (tests that mutate fixtures would use this). */
   def registerAllForce(spark: SparkSession, dir: String = fixturesDir): Unit = {
+    // fixture tables are tiny: persist so the six driver queries and the
+    // multi-branch weekly-demand plan don't re-run the JSON ETLs per use
     val (sqTrans, sqDetails) = SquareEtl.run(spark, s"$dir/square_payments.json")
     val (shTrans, shDetails) = ShopifyEtl.run(spark, s"$dir/shopify_orders.json")
     val (qbTrans, qbDetails) = QuickbooksEtl.run(spark, s"$dir/qb_invoices.json")
-    sqTrans.createOrReplaceTempView("square_trans")
-    sqDetails.createOrReplaceTempView("square_trans_details")
-    shTrans.createOrReplaceTempView("shopify_trans")
-    shDetails.createOrReplaceTempView("shopify_trans_details")
-    qbTrans.createOrReplaceTempView("qb_trans")
-    qbDetails.createOrReplaceTempView("qb_trans_details")
-    QbCustomersEtl.run(spark, s"$dir/qb_customers.json").createOrReplaceTempView("qb_customers")
-    Warehouse.readItems(spark, s"$dir/items.csv").createOrReplaceTempView("items")
+    sqTrans.persist().createOrReplaceTempView("square_trans")
+    sqDetails.persist().createOrReplaceTempView("square_trans_details")
+    shTrans.persist().createOrReplaceTempView("shopify_trans")
+    shDetails.persist().createOrReplaceTempView("shopify_trans_details")
+    qbTrans.persist().createOrReplaceTempView("qb_trans")
+    qbDetails.persist().createOrReplaceTempView("qb_trans_details")
+    QbCustomersEtl
+      .run(spark, s"$dir/qb_customers.json")
+      .persist()
+      .createOrReplaceTempView("qb_customers")
+    Warehouse.readItems(spark, s"$dir/items.csv").persist().createOrReplaceTempView("items")
     Warehouse
       .readCoffeeProfiles(spark, s"$dir/coffee_profiles.csv")
+      .persist()
       .createOrReplaceTempView("coffee_profiles")
   }
 

@@ -93,6 +93,24 @@ object TextAnalysis {
       )
       .orderBy($"doc_id")
 
+  /** Rows-only: winnowing fingerprints (Rabin–Karp rolling hashes +
+    * min-per-window selection, [[graft.dedup.Hashing.winnow]]) — the
+    * local-overlap detector: any shared substring of ≥ 15 chars shares a
+    * fingerprint. Map-only; at scale the (fingerprint → doc) inverted
+    * index is one explode + groupBy away.
+    */
+  val textWinnow: Q = (s, d) => {
+    val winUdf = udf { (text: String) =>
+      val fp = graft.dedup.Hashing.winnow(text)
+      (fp.length, if (fp.isEmpty) 0L else fp.min)
+    }
+    Tables
+      .documents(s, d)
+      .select($"doc_id", winUdf($"text").as("w"))
+      .select($"doc_id", $"w._1".as("n_fingerprints"), $"w._2".as("min_fingerprint"))
+      .orderBy($"doc_id")
+  }
+
   /** Rows-only: trigram-profile language ID (the n-gram heuristic of the
     * brief) — not SQL-expressible; locked by TextSpec instead.
     */
@@ -109,6 +127,7 @@ object TextAnalysis {
     "text_quality"      -> textQuality,
     "text_lang_markers" -> textLangMarkers,
     "text_fingerprint"  -> textFingerprint,
+    "text_winnow"       -> textWinnow,
     "text_langid_ngram" -> textLangIdNgram
   )
 

@@ -24,6 +24,31 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared substrings share fingerprints, disjoint texts don't") {
+    import graft.dedup.Hashing
+    val a = "the quick brown fox jumps over the lazy dog near the old garden gate this morning"
+    val b = "yesterday " + a + " again"       // contains a as substring
+    val c = "zq xv wk pj completely unrelated gibberish tokens mnop qrst uvwx yzab cdef ghij"
+    val fa = Hashing.winnow(a).toSet
+    val fb = Hashing.winnow(b).toSet
+    val fc = Hashing.winnow(c).toSet
+    assert((fa & fb).size.toDouble / fa.size > 0.7) // containment detected
+    assert((fa & fc).isEmpty)                       // no spurious overlap
+    // guarantee: identical text → identical fingerprint set
+    assert(Hashing.winnow(a).toSeq == Hashing.winnow(a).toSeq)
+  }
+
+  test("rolling hash is consistent with direct hashing per window") {
+    import graft.dedup.Hashing
+    val s = "abcdefghijklmnop"
+    val k = 5
+    val rolled = Hashing.rollingHashes(s, k)
+    val direct = (0 to s.length - k).map { i =>
+      s.substring(i, i + k).foldLeft(0L)((h, c) => h * 1000000007L + c)
+    }
+    assert(rolled.toSeq == direct)
+  }
+
   test("fingerprint md5 matches exact-dedup content hash semantics") {
     val fp = TextAnalysis.textFingerprint(spark, sf0001).collect()
     assert(fp.map(_.getString(1)).distinct.length <= fp.length)
