@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension (the brief's ladder step (c)): per-key top-k
+  * with BOUNDED per-key heaps.
+  *
+  * The built-in formulation — `row_number().over(Window.partitionBy(key)
+  * .orderBy(ord))` then `filter(rank <= k)` — must SORT every row of
+  * every key before discarding all but k. At 100 TB that is a full
+  * shuffle + full sort of the corpus to keep k·|keys| rows. This
+  * operator keeps a k-bounded heap per key inside each task instead:
+  * same single shuffle (clustered distribution), but O(n log k) heap
+  * maintenance replaces the O(n log n) sort, and memory per task is
+  * k·|keys-in-partition| rows rather than the whole partition.
+  */
+final case class TopKPerKey(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+final case class TopKPerKeyExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan
+) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(partitionExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val schema = child.output
+    val partExprs = partitionExprs
+    val sortOrder = order
+    child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(partExprs, schema)
+      val rowOrd  = new LazilyGeneratedOrdering(sortOrder, schema)
+      // PriorityQueue dequeues the GREATEST element; under rowOrd
+      // (best-first comparator) the greatest element is the worst-sorted
+      // row — exactly the eviction candidate, so rowOrd is used directly
+      val heapOrd: Ordering[InternalRow] = rowOrd
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      rows.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(
+          key.copy(),
+          scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
+        )
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (rowOrd.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) => heap.toSeq.sorted(rowOrd).iterator }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, part, ord, child) =>
+      TopKPerKeyExec(k, part, ord, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Per-key top-k of `df` by `orderCol` (descending), deterministic via
+    * the caller-supplied tiebreak ordering columns.
+    */
+  def perKey(df: DataFrame, keys: Seq[Column], ordering: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val part = keys.map(c => GraftSqlBridge.expr(spark, c))
+    val ord = ordering.map { c =>
+      GraftSqlBridge.expr(spark, c) match {
+        case so: SortOrder => so
+        case e             => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    GraftSqlBridge.ofRows(spark, TopKPerKey(k, part, ord, GraftSqlBridge.logicalPlan(df)))
+  }
+}

@@ -153,8 +153,34 @@ object Similarity {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Same brute-force search, but ranked by the custom [[graft.plans.TopK]]
+    * physical operator (bounded per-key heaps) instead of a window sort —
+    * checked against the SAME DuckDB oracle as the window version, proving
+    * the custom SparkPlan row-for-row.
+    */
+  def bruteForceTopKNative(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val sims = e
+      .join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"), round(cosine($"pv", $"v"), 6).as("cosine"))
+    val top = graft.plans.TopK.perKey(
+      sims,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"cosine".desc, $"neighbor_id".asc),
+      k = k
+    )
+    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
+    top
+      .withColumn("rank", row_number().over(w)) // over k rows/key only
+      .orderBy($"probe_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d, k = 5)),
+    "ann_topk_native"     -> ((s, d) => bruteForceTopKNative(s, d, k = 5)),
     "ann_ivf_topk"        -> ((s, d) => ivfTopK(s, d, k = 5, nCells = 16, nprobe = 4))
   )
 
@@ -175,4 +201,8 @@ object Similarity {
         |  FROM sims) t
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   )
+
+  // the native-TopK variant must produce byte-identical results
+  val oraclesWithNative: Map[String, String] =
+    oracles + ("ann_topk_native" -> oracles("ann_bruteforce_topk"))
 }

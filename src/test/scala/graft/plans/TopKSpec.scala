@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** The custom TopKPerKey physical operator: row-identical to the
+  * window-based formulation, planned through TopKPerKeyExec.
+  */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-key top-k equals window row_number formulation") {
+    val native = Similarity.bruteForceTopKNative(spark, sf0001, k = 5).collect()
+    val window = Similarity.bruteForceTopK(spark, sf0001, k = 5).collect()
+    assert(native.map(_.toSeq).toSeq == window.map(_.toSeq).toSeq)
+  }
+
+  test("plan contains the custom exec node") {
+    val df = Similarity.bruteForceTopKNative(spark, sf0001, k = 5)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
+  test("heap boundary: k larger than group size returns whole group, ties break by id") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5),
+      ("b", 4L, 0.1)
+    ).toDF("key", "id", "score")
+    val out = TopK
+      .perKey(df, Seq(col("key")), Seq(col("score").desc, col("id").asc), k = 5)
+      .orderBy("key", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L)))
+    val top2 = TopK
+      .perKey(df, Seq(col("key")), Seq(col("score").desc, col("id").asc), k = 2)
+      .orderBy("key", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top2.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 4L))) // tie at 0.9 keeps lower id
+  }
+}
