@@ -122,7 +122,35 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Text normalization — the canonical cleaning pass before dedup /
+    * tokenization: lowercase, strip non-word punctuation, squeeze
+    * whitespace, trim.
+    */
+  val textNormalize: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+          .as("norm_text")
+      )
+      .orderBy($"doc_id")
+
+  /** Deterministic 1-in-16 sample via a content-hash bucket — the
+    * reproducible-sampling primitive (same rows on every run, every
+    * engine, any partitioning), unlike rand()-based sampling.
+    */
+  val textSampleBucket: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .withColumn("bucket", substring(md5($"text".cast("binary")), 1, 1))
+      .filter($"bucket" === "a")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_normalize"    -> textNormalize,
+    "text_sample_bucket" -> textSampleBucket,
     "text_tokens"       -> textTokens,
     "text_quality"      -> textQuality,
     "text_lang_markers" -> textLangMarkers,
@@ -134,6 +162,14 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sample_bucket" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(text), 1, 1) = 'a'
+        |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
