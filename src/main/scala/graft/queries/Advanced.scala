@@ -84,7 +84,46 @@ object Advanced {
       )
       .orderBy($"l_returnflag")
 
+  /** Funnel: users whose first 'signup' precedes their first 'purchase'
+    * — the canonical event-sequence conversion measure, one groupBy.
+    */
+  val eFunnel: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("first_signup"),
+        min(when($"event_type" === "purchase", $"ts")).as("first_purchase")
+      )
+      .withColumn(
+        "converted",
+        ($"first_signup".isNotNull && $"first_purchase".isNotNull &&
+          $"first_signup" < $"first_purchase").cast("int")
+      )
+      .orderBy($"user_id")
+
+  /** Retention cohorts: cohort = week of the user's first event; cell =
+    * distinct users of that cohort active n weeks later. Two shuffles:
+    * the per-user min, then the (cohort, offset) distinct count.
+    */
+  val eRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstWeek = ev
+      .groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).cast("date").as("cohort_week"))
+    ev.select($"user_id", date_trunc("week", $"ts").cast("date").as("active_week"))
+      .join(firstWeek, "user_id")
+      .groupBy(
+        $"cohort_week",
+        (datediff($"active_week", $"cohort_week") / 7).cast("int").as("week_offset")
+      )
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_funnel"          -> eFunnel,
+    "e_retention"       -> eRetention,
     "w_sessionize"      -> wSessionize,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
@@ -92,6 +131,25 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_funnel" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+        |  CAST(MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+        |   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+        |   AND MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |     < MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS INT) AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort_week,
+        |  CAST(floor(datediff('day', cohort_week, active_week) / 7.0) AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
+        |JOIN fw USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "w_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
