@@ -146,6 +146,56 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Dedup-group formation: connected components over a near-dup pair
+    * list by iterative min-label propagation — each round joins every
+    * doc's current label against its neighbors' and keeps the minimum;
+    * converges in O(diameter) rounds (near-dup clusters are tiny, so
+    * 2-4 rounds in practice). The driver only checks a changed-count per
+    * round — no component data ever leaves the executors, which is what
+    * makes this the 100 TB shape (vs driver-side union-find).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges
+      .select($"src".as("doc_id"))
+      .distinct()
+      .withColumn("label", $"doc_id")
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy($"src".as("doc_id2"))
+        .agg(min($"label").as("nbr_label"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === $"doc_id2", "left")
+        .select(
+          $"doc_id",
+          least(coalesce($"nbr_label", $"label"), $"label").as("label"),
+          ($"nbr_label".isNotNull && $"nbr_label" < $"label").cast("long").as("chg")
+        )
+        .persist()
+      changed = updated.agg(sum($"chg")).collect()(0).getLong(0)
+      labels = updated.select($"doc_id", $"label").persist()
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id").orderBy($"doc_id")
+  }
+
+  /** Near-dup clusters on the corpus: LSH pairs → components → one
+    * surviving doc (min id) per cluster.
+    */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = minhashPairs(Tables.documents(s, d), threshold = 0.5)
+    connectedComponents(pairs)
+  }
+
   // ------------------------------------------------------------------
   // Driver queries
   // ------------------------------------------------------------------
@@ -213,6 +263,7 @@ object Dedup {
     "dedup_minhash_pairs"   -> dedupMinhashPairs,
     "dedup_simhash"         -> dedupSimhash,
     "dedup_simhash_pairs"   -> dedupSimhashPairs,
+    "dedup_clusters"        -> dedupClusters,
     "dedup_embedding_cos"   -> dedupEmbeddingCosine
   )
 

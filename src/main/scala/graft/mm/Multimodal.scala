@@ -89,9 +89,41 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Frame sampling — the video analog: treat the blob as fixed-size
+    * frame blocks, emit every `stride`-th block with its offset (the
+    * extraction plumbing for "sample 1 fps"-style pipelines). posexplode
+    * keeps it one codegen'd scan; at scale the sampled frames land
+    * partitioned by doc for downstream batch decode.
+    */
+  val mmFrameSample: Q = (s, d) => {
+    val frameSize = 64
+    val stride    = 4
+    blobs(s, d)
+      .select(
+        $"doc_id",
+        posexplode(
+          filter(
+            transform(
+              sequence(lit(0), floor((octet_length($"blob") - 1) / (frameSize * stride)).cast("int")),
+              i => substring($"blob", (i * frameSize * stride + 1).cast("int"), lit(frameSize))
+            ),
+            f => octet_length(f) > 0
+          )
+        ).as(Seq("frame_idx", "frame"))
+      )
+      .select(
+        $"doc_id",
+        $"frame_idx",
+        octet_length($"frame").as("frame_bytes"),
+        md5($"frame").as("frame_md5")
+      )
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
-    "mm_metadata" -> mmMetadata,
-    "mm_decode"   -> mmDecode
+    "mm_metadata"     -> mmMetadata,
+    "mm_decode"       -> mmDecode,
+    "mm_frame_sample" -> mmFrameSample
   )
 
   val oracles: Map[String, String] = Map(

@@ -148,7 +148,35 @@ object TextAnalysis {
       .select($"doc_id", $"lang", $"source")
       .orderBy($"doc_id")
 
+  /** Rare-token score: two-pass frequency scoring — pass 1 builds the
+    * corpus token-frequency table, pass 2 scores each doc by the sum of
+    * its tokens' frequency ranks (rare ⇒ high rank ⇒ high score). The
+    * frequency table is a broadcast dim at any scale; integer ranks keep
+    * the oracle exact. Rank ties broken by token for determinism.
+    */
+  val textRareScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val freq = docs
+      .select(explode(toks).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+    val ranked = freq.select(
+      $"token",
+      row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy($"freq".desc, $"token"))
+        .cast("long")
+        .as("rank")
+    )
+    docs
+      .select($"doc_id", explode(toks).as("token"))
+      .join(broadcast(ranked), "token")
+      .groupBy($"doc_id")
+      .agg(sum($"rank").as("rarity_score"), count(lit(1)).as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_rare_score"   -> textRareScore,
     "text_normalize"    -> textNormalize,
     "text_sample_bucket" -> textSampleBucket,
     "text_tokens"       -> textTokens,
@@ -162,6 +190,19 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_rare_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (
+        |  SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |ranked AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |  FROM freq)
+        |SELECT doc_id, CAST(SUM(rank) AS BIGINT) AS rarity_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM tok JOIN ranked USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text

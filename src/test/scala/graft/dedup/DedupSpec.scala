@@ -72,6 +72,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("connected components: chain merges into one cluster, disjoint stays apart") {
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L),       // chain 0-1-2
+      (10L, 11L)                // separate pair
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(cc(0L) == 0L && cc(1L) == 0L && cc(2L) == 0L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("dedup clusters on planted corpus: near-dups share a cluster") {
+    val pairs = Dedup.minhashPairs(planted, 0.5)
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(0L) == 0L && cc(1L) == 0L && cc(2L) == 0L)
+    assert(!cc.contains(3L) && !cc.contains(4L)) // non-dups have no pairs
+  }
+
   test("shingles: word 3-grams, distinct, empty for short docs") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
     val m = df
