@@ -48,6 +48,14 @@ object Warehouse {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Date-partitioned fact layout — the other half of the 100 TB story:
+    * facts land under `date=.../` directories so time-range queries prune
+    * partitions at planning time (PartitionFilters in the scan, asserted
+    * by PartitionPruningSpec) instead of reading and filtering.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(path)
+
   /** Bucketed co-located layout — the 100 TB answer to the header⟕detail
     * joins (J1/J4/J6): write both fact tables bucketed AND sorted by the
     * join key; equal bucket counts let the sort-merge join run with NO
