@@ -126,10 +126,34 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSample
   )
 
+  /** The corpus is ASCII, so byte-level blob semantics are expressible
+    * over VARCHAR in DuckDB — even the STUB decode (pure integer
+    * arithmetic on byte length) and strided frame extraction get full
+    * oracles.
+    */
   val oracles: Map[String, String] = Map(
     "mm_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
         |  md5(text) AS content_md5, source
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS byte_len,
+        |  CAST(64 + strlen(text) % 512 AS INT) AS width,
+        |  CAST(64 + (strlen(text) // 7) % 512 AS INT) AS height,
+        |  CAST(CASE WHEN strlen(text) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+        |  CASE WHEN strlen(text) % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((strlen(text) - 1) / 256.0) AS INT) + 1)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(strlen(substring(text, CAST(i * 256 + 1 AS INT), 64)) AS INT) AS frame_bytes,
+        |  md5(substring(text, CAST(i * 256 + 1 AS INT), 64)) AS frame_md5
+        |FROM idx
+        |WHERE strlen(substring(text, CAST(i * 256 + 1 AS INT), 64)) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
