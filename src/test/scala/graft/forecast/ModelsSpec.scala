@@ -73,6 +73,29 @@ class ModelsSpec extends AnyFunSuite {
     assert(m.isFinite && m < 1.0, s"config ($p,$d,$q) mse=$m")
   }
 
+  test("MA(1) coefficient recovery within tolerance") {
+    val rnd = new scala.util.Random(11)
+    val n = 2000
+    val theta = 0.6
+    val eps = Array.fill(n + 1)(rnd.nextGaussian())
+    val xs = Array.tabulate(n)(i => eps(i + 1) + theta * eps(i))
+    val fit = Models.arimaFit(xs, 0, 0, 1).get
+    assert(math.abs(fit.theta(0) - theta) < 0.15, s"theta=${fit.theta(0)}")
+  }
+
+  test("ARMA(1,1) recovery within coarse tolerance") {
+    val rnd = new scala.util.Random(5)
+    val n = 3000
+    val (phi, theta) = (0.5, 0.3)
+    val eps = Array.fill(n + 1)(rnd.nextGaussian())
+    val xs = new Array[Double](n)
+    xs(0) = eps(1)
+    for (i <- 1 until n) xs(i) = phi * xs(i - 1) + eps(i + 1) + theta * eps(i)
+    val fit = Models.arimaFit(xs, 1, 0, 1).get
+    assert(math.abs(fit.phi(0) - phi) < 0.15, s"phi=${fit.phi(0)}")
+    assert(math.abs(fit.theta(0) - theta) < 0.2, s"theta=${fit.theta(0)}")
+  }
+
   test("olsSolve solves a known 2x2 system") {
     // y = 1 + 2x on points x=0..3
     val x = Array(Array(1.0, 0.0), Array(1.0, 1.0), Array(1.0, 2.0), Array(1.0, 3.0))
