@@ -178,7 +178,40 @@ object Similarity {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** int8 scalar quantization of embeddings (per-vector min/max) — the
+    * 4× storage-compression path for vector corpora. Integer codes +
+    * per-vector (min, scale) metadata; dequantization error is bounded by
+    * scale/2 per dimension (SimilaritySpec). All per-row IEEE arithmetic
+    * → oracle-exact.
+    */
+  val quantizeInt8: Q = (s, d) =>
+    Tables
+      .embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select(
+        $"vec_id",
+        array_min($"v").as("v_min"),
+        ((array_max($"v") - array_min($"v")) / 255.0).as("scale"),
+        transform($"v", x =>
+          floor((x - array_min($"v")) / ((array_max($"v") - array_min($"v")) / 255.0) + 0.5)
+            .cast("int")
+        ).as("codes")
+      )
+      .select(
+        $"vec_id",
+        $"v_min",
+        $"scale",
+        // stable digest of the codes (modular so the fold never overflows
+        // — DuckDB errors on BIGINT overflow rather than wrapping)
+        aggregate($"codes", lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+          .as("codes_digest"),
+        array_min($"codes").as("code_min"),
+        array_max($"codes").as("code_max")
+      )
+      .orderBy($"vec_id")
+
   val queries: Map[String, Q] = Map(
+    "sim_quantize_int8"   -> quantizeInt8,
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d, k = 5)),
     "ann_topk_native"     -> ((s, d) => bruteForceTopKNative(s, d, k = 5)),
     "ann_ivf_topk"        -> ((s, d) => ivfTopK(s, d, k = 5, nCells = 16, nprobe = 4))
@@ -204,5 +237,21 @@ object Similarity {
 
   // the native-TopK variant must produce byte-identical results
   val oraclesWithNative: Map[String, String] =
-    oracles + ("ann_topk_native" -> oracles("ann_bruteforce_topk"))
+    oracles + ("ann_topk_native" -> oracles("ann_bruteforce_topk")) +
+      ("sim_quantize_int8" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |q AS (
+          |  SELECT vec_id,
+          |    list_min(v) AS v_min,
+          |    (list_max(v) - list_min(v)) / 255.0 AS scale,
+          |    [CAST(floor((x - list_min(v)) / ((list_max(v) - list_min(v)) / 255.0) + 0.5) AS BIGINT)
+          |     for x in v] AS codes
+          |  FROM e)
+          |SELECT vec_id, v_min, scale,
+          |  list_reduce(codes, (acc, c) -> (acc * 31 + c) % 1000000007) AS codes_digest,
+          |  CAST(list_min(codes) AS INT) AS code_min,
+          |  CAST(list_max(codes) AS INT) AS code_max
+          |FROM q ORDER BY vec_id""".stripMargin)
 }

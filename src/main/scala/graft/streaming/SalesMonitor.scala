@@ -61,6 +61,63 @@ object SalesMonitor {
       .toDF()
   }
 
+  final case class ForecastState(
+      windowStart: Long,          // epoch seconds of the open window
+      runningSum: Double,         // sales inside the open window
+      level: Option[Double]       // SES level over CLOSED windows
+  )
+  final case class WindowForecast(
+      market: String,
+      window_start: java.sql.Timestamp,
+      actual_dollars: Double,
+      next_window_forecast: Double
+  )
+
+  /** The reference README's aspirational workload made real: per-market
+    * SES forecast of the NEXT 30-minute window, maintained incrementally
+    * by a stateful operator. Each closed window's total updates the SES
+    * level (α = 0.6, the reference's fixed smoothing, `lib.py:84`); the
+    * emitted forecast for the next window is the current level. State per
+    * market is three numbers — O(markets) state at any throughput.
+    */
+  def forecastNext(spark: SparkSession, payments: DataFrame, alpha: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val windowSec = 1800L
+    payments
+      .as[Payment]
+      .groupByKey(_.market)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (market: String, rows: Iterator[Payment], state: GroupState[ForecastState]) => {
+          val sorted = rows.toArray.sortBy(_.created_at.getTime)
+          var st = state.getOption.getOrElse(ForecastState(-1L, 0.0, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[WindowForecast]
+          sorted.foreach { p =>
+            val ws = p.created_at.getTime / 1000 / windowSec * windowSec
+            if (st.windowStart < 0) st = ForecastState(ws, 0.0, st.level)
+            while (st.windowStart < ws) {
+              // close the open window: fold its total into the SES level
+              val closedTotal = st.runningSum
+              val newLevel = st.level match {
+                case Some(l) => alpha * closedTotal + (1 - alpha) * l
+                case None    => closedTotal
+              }
+              out += WindowForecast(
+                market,
+                new java.sql.Timestamp(st.windowStart * 1000),
+                closedTotal,
+                newLevel // forecast for the next window
+              )
+              st = ForecastState(st.windowStart + windowSec, 0.0, Some(newLevel))
+            }
+            st = st.copy(runningSum = st.runningSum + p.dollars)
+          }
+          state.update(st)
+          out.iterator
+        }
+      )
+      .toDF()
+  }
+
   /** Batch-mode equivalence shape: the same windowedSales plan applied to
     * a static frame gives the golden result the streaming output must
     * converge to (used by StreamingSpec).

@@ -35,6 +35,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("int8 quantization: codes in range, dequant error bounded by scale/2") {
+    import org.apache.spark.sql.functions._
+    val q = graft.tables.Tables
+      .embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(
+        col("vec_id"),
+        col("v"),
+        array_min(col("v")).as("v_min"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("scale")
+      )
+      .limit(50)
+      .collect()
+    q.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val (vMin, scale) = (r.getDouble(2), r.getDouble(3))
+      v.foreach { x =>
+        val code = math.floor((x - vMin) / scale + 0.5).toInt
+        assert(code >= 0 && code <= 255)
+        val dequant = vMin + code * scale
+        assert(math.abs(dequant - x) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("IVF similarities are a subset-maximum: never exceed brute-force top1") {
     val bfTop = bf.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
     ivf.foreach { r => assert(r.getDouble(2) <= bfTop(r.getLong(0)) + 1e-9) }
