@@ -202,7 +202,9 @@ object Similarity {
         $"v_min",
         $"scale",
         // stable digest of the codes (modular so the fold never overflows
-        // — DuckDB errors on BIGINT overflow rather than wrapping)
+        // — DuckDB errors on BIGINT overflow rather than wrapping).
+        // Init equivalence with the oracle: DuckDB list_reduce seeds with
+        // codes[0]; here acc0 = 0*31 + codes[0] = codes[0] — identical.
         aggregate($"codes", lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
           .as("codes_digest"),
         array_min($"codes").as("code_min"),
