@@ -196,6 +196,21 @@ object Dedup {
     connectedComponents(pairs)
   }
 
+  /** The end product of near-dup dedup: the surviving corpus. Drop every
+    * cluster member except the minimum-id representative (left-anti join
+    * against the non-representatives — the same shape as
+    * `Warehouse.appendDedup`).
+    */
+  val dedupKeepList: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = connectedComponents(minhashPairs(docs, threshold = 0.5))
+    val drop = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    docs
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------------------
   // Driver queries
   // ------------------------------------------------------------------
@@ -264,6 +279,7 @@ object Dedup {
     "dedup_simhash"         -> dedupSimhash,
     "dedup_simhash_pairs"   -> dedupSimhashPairs,
     "dedup_clusters"        -> dedupClusters,
+    "dedup_keep_list"       -> dedupKeepList,
     "dedup_embedding_cos"   -> dedupEmbeddingCosine
   )
 

@@ -94,6 +94,20 @@ class DedupSpec extends SparkSpec {
     assert(!cc.contains(3L) && !cc.contains(4L)) // non-dups have no pairs
   }
 
+  test("keep list = corpus minus non-representative cluster members") {
+    val keep = Dedup.dedupKeepList(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val clusters = Dedup
+      .connectedComponents(
+        Dedup.minhashPairs(graft.tables.Tables.documents(spark, sf0001), 0.5))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = clusters.filter { case (id, c) => id != c }.map(_._1).toSet
+    assert(keep.intersect(dropped).isEmpty)
+    assert(keep.size == 500 - dropped.size)
+    // every cluster representative survives
+    clusters.map(_._2).foreach(rep => assert(keep.contains(rep)))
+  }
+
   test("shingles: word 3-grams, distinct, empty for short docs") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
     val m = df
