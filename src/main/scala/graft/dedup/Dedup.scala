@@ -154,11 +154,46 @@ object Dedup {
     * round — no component data ever leaves the executors, which is what
     * makes this the 100 TB shape (vs driver-side union-find).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  /** Size threshold below which the component graph is solved with
+    * driver-side union-find instead of iterative joins — the same
+    * small-side-special-case reasoning as a broadcast join threshold.
+    * Near-dup pair graphs are tiny relative to the corpus even at 100 TB
+    * (only actual near-dups appear), but the distributed path exists for
+    * the adversarial case.
+    */
+  val ccDriverThreshold = 100000L
+
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 10,
+      driverThreshold: Long = ccDriverThreshold
+  ): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs
+    val cached = pairs.select($"doc_a", $"doc_b").persist()
+    if (cached.count() <= driverThreshold) {
+      // union-find on the driver: microseconds for the common case
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      cached.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      return out.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+    }
+    val edges = cached
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .union(cached.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
       .persist()
     var labels = edges

@@ -86,6 +86,15 @@ class DedupSpec extends SparkSpec {
     assert(cc(10L) == 10L && cc(11L) == 10L)
   }
 
+  test("distributed label propagation path matches union-find path") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val dist = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == uf)
+  }
+
   test("dedup clusters on planted corpus: near-dups share a cluster") {
     val pairs = Dedup.minhashPairs(planted, 0.5)
     val cc = Dedup.connectedComponents(pairs).collect()
