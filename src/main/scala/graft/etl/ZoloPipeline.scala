@@ -30,12 +30,12 @@ object ZoloPipeline {
     val (sqTrans, sqDetails) = SquareEtl.run(spark, s"$dir/square_payments.json")
     val (shTrans, shDetails) = ShopifyEtl.run(spark, s"$dir/shopify_orders.json")
     val (qbTrans, qbDetails) = QuickbooksEtl.run(spark, s"$dir/qb_invoices.json")
-    sqTrans.persist().createOrReplaceTempView("square_trans")
-    sqDetails.persist().createOrReplaceTempView("square_trans_details")
-    shTrans.persist().createOrReplaceTempView("shopify_trans")
-    shDetails.persist().createOrReplaceTempView("shopify_trans_details")
-    qbTrans.persist().createOrReplaceTempView("qb_trans")
-    qbDetails.persist().createOrReplaceTempView("qb_trans_details")
+    sqTrans.coalesce(1).persist().createOrReplaceTempView("square_trans")
+    sqDetails.coalesce(1).persist().createOrReplaceTempView("square_trans_details")
+    shTrans.coalesce(1).persist().createOrReplaceTempView("shopify_trans")
+    shDetails.coalesce(1).persist().createOrReplaceTempView("shopify_trans_details")
+    qbTrans.coalesce(1).persist().createOrReplaceTempView("qb_trans")
+    qbDetails.coalesce(1).persist().createOrReplaceTempView("qb_trans_details")
     QbCustomersEtl
       .run(spark, s"$dir/qb_customers.json")
       .persist()
