@@ -54,6 +54,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL ] {name}: columns {list(g.columns)} != {list(e.columns)}")
             n_fail += 1
             continue
+        dtype_diff = [
+            (c, str(g[c].dtype), str(e[c].dtype))
+            for c in g.columns
+            if str(g[c].dtype) != str(e[c].dtype)
+        ]
+        if dtype_diff:
+            print(f"[dtype] {name}: {dtype_diff}")
         if len(g) != len(e):
             print(f"[FAIL ] {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
