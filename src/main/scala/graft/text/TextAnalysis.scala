@@ -175,7 +175,32 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Corpus profiling — the audit pass before training-data release:
+    * doc/token/vocab totals per (lang, source) stratum plus a char-length
+    * histogram bucket. One scan + one shuffle.
+    */
+  val textCorpusProfile: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"lang",
+        $"source",
+        $"n_chars",
+        size(toks).as("n_tokens"),
+        array_distinct(toks).as("dtoks"),
+        floor($"n_chars" / lit(100)).cast("int").as("len_bucket")
+      )
+      .groupBy($"lang", $"source", $"len_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        size(array_distinct(flatten(collect_list($"dtoks")))).as("vocab_size")
+      )
+      .orderBy($"lang", $"source", $"len_bucket")
+
   val queries: Map[String, Q] = Map(
+    "text_corpus_profile" -> textCorpusProfile,
     "text_rare_score"   -> textRareScore,
     "text_normalize"    -> textNormalize,
     "text_sample_bucket" -> textSampleBucket,
@@ -190,6 +215,22 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_corpus_profile" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT lang, source, CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+        |    CAST(COUNT(DISTINCT token) AS INT) AS vocab_size
+        |  FROM (SELECT lang, source, n_chars,
+        |          unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, source, len_bucket, n_docs, total_tokens, total_chars, vocab_size
+        |FROM g JOIN v USING (lang, source, len_bucket)
+        |ORDER BY lang, source, len_bucket""".stripMargin,
     "text_rare_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
