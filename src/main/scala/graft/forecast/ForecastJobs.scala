@@ -192,7 +192,34 @@ object ForecastJobs {
       .as[WeeklyRow]
   }
 
+  final case class HoltFixedResult(profile_name: String, level: Double, trend: Double, prediction: Double)
+
+  /** Fixed-(α,β) Holt over each weekly series — the recursion itself
+    * oracle-checked via a DuckDB recursive CTE (bit-exact replay).
+    */
+  def holtFixedJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 10)
+      .groupByKey(_.profile_name)
+      .mapGroups { (profile, rows) =>
+        val xs = series(rows)
+        val (l, b) = Models.holtStateFixed(xs, alpha = 0.8, beta = 0.2)
+        HoltFixedResult(profile, l, b, l + b)
+      }
+      .toDF()
+      // ~300 recursion steps accumulate last-ulp differences vs the
+      // oracle's recursive CTE (≤2e-15 rel); round far above the noise
+      .select(
+        col("profile_name"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("prediction"), 6).as("prediction")
+      )
+      .orderBy(col("profile_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_holt_fixed"     -> (holtFixedJob(_, _)),
     "m_ses_forecast"   -> (sesJob(_, _)),
     "m_holt_forecast"  -> (holtJob(_, _)),
     "m_arima_forecast" -> (arimaJob(_, _)),
@@ -208,6 +235,32 @@ object ForecastJobs {
     * rows-only + ScalaTest goldens (BASELINE.md note).
     */
   val oracles: Map[String, String] = Map(
+    "m_holt_fixed" ->
+      """WITH RECURSIVE weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 10),
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM weekly GROUP BY profile_name),
+        |holt AS (
+        |  SELECT profile_name, xs, 1 AS i, xs[1] AS l, xs[2] - xs[1] AS b
+        |  FROM series
+        |  UNION ALL
+        |  SELECT profile_name, xs, i + 1,
+        |    0.8 * xs[i + 1] + (1 - 0.8) * (l + b),
+        |    0.2 * ((0.8 * xs[i + 1] + (1 - 0.8) * (l + b)) - l) + (1 - 0.2) * b
+        |  FROM holt WHERE i < len(xs))
+        |SELECT profile_name, round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + b, 6) AS prediction
+        |FROM holt WHERE i = len(xs) ORDER BY profile_name""".stripMargin,
     "m_ses_forecast" ->
       """WITH weekly AS (
         |  SELECT profile_name, week_date,

@@ -116,6 +116,24 @@ object Models {
     best
   }
 
+  /** Holt recursion with FIXED (α, β): returns (level, trend) after the
+    * whole series. Used by the oracle-checked fixed-parameter variant
+    * (the optimizer output itself is not SQL-expressible, but the
+    * recursion is — a DuckDB recursive CTE replays it bit-exactly).
+    */
+  def holtStateFixed(xs: Array[Double], alpha: Double, beta: Double): (Double, Double) = {
+    var l = xs(0)
+    var b = if (xs.length > 1) xs(1) - xs(0) else 0.0
+    var i = 1
+    while (i < xs.length) {
+      val lNew = alpha * xs(i) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      l = lNew
+      i += 1
+    }
+    (l, b)
+  }
+
   /** 1-step Holt forecast with optimized smoothing. */
   def holtForecast(xs: Array[Double]): Double = {
     val (alpha, beta) = holtFit(xs)
