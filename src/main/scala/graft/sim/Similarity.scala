@@ -143,13 +143,22 @@ object Similarity {
     val probes = e
       .filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"v".as("pv"), explode(probeCellsUdf($"v")).as("cell_id"))
-    val wRank = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
-    assigned
+    val cellSims = assigned
       .join(probes, Seq("cell_id"))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id".as("neighbor_id"), round(cosine($"pv", $"v"), 6).as("cosine"))
+    // rank the probed cells' candidates with the custom bounded-heap
+    // operator (composes the two extension features; same ordering
+    // semantics as the window formulation)
+    val top = graft.plans.TopK.perKey(
+      cellSims,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"cosine".desc, $"neighbor_id".asc),
+      k = k
+    )
+    val wRank = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
+    top
       .withColumn("rank", row_number().over(wRank))
-      .filter($"rank" <= k)
       .orderBy($"probe_id", $"rank")
   }
 
