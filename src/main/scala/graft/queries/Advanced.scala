@@ -27,7 +27,11 @@ object Advanced {
       .withColumn("prev_ts", lag($"ts", 1).over(byUser))
       .withColumn(
         "new_session",
-        ($"prev_ts".isNull || unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800).cast("int")
+        // microsecond-exact gap: unix_timestamp truncates to seconds and
+        // DuckDB's epoch() keeps fractions — a 1800.6 s gap would
+        // classify differently; integer micros compare identically
+        ($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L).cast("int")
       )
       .withColumn("session_id", sum($"new_session").over(byUser))
       .groupBy($"user_id", $"session_id")
@@ -154,7 +158,7 @@ object Advanced {
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
