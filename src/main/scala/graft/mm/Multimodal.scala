@@ -120,10 +120,31 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Resize stub — 2:1 stride subsample of the blob (every other byte),
+    * halving the fake decode dimensions: the pixel-resample op's exact
+    * plumbing (map-only, blob→blob, metadata recomputed). The byte
+    * subsample is a regex pair-reduction, portable to the oracle.
+    */
+  val mmResize: Q = (s, d) => {
+    val half = regexp_replace($"text", "(.).", "$1")
+    blobs(s, d)
+      .join(Tables.documents(s, d).select($"doc_id", $"text"), "doc_id")
+      .select(
+        $"doc_id",
+        octet_length($"blob").as("orig_bytes"),
+        octet_length(half.cast("binary")).as("resized_bytes"),
+        floor((lit(64) + octet_length($"blob") % 512) / 2).cast("int").as("resized_width"),
+        floor((lit(64) + floor(octet_length($"blob") / 7) % 512) / 2).cast("int").as("resized_height"),
+        md5(half.cast("binary")).as("resized_md5")
+      )
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata"     -> mmMetadata,
     "mm_decode"       -> mmDecode,
-    "mm_frame_sample" -> mmFrameSample
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_resize"       -> mmResize
   )
 
   /** The corpus is ASCII, so byte-level blob semantics are expressible
@@ -143,6 +164,14 @@ object Multimodal {
         |  CAST(64 + (strlen(text) // 7) % 512 AS INT) AS height,
         |  CAST(CASE WHEN strlen(text) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
         |  CASE WHEN strlen(text) % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS orig_bytes,
+        |  CAST(strlen(regexp_replace(text, '(.).', '\1', 'g')) AS INT) AS resized_bytes,
+        |  CAST(floor((64 + strlen(text) % 512) / 2.0) AS INT) AS resized_width,
+        |  CAST(floor((64 + (strlen(text) // 7) % 512) / 2.0) AS INT) AS resized_height,
+        |  md5(regexp_replace(text, '(.).', '\1', 'g')) AS resized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH idx AS (
