@@ -34,6 +34,21 @@ class ModelsSpec extends AnyFunSuite {
     assert(m == 0.0)
   }
 
+  test("fixed-param Holt recursion matches hand computation") {
+    // xs = [10, 12, 15]; l0=10, b0=2
+    // step1: l=.8*12+.2*12=12, b=.2*(12-10)+.8*2=2
+    // step2: l=.8*15+.2*14=14.8, b=.2*(14.8-12)+.8*2=2.16
+    val (l, b) = Models.holtStateFixed(Array(10.0, 12.0, 15.0), 0.8, 0.2)
+    assert(math.abs(l - 14.8) < 1e-12 && math.abs(b - 2.16) < 1e-12)
+  }
+
+  test("fixed-param Holt on a linear ramp tracks level and slope") {
+    val xs = Array.tabulate(30)(i => 5.0 + 3.0 * i)
+    val (l, b) = Models.holtStateFixed(xs, 0.8, 0.2)
+    assert(math.abs(l - xs.last) < 1e-6)
+    assert(math.abs(b - 3.0) < 1e-6)
+  }
+
   test("Holt on a linear ramp extrapolates the slope") {
     val xs = Array.tabulate(24)(i => 3.0 + 2.5 * i)
     val f = Models.holtForecast(xs)
