@@ -199,7 +199,26 @@ object TextAnalysis {
       )
       .orderBy($"lang", $"source", $"len_bucket")
 
+  /** GPT-2-style pretokenizer pattern (simplified to the RE2∩Java-regex
+    * common subset): letter runs, digit runs, punctuation runs, each with
+    * optional leading space. On clean text this approximates BPE
+    * pre-tokenization counts far better than chars/4.
+    */
+  val bpePattern = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  val textTokensBpe: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        size(toks).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit(bpePattern), lit(0))).as("n_bpe_tokens"),
+        floor(length($"text") / lit(4)).cast("int").as("n_chars_div4")
+      )
+      .orderBy($"doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_tokens_bpe"   -> textTokensBpe,
     "text_corpus_profile" -> textCorpusProfile,
     "text_rare_score"   -> textRareScore,
     "text_normalize"    -> textNormalize,
@@ -215,6 +234,12 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INT) AS n_bpe_tokens,
+        |  CAST(floor(length(text) / 4.0) AS INT) AS n_chars_div4
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_corpus_profile" ->
       """WITH g AS (
         |  SELECT lang, source, CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
