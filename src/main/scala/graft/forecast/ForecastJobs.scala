@@ -169,7 +169,10 @@ object ForecastJobs {
         if (ord.lteq((a.mse, a.p, a.d, a.q), (b.mse, b.p, b.d, b.q))) a else b
       }
       .flatMap { case (_, t) =>
-        Models.arimaFit(t.xs, t.p, t.d, t.q).map { fit =>
+        // grid scored by fast HR walk-forward; the winning config's FINAL
+        // parameters are CSS-refined (Nelder–Mead from the HR start) —
+        // one optimization per profile, statsmodels-css fidelity
+        Models.arimaFitCss(t.xs, t.p, t.d, t.q).map { fit =>
           ArimaResult(
             t.profile_name,
             s"(${t.p}, ${t.d}, ${t.q})",

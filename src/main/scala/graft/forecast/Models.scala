@@ -358,6 +358,138 @@ object Models {
     }
   }
 
+  /** Conditional sum of squares of an ARMA(p,q)+intercept parameter
+    * vector [c, φ₁..φ_p, θ₁..θ_q] on a differenced series (statsmodels'
+    * `method='css'` objective): innovations recursion with zero pre-
+    * sample values.
+    */
+  def cssLoss(w: Array[Double], p: Int, q: Int, params: Array[Double]): Double = {
+    val n = w.length
+    val c = params(0)
+    val eps = new Array[Double](n)
+    var sse = 0.0
+    var t = math.max(p, q)
+    while (t < n) {
+      var f = c
+      var j = 0
+      while (j < p) { f += params(1 + j) * w(t - 1 - j); j += 1 }
+      j = 0
+      while (j < q) { f += params(1 + p + j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
+      eps(t) = w(t) - f
+      sse += eps(t) * eps(t)
+      t += 1
+    }
+    if (sse.isNaN) Double.MaxValue else sse
+  }
+
+  /** Deterministic Nelder–Mead (fixed initial simplex, no randomness):
+    * standard reflect/expand/contract/shrink with the usual
+    * (1, 2, 0.5, 0.5) coefficients.
+    */
+  def nelderMead(
+      f: Array[Double] => Double,
+      x0: Array[Double],
+      step: Double = 0.1,
+      maxIter: Int = 400,
+      tol: Double = 1e-10
+  ): Array[Double] = {
+    val nDim = x0.length
+    var simplex = Array.tabulate(nDim + 1) { i =>
+      val x = x0.clone()
+      if (i > 0) x(i - 1) += step
+      (x, f(x))
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      simplex = simplex.sortBy(_._2)
+      if (math.abs(simplex.last._2 - simplex.head._2) < tol) iter = maxIter
+      else {
+        val centroid = new Array[Double](nDim)
+        var i = 0
+        while (i < nDim) {
+          var s = 0.0
+          var k = 0
+          while (k < nDim) { s += simplex(k)._1(i); k += 1 }
+          centroid(i) = s / nDim
+          i += 1
+        }
+        val worst = simplex.last._1
+        def combine(coef: Double): Array[Double] =
+          Array.tabulate(nDim)(i2 => centroid(i2) + coef * (centroid(i2) - worst(i2)))
+        val xr = combine(1.0)
+        val fr = f(xr)
+        if (fr < simplex.head._2) {
+          val xe = combine(2.0)
+          val fe = f(xe)
+          simplex(nDim) = if (fe < fr) (xe, fe) else (xr, fr)
+        } else if (fr < simplex(nDim - 1)._2) {
+          simplex(nDim) = (xr, fr)
+        } else {
+          val xc = combine(-0.5)
+          val fc = f(xc)
+          if (fc < simplex.last._2) simplex(nDim) = (xc, fc)
+          else {
+            // shrink toward best
+            val best = simplex.head._1
+            simplex = simplex.map { case (x, _) =>
+              val xs2 = Array.tabulate(nDim)(i2 => best(i2) + 0.5 * (x(i2) - best(i2)))
+              (xs2, f(xs2))
+            }
+          }
+        }
+        iter += 1
+      }
+    }
+    simplex.minBy(_._2)._1
+  }
+
+  /** ARIMA fit with CSS-optimized parameters: Hannan–Rissanen start,
+    * Nelder–Mead refinement of the CSS objective (the statsmodels-css
+    * analog), then the same forecast/stderr construction as [[arimaFit]].
+    * NM monotonicity guarantees loss(refined) ≤ loss(HR start).
+    */
+  def arimaFitCss(xs: Array[Double], p: Int, d: Int, q: Int): Option[ArimaFit] = {
+    arimaFit(xs, p, d, q).map { hr =>
+      val w = diff(xs, d)
+      if (p + q == 0) hr
+      else {
+        val x0 = hr.c +: (hr.phi ++ hr.theta)
+        val refined = nelderMead(cssLoss(w, p, q, _), x0)
+        val c = refined(0)
+        val phi = refined.slice(1, 1 + p)
+        val theta = refined.slice(1 + p, 1 + p + q)
+        // innovations + 1-step forecast with refined params
+        val n = w.length
+        val eps = new Array[Double](n)
+        var s2 = 0.0
+        var cnt = 0
+        var t = math.max(p, q)
+        while (t < n) {
+          var fHat = c
+          var j = 0
+          while (j < p) { fHat += phi(j) * w(t - 1 - j); j += 1 }
+          j = 0
+          while (j < q) { fHat += theta(j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
+          eps(t) = w(t) - fHat
+          s2 += eps(t) * eps(t)
+          cnt += 1
+          t += 1
+        }
+        val sigma2 = if (cnt > 0) s2 / cnt else hr.sigma2
+        var fNext = c
+        var j = 0
+        while (j < p) { fNext += phi(j) * w(n - 1 - j); j += 1 }
+        j = 0
+        while (j < q) { fNext += theta(j) * eps(n - 1 - j); j += 1 }
+        var fc = fNext
+        var series = xs
+        var k = 0
+        while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+        ArimaFit(p, d, q, phi, theta, c, sigma2, fc, math.sqrt(math.max(sigma2, 0.0)))
+      }
+    }
+  }
+
   def arimaWalkForward(xs: Array[Double], p: Int, d: Int, q: Int): Option[(Double, Array[Double])] = {
     val (train, test) = split75(xs)
     if (train.length < d + math.max(p, q) + 5 || test.isEmpty) return None

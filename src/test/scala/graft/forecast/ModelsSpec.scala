@@ -111,6 +111,38 @@ class ModelsSpec extends AnyFunSuite {
     assert(math.abs(fit.theta(0) - theta) < 0.2, s"theta=${fit.theta(0)}")
   }
 
+  test("CSS refinement never worsens the CSS loss and improves AR(1) recovery") {
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val phi = 0.7
+    val xs = new Array[Double](n)
+    for (i <- 1 until n) xs(i) = phi * xs(i - 1) + rnd.nextGaussian()
+    val hr = Models.arimaFit(xs, 1, 0, 1).get
+    val css = Models.arimaFitCss(xs, 1, 0, 1).get
+    val w = xs
+    val hrLoss = Models.cssLoss(w, 1, 1, hr.c +: (hr.phi ++ hr.theta))
+    val cssLoss = Models.cssLoss(w, 1, 1, css.c +: (css.phi ++ css.theta))
+    assert(cssLoss <= hrLoss + 1e-9, s"css=$cssLoss hr=$hrLoss")
+  }
+
+  test("CSS MA(1) recovery at least as close as the HR start") {
+    val rnd = new scala.util.Random(11)
+    val n = 2000
+    val theta = 0.6
+    val eps = Array.fill(n + 1)(rnd.nextGaussian())
+    val xs = Array.tabulate(n)(i => eps(i + 1) + theta * eps(i))
+    val css = Models.arimaFitCss(xs, 0, 0, 1).get
+    assert(math.abs(css.theta(0) - theta) < 0.1, s"theta=${css.theta(0)}")
+  }
+
+  test("Nelder-Mead minimizes a quadratic bowl deterministically") {
+    val f = (x: Array[Double]) => (x(0) - 3.0) * (x(0) - 3.0) + 2.0 * (x(1) + 1.0) * (x(1) + 1.0)
+    val x = Models.nelderMead(f, Array(0.0, 0.0))
+    assert(math.abs(x(0) - 3.0) < 1e-4 && math.abs(x(1) + 1.0) < 1e-4)
+    val y = Models.nelderMead(f, Array(0.0, 0.0))
+    assert(x.toSeq == y.toSeq) // deterministic
+  }
+
   test("olsSolve solves a known 2x2 system") {
     // y = 1 + 2x on points x=0..3
     val x = Array(Array(1.0, 0.0), Array(1.0, 1.0), Array(1.0, 2.0), Array(1.0, 3.0))
