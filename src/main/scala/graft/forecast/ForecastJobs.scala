@@ -170,9 +170,10 @@ object ForecastJobs {
       }
       .flatMap { case (_, t) =>
         // grid scored by fast HR walk-forward; the winning config's FINAL
-        // parameters are CSS-refined (Nelder–Mead from the HR start) —
-        // one optimization per profile, statsmodels-css fidelity
-        Models.arimaFitCss(t.xs, t.p, t.d, t.q).map { fit =>
+        // parameters go HR → CSS (Nelder–Mead) → exact Kalman-filter MLE
+        // — one optimization chain per profile, statsmodels-default
+        // fidelity at negligible distributed cost
+        Models.arimaFitMle(t.xs, t.p, t.d, t.q).map { fit =>
           ArimaResult(
             t.profile_name,
             s"(${t.p}, ${t.d}, ${t.q})",

@@ -490,6 +490,42 @@ object Models {
     }
   }
 
+  /** Exact-MLE ARIMA fit: HR start → CSS refinement → Kalman-filter
+    * Gaussian MLE ([[Kalman.fitMle]]), the statsmodels-default path.
+    * Falls back to the CSS fit when the likelihood surface rejects the
+    * start (non-stationary corner). Intercept ↔ mean conversion:
+    * μ = c / (1 − Σφ).
+    */
+  def arimaFitMle(xs: Array[Double], p: Int, d: Int, q: Int): Option[ArimaFit] = {
+    arimaFitCss(xs, p, d, q).map { css =>
+      if (p + q == 0) css
+      else {
+        val w = diff(xs, d)
+        val denom = 1.0 - css.phi.sum
+        val mu0 = if (math.abs(denom) > 1e-6) css.c / denom else 0.0
+        val start = mu0 +: (css.phi ++ css.theta)
+        Kalman.fitMle(w, p, q, start) match {
+          case Some((params, fr)) =>
+            val mu = params(0)
+            val phi = params.slice(1, 1 + p)
+            val theta = params.slice(1 + p, 1 + p + q)
+            var fc = fr.forecast
+            var series = xs
+            var k = 0
+            while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+            ArimaFit(
+              p, d, q, phi, theta,
+              c = mu * (1.0 - phi.sum),
+              sigma2 = fr.sigma2,
+              forecast = fc,
+              stdError = math.sqrt(math.max(fr.forecastVar, 0.0))
+            )
+          case None => css
+        }
+      }
+    }
+  }
+
   def arimaWalkForward(xs: Array[Double], p: Int, d: Int, q: Int): Option[(Double, Array[Double])] = {
     val (train, test) = split75(xs)
     if (train.length < d + math.max(p, q) + 5 || test.isEmpty) return None
