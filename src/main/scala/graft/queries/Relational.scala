@@ -373,7 +373,26 @@ object Relational {
       )
       .orderBy($"l_returnflag")
 
+  /** The salted-join path answering the same question as a plain join —
+    * the oracle IS the plain DuckDB join, so the salting transform's
+    * correctness (salt spread + replicate + drop) is hash-verified.
+    */
+  val jSaltedDim: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).withColumnRenamed("l_partkey", "p_partkey")
+    val p  = Tables.part(s, d)
+    SkewJoin
+      .saltedInnerJoin(li, p, "p_partkey", salts = 8)
+      .groupBy($"p_brand")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "j_salted_dim"      -> jSaltedDim,
     "j_semi_anti"       -> jSemiAnti,
     "a_rollup"          -> aRollup,
     "a_distinct_counts" -> aDistinctCounts,
@@ -399,6 +418,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "j_salted_dim" ->
+      """SELECT p_brand, SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "j_semi_anti" ->
       """SELECT 'has_orders' AS bucket, c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
