@@ -48,6 +48,15 @@ object Warehouse {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Small-file compaction — the operational half of incremental append:
+    * thousands of tiny appended files per partition degrade scan
+    * parallelism bookkeeping; rewrite the table at a target file count
+    * (atomic via temp-path + move would be the production shape; here
+    * read-repartition-overwrite into a fresh path).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String, targetFiles: Int): Unit =
+    spark.read.parquet(path).repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+
   /** Date-partitioned fact layout — the other half of the 100 TB story:
     * facts land under `date=.../` directories so time-range queries prune
     * partitions at planning time (PartitionFilters in the scan, asserted

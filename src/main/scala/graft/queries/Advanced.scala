@@ -125,7 +125,28 @@ object Advanced {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Anomaly detection: per-event-type z-score outliers. Moments come
+    * from DECIMAL-exact sums (order-free) so mean/std — and therefore the
+    * outlier *set* — are deterministic cross-engine; the window broadcast
+    * joins the per-type moments back without a second scan.
+    */
+  val eAnomalies: Q = (s, d) => {
+    val w = Window.partitionBy($"event_type")
+    val sumV  = sum($"value".cast(DecimalType(18, 6))).over(w).cast(DoubleType)
+    val sumV2 = sum(($"value" * $"value").cast(DecimalType(24, 8))).over(w).cast(DoubleType)
+    val n     = count(lit(1)).over(w)
+    Tables
+      .events(s, d)
+      .withColumn("mean_v", sumV / n)
+      .withColumn("var_v", (sumV2 - sumV * sumV / n) / (n - lit(1)))
+      .withColumn("z", ($"value" - $"mean_v") / sqrt($"var_v"))
+      .filter(abs($"z") > 3.0)
+      .select($"event_id", $"event_type", $"value", round($"z", 6).as("z_score"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_anomalies"       -> eAnomalies,
     "e_funnel"          -> eFunnel,
     "e_retention"       -> eRetention,
     "w_sessionize"      -> wSessionize,
@@ -135,6 +156,18 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_anomalies" ->
+      """WITH m AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(24,8))) OVER w AS DOUBLE) AS sv2,
+        |    COUNT(*) OVER w AS n
+        |  FROM events WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_id, event_type, value,
+        |  round((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1)), 6) AS z_score
+        |FROM m
+        |WHERE abs((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1))) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "e_funnel" ->
       """SELECT user_id,
         |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,

@@ -33,6 +33,18 @@ class WarehouseSpec extends SparkSpec {
     assert(out.map(_.getString(0)).sorted.toSeq == Seq("p1", "p2", "p3"))
   }
 
+  test("compaction rewrites many small files into the target count, content preserved") {
+    val dir = tmp() + "/t"
+    (1 to 20).foreach(i => Warehouse.append(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    val filesBefore = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 20)
+    val out = tmp() + "/compacted"
+    Warehouse.compact(spark, dir, out, targetFiles = 2)
+    val filesAfter = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 2)
+    assert(spark.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq == (1 to 20))
+  }
+
   test("watermark table roundtrip keeps the high-water mark per pipeline") {
     val dir = tmp() + "/wm"
     assert(Warehouse.readWatermark(spark, dir, "square").isEmpty)
