@@ -391,7 +391,23 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Full outer join — unmatched rows survive on both sides (suppliers
+    * without lineitems and vice versa, keyed through nation regions).
+    */
+  val jFullOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d).groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+    val sup = Tables.supplier(s, d).groupBy($"s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers")
+      )
+      .orderBy($"nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "j_full_outer"      -> jFullOuter,
     "j_salted_dim"      -> jSaltedDim,
     "j_semi_anti"       -> jSemiAnti,
     "a_rollup"          -> aRollup,
@@ -418,6 +434,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "j_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM customer GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |  FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "j_salted_dim" ->
       """SELECT p_brand, SUM(l_quantity) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -217,7 +217,24 @@ object TextAnalysis {
       )
       .orderBy($"doc_id")
 
+  /** Deterministic train/val/test assignment — content-hash buckets
+    * (stable across runs, engines, partitionings; rand()-based splits
+    * are none of those). 16 hex buckets ⇒ 14/1/1 ≈ 87.5/6.25/6.25.
+    */
+  val textSplitAssign: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
+      .withColumn(
+        "split",
+        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
+      )
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"split")
+
   val queries: Map[String, Q] = Map(
+    "text_split_assign" -> textSplitAssign,
     "text_tokens_bpe"   -> textTokensBpe,
     "text_corpus_profile" -> textCorpusProfile,
     "text_rare_score"   -> textRareScore,
@@ -234,6 +251,12 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_split_assign" ->
+      """SELECT CASE substring(md5(text), 1, 1)
+        |    WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
