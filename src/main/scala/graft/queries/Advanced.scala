@@ -145,7 +145,68 @@ object Advanced {
       .orderBy($"event_id")
   }
 
+  /** Running (cumulative) totals — prefix sums over a deterministic order
+    * with DECIMAL-exact accumulation, per customer.
+    */
+  val wRunningTotal: Q = (s, d) => {
+    val w = Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .orders(s, d)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        $"o_orderdate",
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast(DoubleType).as("running_total"),
+        row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        ).as("order_seq")
+      )
+      .orderBy($"o_custkey", $"order_seq")
+  }
+
+  /** Lead/lag — days between consecutive orders per customer (exact
+    * integer date arithmetic).
+    */
+  val wLeadLag: Q = (s, d) => {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables
+      .orders(s, d)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        datediff(to_date($"o_orderdate"), to_date(lag($"o_orderdate", 1).over(w)))
+          .as("days_since_prev"),
+        datediff(to_date(lead($"o_orderdate", 1).over(w)), to_date($"o_orderdate"))
+          .as("days_until_next")
+      )
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Scalar string-function sampler: case, trim/pad, substring, replace,
+    * concat, length — the everyday warehouse scalar surface.
+    */
+  val fStringFuncs: Q = (s, d) =>
+    Tables
+      .customer(s, d)
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("name_upper"),
+        lower($"c_mktsegment").as("seg_lower"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        lpad($"c_custkey".cast("string"), 8, "0").as("key_padded"),
+        regexp_replace($"c_name", "#", "-").as("name_dashed"),
+        concat_ws("|", $"c_mktsegment", $"c_custkey".cast("string")).as("seg_key"),
+        length($"c_name").as("name_len")
+      )
+      .orderBy($"c_custkey")
+
   val queries: Map[String, Q] = Map(
+    "w_running_total"   -> wRunningTotal,
+    "w_lead_lag"        -> wLeadLag,
+    "f_string_funcs"    -> fStringFuncs,
     "e_anomalies"       -> eAnomalies,
     "e_funnel"          -> eFunnel,
     "e_retention"       -> eRetention,
@@ -156,6 +217,35 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "w_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
+    "w_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT)
+        |    AS days_since_prev,
+        |  CAST(datediff('day',
+        |    CAST(o_orderdate AS DATE), CAST(lead(o_orderdate, 1) OVER w AS DATE)) AS INT)
+        |    AS days_until_next
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "f_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  lower(c_mktsegment) AS seg_lower,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        |  replace(c_name, '#', '-') AS name_dashed,
+        |  concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+        |  CAST(length(c_name) AS INT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "e_anomalies" ->
       """WITH m AS (
         |  SELECT event_id, event_type, value,
