@@ -406,7 +406,58 @@ object Relational {
       .orderBy($"nationkey")
   }
 
+  /** Range join, BINNED: a naive date-range join is a nested loop — at
+    * scale you bucketize both sides (months here), equi-join on the bin
+    * and its successor (a ≤31-day window spans at most two month bins),
+    * then refine with the exact range predicate. The exchange is an
+    * equi-shuffle on the bin key instead of a cartesian product; the
+    * oracle is DuckDB's plain range join.
+    */
+  val jRangeBinned: Q = (s, d) => {
+    val o = Tables
+      .orders(s, d)
+      .filter($"o_custkey" % 20 === 0 && year($"o_orderdate") === 1997)
+      .select($"o_orderkey", $"o_orderdate", trunc($"o_orderdate", "month").as("o_bin"))
+    val li = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey", $"l_shipdate", trunc($"l_shipdate", "month").as("l_bin"))
+    val expanded = o
+      .select($"o_orderkey", $"o_orderdate", $"o_bin".as("bin"))
+      .union(o.select($"o_orderkey", $"o_orderdate", add_months($"o_bin", 1).as("bin")))
+    expanded
+      .join(li, $"bin" === $"l_bin")
+      .filter(
+        $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" < $"o_orderdate" + expr("INTERVAL 30 DAYS")
+      )
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(count(lit(1)).as("n_shipped_30d"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** INTERSECT / EXCEPT — set semantics (dedup both sides). */
+  val uIntersectExcept: Q = (s, d) => {
+    val active   = Tables.orders(s, d).filter($"o_orderstatus" === "O").select($"o_custkey")
+    val finished = Tables.orders(s, d).filter($"o_orderstatus" === "F").select($"o_custkey")
+    active
+      .intersect(finished)
+      .select(lit("both").as("bucket"), $"o_custkey")
+      .union(active.except(finished).select(lit("open_only").as("bucket"), $"o_custkey"))
+      .orderBy($"bucket", $"o_custkey")
+  }
+
+  /** CUBE — all grouping-set combinations with grouping_id. */
+  val aCube: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
+    "j_range_binned"    -> jRangeBinned,
+    "u_intersect_except" -> uIntersectExcept,
+    "a_cube"            -> aCube,
     "j_full_outer"      -> jFullOuter,
     "j_salted_dim"      -> jSaltedDim,
     "j_semi_anti"       -> jSemiAnti,
@@ -434,6 +485,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "j_range_binned" ->
+      """SELECT o_orderkey, o_orderdate, CAST(COUNT(*) AS BIGINT) AS n_shipped_30d
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |WHERE o_custkey % 20 = 0 AND year(o_orderdate) = 1997
+        |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+    "u_intersect_except" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'both' AS bucket, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM f) t
+        |UNION ALL
+        |SELECT 'open_only', o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM f) t2
+        |ORDER BY bucket, o_custkey""".stripMargin,
+    "a_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "j_full_outer" ->
       """WITH c AS (
         |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
