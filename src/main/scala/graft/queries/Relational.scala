@@ -408,10 +408,12 @@ object Relational {
 
   /** Range join, BINNED: a naive date-range join is a nested loop — at
     * scale you bucketize both sides (months here), equi-join on the bin
-    * and its successor (a ≤31-day window spans at most two month bins),
-    * then refine with the exact range predicate. The exchange is an
-    * equi-shuffle on the bin key instead of a cartesian product; the
-    * oracle is DuckDB's plain range join.
+    * and its TWO successors — a 30-day window starting Jan 31 ends
+    * Mar 2 because February is short, so two successor bins are needed,
+    * not one (caught by the sf0.1 oracle) — then refine with the exact
+    * range predicate. The exchange is an equi-shuffle on the bin key
+    * instead of a cartesian product; the oracle is DuckDB's plain range
+    * join.
     */
   val jRangeBinned: Q = (s, d) => {
     val o = Tables
@@ -421,9 +423,9 @@ object Relational {
     val li = Tables
       .lineitem(s, d)
       .select($"l_orderkey", $"l_shipdate", trunc($"l_shipdate", "month").as("l_bin"))
-    val expanded = o
-      .select($"o_orderkey", $"o_orderdate", $"o_bin".as("bin"))
-      .union(o.select($"o_orderkey", $"o_orderdate", add_months($"o_bin", 1).as("bin")))
+    val expanded = (0 to 2)
+      .map(k => o.select($"o_orderkey", $"o_orderdate", add_months($"o_bin", k).as("bin")))
+      .reduce(_ union _)
     expanded
       .join(li, $"bin" === $"l_bin")
       .filter(
