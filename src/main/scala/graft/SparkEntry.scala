@@ -34,5 +34,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ graft.queries.Advanced.oracles ++ ForecastJobs.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles
+      ZoloPipeline.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oraclesWithNative ++ Multimodal.oracles
 }

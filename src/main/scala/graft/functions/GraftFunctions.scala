@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the two hot kernels where built-ins
   * are structurally weak (the brief's preference ladder: built-ins →
@@ -35,9 +35,13 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("cosine64", a, b)
 }
 
-/** Hamming distance between two 64-bit signatures. */
+/** Hamming distance between two 64-bit signatures. ExpectsInputTypes so a
+  * wrong-typed argument fails at analysis with a clean error instead of a
+  * runtime ClassCastException (ADVICE round 1).
+  */
 case class Hamming64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming64"
 
@@ -73,9 +77,18 @@ object Cosine64 {
   }
 }
 
-/** Cosine similarity of two ArrayType(DoubleType) columns. */
+/** Cosine similarity of two ArrayType(DoubleType) columns. Analysis-time
+  * type checking via ExpectsInputTypes (a non-double array coerces or
+  * fails cleanly). Null-element semantics (ADVICE round 1): elements are
+  * read primitively, so a null element contributes its storage slot —
+  * 0.0 under Tungsten rows, i.e. a null dimension drops out of the dot
+  * product and norms. Embedding columns here are built from non-null
+  * parquet floats, so the case never arises in the corpus.
+  */
 case class Cosine64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine64"
 

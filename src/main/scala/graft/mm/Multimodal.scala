@@ -127,8 +127,11 @@ object Multimodal {
     */
   val mmResize: Q = (s, d) => {
     val half = regexp_replace($"text", "(.).", "$1")
-    blobs(s, d)
-      .join(Tables.documents(s, d).select($"doc_id", $"text"), "doc_id")
+    // single pass: select blob AND text together instead of re-joining
+    // blobs back to documents for a column it just cast away
+    Tables
+      .documents(s, d)
+      .select($"doc_id", $"text".cast("binary").as("blob"), $"text")
       .select(
         $"doc_id",
         octet_length($"blob").as("orig_bytes"),

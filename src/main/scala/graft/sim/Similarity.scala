@@ -80,7 +80,10 @@ object Similarity {
     */
   def trainCentroids(s: SparkSession, e: DataFrame, nCells: Int, iters: Int): Array[Array[Double]] = {
     import s.implicits._
-    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    // persist the decoded corpus: every Lloyd iteration (and the seed
+    // collect) re-reads it — uncached that's iters+1 full scans+decodes,
+    // the dominant cost of IVF training at scale
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].persist()
     var cents: Array[Array[Double]] =
       ds.filter(_._1 < nCells).collect().sortBy(_._1).map(_._2)
     for (_ <- 1 to iters) {
@@ -109,6 +112,7 @@ object Similarity {
       // empty cells keep their previous centroid
       cents = cents.indices.map(c => updated.getOrElse(c, cents(c))).toArray
     }
+    ds.unpersist()
     cents
   }
 

@@ -64,7 +64,8 @@ object SalesMonitor {
   final case class ForecastState(
       windowStart: Long,          // epoch seconds of the open window
       runningSum: Double,         // sales inside the open window
-      level: Option[Double]       // SES level over CLOSED windows
+      level: Option[Double],      // SES level over CLOSED windows
+      lateDropped: Long           // events older than the open window, dropped
   )
   final case class WindowForecast(
       market: String,
@@ -78,7 +79,13 @@ object SalesMonitor {
     * by a stateful operator. Each closed window's total updates the SES
     * level (α = 0.6, the reference's fixed smoothing, `lib.py:84`); the
     * emitted forecast for the next window is the current level. State per
-    * market is three numbers — O(markets) state at any throughput.
+    * market is four numbers — O(markets) state at any throughput.
+    *
+    * Late data (ADVICE round 1): an event whose window is OLDER than the
+    * open window (arrived after that window already closed and fed the
+    * SES level) is DROPPED and counted in state, never silently folded
+    * into the wrong open window. Pair with `withWatermark` upstream to
+    * bound how late that can happen.
     */
   def forecastNext(spark: SparkSession, payments: DataFrame, alpha: Double = 0.6): DataFrame = {
     import spark.implicits._
@@ -89,27 +96,32 @@ object SalesMonitor {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (market: String, rows: Iterator[Payment], state: GroupState[ForecastState]) => {
           val sorted = rows.toArray.sortBy(_.created_at.getTime)
-          var st = state.getOption.getOrElse(ForecastState(-1L, 0.0, None))
+          var st = state.getOption.getOrElse(ForecastState(-1L, 0.0, None, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[WindowForecast]
           sorted.foreach { p =>
             val ws = p.created_at.getTime / 1000 / windowSec * windowSec
-            if (st.windowStart < 0) st = ForecastState(ws, 0.0, st.level)
-            while (st.windowStart < ws) {
-              // close the open window: fold its total into the SES level
-              val closedTotal = st.runningSum
-              val newLevel = st.level match {
-                case Some(l) => alpha * closedTotal + (1 - alpha) * l
-                case None    => closedTotal
+            if (st.windowStart < 0) st = ForecastState(ws, 0.0, st.level, st.lateDropped)
+            if (ws < st.windowStart) {
+              // late event for an already-closed window: drop + count
+              st = st.copy(lateDropped = st.lateDropped + 1)
+            } else {
+              while (st.windowStart < ws) {
+                // close the open window: fold its total into the SES level
+                val closedTotal = st.runningSum
+                val newLevel = st.level match {
+                  case Some(l) => alpha * closedTotal + (1 - alpha) * l
+                  case None    => closedTotal
+                }
+                out += WindowForecast(
+                  market,
+                  new java.sql.Timestamp(st.windowStart * 1000),
+                  closedTotal,
+                  newLevel // forecast for the next window
+                )
+                st = ForecastState(st.windowStart + windowSec, 0.0, Some(newLevel), st.lateDropped)
               }
-              out += WindowForecast(
-                market,
-                new java.sql.Timestamp(st.windowStart * 1000),
-                closedTotal,
-                newLevel // forecast for the next window
-              )
-              st = ForecastState(st.windowStart + windowSec, 0.0, Some(newLevel))
+              st = st.copy(runningSum = st.runningSum + p.dollars)
             }
-            st = st.copy(runningSum = st.runningSum + p.dollars)
           }
           state.update(st)
           out.iterator
