@@ -110,6 +110,34 @@ object Warehouse {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** S5/S7 — the Postgres-kept mapping of SURVEY §2.1: the reference reads
+    * its warehouse tables and analytics queries from Postgres
+    * (`arima_models.py:63-146`) and loads with pandas `to_sql`
+    * (`square_ETL.py:232-233`, row-wise INSERT). Here: `spark.read.jdbc` /
+    * `DataFrameWriter.jdbc` — a user pointing this engine at the
+    * reference's actual database has a first-class path (JdbcSpec proves
+    * it against an embedded Derby instance; swap the URL for Postgres).
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Partitioned parallel JDBC scan — the 100 TB-adjacent shape: N
+    * concurrent range-bounded queries instead of one connection streaming
+    * the whole table through a single task.
+    */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
+
+  /** JDBC sink: batched multi-row INSERTs per partition (`batchsize`), vs
+    * the reference's row-wise `to_sql` loop.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String, mode: SaveMode,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(mode).option("batchsize", 1000).jdbc(url, table, props)
+
   /** S10 — batch watermark table: one row (pipeline, high_water_mark). */
   def readWatermark(spark: SparkSession, path: String, pipeline: String): Option[java.sql.Timestamp] =
     if (!pathExists(spark, path)) None

@@ -222,7 +222,35 @@ object ForecastJobs {
       .orderBy(col("profile_name"))
   }
 
+  final case class ArmaFixedResult(profile_name: String, prediction: Double, mse: Double)
+
+  /** Fixed-(φ,θ) ARMA(1,1) innovations recursion over each weekly series —
+    * the ARIMA analog of [[holtFixedJob]]: the recursion is oracle-checked
+    * via a DuckDB recursive CTE (bit-exact replay), anchoring the ARMA
+    * prediction arithmetic that the optimizer-driven `m_arima_forecast`
+    * builds on.
+    */
+  def armaFixedJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 10)
+      .groupByKey(_.profile_name)
+      .mapGroups { (profile, rows) =>
+        val xs = series(rows)
+        val (pred, mse) = Models.armaStateFixed(xs, phi = 0.5, theta = 0.3)
+        ArmaFixedResult(profile, pred, mse)
+      }
+      .toDF()
+      // same last-ulp guard as m_holt_fixed: ~300 sequential double ops
+      .select(
+        col("profile_name"),
+        round(col("prediction"), 6).as("prediction"),
+        round(col("mse"), 6).as("mse")
+      )
+      .orderBy(col("profile_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_arma_fixed"     -> (armaFixedJob(_, _)),
     "m_holt_fixed"     -> (holtFixedJob(_, _)),
     "m_ses_forecast"   -> (sesJob(_, _)),
     "m_holt_forecast"  -> (holtJob(_, _)),
@@ -239,6 +267,34 @@ object ForecastJobs {
     * rows-only + ScalaTest goldens (BASELINE.md note).
     */
   val oracles: Map[String, String] = Map(
+    "m_arma_fixed" ->
+      """WITH RECURSIVE weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 10),
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs,
+        |    list_reduce(list(weight ORDER BY week_date), (a, b) -> a + b)
+        |      / len(list(weight ORDER BY week_date)) AS m
+        |  FROM weekly GROUP BY profile_name),
+        |arma AS (
+        |  SELECT profile_name, xs, m, 0 AS i, m AS xhat, CAST(0.0 AS DOUBLE) AS sse
+        |  FROM series
+        |  UNION ALL
+        |  SELECT profile_name, xs, m, i + 1,
+        |    m + 0.5 * (xs[i + 1] - m) + 0.3 * (xs[i + 1] - xhat),
+        |    sse + (xs[i + 1] - xhat) * (xs[i + 1] - xhat)
+        |  FROM arma WHERE i < len(xs))
+        |SELECT profile_name, round(xhat, 6) AS prediction,
+        |  round(sse / len(xs), 6) AS mse
+        |FROM arma WHERE i = len(xs) ORDER BY profile_name""".stripMargin,
     "m_holt_fixed" ->
       """WITH RECURSIVE weekly AS (
         |  SELECT profile_name, week_date,

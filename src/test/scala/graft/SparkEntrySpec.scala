@@ -18,7 +18,8 @@ class SparkEntrySpec extends AnyFunSuite {
     val maps = Seq(
       Relational.queries, Advanced.queries, ForecastJobs.queries,
       ZoloPipeline.queries, TextAnalysis.queries, Dedup.queries,
-      Similarity.queries, Multimodal.queries
+      Similarity.queries, Multimodal.queries,
+      graft.streaming.StreamQueries.queries
     )
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size == total,

@@ -133,4 +133,27 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == 500) // copies sum to corpus size
     assert(out.forall(_.getLong(2) >= 1))
   }
+
+  test("adversarial all-identical corpus: bucket cap keeps LSH out of O(n²)") {
+    // every doc identical → every band funnels into ONE bucket of size n.
+    // Uncapped, the self-join would build n(n-1)/2 ≈ 3.1M candidate pairs;
+    // with the cap the hot bucket is excluded and the stage stays O(n).
+    // (These docs are exact dups — the md5 exact-dedup pass owns them.)
+    val n = (Dedup.maxBucketSize + 1500).toInt
+    val boiler = (0L until n.toLong).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(boiler, threshold = 0.5)
+    assert(pairs.count() == 0) // capped bucket produces no pairs, no blowup
+    // sanity: the same corpus plus one planted duplicate pair in a NORMAL
+    // (size-2) bucket still dedups — the cap only silences degenerate
+    // buckets. Identical docs ⇒ identical signatures ⇒ all 4 bands
+    // collide deterministically (a J≈0.6 near-dup pair has only ~50%
+    // band-collision probability and would make this test a coin flip).
+    val mixed = boiler.union(Seq(
+      (900001L, "totally distinct passage about columnar execution engines and vectorized readers"),
+      (900002L, "totally distinct passage about columnar execution engines and vectorized readers")
+    ).toDF("doc_id", "text"))
+    val found = Dedup.minhashPairs(mixed, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((900001L, 900002L)))
+  }
 }

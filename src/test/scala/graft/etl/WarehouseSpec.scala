@@ -45,6 +45,37 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq == (1 to 20))
   }
 
+  test("existence checks go through the Hadoop FileSystem API (explicit file: URI)") {
+    // java.io.File cannot resolve a file:// URI path string — the Hadoop
+    // FileSystem API must be in the path for hdfs:/s3a: portability
+    val dir = "file://" + tmp() + "/t"
+    assert(!Warehouse.pathExists(spark, dir))
+    Warehouse.append(Seq((1, "a")).toDF("id", "v"), dir)
+    assert(Warehouse.pathExists(spark, dir))
+    assert(!new java.io.File(dir).exists(), "URI form must not be java.io-resolvable")
+    // appendDedup sees the existing table through the same API
+    Warehouse.appendDedup(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, "id")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("kill between load and watermark commit: replay is effectively-once") {
+    val data = tmp() + "/t"
+    val wm   = tmp() + "/wm"
+    val t1   = java.sql.Timestamp.valueOf("2019-06-09 00:00:00")
+    val b1   = Seq(("p1", 10.0), ("p2", 20.0)).toDF("payment_id", "dollars")
+    // crash scenario: the data append lands, the watermark write never runs
+    Warehouse.appendDedup(spark, b1, data, "payment_id")
+    assert(Warehouse.readWatermark(spark, wm, "square").isEmpty)
+    // restart: watermark still old → the SAME source window is re-read
+    // (plus rows that arrived since); ingestBatch must not duplicate
+    val b2 = Seq(("p1", 10.0), ("p2", 20.0), ("p3", 30.0)).toDF("payment_id", "dollars")
+    Warehouse.ingestBatch(spark, b2, data, "payment_id", wm, "square", t1)
+    val out = spark.read.parquet(data).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("p1", "p2", "p3"))
+    assert(Warehouse.readWatermark(spark, wm, "square").contains(t1))
+  }
+
   test("watermark table roundtrip keeps the high-water mark per pipeline") {
     val dir = tmp() + "/wm"
     assert(Warehouse.readWatermark(spark, dir, "square").isEmpty)

@@ -157,6 +157,23 @@ class ModelsSpec extends AnyFunSuite {
     assert(d2.forall(v => math.abs(v - 2.0) < 1e-12))
   }
 
+  test("fixed-param ARMA(1,1) recursion matches hand computation") {
+    // xs = [10, 20, 30]; mean m = 20 (sequential fold (10+20)+30 = 60/3)
+    // x̂1 = 20;            e1 = -10; x̂2 = 20 + .5(10-20) + .3(-10) = 12
+    // e2 = 20-12 = 8;      x̂3 = 20 + .5(20-20) + .3(8)   = 22.4
+    // e3 = 30-22.4 = 7.6;  x̂4 = 20 + .5(30-20) + .3(7.6) = 27.28
+    // sse = 100 + 64 + 57.76 = 221.76; mse = 73.92
+    val (pred, mse) = Models.armaStateFixed(Array(10.0, 20.0, 30.0), phi = 0.5, theta = 0.3)
+    assert(math.abs(pred - 27.28) < 1e-9)
+    assert(math.abs(mse - 73.92) < 1e-9)
+  }
+
+  test("fixed-param ARMA(1,1) on a constant series predicts the constant, zero MSE") {
+    val (pred, mse) = Models.armaStateFixed(Array.fill(25)(42.0), 0.5, 0.3)
+    assert(math.abs(pred - 42.0) < 1e-12)
+    assert(mse < 1e-20)
+  }
+
   test("75/25 split is positional") {
     val (tr, te) = Models.split75(Array.tabulate(10)(_.toDouble))
     assert(tr.length == 7 && te.length == 3 && te(0) == 7.0)

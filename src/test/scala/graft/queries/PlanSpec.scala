@@ -61,4 +61,28 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.s10WatermarkScan(spark, sf0001))
     assert(p.contains("PushedFilters:"), p)
   }
+
+  test("textRareScore: no single-partition window, no vocab broadcast (round-2 scale fix)") {
+    // at sf0.001 the vocab is tiny and Spark would AUTO-broadcast it,
+    // which at 100 TB it cannot — judge the plan shape with the
+    // size-based broadcast decision off
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.text.TextAnalysis.textRareScore(spark, sf0001)
+      val p  = plan(df)
+      assert(!p.contains("Window"), s"global rank window crept back:\n$p")
+      // the token join must be a shuffle join — a billion-token vocab is
+      // never broadcastable (no explicit broadcast() hint in the query)
+      assert(!p.contains("BroadcastHashJoin"), s"vocab side broadcast again:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("textCorpusProfile: vocab via two-level distinct agg, no collect_list (round-2 scale fix)") {
+    val df = graft.text.TextAnalysis.textCorpusProfile(spark, sf0001)
+    val p  = plan(df)
+    assert(!p.contains("collect_list"), s"per-stratum token arrays crept back:\n$p")
+    assert(p.contains("distinct"), p)
+  }
 }
