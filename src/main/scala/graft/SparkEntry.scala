@@ -27,15 +27,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ graft.queries.Advanced.queries ++
       ForecastJobs.queries ++ ZoloPipeline.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.streaming.StreamQueries.queries
+      TextAnalysis.queries ++ graft.text.Chunking.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries ++ graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ graft.queries.Advanced.oracles ++ ForecastJobs.oracles ++
-      ZoloPipeline.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oraclesWithNative ++ Multimodal.oracles ++
+      ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++
+      Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++
       graft.streaming.StreamQueries.oracles
 }

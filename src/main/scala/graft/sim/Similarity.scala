@@ -225,11 +225,32 @@ object Similarity {
       )
       .orderBy($"vec_id")
 
+  /** Radius (range) search — all neighbors with cosine ≥ τ, the other
+    * half of the similarity-search API surface (top-k bounds count,
+    * radius bounds quality — near-dup verification wants radius). Same
+    * broadcast-probes single-scan shape as brute-force top-k.
+    */
+  def rangeSearch(s: SparkSession, d: String, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id".as("neighbor_id"),
+        round(cosine($"pv", $"v"), 6).as("cosine")
+      )
+      .filter($"cosine" >= tau)
+      .orderBy($"probe_id", $"neighbor_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_quantize_int8"   -> quantizeInt8,
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d, k = 5)),
     "ann_topk_native"     -> ((s, d) => bruteForceTopKNative(s, d, k = 5)),
-    "ann_ivf_topk"        -> ((s, d) => ivfTopK(s, d, k = 5, nCells = 16, nprobe = 4))
+    "ann_ivf_topk"        -> ((s, d) => ivfTopK(s, d, k = 5, nCells = 16, nprobe = 4)),
+    "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3))
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,6 +274,17 @@ object Similarity {
   // the native-TopK variant must produce byte-identical results
   val oraclesWithNative: Map[String, String] =
     oracles + ("ann_topk_native" -> oracles("ann_bruteforce_topk")) +
+      ("ann_range_search" ->
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10)
+          |SELECT probe_id, neighbor_id, cosine FROM (
+          |  SELECT probe_id, e.vec_id AS neighbor_id,
+          |    round(list_dot_product(pv, v)
+          |      / sqrt(list_dot_product(pv, pv) * list_dot_product(v, v)), 6) AS cosine
+          |  FROM e JOIN p ON e.vec_id <> p.probe_id) t
+          |WHERE cosine >= 0.3 ORDER BY probe_id, neighbor_id""".stripMargin) +
       ("sim_quantize_int8" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

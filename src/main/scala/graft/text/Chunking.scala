@@ -1,0 +1,158 @@
+package graft.text
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data shaping operators — the steps between a cleaned corpus
+  * and model-ready sequences (builder brief: "operations a large-scale
+  * training-data pipeline would need"):
+  *
+  *  - '''chunking''' — sliding-window token chunks (stride < window ⇒
+  *    overlap), the standard long-document split for a fixed context
+  *    size. Pure built-ins (sequence/slice/posexplode), one codegen'd
+  *    scan, map-only at any scale.
+  *  - '''packing''' — greedy fill of documents into fixed token budgets
+  *    (the "sequence packing" that keeps training batches dense). Greedy
+  *    packing is inherently sequential, so it is SHARDED: docs hash into
+  *    buckets, packing is sequential per bucket and parallel across
+  *    buckets — exactly how a 1000-executor packing job runs (per-shard
+  *    packers; the bucket count scales with the cluster, and per-bucket
+  *    doc counts stay bounded because upstream sampling controls shard
+  *    size). Oracle: a DuckDB recursive CTE replays each bucket's fold.
+  *  - '''redaction''' — PII-style scrubbing (emails, long digit runs)
+  *    via regexp_replace, with per-doc hit counts for audit. Map-only.
+  */
+object Chunking {
+  type Q = (SparkSession, String) => DataFrame
+
+  val chunkTokens = 40
+  val chunkStride = 32 // 8-token overlap between consecutive chunks
+
+  val textChunk: Q = (s, d) => {
+    val toks = split($"text", " ")
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        posexplode(
+          transform(
+            sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(chunkStride)),
+            start => slice(toks, start + 1, lit(chunkTokens))
+          )
+        ).as(Seq("chunk_idx", "chunk"))
+      )
+      .filter(size($"chunk") > 0)
+      .select(
+        $"doc_id",
+        $"chunk_idx",
+        size($"chunk").as("n_tokens"),
+        md5(array_join($"chunk", " ").cast("binary")).as("chunk_md5")
+      )
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val packBudget  = 512
+  val packBuckets = 8
+
+  final case class PackedDoc(doc_id: Long, bucket: Long, pack_seq: Long, n_tokens: Int)
+
+  /** Greedy packing, sequential per bucket: a doc opens a new pack when
+    * adding it would exceed the budget (an oversize doc gets its own
+    * pack). doc_id order within bucket keeps it deterministic.
+    */
+  val textPack: Q = (s, d) => {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        (col("doc_id") % packBuckets).as("bucket"),
+        size(split(col("text"), " ")).as("nt")
+      )
+      .as[(Long, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (bucket, rows) =>
+        val docs = rows.toArray.sortBy(_._1)
+        var fill = 0
+        var seq  = -1L
+        docs.iterator.map { case (id, _, nt) =>
+          if (seq < 0 || fill + nt > packBudget) { seq += 1; fill = nt }
+          else fill += nt
+          PackedDoc(id, bucket, seq, nt)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numRe   = "[0-9]{4,}"
+
+  val textRedact: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"text", lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"text", lit(numRe), lit(0))).as("n_long_nums"),
+        md5(
+          regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), numRe, "<NUM>")
+            .cast("binary")
+        ).as("redacted_md5"),
+        length(regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), numRe, "<NUM>"))
+          .as("redacted_chars")
+      )
+      .orderBy($"doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "text_chunk"  -> textChunk,
+    "text_pack"   -> textPack,
+    "text_redact" -> textRedact
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |starts AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - 1, 0) + 1, $chunkStride)) AS start
+         |  FROM t),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_idx,
+         |    toks[start + 1 : start + $chunkTokens] AS chunk
+         |  FROM starts)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(chunk) AS INT) AS n_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM chunks WHERE len(chunk) > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, doc_id % $packBuckets AS bucket,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS nt
+         |  FROM documents),
+         |ordered AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
+         |rec AS (
+         |  SELECT bucket, rn, doc_id, nt, nt AS fill, CAST(0 AS BIGINT) AS pack_seq
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.bucket, o.rn, o.doc_id, o.nt,
+         |    CASE WHEN r.fill + o.nt > $packBudget THEN o.nt ELSE r.fill + o.nt END,
+         |    CASE WHEN r.fill + o.nt > $packBudget THEN r.pack_seq + 1 ELSE r.pack_seq END
+         |  FROM rec r JOIN ordered o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
+         |SELECT doc_id, bucket, pack_seq, nt AS n_tokens
+         |FROM rec ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INT) AS n_long_nums,
+        |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5,
+        |  CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g')) AS INT) AS redacted_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
       Relational.queries, Advanced.queries, ForecastJobs.queries,
       ZoloPipeline.queries, TextAnalysis.queries, Dedup.queries,
       Similarity.queries, Multimodal.queries,
-      graft.streaming.StreamQueries.queries
+      graft.streaming.StreamQueries.queries, graft.text.Chunking.queries
     )
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size == total,
