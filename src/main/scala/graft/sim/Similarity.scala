@@ -225,6 +225,63 @@ object Similarity {
       )
       .orderBy($"vec_id")
 
+  /** Materialize the IVF index: corpus written PARTITIONED BY cell_id —
+    * the physical layout the ivfTopK scaladoc promises. A probe that
+    * searches `nprobe` cells then reads `nprobe` directories instead of
+    * the full corpus: the cell filter becomes a planning-time
+    * PartitionFilter (asserted by SimilaritySpec), which is the entire
+    * point of IVF at 100 TB.
+    */
+  def writeIvfIndex(s: SparkSession, d: String, path: String, nCells: Int, iters: Int): Array[Array[Double]] = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val cents = trainCentroids(s, e, nCells, iters)
+    val bc = s.sparkContext.broadcast(cents)
+    val assignCell = udf { (v: Seq[Double]) =>
+      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+      while (c < bc.value.length) {
+        val sim = cosLocal(bc.value(c), v)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    e.withColumn("cell_id", assignCell($"v"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    cents
+  }
+
+  /** Probe the materialized index: top-k over ONLY the probed cells'
+    * partitions (`cell_id isin ...` prunes at planning time).
+    */
+  def ivfProbeIndex(
+      s: SparkSession,
+      indexPath: String,
+      cents: Array[Array[Double]],
+      probe: Array[Double],
+      probeId: Long,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cells = cents.indices
+      .map(c => (cosLocal(cents(c), probe.toSeq), c))
+      .sortBy { case (sim, c) => (-sim, c) }
+      .take(nprobe)
+      .map(_._2)
+    val idx = s.read.parquet(indexPath).filter($"cell_id".isin(cells: _*))
+    val pv  = typedlit(probe.toSeq)
+    idx
+      .filter($"vec_id" =!= probeId)
+      .select(
+        lit(probeId).as("probe_id"),
+        $"vec_id".as("neighbor_id"),
+        round(cosine(pv, $"v"), 6).as("cosine")
+      )
+      .orderBy($"cosine".desc, $"neighbor_id")
+      .limit(k)
+  }
+
   /** Radius (range) search — all neighbors with cosine ≥ τ, the other
     * half of the similarity-search API surface (top-k bounds count,
     * radius bounds quality — near-dup verification wants radius). Same

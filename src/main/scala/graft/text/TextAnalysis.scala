@@ -93,11 +93,16 @@ object TextAnalysis {
       )
       .orderBy($"doc_id")
 
-  /** Rows-only: winnowing fingerprints (Rabin–Karp rolling hashes +
-    * min-per-window selection, [[graft.dedup.Hashing.winnow]]) — the
-    * local-overlap detector: any shared substring of ≥ 15 chars shares a
-    * fingerprint. Map-only; at scale the (fingerprint → doc) inverted
-    * index is one explode + groupBy away.
+  /** Winnowing fingerprints (Rabin–Karp rolling hashes + min-per-window
+    * selection, [[graft.dedup.Hashing.winnow]]) — the local-overlap
+    * detector: any shared substring of ≥ 15 chars shares a fingerprint.
+    * Map-only; at scale the (fingerprint → doc) inverted index is one
+    * explode + groupBy away.
+    *
+    * Oracle-checked since round 2: the count and min of the fingerprint
+    * set are order-insensitive, so DuckDB replays the wrapping 64-bit
+    * polynomial fold in HUGEINT mod 2⁶⁴ (signed-reinterpreted for the
+    * min) and the window minima as list comprehensions — hash-exact.
     */
   val textWinnow: Q = (s, d) => {
     val winUdf = udf { (text: String) =>
@@ -258,7 +263,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
       .orderBy($"split")
 
+  /** Top bigrams per language — the corpus-analysis staple (vocabulary /
+    * boilerplate inspection before training). Ranked through the custom
+    * [[graft.plans.TopK]] bounded-heap operator: per-(lang) top-k without
+    * sorting every bigram group (the window formulation sorts the whole
+    * per-key frequency table to keep 5 rows). Deterministic ties:
+    * (count desc, bigram asc).
+    */
+  val textTopNgrams: Q = (s, d) => {
+    val bigrams = Tables
+      .documents(s, d)
+      .select(
+        $"lang",
+        explode(
+          // guard: sequence(1, 0) would count DOWN; docs need ≥ 2 tokens
+          when(
+            size(toks) >= 2,
+            transform(
+              sequence(lit(1), size(toks) - 1),
+              i => concat_ws(" ", try_element_at(toks, i), try_element_at(toks, i + 1))
+            )
+          ).otherwise(array().cast("array<string>"))
+        ).as("bigram")
+      )
+      .groupBy($"lang", $"bigram")
+      .agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopK.perKey(
+      bigrams,
+      keys = Seq($"lang"),
+      ordering = Seq($"n".desc, $"bigram".asc),
+      k = 5
+    )
+    top
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"lang")
+            .orderBy($"n".desc, $"bigram")
+        )
+      )
+      .orderBy($"lang", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_top_ngrams"   -> textTopNgrams,
     "text_split_assign" -> textSplitAssign,
     "text_tokens_bpe"   -> textTokensBpe,
     "text_corpus_profile" -> textCorpusProfile,
@@ -276,6 +325,20 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_top_ngrams" ->
+      """WITH b AS (
+        |  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) t,
+        |    LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+        |  WHERE len(toks) >= 2),
+        |counted AS (
+        |  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY lang, bigram)
+        |SELECT lang, bigram, n, rank FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rank
+        |  FROM counted) t
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "text_split_assign" ->
       """SELECT CASE substring(md5(text), 1, 1)
         |    WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split,
@@ -356,6 +419,35 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(text) AS md5_raw,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS md5_norm
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays Hashing.rollingHashes/winnow: k=8 char hashes via a
+    // HUGEINT mod-2^64 fold (Java long wraparound), signed-cast for the
+    // BIGINT min; fingerprints = distinct minima of width-8 windows
+    "text_winnow" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |codes AS (
+        |  SELECT doc_id, n,
+        |    [CAST(unicode(text[i]) AS HUGEINT) for i in range(1, n + 1)] AS cs
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n < 8 THEN CAST([] AS BIGINT[]) ELSE
+        |      [ CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |        for h in [ list_reduce(cs[i : i + 7],
+        |                     (acc, c) -> (acc * 1000000007::HUGEINT + c) % 18446744073709551616::HUGEINT)
+        |                   for i in range(1, n - 6) ] ]
+        |    END AS hh
+        |  FROM codes),
+        |wins AS (
+        |  SELECT doc_id, hh,
+        |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+        |      [ list_min(hh[s + 1 : s + 8]) for s in range(0, greatest(len(hh) - 8, 0) + 1) ]
+        |    END AS wm
+        |  FROM hs)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(wm)) AS INT) AS n_fingerprints,
+        |  CASE WHEN len(hh) = 0 THEN 0 ELSE list_min(hh) END AS min_fingerprint
+        |FROM wins ORDER BY doc_id""".stripMargin
   )
 }

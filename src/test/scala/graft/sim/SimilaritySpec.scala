@@ -64,4 +64,30 @@ class SimilaritySpec extends SparkSpec {
     val bfTop = bf.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
     ivf.foreach { r => assert(r.getDouble(2) <= bfTop(r.getLong(0)) + 1e-9) }
   }
+
+  test("materialized IVF index: probe read PRUNES to nprobe cell partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // iters must match ivfTopK's training (3) so centroids — and thus
+    // probed cells — agree for the equivalence assert below
+    val cents = Similarity.writeIvfIndex(spark, sf0001, dir, nCells = 16, iters = 3)
+    // layout: one directory per cell
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell_id="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+    // probe vec 0 searches 4 cells → the scan plans PartitionFilters on
+    // cell_id and PartitionCount ≤ nprobe (the 100 TB win: nprobe dirs
+    // read instead of the corpus)
+    val probe = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter($"vec_id" === 0L).collect()(0)
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val top = Similarity.ivfProbeIndex(spark, dir, cents, probe, probeId = 0L, k = 5, nprobe = 4)
+    val scan = top.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell_id"), scan)
+    assert(top.count() == 5)
+    // pruned search must agree with the unpartitioned IVF path for the
+    // same probe (same cells, same ordering semantics)
+    val full = ivf.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+    val got  = top.collect().map(_.getLong(1)).toSet
+    assert(got == full, s"pruned-index neighbors $got != in-memory IVF $full")
+  }
 }
