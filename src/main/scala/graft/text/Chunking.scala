@@ -106,10 +106,55 @@ object Chunking {
       )
       .orderBy($"doc_id")
 
+  /** The composed curation pipeline — what a user actually runs end to
+    * end: normalize → quality gate → exact dedup (keep min doc_id per
+    * normalized hash) → chunk → per-doc chunk stats. Every stage is the
+    * operator defined elsewhere in this library; the value of the query
+    * is proving the COMPOSITION hash-exact (stages interact: dedup keys
+    * on the *normalized* text, chunking runs on the normalized tokens).
+    * One scan, two shuffles (dedup groupBy, final agg) — the chunk
+    * explode stays map-side.
+    */
+  val pipeCurate: Q = (s, d) => {
+    val norm = trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    val docs = Tables
+      .documents(s, d)
+      .select($"doc_id", $"lang", norm.as("norm_text"))
+      .withColumn("toks", split($"norm_text", " "))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("ttr", size(array_distinct($"toks")) / size($"toks"))
+      .filter($"n_tokens" >= 20 && $"ttr" >= 0.1)
+    val keep = docs
+      .groupBy(md5($"norm_text".cast("binary")).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val kept = docs.join(keep, "doc_id")
+    val chunks = kept.select(
+      $"doc_id",
+      $"lang",
+      $"n_tokens",
+      explode(
+        transform(
+          sequence(lit(0), greatest($"n_tokens" - 1, lit(0)), lit(chunkStride)),
+          start => slice($"toks", start + 1, lit(chunkTokens))
+        )
+      ).as("chunk")
+    )
+    chunks
+      .filter(size($"chunk") > 0)
+      .groupBy($"doc_id", $"lang", $"n_tokens")
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(size($"chunk")).as("chunk_tokens")
+      )
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_chunk"  -> textChunk,
     "text_pack"   -> textPack,
-    "text_redact" -> textRedact
+    "text_redact" -> textRedact,
+    "pipe_curate" -> pipeCurate
   )
 
   val oracles: Map[String, String] = Map(
@@ -147,6 +192,33 @@ object Chunking {
          |  FROM rec r JOIN ordered o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
          |SELECT doc_id, bucket, pack_seq, nt AS n_tokens
          |FROM rec ORDER BY doc_id""".stripMargin,
+    "pipe_curate" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, lang, norm_text, string_split(norm_text, ' ') AS t,
+         |    len(string_split(norm_text, ' ')) AS n_tokens
+         |  FROM norm),
+         |gated AS (
+         |  SELECT * FROM toks
+         |  WHERE n_tokens >= 20
+         |    AND len(list_distinct(t)) / len(t) >= 0.1),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(norm_text)),
+         |kept AS (
+         |  SELECT g.* FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+         |chunks AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    t[s + 1 : s + $chunkTokens] AS chunk
+         |  FROM kept, LATERAL (SELECT unnest(range(0, greatest(n_tokens - 1, 0) + 1, $chunkStride)) AS s) r)
+         |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(COUNT(*) AS INT) AS n_chunks,
+         |  CAST(SUM(len(chunk)) AS BIGINT) AS chunk_tokens
+         |FROM chunks WHERE len(chunk) > 0
+         |GROUP BY doc_id, lang, n_tokens
+         |ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
