@@ -459,7 +459,11 @@ object Relational {
       $"o_orderdate",
       explode(array((0 to 2).map(k => add_months($"o_bin", k)): _*)).as("bin")
     )
-    expanded
+    // the probe side is a keyed slice (1-in-20 custkeys × one year) —
+    // broadcasting it turns the bin join into a map-side join and the
+    // fact table never shuffles (static planning under-estimates the
+    // post-filter size and would sort-merge otherwise)
+    broadcast(expanded)
       .join(li, $"bin" === $"l_bin")
       .filter(
         $"l_shipdate" >= $"o_orderdate" &&

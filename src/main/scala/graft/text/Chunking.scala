@@ -124,11 +124,14 @@ object Chunking {
       .withColumn("n_tokens", size($"toks"))
       .withColumn("ttr", size(array_distinct($"toks")) / size($"toks"))
       .filter($"n_tokens" >= 20 && $"ttr" >= 0.1)
-    val keep = docs
-      .groupBy(md5($"norm_text".cast("binary")).as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val kept = docs.join(keep, "doc_id")
+    // keep = min doc_id per normalized hash, via a PARTITIONED window min:
+    // one scan + one shuffle (a groupBy + self-join back would scan the
+    // normalized corpus twice)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"norm_text".cast("binary")))
+    val kept = docs
+      .withColumn("keep_id", min($"doc_id").over(w))
+      .filter($"doc_id" === $"keep_id")
     val chunks = kept.select(
       $"doc_id",
       $"lang",

@@ -271,21 +271,19 @@ object TextAnalysis {
     * (count desc, bigram asc).
     */
   val textTopNgrams: Q = (s, d) => {
+    // row-local bigram builder: the transform/sequence/concat_ws catalyst
+    // lambda formulation runs INTERPRETED per element (measured 2.8 s at
+    // sf0.1, ~1M bigrams) — same bottleneck and same fix as the round-1
+    // minhash signatures. split(" ", -1) keeps trailing empties exactly
+    // like Spark's split.
+    val bigramsUdf = udf { (text: String) =>
+      val w = text.split(" ", -1)
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    }
     val bigrams = Tables
       .documents(s, d)
-      .select(
-        $"lang",
-        explode(
-          // guard: sequence(1, 0) would count DOWN; docs need ≥ 2 tokens
-          when(
-            size(toks) >= 2,
-            transform(
-              sequence(lit(1), size(toks) - 1),
-              i => concat_ws(" ", try_element_at(toks, i), try_element_at(toks, i + 1))
-            )
-          ).otherwise(array().cast("array<string>"))
-        ).as("bigram")
-      )
+      .select($"lang", explode(bigramsUdf($"text")).as("bigram"))
       .groupBy($"lang", $"bigram")
       .agg(count(lit(1)).as("n"))
     val top = graft.plans.TopK.perKey(

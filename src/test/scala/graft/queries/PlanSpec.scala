@@ -85,4 +85,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"), s"per-stratum token arrays crept back:\n$p")
     assert(p.contains("distinct"), p)
   }
+
+  test("pipe_curate: single corpus scan (window dedup, no self-join re-scan)") {
+    val p = plan(graft.text.Chunking.pipeCurate(spark, sf0001))
+    // count scan NODES (detail headers "(n) Scan parquet"), not every
+    // mention — the formatted output repeats each node in the detail list
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"curation pipeline scans the corpus $scans times:\n$p")
+  }
 }
