@@ -333,7 +333,42 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Winnow-fingerprint candidate pairs — the LOCAL-overlap dedup path
+    * (shared substrings ≥ 15 chars), complementing MinHash's global
+    * set-similarity: catches partial plagiarism/boilerplate that
+    * whole-doc similarity misses. Inverted-index self-join on
+    * fingerprint with the same hot-bucket cap as LSH; pairs must share
+    * ≥ `minShared` fingerprints. Oracle: DuckDB replays the rolling-hash
+    * winnowing (HUGEINT mod 2⁶⁴) and the index join.
+    */
+  def winnowPairs(docs: DataFrame, minShared: Int, cap: Long = maxBucketSize): DataFrame = {
+    // k=16/w=16 (vs the k=8 of the per-doc stats query): candidate pairs
+    // need a shared 16-char substring (guarantee: any ≥31-char overlap is
+    // caught). At k=8 a small-vocabulary corpus shares 8-char windows
+    // everywhere — the inverted index degenerates toward all-pairs
+    // (measured 14 s at sf0.1); 16-char fingerprints keep the index
+    // selective, which is the production regime for boilerplate detection.
+    val fpUdf = udf { (text: String) => Hashing.winnow(text, k = 16, w = 16) }
+    val fps = docs.select($"doc_id", explode(fpUdf($"text")).as("fp")).persist()
+    val ok = fps
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("nfp"))
+      .filter($"nfp" <= cap)
+      .select($"fp")
+    val capped = fps.join(ok, "fp")
+    capped
+      .as("a")
+      .join(capped.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= minShared)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupWinnowPairs: Q = (s, d) => winnowPairs(Tables.documents(s, d), minShared = 3)
+
   val queries: Map[String, Q] = Map(
+    "dedup_winnow_pairs"    -> dedupWinnowPairs,
     "dedup_exact"           -> dedupExact,
     "dedup_ngram_jaccard"   -> dedupNgramJaccard,
     "dedup_minhash_sigs"    -> dedupMinhashSignatures,
@@ -349,6 +384,40 @@ object Dedup {
     * the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    // replays Hashing.rollingHashes/winnow exactly like the text_winnow
+    // oracle, then the capped inverted-index join
+    "dedup_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |codes AS (
+        |  SELECT doc_id, n,
+        |    [CAST(unicode(text[i]) AS HUGEINT) for i in range(1, n + 1)] AS cs
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n < 16 THEN CAST([] AS BIGINT[]) ELSE
+        |      [ CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |        for h in [ list_reduce(cs[i : i + 15],
+        |                     (acc, c) -> (acc * 1000000007::HUGEINT + c) % 18446744073709551616::HUGEINT)
+        |                   for i in range(1, n - 14) ] ]
+        |    END AS hh
+        |  FROM codes),
+        |wins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+        |      [ list_min(hh[s + 1 : s + 16]) for s in range(0, greatest(len(hh) - 16, 0) + 1) ]
+        |    END AS wm
+        |  FROM hs),
+        |fp AS (SELECT doc_id, unnest(list_distinct(wm)) AS f FROM wins),
+        |ok AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 1000),
+        |capped AS (SELECT fp.* FROM fp JOIN ok USING (f)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared_fps
+        |  FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared_fps FROM pairs
+        |WHERE shared_fps >= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -304,7 +304,65 @@ object TextAnalysis {
       .orderBy($"lang", $"rank")
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public):
+    * token-count bounds, mean word length in [3,10], symbol ratio,
+    * stopword evidence, and a max single-token repetition ratio — the
+    * standard pretraining quality gate. All per-row; the repetition
+    * ratio is a row-local UDF (a catalyst lambda would be O(d²)
+    * interpreted per doc).
+    */
+  val textGopherRules: Q = (s, d) => {
+    val maxTokRatio = udf { (text: String) =>
+      val w = text.split(" ", -1)
+      if (w.isEmpty) 0.0
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        w.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+        counts.values.max.toDouble / w.length
+      }
+    }
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        (length(regexp_replace($"text", " ", "")) / size(toks)).as("mean_word_len"),
+        (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")) / length($"text")).as("symbol_ratio"),
+        size(array_intersect(array_distinct(toks), lit(stopwords.toArray))).as("n_stopwords"),
+        maxTokRatio($"text").as("max_token_ratio")
+      )
+      .withColumn(
+        "keep",
+        ($"n_tokens" >= 50 && $"n_tokens" <= 100000 &&
+          $"mean_word_len" >= 3 && $"mean_word_len" <= 10 &&
+          $"symbol_ratio" <= 0.1 &&
+          $"n_stopwords" >= 2 &&
+          $"max_token_ratio" <= 0.2).cast("int")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Stratified deterministic sampling with per-stratum quotas: the
+    * corpus-balancing primitive (cap each language at N docs). Hash-rank
+    * within stratum (md5, doc_id tiebreak) — reproducible on any engine,
+    * any partitioning; the window is partitioned by stratum so no global
+    * sort exists.
+    */
+  val textStratifiedSample: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5($"text".cast("binary")), $"doc_id")
+    Tables
+      .documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 50)
+      .select($"doc_id", $"lang", $"rk".cast("int").as("sample_rank"))
+      .orderBy($"lang", $"sample_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_gopher_rules" -> textGopherRules,
+    "text_stratified_sample" -> textStratifiedSample,
     "text_top_ngrams"   -> textTopNgrams,
     "text_split_assign" -> textSplitAssign,
     "text_tokens_bpe"   -> textTokensBpe,
@@ -323,6 +381,32 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    length(replace(text, ' ', '')) / n_tokens AS mean_word_len,
+         |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text) AS symbol_ratio,
+         |    len(list_intersect(list_distinct(w), [$stopList])) AS n_stopwords,
+         |    list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))
+         |      / CAST(n_tokens AS DOUBLE) AS max_token_ratio
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_word_len, symbol_ratio,
+         |  CAST(n_stopwords AS INT) AS n_stopwords, max_token_ratio,
+         |  CAST(n_tokens >= 50 AND n_tokens <= 100000
+         |    AND mean_word_len >= 3 AND mean_word_len <= 10
+         |    AND symbol_ratio <= 0.1 AND n_stopwords >= 2
+         |    AND max_token_ratio <= 0.2 AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_stratified_sample" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER
+        |    (PARTITION BY lang ORDER BY md5(text), doc_id) AS INT) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
     "text_top_ngrams" ->
       """WITH b AS (
         |  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram

@@ -134,6 +134,19 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) >= 1))
   }
 
+  test("winnow pairs: docs sharing a long substring are candidates; unrelated are not") {
+    val shared = "the quick brown fox jumps over the lazy dog in the garden"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different beginning $shared another ending"),
+      (3L, "unrelated text about catalyst optimizer and columnar storage engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // ≥15-char overlap guarantees shared fingerprints
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("adversarial all-identical corpus: bucket cap keeps LSH out of O(n²)") {
     // every doc identical → every band funnels into ONE bucket of size n.
     // Uncapped, the self-join would build n(n-1)/2 ≈ 3.1M candidate pairs;
