@@ -282,6 +282,79 @@ object Similarity {
       .limit(k)
   }
 
+  val srpBits  = 16
+  val srpBands = 4 // 4-bit segments; candidate ⇔ any segment equal
+
+  /** Deterministic Rademacher (±1) hyperplanes — seeded from the stable
+    * string hash, so signatures are reproducible across runs/engines
+    * with no RNG state.
+    */
+  private[sim] def srpPlanes(dim: Int): Array[Array[Double]] =
+    Array.tabulate(srpBits)(p =>
+      Array.tabulate(dim)(i =>
+        if (graft.dedup.Hashing.hash64(s"srp:$p:$i") >= 0) 1.0 else -1.0))
+
+  /** Sign-random-projection LSH top-k — the OTHER bucketed ANN path of
+    * the brief (IVF partitions by learned cells; SRP buckets by random
+    * hyperplane sign bits with NO training pass). sig(v) = 16 sign bits;
+    * near vectors agree on bits with prob 1 − θ/π, so sharing any 4-bit
+    * band marks a candidate (same pigeonhole shape as SimHash dedup).
+    * Candidates verify with exact cosine; ranking via the custom TopK
+    * operator. At 100 TB the corpus is written bucketed by band values —
+    * probes touch matching buckets only, no training, no centroid drift
+    * on append (the operational argument for SRP over IVF).
+    */
+  def srpTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val dim = 64
+    val bc  = s.sparkContext.broadcast(srpPlanes(dim))
+    val sigUdf = udf { (v: Seq[Double]) =>
+      var sig = 0
+      var p = 0
+      while (p < srpBits) {
+        val plane = bc.value(p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(plane.length, v.length)
+        while (i < n) { dot += plane(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+    val sigs = e.withColumn("sig", sigUdf($"v")).persist()
+    def bands(df: DataFrame) = df.select(
+      col("*"),
+      posexplode(
+        array((0 until srpBands).map(b => shiftright($"sig", b * 4).bitwiseAND(lit(0xf))): _*)
+      ).as(Seq("band_id", "band_val"))
+    )
+    val corpusB = bands(sigs)
+    val probesB = bands(sigs.filter($"vec_id" < 10))
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"band_id", $"band_val")
+    val cand = corpusB
+      .join(probesB, Seq("band_id", "band_val"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"pv", $"vec_id", $"v")
+      .distinct()
+    val sims = cand.select(
+      $"probe_id",
+      $"vec_id".as("neighbor_id"),
+      round(cosine($"pv", $"v"), 6).as("cosine")
+    )
+    val top = graft.plans.TopK.perKey(
+      sims,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"cosine".desc, $"neighbor_id".asc),
+      k = k
+    )
+    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
+    top
+      .withColumn("rank", row_number().over(w))
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Radius (range) search — all neighbors with cosine ≥ τ, the other
     * half of the similarity-search API surface (top-k bounds count,
     * radius bounds quality — near-dup verification wants radius). Same
@@ -307,6 +380,7 @@ object Similarity {
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d, k = 5)),
     "ann_topk_native"     -> ((s, d) => bruteForceTopKNative(s, d, k = 5)),
     "ann_ivf_topk"        -> ((s, d) => ivfTopK(s, d, k = 5, nCells = 16, nprobe = 4)),
+    "ann_srp_topk"        -> ((s, d) => srpTopK(s, d, k = 5)),
     "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3))
   )
 

@@ -102,4 +102,34 @@ class PropertySpec extends SparkSpec {
     val w2 = df.filter($"ts" > lit("2024-01-20").cast("timestamp")).count()
     assert(w2 <= w1)
   }
+
+  test("chunking covers every token exactly (stride accounting) for any doc length") {
+    // chunk sizes for n tokens with stride s, window w: starts 0,s,2s,…
+    // every token is in ⌈w/s⌉ or fewer chunks; total chunk tokens =
+    // Σ min(w, n - start). Verified against the corpus query itself.
+    val out = graft.text.Chunking.textChunk(spark, sf0001)
+      .groupBy($"doc_id").agg(sum($"n_tokens").as("ct"), count(lit(1)).as("nc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (w, s) = (graft.text.Chunking.chunkTokens, graft.text.Chunking.chunkStride)
+    docs.foreach { case (id, n) =>
+      val starts = 0 to math.max(n - 1, 0) by s
+      val expectTokens = starts.map(st => math.max(math.min(w, n - st), 0)).sum
+      val expectChunks = starts.count(st => n - st > 0)
+      assert(out(id) == (expectTokens.toLong, expectChunks.toLong), s"doc $id n=$n")
+    }
+  }
+
+  test("packing: every doc assigned once; no pack over budget except oversize singletons") {
+    val rows = graft.text.Chunking.textPack(spark, sf0001).collect()
+    val docs = rows.map(_.getLong(0))
+    assert(docs.distinct.length == docs.length) // exactly-once assignment
+    rows.groupBy(r => (r.getLong(1), r.getLong(2))).foreach { case (_, members) =>
+      val total = members.map(_.getAs[Int]("n_tokens").toLong).sum
+      if (total > graft.text.Chunking.packBudget)
+        assert(members.length == 1, s"over-budget pack with ${members.length} docs")
+    }
+  }
 }

@@ -65,6 +65,18 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { r => assert(r.getDouble(2) <= bfTop(r.getLong(0)) + 1e-9) }
   }
 
+  test("SRP-LSH: nontrivial recall vs brute force, candidates pruned below full scan") {
+    val srp = Similarity.srpTopK(spark, sf0001, k = 5).collect()
+    val bfSet  = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srpSet = srp.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bfSet & srpSet).size.toDouble / bfSet.size
+    info(f"SRP recall@5 = $recall%.2f")
+    assert(recall > 0.3, s"recall $recall")
+    // subset-maximum: bucketed candidates can never beat the exact top-1
+    val bfTop = bf.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    srp.foreach { r => assert(r.getDouble(2) <= bfTop(r.getLong(0)) + 1e-9) }
+  }
+
   test("materialized IVF index: probe read PRUNES to nprobe cell partitions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
