@@ -348,7 +348,7 @@ object Dedup {
     // everywhere — the inverted index degenerates toward all-pairs
     // (measured 14 s at sf0.1); 16-char fingerprints keep the index
     // selective, which is the production regime for boilerplate detection.
-    val fpUdf = udf { (text: String) => Hashing.winnow(text, k = 16, w = 16) }
+    val fpUdf = udf { (text: String) => Hashing.winnow(text, k = winnowPairK, w = winnowPairW) }
     val fps = docs.select($"doc_id", explode(fpUdf($"text")).as("fp")).persist()
     val ok = fps
       .groupBy($"fp")
@@ -365,7 +365,11 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val dedupWinnowPairs: Q = (s, d) => winnowPairs(Tables.documents(s, d), minShared = 3)
+  val winnowPairK     = 16
+  val winnowPairW     = 16
+  val winnowMinShared = 3
+
+  val dedupWinnowPairs: Q = (s, d) => winnowPairs(Tables.documents(s, d), minShared = winnowMinShared)
 
   val queries: Map[String, Q] = Map(
     "dedup_winnow_pairs"    -> dedupWinnowPairs,
@@ -385,39 +389,42 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     // replays Hashing.rollingHashes/winnow exactly like the text_winnow
+    // NOTE: unicode(text[i]) replays charAt for BMP text (the corpus is
+    // ASCII); astral chars would hash as one code point here vs two
+    // UTF-16 units in Scala — a full surrogate replay isn't worth the SQL
     // oracle, then the capped inverted-index join
     "dedup_winnow_pairs" ->
-      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |codes AS (
-        |  SELECT doc_id, n,
-        |    [CAST(unicode(text[i]) AS HUGEINT) for i in range(1, n + 1)] AS cs
-        |  FROM t),
-        |hs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n < 16 THEN CAST([] AS BIGINT[]) ELSE
-        |      [ CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
-        |        for h in [ list_reduce(cs[i : i + 15],
-        |                     (acc, c) -> (acc * 1000000007::HUGEINT + c) % 18446744073709551616::HUGEINT)
-        |                   for i in range(1, n - 14) ] ]
-        |    END AS hh
-        |  FROM codes),
-        |wins AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[]) ELSE
-        |      [ list_min(hh[s + 1 : s + 16]) for s in range(0, greatest(len(hh) - 16, 0) + 1) ]
-        |    END AS wm
-        |  FROM hs),
-        |fp AS (SELECT doc_id, unnest(list_distinct(wm)) AS f FROM wins),
-        |ok AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 1000),
-        |capped AS (SELECT fp.* FROM fp JOIN ok USING (f)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS shared_fps
-        |  FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, shared_fps FROM pairs
-        |WHERE shared_fps >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |codes AS (
+         |  SELECT doc_id, n,
+         |    [CAST(unicode(text[i]) AS HUGEINT) for i in range(1, n + 1)] AS cs
+         |  FROM t),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n < $winnowPairK THEN CAST([] AS BIGINT[]) ELSE
+         |      [ CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+         |        for h in [ list_reduce(cs[i : i + ${winnowPairK - 1}],
+         |                     (acc, c) -> (acc * 1000000007::HUGEINT + c) % 18446744073709551616::HUGEINT)
+         |                   for i in range(1, n - ${winnowPairK - 2}) ] ]
+         |    END AS hh
+         |  FROM codes),
+         |wins AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[]) ELSE
+         |      [ list_min(hh[s + 1 : s + $winnowPairW]) for s in range(0, greatest(len(hh) - $winnowPairW, 0) + 1) ]
+         |    END AS wm
+         |  FROM hs),
+         |fp AS (SELECT doc_id, unnest(list_distinct(wm)) AS f FROM wins),
+         |ok AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= $maxBucketSize),
+         |capped AS (SELECT fp.* FROM fp JOIN ok USING (f)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared_fps
+         |  FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared_fps FROM pairs
+         |WHERE shared_fps >= $winnowMinShared ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -86,7 +86,8 @@ object ZoloPipeline {
   // Schemas are pinned via read_json columns= (no inference drift);
   // `CAST(... AS TIMESTAMP)` on ISO-Z strings is wall-clock (offset
   // dropped), matching Spark's to_timestamp under the UTC session.
-  // Spark double→int casts truncate while DuckDB CAST rounds → floor.
+  // Spark double→int casts truncate TOWARD ZERO while DuckDB CAST rounds →
+  // trunc() (floor would diverge on negative quantities, e.g. refunds).
   // DuckDB array_to_string([]) is NULL, Spark array_join([]) is '' →
   // null-preserving coalesce.
   // ------------------------------------------------------------------
@@ -137,7 +138,7 @@ object ZoloPipeline {
        |    CAST(created_at_local AS DATE) AS trans_date,
        |    isodow(created_at_local) - 1 AS dow,
        |    it.item_detail.item_variation_id AS square_id,
-       |    CAST(floor(it.quantity) AS INT) AS quantity,
+       |    CAST(trunc(it.quantity) AS INT) AS quantity,
        |    CAST(it.total_money.amount AS BIGINT) / 100.0 AS dollars,
        |    CASE WHEN it.modifiers IS NOT NULL
        |         THEN coalesce(array_to_string(list_transform(it.modifiers, m -> m.name), ';'), '')
@@ -194,7 +195,7 @@ object ZoloPipeline {
     "zolo_qb_trans" ->
       s"""WITH $qbCtes
          |SELECT payment_id, created_at, customer_id,
-         |  SUM(CAST(floor(line.SalesItemLineDetail.Qty) AS INT) * line.SalesItemLineDetail.UnitPrice) AS dollars
+         |  SUM(CAST(trunc(line.SalesItemLineDetail.Qty) AS INT) * line.SalesItemLineDetail.UnitPrice) AS dollars
          |FROM qb_det GROUP BY 1, 2, 3 ORDER BY payment_id""".stripMargin,
     "zolo_qb_customers" ->
       s"""SELECT Id AS customer_id, CompanyName AS customer_name,
@@ -218,7 +219,7 @@ object ZoloPipeline {
          |qb_trans AS (SELECT DISTINCT payment_id, created_at FROM qb_det),
          |qb_trans_details AS (
          |  SELECT payment_id, line.SalesItemLineDetail.ItemRef.value AS quickbooks_id,
-         |    CAST(floor(line.SalesItemLineDetail.Qty) AS INT) AS quantity
+         |    CAST(trunc(line.SalesItemLineDetail.Qty) AS INT) AS quantity
          |  FROM qb_det),
          |items AS (SELECT * FROM read_csv('/root/repo/fixtures/items.csv', header=true)),
          |coffee_profiles AS (SELECT * FROM read_csv('/root/repo/fixtures/coffee_profiles.csv', header=true)),

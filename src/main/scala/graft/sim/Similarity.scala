@@ -64,6 +64,28 @@ object Similarity {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Nearest centroid by cosine, first index wins ties — the ONE
+    * definition of cell assignment (ivfTopK, writeIvfIndex and the spec
+    * equivalence all depend on it agreeing with itself).
+    */
+  private[sim] def nearestCell(cents: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+    while (c < cents.length) {
+      val sim = cosLocal(cents(c), v)
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nprobe best cells for a probe vector ((-sim, cell) order). */
+  private[sim] def probeCells(cents: Array[Array[Double]], v: Seq[Double], nprobe: Int): Seq[Int] =
+    cents.indices
+      .map(c => (cosLocal(cents(c), v), c))
+      .sortBy { case (sim, c) => (-sim, c) }
+      .take(nprobe)
+      .map(_._2)
+
   /** Row-local cosine for training/assignment closures. */
   private def cosLocal(a: Array[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -89,15 +111,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val bc = s.sparkContext.broadcast(cents)
       val updated = ds
-        .map { case (_, v) =>
-          var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
-          while (c < bc.value.length) {
-            val sim = cosLocal(bc.value(c), v.toSeq)
-            if (sim > bestSim) { bestSim = sim; best = c }
-            c += 1
-          }
-          (best, v)
-        }
+        .map { case (_, v) => (nearestCell(bc.value, v.toSeq), v) }
         .groupByKey(_._1)
         .mapGroups { (cell, rows) =>
           val sum = new Array[Double](bc.value(0).length)
@@ -127,22 +141,8 @@ object Similarity {
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val cents = trainCentroids(s, e, nCells, iters = 3)
     val bc = s.sparkContext.broadcast(cents)
-    val assignCell = udf { (v: Seq[Double]) =>
-      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
-      while (c < bc.value.length) {
-        val sim = cosLocal(bc.value(c), v)
-        if (sim > bestSim) { bestSim = sim; best = c }
-        c += 1
-      }
-      best
-    }
-    val probeCellsUdf = udf { (v: Seq[Double]) =>
-      bc.value.indices
-        .map(c => (cosLocal(bc.value(c), v), c))
-        .sortBy { case (sim, c) => (-sim, c) }
-        .take(nprobe)
-        .map(_._2)
-    }
+    val assignCell = udf { (v: Seq[Double]) => nearestCell(bc.value, v) }
+    val probeCellsUdf = udf { (v: Seq[Double]) => probeCells(bc.value, v, nprobe) }
     val assigned = e.withColumn("cell_id", assignCell($"v"))
     val probes = e
       .filter($"vec_id" < 10)
@@ -237,15 +237,7 @@ object Similarity {
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val cents = trainCentroids(s, e, nCells, iters)
     val bc = s.sparkContext.broadcast(cents)
-    val assignCell = udf { (v: Seq[Double]) =>
-      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
-      while (c < bc.value.length) {
-        val sim = cosLocal(bc.value(c), v)
-        if (sim > bestSim) { bestSim = sim; best = c }
-        c += 1
-      }
-      best
-    }
+    val assignCell = udf { (v: Seq[Double]) => nearestCell(bc.value, v) }
     e.withColumn("cell_id", assignCell($"v"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
     cents
@@ -264,11 +256,7 @@ object Similarity {
       nprobe: Int
   ): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cells = cents.indices
-      .map(c => (cosLocal(cents(c), probe.toSeq), c))
-      .sortBy { case (sim, c) => (-sim, c) }
-      .take(nprobe)
-      .map(_._2)
+    val cells = probeCells(cents, probe.toSeq, nprobe)
     val idx = s.read.parquet(indexPath).filter($"cell_id".isin(cells: _*))
     val pv  = typedlit(probe.toSeq)
     idx
@@ -307,7 +295,9 @@ object Similarity {
   def srpTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
-    val dim = 64
+    // planes must span the actual embedding width — a hardcoded dim would
+    // silently ignore the tail components of wider vectors
+    val dim = e.select(size($"v")).head().getInt(0)
     val bc  = s.sparkContext.broadcast(srpPlanes(dim))
     val sigUdf = udf { (v: Seq[Double]) =>
       var sig = 0

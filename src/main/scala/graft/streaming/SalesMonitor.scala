@@ -71,7 +71,8 @@ object SalesMonitor {
       market: String,
       window_start: java.sql.Timestamp,
       actual_dollars: Double,
-      next_window_forecast: Double
+      next_window_forecast: Double,
+      late_dropped: Long // cumulative late events dropped for this market
   )
 
   /** The reference README's aspirational workload made real: per-market
@@ -116,7 +117,8 @@ object SalesMonitor {
                   market,
                   new java.sql.Timestamp(st.windowStart * 1000),
                   closedTotal,
-                  newLevel // forecast for the next window
+                  newLevel, // forecast for the next window
+                  st.lateDropped
                 )
                 st = ForecastState(st.windowStart + windowSec, 0.0, Some(newLevel), st.lateDropped)
               }

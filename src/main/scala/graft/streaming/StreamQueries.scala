@@ -52,7 +52,11 @@ object StreamQueries {
       )
       .select($"w.start".as("window_start"), $"w.end".as("window_end"),
         $"event_type", $"total_value", $"n_events")
-    val name = s"s_stream_windows_${System.nanoTime()}"
+    // FIXED sink name: the memory sink replaces the temp view on each
+    // start (the previous query is stopped by then), so repeated
+    // invocations in one session — the driver sweep, Bench's two passes —
+    // don't accumulate result tables
+    val name = "s_stream_windows_sink"
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
@@ -65,6 +69,8 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the memory table holds the data; the checkpoint dir is dead weight
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
     s.table(name).orderBy($"window_start", $"event_type")
   }
 

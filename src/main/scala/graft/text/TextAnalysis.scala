@@ -203,31 +203,29 @@ object TextAnalysis {
     * materialized every distinct token of a stratum into one in-memory
     * array — an OOM at 100 TB.
     */
-  val textCorpusProfile: Q = (s, d) => {
-    val base = Tables
+  val textCorpusProfile: Q = (s, d) =>
+    // ONE scan: posexplode marks each doc's first token (pos = 0), so
+    // doc-level aggregates (n_docs, total_chars) ride the exploded token
+    // stream instead of a second scan + join; total_tokens is simply the
+    // exploded row count. countDistinct stays the two-level distinct agg
+    // (the round-2 collect_list fix).
+    Tables
       .documents(s, d)
       .select(
         $"lang",
         $"source",
         $"n_chars",
-        size(toks).as("n_tokens"),
-        toks.as("tokens"),
-        floor($"n_chars" / lit(100)).cast("int").as("len_bucket")
+        floor($"n_chars" / lit(100)).cast("int").as("len_bucket"),
+        posexplode(toks).as(Seq("pos", "token"))
       )
-    val g = base
       .groupBy($"lang", $"source", $"len_bucket")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum($"n_tokens").as("total_tokens"),
-        sum($"n_chars").as("total_chars")
+        sum(($"pos" === 0).cast("long")).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        sum(when($"pos" === 0, $"n_chars")).as("total_chars"),
+        countDistinct($"token").cast("int").as("vocab_size")
       )
-    val v = base
-      .select($"lang", $"source", $"len_bucket", explode($"tokens").as("token"))
-      .groupBy($"lang", $"source", $"len_bucket")
-      .agg(countDistinct($"token").cast("int").as("vocab_size"))
-    g.join(v, Seq("lang", "source", "len_bucket"))
       .orderBy($"lang", $"source", $"len_bucket")
-  }
 
   /** GPT-2-style pretokenizer pattern (simplified to the RE2∩Java-regex
     * common subset): letter runs, digit runs, punctuation runs, each with
@@ -503,6 +501,9 @@ object TextAnalysis {
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS md5_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     // replays Hashing.rollingHashes/winnow: k=8 char hashes via a
+    // NOTE: unicode(text[i]) replays charAt for BMP text (the corpus is
+    // ASCII); astral chars would hash as one code point here vs two
+    // UTF-16 units in Scala — a full surrogate replay isn't worth the SQL
     // HUGEINT mod-2^64 fold (Java long wraparound), signed-cast for the
     // BIGINT min; fingerprints = distinct minima of width-8 windows
     "text_winnow" ->

@@ -45,6 +45,18 @@ class ForecastStreamSpec extends SparkSpec {
       // empty 07:00 window folds a zero: level = .6*0 + .4*36 = 14.4
       assert(rows("2019-06-09 07:00")._1 == 0.0)
       assert(math.abs(rows("2019-06-09 07:00")._2 - 14.4) < 1e-9)
+      // a LATE event (older than the open 07:30 window) is dropped, not
+      // folded into the wrong window — and the drop is OBSERVABLE via
+      // late_dropped on the next emitted row
+      mem.addData((ts("2019-06-09 06:10:00"), "m1", 999.0)) // late
+      mem.addData((ts("2019-06-09 08:10:00"), "m1", 7.0))   // closes 07:30
+      q.processAllAvailable()
+      val after = spark.table("fc_out").collect()
+        .map(r => r.getTimestamp(1).toString.take(16) ->
+          (r.getDouble(2), r.getLong(4)))
+        .toMap
+      assert(after("2019-06-09 07:30")._1 == 5.0, "late dollars leaked into 07:30")
+      assert(after("2019-06-09 07:30")._2 == 1L, "late drop not counted")
     } finally q.stop()
   }
 }
