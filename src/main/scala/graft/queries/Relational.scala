@@ -147,6 +147,25 @@ object Relational {
       .orderBy($"doc_id")
 
   // ---------------------------------------------------------------------
+  // JSON functions over the events props payload — the semi-structured
+  // column family the ETLs' nested JSON implies (the reference parses
+  // JSON in Python; here both the path-extraction and the typed-parse
+  // forms are native). get_json_object (path) and from_json (schema'd
+  // struct) must agree — both emitted and oracle-checked.
+  // ---------------------------------------------------------------------
+  val fJsonExtract: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k_path"),
+        from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)
+        ))).getField("k").as("k_typed")
+      )
+      .orderBy($"event_id")
+
+  // ---------------------------------------------------------------------
   // F13 — regex extraction (batch_token from Link header,
   // `square_ETL.py:91-92`) over the events props payload.
   // ---------------------------------------------------------------------
@@ -509,6 +528,7 @@ object Relational {
     "w1_f11_market_attrib" -> w1f11MarketAttrib,
     "f12_array_join"   -> f12ArrayJoin,
     "f13_regex_extract" -> f13RegexExtract,
+    "f_json_extract"   -> fJsonExtract,
     "f14_cast_join"    -> f14CastJoin,
     "t_datetime"       -> tDatetime,
     "j1_header_detail" -> j1HeaderDetail,
@@ -525,6 +545,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "f_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
     "w1_f11_market_attrib" ->
       """WITH e AS (
         |  SELECT ts, user_id % 5 AS device, CAST(ts AS DATE) AS trans_date,
