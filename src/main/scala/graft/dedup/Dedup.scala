@@ -88,6 +88,20 @@ object Dedup {
     */
   val maxBucketSize = 1000L
 
+  /** The capped-inverted-index guard shared by the LSH band join and the
+    * winnow fingerprint join: count rows per bucket key (the same
+    * shuffle key the join uses), keep only buckets at-or-under the cap —
+    * the O(n) gate in front of every quadratic in-bucket self-join.
+    */
+  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+    val ok = df
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" <= cap)
+      .select(keys.map(col): _*)
+    df.join(ok, keys)
+  }
+
   /** LSH candidate pairs: docs sharing any band bucket; verified with
     * exact shingle-Jaccard ≥ threshold. The self-join happens on band
     * hash — bucket sizes are the only quadratic term, so buckets over
@@ -102,14 +116,7 @@ object Dedup {
       posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
         .as(Seq("band_id", "band_hash"))
     )
-    // cap: one count per bucket (same shuffle key as the join), then keep
-    // only sane buckets — O(n) guard before the quadratic term
-    val okBuckets = allBands
-      .groupBy($"band_id", $"band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter($"bucket_n" <= maxBucketSize)
-      .select($"band_id", $"band_hash")
-    val bands = allBands.join(okBuckets, Seq("band_id", "band_hash")).persist()
+    val bands = capBuckets(allBands, Seq("band_id", "band_hash"), maxBucketSize).persist()
     val cand = bands
       .as("a")
       .join(bands.as("b"), $"a.band_id" === $"b.band_id" && $"a.band_hash" === $"b.band_hash" && $"a.doc_id" < $"b.doc_id")
@@ -350,12 +357,7 @@ object Dedup {
     // selective, which is the production regime for boilerplate detection.
     val fpUdf = udf { (text: String) => Hashing.winnow(text, k = winnowPairK, w = winnowPairW) }
     val fps = docs.select($"doc_id", explode(fpUdf($"text")).as("fp")).persist()
-    val ok = fps
-      .groupBy($"fp")
-      .agg(count(lit(1)).as("nfp"))
-      .filter($"nfp" <= cap)
-      .select($"fp")
-    val capped = fps.join(ok, "fp")
+    val capped = capBuckets(fps, Seq("fp"), cap)
     capped
       .as("a")
       .join(capped.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")

@@ -25,7 +25,12 @@ object ZoloPipeline {
     * whole ETL fixture read.
     */
   def registerAll(spark: SparkSession, dir: String = fixturesDir): Unit = {
-    if (spark.catalog.tableExists("coffee_profiles")) return
+    // idempotence must check the CACHE too: the Verify/Bench sweeps call
+    // clearCache() between queries, which drops the persists but leaves
+    // the views — a view-only check would leave later zolo queries
+    // re-running the JSON ETLs once per plan branch
+    if (spark.catalog.tableExists("coffee_profiles") &&
+        spark.catalog.isCached("coffee_profiles")) return
     registerAllForce(spark, dir)
   }
 

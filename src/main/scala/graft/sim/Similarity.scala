@@ -86,6 +86,25 @@ object Similarity {
       .take(nprobe)
       .map(_._2)
 
+  /** The shared ranking tail of every ANN variant: bounded-heap TopK per
+    * probe (custom physical operator), then row_number over the k
+    * survivors for the emitted rank — ONE definition of the
+    * (cosine desc, neighbor_id asc) tie-breaking that all variants (and
+    * their shared oracle) must agree on.
+    */
+  private def rankPerProbe(sims: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(
+      sims,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"cosine".desc, $"neighbor_id".asc),
+      k = k
+    )
+    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
+    top
+      .withColumn("rank", row_number().over(w))
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Row-local cosine for training/assignment closures. */
   private def cosLocal(a: Array[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -151,19 +170,7 @@ object Similarity {
       .join(probes, Seq("cell_id"))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id".as("neighbor_id"), round(cosine($"pv", $"v"), 6).as("cosine"))
-    // rank the probed cells' candidates with the custom bounded-heap
-    // operator (composes the two extension features; same ordering
-    // semantics as the window formulation)
-    val top = graft.plans.TopK.perKey(
-      cellSims,
-      keys = Seq($"probe_id"),
-      ordering = Seq($"cosine".desc, $"neighbor_id".asc),
-      k = k
-    )
-    val wRank = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
-    top
-      .withColumn("rank", row_number().over(wRank))
-      .orderBy($"probe_id", $"rank")
+    rankPerProbe(cellSims, k)
   }
 
   /** Same brute-force search, but ranked by the custom [[graft.plans.TopK]]
@@ -179,16 +186,7 @@ object Similarity {
     val sims = e
       .join(broadcast(probes), $"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id".as("neighbor_id"), round(cosine($"pv", $"v"), 6).as("cosine"))
-    val top = graft.plans.TopK.perKey(
-      sims,
-      keys = Seq($"probe_id"),
-      ordering = Seq($"cosine".desc, $"neighbor_id".asc),
-      k = k
-    )
-    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
-    top
-      .withColumn("rank", row_number().over(w)) // over k rows/key only
-      .orderBy($"probe_id", $"rank")
+    rankPerProbe(sims, k)
   }
 
   /** int8 scalar quantization of embeddings (per-vector min/max) — the
@@ -295,9 +293,11 @@ object Similarity {
   def srpTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
-    // planes must span the actual embedding width — a hardcoded dim would
-    // silently ignore the tail components of wider vectors
-    val dim = e.select(size($"v")).head().getInt(0)
+    // planes span the observed embedding width (sampled from one row —
+    // the corpus is fixed-width); empty corpus → dim 0 → empty result,
+    // not an exception
+    val dim = e.select(size($"v")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val bc  = s.sparkContext.broadcast(srpPlanes(dim))
     val sigUdf = udf { (v: Seq[Double]) =>
       var sig = 0
@@ -333,16 +333,7 @@ object Similarity {
       $"vec_id".as("neighbor_id"),
       round(cosine($"pv", $"v"), 6).as("cosine")
     )
-    val top = graft.plans.TopK.perKey(
-      sims,
-      keys = Seq($"probe_id"),
-      ordering = Seq($"cosine".desc, $"neighbor_id".asc),
-      k = k
-    )
-    val w = Window.partitionBy($"probe_id").orderBy($"cosine".desc, $"neighbor_id")
-    top
-      .withColumn("rank", row_number().over(w))
-      .orderBy($"probe_id", $"rank")
+    rankPerProbe(sims, k)
   }
 
   /** Radius (range) search — all neighbors with cosine ≥ τ, the other

@@ -68,9 +68,10 @@ object StreamQueries {
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
     // the memory table holds the data; the checkpoint dir is dead weight
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    // either way — clean it up on failure too
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
     s.table(name).orderBy($"window_start", $"event_type")
   }
 

@@ -311,12 +311,14 @@ object TextAnalysis {
     */
   val textGopherRules: Q = (s, d) => {
     val maxTokRatio = udf { (text: String) =>
-      val w = text.split(" ", -1)
-      if (w.isEmpty) 0.0
+      // null-propagate like the built-in columns beside it (split never
+      // yields an empty array, so null is the only edge)
+      if (text == null) None
       else {
+        val w = text.split(" ", -1)
         val counts = scala.collection.mutable.HashMap.empty[String, Int]
         w.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
-        counts.values.max.toDouble / w.length
+        Some(counts.values.max.toDouble / w.length)
       }
     }
     Tables
