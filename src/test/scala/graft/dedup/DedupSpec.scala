@@ -169,4 +169,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.contains((900001L, 900002L)))
   }
+
+  test("winnow clusters: labels are component minima; keep = docs minus non-reps") {
+    val clusters = Dedup.dedupWinnowClusters(spark, sf0001).collect()
+    assert(clusters.nonEmpty)
+    // every cluster's label is the min doc_id among its members
+    clusters.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid, s"cluster $cid labeled above its min member")
+    }
+    val docs    = graft.tables.Tables.documents(spark, sf0001).count()
+    val nonReps = clusters.count(r => r.getLong(0) != r.getLong(1))
+    assert(Dedup.dedupWinnowKeep(spark, sf0001).count() == docs - nonReps)
+  }
 }

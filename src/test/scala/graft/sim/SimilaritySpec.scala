@@ -102,4 +102,27 @@ class SimilaritySpec extends SparkSpec {
     val got  = top.collect().map(_.getLong(1)).toSet
     assert(got == full, s"pruned-index neighbors $got != in-memory IVF $full")
   }
+
+  test("batched index probing: pruned read per batch; full width equals brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir   = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    val cents = Similarity.writeIvfIndex(spark, sf0001, dir, nCells = 16, iters = 3)
+    val e = graft.tables.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
+    // narrow batch (1 probe × 2 cells) must plan PartitionFilters on
+    // cell_id — the pruned read is the point of the materialized index
+    val narrow = Similarity.ivfProbeIndexBatch(
+      spark, dir, cents, probes.filter($"probe_id" === 0L), k = 5, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"), plan)
+    assert(narrow.count() == 5)
+    // full-width batch covers every cell ⇒ result is EXACTLY brute force
+    // (each neighbor lives in one cell), row for row including ranks
+    val full = Similarity.ivfProbeIndexBatch(spark, dir, cents, probes, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bfRows = bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(full.toSeq == bfRows.toSeq)
+  }
 }
