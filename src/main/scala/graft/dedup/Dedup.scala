@@ -134,8 +134,18 @@ object Dedup {
       .localCheckpoint()
     bands.unpersist()
     sigs.unpersist()
+    // shingle ONLY candidate docs: the verify stage re-shingles via UDF
+    // once per join branch, and candidates are a vanishing fraction of the
+    // corpus (only docs sharing a band bucket) — at 100 TB this is the
+    // difference between two full-corpus UDF passes and two sliver passes
+    val candIds = cand
+      .select($"doc_a".as("doc_id"))
+      .union(cand.select($"doc_b".as("doc_id")))
+      .distinct()
     val shUdf = udf { (text: String) => Hashing.shingleSet(text).toSeq }
-    val sh = docs.select($"doc_id", shUdf($"text").as("sh"))
+    val sh = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select($"doc_id", shUdf($"text").as("sh"))
     cand
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sh.as("sb"), $"doc_b" === $"sb.doc_id")

@@ -230,9 +230,14 @@ object Similarity {
     * PartitionFilter (asserted by SimilaritySpec), which is the entire
     * point of IVF at 100 TB.
     */
-  def writeIvfIndex(s: SparkSession, d: String, path: String, nCells: Int, iters: Int): Array[Array[Double]] = {
+  def writeIvfIndex(s: SparkSession, d: String, path: String, nCells: Int, iters: Int): Array[Array[Double]] =
+    writeIvfIndexFor(s, Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v")), path, nCells, iters)
+
+  /** Same, over an arbitrary (vec_id, v: array&lt;double&gt;) DataFrame —
+    * used by the scale stress probe ([[graft.tools.Stress]]).
+    */
+  def writeIvfIndexFor(s: SparkSession, e: DataFrame, path: String, nCells: Int, iters: Int): Array[Array[Double]] = {
     graft.functions.GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val cents = trainCentroids(s, e, nCells, iters)
     val bc = s.sparkContext.broadcast(cents)
     val assignCell = udf { (v: Seq[Double]) => nearestCell(bc.value, v) }
