@@ -100,7 +100,7 @@ object Dedup {
     * formulation pays two extra shuffles over the same rows (judge r2
     * "What's wrong" #3, the dedup_minhash_pairs 0.58→1.22 s regression).
     */
-  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     df.withColumn("bucket_n", count(lit(1)).over(w))
       .filter($"bucket_n" <= cap)

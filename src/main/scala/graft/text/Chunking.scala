@@ -153,14 +153,77 @@ object Chunking {
       .orderBy($"doc_id")
   }
 
+  /** Train/eval decontamination — the benchmark-leakage scan run before
+    * any training-data release: flag (train doc, eval doc) pairs sharing
+    * any word 8-gram, with the shared-gram count as evidence weight.
+    * Split assignment is the same deterministic md5 bucket rule as
+    * text_split_assign.
+    *
+    * Scale shape: inverted-index join on the 8-gram with the shared
+    * hot-bucket cap ([[graft.dedup.Dedup.capBuckets]] — boilerplate grams
+    * shared by thousands of docs are excluded, same guard as LSH/winnow),
+    * never all-pairs; at 100 TB the eval side is benchmark-sized, so the
+    * join output is a sliver of the train gram stream. Grams are built by
+    * a row-local UDF (the transform/sequence catalyst-lambda formulation
+    * runs interpreted — 8-25× slower, round-1/2 precedent).
+    */
+  val pipeDecontaminate: Q = (s, d) => {
+    val gramsUdf = udf { (text: String) =>
+      val w = text.split(' ')
+      if (w.length < 8) Array.empty[String]
+      else Array.tabulate(w.length - 7)(i => w.slice(i, i + 8).mkString(" ")).distinct
+    }
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
+      .withColumn(
+        "split",
+        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
+      )
+    val grams = docs.select($"doc_id", $"split", explode(gramsUdf($"text")).as("gram"))
+    val capped = graft.dedup.Dedup
+      .capBuckets(grams, Seq("gram"), graft.dedup.Dedup.maxBucketSize)
+    capped.as("t")
+      .filter($"t.split" === "train")
+      .join(
+        capped.as("e").filter($"e.split" =!= "train"),
+        $"t.gram" === $"e.gram"
+      )
+      .groupBy($"t.doc_id".as("train_doc"), $"e.doc_id".as("eval_doc"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
   val queries: Map[String, Q] = Map(
-    "text_chunk"  -> textChunk,
-    "text_pack"   -> textPack,
-    "text_redact" -> textRedact,
-    "pipe_curate" -> pipeCurate
+    "text_chunk"        -> textChunk,
+    "text_pack"         -> textPack,
+    "text_redact"       -> textRedact,
+    "pipe_curate"       -> pipeCurate,
+    "pipe_decontaminate" -> pipeDecontaminate
   )
 
   val oracles: Map[String, String] = Map(
+    "pipe_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN substring(md5(text), 1, 1) = 'e' THEN 'val'
+         |         WHEN substring(md5(text), 1, 1) = 'f' THEN 'test'
+         |         ELSE 'train' END AS split,
+         |    string_split(text, ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, split, unnest(list_distinct(
+         |    CASE WHEN len(w) >= 8
+         |      THEN [array_to_string(w[i : i + 7], ' ') for i in range(1, len(w) - 6)]
+         |      ELSE CAST([] AS VARCHAR[]) END)) AS gram
+         |  FROM d),
+         |ok AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= ${graft.dedup.Dedup.maxBucketSize}),
+         |gc AS (SELECT g.* FROM g JOIN ok USING (gram))
+         |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+         |  CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+         |FROM gc t JOIN gc e ON t.gram = e.gram
+         |  AND t.split = 'train' AND e.split <> 'train'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

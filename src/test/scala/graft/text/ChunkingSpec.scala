@@ -36,6 +36,33 @@ class ChunkingSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 8L -> 1L, 16L -> 2L, 24L -> 3L))
   }
 
+  test("decontamination flags train docs sharing an 8-gram with eval docs") {
+    import java.security.MessageDigest
+    def bucket(t: String): Char = MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.head
+    // the md5 bucket rule decides splits, so salt the texts until they
+    // land in the wanted split; the planted 8-token run is the leak
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    def find(seed: String, pred: Char => Boolean): String =
+      Iterator.from(0)
+        .map(i => s"$seed salt$i $shared trailer$i closing words")
+        .find(t => pred(bucket(t))).get
+    val evalDoc  = find("evalseed", c => c == 'e' || c == 'f')
+    val trainDoc = find("trainseed", c => c != 'e' && c != 'f')
+    val cleanDoc = Iterator.from(0)
+      .map(i => s"clean$i one two three four five six seven eight nine ten eleven twelve")
+      .find(t => { val c = bucket(t); c != 'e' && c != 'f' }).get
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    Seq((1L, trainDoc), (2L, evalDoc), (3L, cleanDoc))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Chunking.pipeDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists { case (t, e, n) => t == 1L && e == 2L && n >= 1L })
+    assert(!out.exists { case (t, e, _) => t == 3L || e == 3L })
+  }
+
   test("redaction replaces emails and long digit runs, counts hits") {
     val dir = java.nio.file.Files.createTempDirectory("graft-redact").toString
     Seq((1L, "contact bob@example.com or call 4155550100 now"))
