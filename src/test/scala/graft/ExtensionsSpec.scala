@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions is the conf-driven registration path — a session built
+  * with `spark.sql.extensions=graft.GraftExtensions` must expose the
+  * native expressions in SQL with no register() call, and carry the TopK
+  * planner strategy. (Extensions apply only at session CREATION, so this
+  * spec stops the shared test session and builds a fresh one; later
+  * suites recreate theirs via getOrCreate.)
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions wires functions and the TopK strategy") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("extensions-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark
+        .sql("SELECT hamming64(7L, 1L) AS h, cosine64(array(3.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .collect()(0)
+      assert(r.getInt(0) == 2)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      assert(
+        spark.sessionState.planner.extraPlanningStrategies
+          .contains(graft.plans.TopKStrategy),
+        "TopKStrategy not injected by the extensions"
+      )
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
