@@ -455,28 +455,43 @@ object Relational {
   }
 
   /** Range join, BINNED: a naive date-range join is a nested loop — at
-    * scale you bucketize both sides (months here), equi-join on the bin
-    * and its TWO successors — a 30-day window starting Jan 31 ends
-    * Mar 2 because February is short, so two successor bins are needed,
-    * not one (caught by the sf0.1 oracle) — then refine with the exact
-    * range predicate. The exchange is an equi-shuffle on the bin key
-    * instead of a cartesian product; the oracle is DuckDB's plain range
-    * join.
+    * scale you bucketize both sides, equi-join on the bin and its
+    * successors, then refine with the exact range predicate. The exchange
+    * is an equi-shuffle on the bin key instead of a cartesian product;
+    * the oracle is DuckDB's plain range join.
+    *
+    * Bin width tunes candidate volume against probe replication: with
+    * month bins a lineitem's bucket holds orders spanning ~83 days of
+    * candidates for a 30-day window (measured 25M pairs at sf0.1); WEEK
+    * bins bound the span by trunc(l)−trunc(o) ∈ [0, 35] (worst case: the
+    * order lands on the last day of its Monday-start week, 6 + 29 days),
+    * so six 7-day offsets cover the window and candidates drop ~2× —
+    * while the 6× replication lands on the tiny broadcast probe side,
+    * which is the side replication is free on. The query's cost IS the
+    * candidate pairs through the refine filter, so bin width is the
+    * whole game.
     */
   val jRangeBinned: Q = (s, d) => {
     val o = Tables
       .orders(s, d)
       .filter($"o_custkey" % 20 === 0 && year($"o_orderdate") === 1997)
-      .select($"o_orderkey", $"o_orderdate", trunc($"o_orderdate", "month").as("o_bin"))
+      .select($"o_orderkey", $"o_orderdate", trunc($"o_orderdate", "week").as("o_bin"))
+    // range-bound pushdown BY HAND: the join predicate confines matching
+    // shipdates to [min o_orderdate, max o_orderdate + 30d), and the
+    // probe filter pins o_orderdate to 1997 — so the fact scan needs only
+    // a 13-month slice. Catalyst cannot derive this (the range variable
+    // reaches the join through the bin equi-key).
     val li = Tables
       .lineitem(s, d)
-      .select($"l_orderkey", $"l_shipdate", trunc($"l_shipdate", "month").as("l_bin"))
-    // one scan + explode beats a 3-way union of scans (round 2: the union
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("date") &&
+        $"l_shipdate" < lit("1998-02-01").cast("date"))
+      .select($"l_orderkey", $"l_shipdate", trunc($"l_shipdate", "week").as("l_bin"))
+    // one scan + explode beats a union of scans (round 2: the union
     // re-read the filtered orders projection once per bin offset)
     val expanded = o.select(
       $"o_orderkey",
       $"o_orderdate",
-      explode(array((0 to 2).map(k => add_months($"o_bin", k)): _*)).as("bin")
+      explode(array((0 to 5).map(k => date_add($"o_bin", k * 7)): _*)).as("bin")
     )
     // the probe side is a keyed slice (1-in-20 custkeys × one year) —
     // broadcasting it turns the bin join into a map-side join and the
