@@ -21,19 +21,33 @@ import graft.functions.{Cosine64, Hamming64}
   * remain for embedded use; both routes produce identical plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  // arity-checked builder: a wrong-arity SQL call gets a clear message
+  // instead of the builder lambda's IndexOutOfBoundsException
+  private def binary(
+      name: String,
+      f: (Expression, Expression) => Expression
+  )(exprs: Seq[Expression]): Expression = {
+    require(
+      exprs.length == 2,
+      s"$name requires exactly 2 arguments, got ${exprs.length}"
+    )
+    f(exprs(0), exprs(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("hamming64"),
         new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
-        (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))
+        binary("hamming64", Hamming64.apply) _
       )
     )
     ext.injectFunction(
       (
         FunctionIdentifier("cosine64"),
         new ExpressionInfo(classOf[Cosine64].getName, "cosine64"),
-        (exprs: Seq[Expression]) => Cosine64(exprs(0), exprs(1))
+        binary("cosine64", Cosine64.apply) _
       )
     )
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -297,7 +297,11 @@ object ForecastJobs {
       .mapGroups { (profile, rows) =>
         val xs = series(rows).take(60)
         val (a, b) = Models.holtFit(xs)
-        HoltOptResult(profile, a, b, Models.holtForecast(xs))
+        // final fit at the chosen point — NOT holtForecast(xs), which
+        // would re-run the whole 412-point grid a second time; the
+        // fixed-parameter recursion is arithmetically identical
+        val (l, t) = Models.holtStateFixed(xs, a, b)
+        HoltOptResult(profile, a, b, l + t)
       }
       .toDF()
       .select(
@@ -460,17 +464,7 @@ object ForecastJobs {
          |  round(l + tr, 6) AS prediction
          |FROM recF WHERE i = len(xs) ORDER BY profile_name""".stripMargin,
     "m_arma_fixed" ->
-      """WITH RECURSIVE weekly AS (
-        |  SELECT profile_name, week_date,
-        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
-        |  FROM (
-        |    SELECT p_brand AS profile_name,
-        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
-        |      l_quantity, p_retailprice
-        |    FROM lineitem JOIN part ON l_partkey = p_partkey
-        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
-        |  GROUP BY profile_name, week_date
-        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 10),
+      s"""WITH RECURSIVE $weekly10,
         |series AS (
         |  SELECT profile_name, list(weight ORDER BY week_date) AS xs,
         |    list_reduce(list(weight ORDER BY week_date), (a, b) -> a + b)
@@ -488,17 +482,7 @@ object ForecastJobs {
         |  round(sse / len(xs), 6) AS mse
         |FROM arma WHERE i = len(xs) ORDER BY profile_name""".stripMargin,
     "m_holt_fixed" ->
-      """WITH RECURSIVE weekly AS (
-        |  SELECT profile_name, week_date,
-        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
-        |  FROM (
-        |    SELECT p_brand AS profile_name,
-        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
-        |      l_quantity, p_retailprice
-        |    FROM lineitem JOIN part ON l_partkey = p_partkey
-        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
-        |  GROUP BY profile_name, week_date
-        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 10),
+      s"""WITH RECURSIVE $weekly10,
         |series AS (
         |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
         |  FROM weekly GROUP BY profile_name),

@@ -22,10 +22,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   */
 object GraftFunctions {
 
+  private def binary(
+      name: String,
+      f: (Expression, Expression) => Expression
+  )(exprs: Seq[Expression]): Expression = {
+    // arity-checked: wrong-arity SQL gets a clear message, not the
+    // builder's IndexOutOfBoundsException
+    require(
+      exprs.length == 2,
+      s"$name requires exactly 2 arguments, got ${exprs.length}"
+    )
+    f(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("hamming64", exprs => Hamming64(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("cosine64", exprs => Cosine64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming64", binary("hamming64", Hamming64.apply) _, "built-in")
+    reg.createOrReplaceTempFunction("cosine64", binary("cosine64", Cosine64.apply) _, "built-in")
   }
 
   /** Column surface (requires [[register]] on the session first). */

@@ -130,7 +130,12 @@ object StreamQueries {
         |FROM events
         |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
     "s_stream_sessions" ->
-      """WITH e AS (SELECT user_id, ts, value FROM events),
+      // CAST(ts AS TIMESTAMP) pins the oracle to microsecond grain — the
+      // Spark side truncates the TIMESTAMP(NANOS) column via `ts div
+      // 1000`, and unlike the windows oracle (where 30-min bucketing
+      // masks it) this one emits raw session bounds, so a nonzero
+      // sub-microsecond component would otherwise diverge (r3 self-review)
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |s AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -136,11 +136,19 @@ object Stress {
       outV
     }
     val embPath = s"/tmp/graft_stress_emb_$mult"
-    graft.tables.Tables.embeddings(spark, sfDir)
+    val emb0 = graft.tables.Tables.embeddings(spark, sfDir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    // id remap = rep * nBase + vec_id (NOT vec_id * mult + rep): k-means
+    // seeds from ids < nCells, and with the interleaved remap those are
+    // the first nCells DISTINCT base vectors — the normal-path seeding.
+    // The rep-major remap would seed all 64 centroids from jittered
+    // replicas of base vector 0, and the cell-balance measurement would
+    // rest on a degenerate init (r3 self-review).
+    val nBase = emb0.count()
+    emb0
       .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
       .select(
-        (($"vec_id" * mult) + $"rep").as("new_id"),
+        (($"rep" * nBase) + $"vec_id").as("new_id"),
         jitter($"v", $"vec_id", $"rep").as("v")
       )
       .withColumnRenamed("new_id", "vec_id")
