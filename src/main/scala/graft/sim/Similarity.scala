@@ -326,6 +326,43 @@ object Similarity {
     ivfProbeIndexBatch(s, path, cents, probes, k, nprobe = nCells)
   }
 
+  /** Append new vectors to an EXISTING index without retraining: map-only
+    * assignment against the FROZEN centroids, appended into the same
+    * cell-partitioned layout — the serving-side maintenance op. IVF's
+    * operational cost on a growing corpus is centroid drift; the policy
+    * here is explicit (freeze + append, retrain offline when drift
+    * warrants), and because membership stays exactly one cell per vector
+    * the index remains probe-exact at any centroid quality.
+    */
+  def appendToIvfIndex(
+      s: SparkSession,
+      e: DataFrame, // (vec_id, v: array<double>)
+      path: String,
+      cents: Array[Array[Double]]
+  ): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val bc = s.sparkContext.broadcast(cents)
+    val assignCell = udf { (v: Seq[Double]) => nearestCell(bc.value, v) }
+    e.withColumn("cell_id", assignCell($"v"))
+      .write.mode("append").partitionBy("cell_id").parquet(path)
+  }
+
+  /** Driver row for the append path: train + build on HALF the corpus,
+    * append the other half with frozen centroids, probe full width —
+    * exact (every vector in exactly one cell), so it hash-matches the
+    * same brute-force oracle while exercising build→append→probe
+    * end-to-end. (Safe to re-invoke: the overwrite build resets the
+    * directory before each append.)
+    */
+  def ivfIndexAppendTopK(s: SparkSession, d: String, k: Int, nCells: Int): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_${math.abs(d.hashCode)}"
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val cents = writeIvfIndexFor(s, e.filter($"vec_id" % 2 === 0), path, nCells, iters = 3)
+    appendToIvfIndex(s, e.filter($"vec_id" % 2 =!= 0), path, cents)
+    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
+    ivfProbeIndexBatch(s, path, cents, probes, k, nprobe = nCells)
+  }
+
   val srpBits  = 16
   val srpBands = 4 // 4-bit segments; candidate ⇔ any segment equal
 
@@ -424,6 +461,7 @@ object Similarity {
     "ann_topk_native"     -> ((s, d) => bruteForceTopKNative(s, d, k = 5)),
     "ann_ivf_topk"        -> ((s, d) => ivfTopK(s, d, k = 5, nCells = 16, nprobe = 4)),
     "ann_ivf_index_topk"  -> ((s, d) => ivfIndexTopK(s, d, k = 5, nCells = 16)),
+    "ann_ivf_append_topk" -> ((s, d) => ivfIndexAppendTopK(s, d, k = 5, nCells = 16)),
     "ann_srp_topk"        -> ((s, d) => srpTopK(s, d, k = 5)),
     "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3))
   )
@@ -451,6 +489,7 @@ object Similarity {
   val oraclesWithNative: Map[String, String] =
     oracles + ("ann_topk_native" -> oracles("ann_bruteforce_topk")) +
       ("ann_ivf_index_topk" -> oracles("ann_bruteforce_topk")) +
+      ("ann_ivf_append_topk" -> oracles("ann_bruteforce_topk")) +
       ("ann_range_search" ->
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

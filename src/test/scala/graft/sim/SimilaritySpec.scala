@@ -125,4 +125,19 @@ class SimilaritySpec extends SparkSpec {
     val bfRows = bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(full.toSeq == bfRows.toSeq)
   }
+
+  test("IVF append: frozen-centroid append covers the corpus, stays probe-exact, re-invocation safe") {
+    val n = graft.tables.Tables.embeddings(spark, sf0001).count()
+    def run() = Similarity.ivfIndexAppendTopK(spark, sf0001, k = 5, nCells = 16)
+    val out1 = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bfRows = bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out1.toSeq == bfRows.toSeq)
+    // the appended index holds every vector exactly once
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_${math.abs(sf0001.hashCode)}"
+    assert(spark.read.parquet(dir).count() == n)
+    // second invocation must reset the directory, not double it
+    val out2 = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out2.toSeq == bfRows.toSeq)
+    assert(spark.read.parquet(dir).count() == n)
+  }
 }
