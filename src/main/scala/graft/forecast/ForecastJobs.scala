@@ -189,6 +189,64 @@ object ForecastJobs {
       .orderBy(col("profile_name"))
   }
 
+  /** Incremental maintenance of the weekly rollup — the
+    * materialized-view path a warehouse actually runs: rather than
+    * recomputing history on every new batch of transactions, roll up the
+    * DELTA and merge it into the stored rollup keyed on
+    * (profile, week). The merge is EXACT, not approximate: partial sums
+    * are kept as DECIMAL(18,6) (associative — unlike doubles), so
+    * merge(rollup(old), rollup(delta)) is bit-identical to a full
+    * recompute, which is what lets the driver row hash-match the plain
+    * m_weekly_series oracle. The minWeeks gate is a post-merge window
+    * (history length is a property of the MERGED state). Scale shape:
+    * the delta rollup touches only new partitions; the merge shuffles
+    * rollup-sized data (profiles × weeks), never the fact table.
+    */
+  private def weeklyRollupDecimal(
+      s: SparkSession,
+      dir: String,
+      pred: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .filter($"l_shipdate" < lit("2001-06-01").cast("timestamp")) // F6
+      .filter(pred)
+      .groupBy(
+        $"p_brand".as("profile_name"),
+        date_trunc("week", $"l_shipdate").cast("date").as("week_date")
+      )
+      .agg(
+        sum(($"l_quantity" * $"p_retailprice" / lit(100.0))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("weight_dec")
+      )
+  }
+
+  /** Driver row: stored = pre-1996 rollup, delta = 1996-onward rollup,
+    * merged and gated — must equal the one-shot weekly series exactly.
+    */
+  def weeklyIncrementalJob(s: SparkSession, dir: String): DataFrame = {
+    val cut    = lit("1996-01-01").cast("timestamp")
+    val stored = weeklyRollupDecimal(s, dir, $"l_shipdate" < cut)
+    val delta  = weeklyRollupDecimal(s, dir, $"l_shipdate" >= cut)
+    val merged = stored
+      .unionByName(delta)
+      .groupBy($"profile_name", $"week_date")
+      .agg(sum($"weight_dec").as("weight_dec"))
+    val w = Window.partitionBy($"profile_name")
+    merged
+      .select(
+        $"profile_name",
+        $"week_date",
+        $"weight_dec".cast(org.apache.spark.sql.types.DoubleType).as("weight")
+      )
+      .withColumn("n_weeks", count(lit(1)).over(w))
+      .filter($"n_weeks" > 5)
+      .drop("n_weeks")
+      .orderBy($"profile_name", $"week_date")
+  }
+
   private def typedWeekly(s: SparkSession, dir: String, minWeeks: Int): Dataset[WeeklyRow] = {
     import s.implicits._
     weeklySeries(s, dir, minWeeks)
@@ -322,7 +380,8 @@ object ForecastJobs {
     "m_holt_forecast"  -> (holtJob(_, _)),
     "m_arima_forecast" -> (arimaJob(_, _)),
     "m_weekly_series"  -> ((s, d) =>
-      weeklySeries(s, d, minWeeks = 5).orderBy($"profile_name", $"week_date"))
+      weeklySeries(s, d, minWeeks = 5).orderBy($"profile_name", $"week_date")),
+    "m_weekly_incremental" -> (weeklyIncrementalJob(_, _))
   )
 
   /** Weekly series CTE at minWeeks = 10 — shared by the composition
@@ -525,6 +584,20 @@ object ForecastJobs {
         |  list_reduce([e * e for e in errs], (a, b) -> a + b) / (n - sp) AS mse,
         |  list_reduce(xs, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS prediction
         |FROM wf ORDER BY profile_name""".stripMargin,
+    // the incremental merge is bit-exact vs the one-shot rollup (DECIMAL
+    // partial sums are associative), so it shares the one-shot oracle
+    "m_weekly_incremental" ->
+      """SELECT profile_name, week_date,
+        |  CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |FROM (
+        |  SELECT p_brand AS profile_name,
+        |    CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |    l_quantity, p_retailprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |GROUP BY profile_name, week_date
+        |QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 5
+        |ORDER BY profile_name, week_date""".stripMargin,
     "m_weekly_series" ->
       """SELECT profile_name, week_date,
         |  CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
