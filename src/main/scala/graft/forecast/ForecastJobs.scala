@@ -109,7 +109,10 @@ object ForecastJobs {
       }
       .groupByKey(_._1)
       .mapGroups { (profile, it) =>
-        val steps = it.toArray
+        // sort by step index: shuffle-arrival order is nondeterministic,
+        // and the double fold below is order-sensitive at the last ulp —
+        // the sort pins run-to-run reproducibility (r3 self-review)
+        val steps = it.toArray.sortBy(_._2)
         val wf = steps.filter(t => !t._4.isNaN)
         val m = wf.map(t => { val e = t._3 - t._4; e * e }).sum / wf.length
         val finalPred = steps.maxBy(_._2)._3
@@ -168,21 +171,30 @@ object ForecastJobs {
         val ord = implicitly[Ordering[(Double, Int, Int, Int)]]
         if (ord.lteq((a.mse, a.p, a.d, a.q), (b.mse, b.p, b.d, b.q))) a else b
       }
-      .flatMap { case (_, t) =>
+      .map { case (_, t) =>
         // grid scored by fast HR walk-forward; the winning config's FINAL
         // parameters go HR → CSS (Nelder–Mead) → exact Kalman-filter MLE
         // — one optimization chain per profile, statsmodels-default
-        // fidelity at negligible distributed cost
-        Models.arimaFitMle(t.xs, t.p, t.d, t.q).map { fit =>
-          ArimaResult(
-            t.profile_name,
-            s"(${t.p}, ${t.d}, ${t.q})",
-            t.mse,
-            fit.forecast,
-            fit.stdError,
-            fit.forecast - 1.96 * fit.stdError, // M9
-            fit.forecast + 1.96 * fit.stdError
-          )
+        // fidelity at negligible distributed cost. A profile that won the
+        // grid but whose FULL-series fit degenerates (singular OLS) is
+        // emitted with NaN forecast/bounds, never silently dropped
+        // (r3 self-review)
+        Models.arimaFitMle(t.xs, t.p, t.d, t.q) match {
+          case Some(fit) =>
+            ArimaResult(
+              t.profile_name,
+              s"(${t.p}, ${t.d}, ${t.q})",
+              t.mse,
+              fit.forecast,
+              fit.stdError,
+              fit.forecast - 1.96 * fit.stdError, // M9
+              fit.forecast + 1.96 * fit.stdError
+            )
+          case None =>
+            ArimaResult(
+              t.profile_name, s"(${t.p}, ${t.d}, ${t.q})", t.mse,
+              Double.NaN, Double.NaN, Double.NaN, Double.NaN
+            )
         }
       }
       .toDF()
@@ -249,9 +261,11 @@ object ForecastJobs {
 
   private def typedWeekly(s: SparkSession, dir: String, minWeeks: Int): Dataset[WeeklyRow] = {
     import s.implicits._
-    weeklySeries(s, dir, minWeeks)
-      .repartition(col("profile_name")) // co-locate each series in one task
-      .as[WeeklyRow]
+    // no repartition(profile_name): the downstream groupByKey keys on an
+    // opaque lambda, so EnsureRequirements inserts its own exchange
+    // regardless of an existing HashPartitioning — a pre-repartition is a
+    // third full shuffle of the rollup for nothing (r3 self-review)
+    weeklySeries(s, dir, minWeeks).as[WeeklyRow]
   }
 
   final case class HoltFixedResult(profile_name: String, level: Double, trend: Double, prediction: Double)

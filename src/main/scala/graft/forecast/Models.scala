@@ -187,18 +187,13 @@ object Models {
     (mse(preds, test), xhatAll + xs.last)
   }
 
-  /** 1-step Holt forecast with optimized smoothing. */
+  /** 1-step Holt forecast with optimized smoothing — fit, then the ONE
+    * fixed-parameter recursion ([[holtStateFixed]]; previously inlined a
+    * third copy of it).
+    */
   def holtForecast(xs: Array[Double]): Double = {
     val (alpha, beta) = holtFit(xs)
-    var l = xs(0)
-    var b = if (xs.length > 1) xs(1) - xs(0) else 0.0
-    var i = 1
-    while (i < xs.length) {
-      val lNew = alpha * xs(i) + (1 - alpha) * (l + b)
-      b = beta * (lNew - l) + (1 - beta) * b
-      l = lNew
-      i += 1
-    }
+    val (l, b) = holtStateFixed(xs, alpha, beta)
     l + b
   }
 
@@ -293,15 +288,77 @@ object Models {
     Some(Array.tabulate(k)(i2 => a(i2)(k) / a(i2)(i2)))
   }
 
-  /** Fit ARMA(p,q)+intercept on a (possibly differenced) series via
-    * Hannan–Rissanen; returns coefficients and in-sample residual variance.
+  /** In-sample innovations recursion for parameters (c, φ, θ) on w with
+    * zero pre-sample values — the ONE definition shared by the HR fit,
+    * the CSS refinement, and forecasting (previously three inlined
+    * copies, one of which ran twice per fit in the grid's hot loop).
+    * Returns (eps, sse, count).
     */
-  private def armaFit(w: Array[Double], p: Int, q: Int): Option[(Array[Double], Array[Double], Double, Double)] = {
+  private def innovations(
+      w: Array[Double],
+      p: Int,
+      q: Int,
+      c: Double,
+      phi: Array[Double],
+      theta: Array[Double]
+  ): (Array[Double], Double, Int) = {
+    val n = w.length
+    val eps = new Array[Double](n)
+    var sse = 0.0
+    var cnt = 0
+    var t = math.max(p, q)
+    while (t < n) {
+      var f = c
+      var j = 0
+      while (j < p) { f += phi(j) * w(t - 1 - j); j += 1 }
+      j = 0
+      while (j < q) { f += theta(j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
+      eps(t) = w(t) - f
+      sse += eps(t) * eps(t)
+      cnt += 1
+      t += 1
+    }
+    (eps, sse, cnt)
+  }
+
+  /** 1-step forecast from the last lags/innovations, then invert d levels
+    * of differencing: x̂(n+1) = ŵ(n+1) + Σ last(Δᵏx) — shared by the
+    * HR and CSS fit paths.
+    */
+  private def forecastFromEps(
+      xs: Array[Double],
+      w: Array[Double],
+      d: Int,
+      c: Double,
+      phi: Array[Double],
+      theta: Array[Double],
+      eps: Array[Double]
+  ): Double = {
+    val n = w.length
+    var fNext = c
+    var j = 0
+    while (j < phi.length) { fNext += phi(j) * w(n - 1 - j); j += 1 }
+    j = 0
+    while (j < theta.length) { fNext += theta(j) * eps(n - 1 - j); j += 1 }
+    var fc = fNext
+    var series = xs
+    var k = 0
+    while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+    fc
+  }
+
+  /** Fit ARMA(p,q)+intercept on a (possibly differenced) series via
+    * Hannan–Rissanen; returns coefficients, in-sample residual variance,
+    * and the innovation array (for forecasting — computing it once here
+    * replaces a second identical recursion per fit).
+    */
+  private def armaFit(w: Array[Double], p: Int, q: Int): Option[(Array[Double], Array[Double], Double, Double, Array[Double])] = {
     val n = w.length
     if (p == 0 && q == 0) {
       val c = w.sum / n
       val s2 = w.map(v => (v - c) * (v - c)).sum / math.max(1, n - 1)
-      return Some((Array.empty, Array.empty, c, s2))
+      val (eps, _, _) = innovations(w, 0, 0, c, Array.empty, Array.empty)
+      return Some((Array.empty, Array.empty, c, s2, eps))
     }
     // stage 1: long AR for residual proxies (only needed when q > 0)
     val resid: Array[Double] =
@@ -355,23 +412,9 @@ object Models {
     val phi = b.slice(1, 1 + p)
     val theta = b.slice(1 + p, 1 + p + q)
     // in-sample 1-step residuals (for sigma^2 and forecasting)
-    var s2 = 0.0
-    var cnt = 0
-    val eps = new Array[Double](n)
-    var t = math.max(p, q)
-    while (t < n) {
-      var f = c
-      var j = 0
-      while (j < p) { f += phi(j) * w(t - 1 - j); j += 1 }
-      j = 0
-      while (j < q) { f += theta(j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
-      eps(t) = w(t) - f
-      s2 += eps(t) * eps(t)
-      cnt += 1
-      t += 1
-    }
+    val (eps, sse, cnt) = innovations(w, p, q, c, phi, theta)
     if (cnt == 0) return None
-    Some((phi, theta, c, s2 / cnt))
+    Some((phi, theta, c, sse / cnt, eps))
   }
 
   /** M5 — fit ARIMA(p,d,q) and produce the 1-step forecast on the original
@@ -382,31 +425,8 @@ object Models {
   def arimaFit(xs: Array[Double], p: Int, d: Int, q: Int): Option[ArimaFit] = {
     if (xs.length < d + math.max(p, q) + 5) return None
     val w = diff(xs, d)
-    armaFit(w, p, q).map { case (phi, theta, c, s2) =>
-      val n = w.length
-      // recompute eps for forecasting
-      val eps = new Array[Double](n)
-      var t = math.max(p, q)
-      while (t < n) {
-        var f = c
-        var j = 0
-        while (j < p) { f += phi(j) * w(t - 1 - j); j += 1 }
-        j = 0
-        while (j < q) { f += theta(j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
-        eps(t) = w(t) - f
-        t += 1
-      }
-      var fNext = c
-      var j = 0
-      while (j < p) { fNext += phi(j) * w(n - 1 - j); j += 1 }
-      j = 0
-      while (j < q) { fNext += theta(j) * eps(n - 1 - j); j += 1 }
-      // Invert differencing: x̂(n+1) = ŵ(n+1) + Σ_{k=0}^{d-1} last(Δᵏx),
-      // i.e. add back the final value of every lower differencing stage.
-      var fc = fNext
-      var series = xs
-      var k = 0
-      while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+    armaFit(w, p, q).map { case (phi, theta, c, s2, eps) =>
+      val fc = forecastFromEps(xs, w, d, c, phi, theta, eps)
       ArimaFit(p, d, q, phi, theta, c, s2, fc, math.sqrt(math.max(s2, 0.0)))
     }
   }
@@ -511,33 +531,11 @@ object Models {
         val c = refined(0)
         val phi = refined.slice(1, 1 + p)
         val theta = refined.slice(1 + p, 1 + p + q)
-        // innovations + 1-step forecast with refined params
-        val n = w.length
-        val eps = new Array[Double](n)
-        var s2 = 0.0
-        var cnt = 0
-        var t = math.max(p, q)
-        while (t < n) {
-          var fHat = c
-          var j = 0
-          while (j < p) { fHat += phi(j) * w(t - 1 - j); j += 1 }
-          j = 0
-          while (j < q) { fHat += theta(j) * (if (t - 1 - j >= 0) eps(t - 1 - j) else 0.0); j += 1 }
-          eps(t) = w(t) - fHat
-          s2 += eps(t) * eps(t)
-          cnt += 1
-          t += 1
-        }
-        val sigma2 = if (cnt > 0) s2 / cnt else hr.sigma2
-        var fNext = c
-        var j = 0
-        while (j < p) { fNext += phi(j) * w(n - 1 - j); j += 1 }
-        j = 0
-        while (j < q) { fNext += theta(j) * eps(n - 1 - j); j += 1 }
-        var fc = fNext
-        var series = xs
-        var k = 0
-        while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+        // innovations + 1-step forecast with refined params (shared
+        // helpers — previously a second inlined copy of both recursions)
+        val (eps, sse, cnt) = innovations(w, p, q, c, phi, theta)
+        val sigma2 = if (cnt > 0) sse / cnt else hr.sigma2
+        val fc = forecastFromEps(xs, w, d, c, phi, theta, eps)
         ArimaFit(p, d, q, phi, theta, c, sigma2, fc, math.sqrt(math.max(sigma2, 0.0)))
       }
     }

@@ -31,7 +31,10 @@ object SalesMonitor {
       .withWatermark("created_at", "1 hour")
       .groupBy(window($"created_at", "30 minutes").as("w"), $"market")
       .agg(
-        sum($"dollars").as("dollars"),
+        // DECIMAL(18,2) so the reduction is order-free across micro-batch
+        // boundaries — raw double partials merge in arrival order and can
+        // drift a ulp from the batch golden (same ADR as StreamQueries)
+        sum($"dollars".cast("decimal(18,2)")).cast("double").as("dollars"),
         count(lit(1)).as("n_payments")
       )
       .select($"w.start".as("window_start"), $"w.end".as("window_end"), $"market", $"dollars", $"n_payments")
@@ -91,17 +94,22 @@ object SalesMonitor {
   def forecastNext(spark: SparkSession, payments: DataFrame, alpha: Double = 0.6): DataFrame = {
     import spark.implicits._
     val windowSec = 1800L
+    // dedicated uninitialized sentinel: a `windowStart < 0` check would
+    // conflate "no state yet" with legitimate pre-1970 windows and reset
+    // the running sum on every event (r3 self-review)
+    val Uninit = Long.MinValue
     payments
       .as[Payment]
       .groupByKey(_.market)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (market: String, rows: Iterator[Payment], state: GroupState[ForecastState]) => {
           val sorted = rows.toArray.sortBy(_.created_at.getTime)
-          var st = state.getOption.getOrElse(ForecastState(-1L, 0.0, None, 0L))
+          var st = state.getOption.getOrElse(ForecastState(Uninit, 0.0, None, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[WindowForecast]
           sorted.foreach { p =>
-            val ws = p.created_at.getTime / 1000 / windowSec * windowSec
-            if (st.windowStart < 0) st = ForecastState(ws, 0.0, st.level, st.lateDropped)
+            // floorDiv: negative epochs bucket to their window START
+            val ws = Math.floorDiv(p.created_at.getTime, windowSec * 1000L) * windowSec
+            if (st.windowStart == Uninit) st = ForecastState(ws, 0.0, st.level, st.lateDropped)
             if (ws < st.windowStart) {
               // late event for an already-closed window: drop + count
               st = st.copy(lateDropped = st.lateDropped + 1)
@@ -139,6 +147,9 @@ object SalesMonitor {
   def windowedSalesBatch(payments: DataFrame): DataFrame =
     payments
       .groupBy(window($"created_at", "30 minutes").as("w"), $"market")
-      .agg(sum($"dollars").as("dollars"), count(lit(1)).as("n_payments"))
+      .agg(
+        sum($"dollars".cast("decimal(18,2)")).cast("double").as("dollars"),
+        count(lit(1)).as("n_payments")
+      )
       .select($"w.start".as("window_start"), $"w.end".as("window_end"), $"market", $"dollars", $"n_payments")
 }

@@ -34,46 +34,51 @@ object StreamQueries {
     StructField("props", StringType)
   ))
 
-  val streamWindows: Q = (s, d) => {
-    val ck = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+  /** Shared AvailableNow scaffold (r3 self-review — previously inlined
+    * per query): events file stream (glob-filtered out of the corpus
+    * dir, nanos→micros ts) → the given aggregation → complete-mode
+    * memory sink. Complete mode: the final in-memory table is the
+    * converged aggregate (append would hold back windows newer than the
+    * final watermark — correct for an unbounded stream, but the gate here
+    * is batch-convergence of the full bounded replay). FIXED sink name:
+    * the memory sink replaces the temp view on each start, so repeated
+    * invocations — the driver sweep, Bench's two passes — don't
+    * accumulate result tables. The checkpoint dir is cleaned up on
+    * failure too.
+    */
+  private def runAvailableNow(s: SparkSession, d: String, name: String)(
+      agg: DataFrame => DataFrame
+  ): DataFrame = {
+    val ck = java.nio.file.Files.createTempDirectory(s"graft-$name-ck").toString
     val src = s.readStream
       .schema(eventsSchema)
-      // file stream sources take a DIRECTORY; select just the events
-      // table out of the corpus dir with a glob filter
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = src
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "30 minutes").as("w"), $"event_type")
-      .agg(
-        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
-        count(lit(1)).as("n_events")
-      )
-      .select($"w.start".as("window_start"), $"w.end".as("window_end"),
-        $"event_type", $"total_value", $"n_events")
-    // FIXED sink name: the memory sink replaces the temp view on each
-    // start (the previous query is stopped by then), so repeated
-    // invocations in one session — the driver sweep, Bench's two passes —
-    // don't accumulate result tables
-    val name = "s_stream_windows_sink"
-    val q = agg.writeStream
+    val q = agg(src).writeStream
       .format("memory")
       .queryName(name)
-      // complete mode: the final in-memory table is the converged
-      // aggregate (append mode would hold back windows newer than the
-      // final watermark — correct for an unbounded stream, but the gate
-      // here is batch-convergence of the full bounded replay)
       .outputMode("complete")
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
-    // the memory table holds the data; the checkpoint dir is dead weight
-    // either way — clean it up on failure too
     try q.awaitTermination()
     finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
-    s.table(name).orderBy($"window_start", $"event_type")
+    s.table(name)
   }
+
+  val streamWindows: Q = (s, d) =>
+    runAvailableNow(s, d, "s_stream_windows_sink") { src =>
+      src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "30 minutes").as("w"), $"event_type")
+        .agg(
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
+          count(lit(1)).as("n_events")
+        )
+        .select($"w.start".as("window_start"), $"w.end".as("window_end"),
+          $"event_type", $"total_value", $"n_events")
+    }.orderBy($"window_start", $"event_type")
 
   /** Session windows through the REAL streaming engine — the dynamic-gap
     * counterpart of `s_stream_windows` (judge-visible §2.10 widening):
@@ -86,34 +91,18 @@ object StreamQueries {
     * [ts, ts+gap) intervals — an exactly-30-minute gap starts a new
     * session, hence `>=` in the oracle's break condition).
     */
-  val streamSessions: Q = (s, d) => {
-    val ck = java.nio.file.Files.createTempDirectory("graft-stream-sess-ck").toString
-    val src = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = src
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
-      .agg(
-        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
-        count(lit(1)).as("n_events")
-      )
-      .select($"w.start".as("session_start"), $"w.end".as("session_end"),
-        $"user_id", $"total_value", $"n_events")
-    val name = "s_stream_sessions_sink"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
-    s.table(name).orderBy($"user_id", $"session_start")
-  }
+  val streamSessions: Q = (s, d) =>
+    runAvailableNow(s, d, "s_stream_sessions_sink") { src =>
+      src
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
+          count(lit(1)).as("n_events")
+        )
+        .select($"w.start".as("session_start"), $"w.end".as("session_end"),
+          $"user_id", $"total_value", $"n_events")
+    }.orderBy($"user_id", $"session_start")
 
   val queries: Map[String, Q] = Map(
     "s_stream_windows"  -> streamWindows,
