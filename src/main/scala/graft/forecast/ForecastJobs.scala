@@ -235,11 +235,12 @@ object ForecastJobs {
       )
   }
 
-  /** Driver row: stored = pre-1996 rollup, delta = 1996-onward rollup,
-    * merged and gated — must equal the one-shot weekly series exactly.
+  /** Driver row: stored = pre-cut rollup, delta = cut-onward rollup,
+    * merged and gated — must equal the one-shot weekly series exactly
+    * (for ANY cut date; PropertySpec sweeps several).
     */
-  def weeklyIncrementalJob(s: SparkSession, dir: String): DataFrame = {
-    val cut    = lit("1996-01-01").cast("timestamp")
+  def weeklyIncrementalJob(s: SparkSession, dir: String, cutDate: String = "1996-01-01"): DataFrame = {
+    val cut    = lit(cutDate).cast("timestamp")
     val stored = weeklyRollupDecimal(s, dir, $"l_shipdate" < cut)
     val delta  = weeklyRollupDecimal(s, dir, $"l_shipdate" >= cut)
     val merged = stored
@@ -395,7 +396,7 @@ object ForecastJobs {
     "m_arima_forecast" -> (arimaJob(_, _)),
     "m_weekly_series"  -> ((s, d) =>
       weeklySeries(s, d, minWeeks = 5).orderBy($"profile_name", $"week_date")),
-    "m_weekly_incremental" -> (weeklyIncrementalJob(_, _))
+    "m_weekly_incremental" -> ((s, d) => weeklyIncrementalJob(s, d))
   )
 
   /** Weekly series CTE at minWeeks = 10 — shared by the composition

@@ -132,4 +132,42 @@ class PropertySpec extends SparkSpec {
         assert(members.length == 1, s"over-budget pack with ${members.length} docs")
     }
   }
+
+  test("incremental rollup merge is BIT-exact vs one-shot for any cut date") {
+    // the DECIMAL-partial-sum associativity claim, swept across cuts that
+    // split mid-corpus, before all data, and after all data
+    val oneShot = graft.forecast.ForecastJobs
+      .weeklySeries(spark, sf0001, minWeeks = 5)
+      .orderBy($"profile_name", $"week_date")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    Seq("1970-01-01", "1994-03-15", "1996-01-01", "1997-11-30", "2005-01-01").foreach { cut =>
+      val merged = graft.forecast.ForecastJobs
+        .weeklyIncrementalJob(spark, sf0001, cut)
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+      assert(merged.toSeq == oneShot.toSeq, s"cut=$cut diverged from one-shot rollup")
+    }
+  }
+
+  test("decontamination pairs carry the TRUE shared distinct-8-gram count") {
+    def grams(text: String): Set[String] = {
+      val w = text.split(' ')
+      if (w.length < 8) Set.empty
+      else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+    }
+    def bucket(t: String): Char = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.text.Chunking.pipeDecontaminate(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (t, e, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(!Set('e', 'f').contains(bucket(docs(t))), s"train doc $t is in an eval bucket")
+      assert(Set('e', 'f').contains(bucket(docs(e))), s"eval doc $e is in the train bucket")
+      // no gram bucket hits the cap at this SF, so the reported count is
+      // exactly the distinct-8-gram intersection
+      assert(n == (grams(docs(t)) & grams(docs(e))).size.toLong, s"pair ($t,$e)")
+    }
+  }
 }
