@@ -16,7 +16,11 @@ object Hashing {
     */
   def shingleSet(text: String, n: Int = 3): Array[String] = {
     if (text == null) return Array.empty
-    val w = text.split(' ')
+    // limit -1: keep trailing empty tokens, matching Spark's split() in
+    // Dedup.shingles — the parity this scaladoc claims (split(' ') drops
+    // trailing empties, so a doc ending in a space would shingle
+    // differently per surface; r3 self-review)
+    val w = text.split(" ", -1)
     if (w.length < n) return Array.empty
     val out = new scala.collection.mutable.LinkedHashSet[String]
     var i = 0

@@ -169,7 +169,9 @@ object Chunking {
     */
   val pipeDecontaminate: Q = (s, d) => {
     val gramsUdf = udf { (text: String) =>
-      val w = text.split(' ')
+      // limit -1 keeps trailing empty tokens, matching the oracle's
+      // string_split (and the repo's split(" ", -1) convention)
+      val w = text.split(" ", -1)
       if (w.length < 8) Array.empty[String]
       else Array.tabulate(w.length - 7)(i => w.slice(i, i + 8).mkString(" ")).distinct
     }

@@ -11,8 +11,12 @@ package graft.text
   */
 object NgramLangId {
 
+  // precompiled: classify runs per row in a corpus-scale map — a
+  // String.replaceAll would recompile this pattern per document
+  private val cleanup = java.util.regex.Pattern.compile("[^a-zà-ÿ ]")
+
   private def trigrams(s: String): Set[String] = {
-    val padded = " " + s.toLowerCase.replaceAll("[^a-zà-ÿ ]", "") + " "
+    val padded = " " + cleanup.matcher(s.toLowerCase).replaceAll("") + " "
     (0 to padded.length - 3).map(i => padded.substring(i, i + 3)).toSet
   }
 
@@ -25,17 +29,24 @@ object NgramLangId {
     "it" -> trigrams("di e il la che in un per del con non una sono gli")
   )
 
+  private val profilesSorted: Seq[(String, Set[String])] = profiles.toSeq.sortBy(_._1)
+
   /** Jaccard-overlap score against each profile; 'und' when nothing
-    * clears the floor.
+    * clears the floor. Running argmax over the alphabetically-sorted
+    * profiles (strictly-greater replaces ⇒ ties keep the first lang —
+    * identical to the previous sortBy((-score, lang)).head, without the
+    * per-row seq/sort allocation; r3 self-review).
     */
   def classify(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val tg = trigrams(text)
     if (tg.isEmpty) return "und"
-    val scored = profiles.toSeq
-      .map { case (lang, prof) => (lang, tg.intersect(prof).size.toDouble / prof.size) }
-      .sortBy { case (lang, sc) => (-sc, lang) }
-    val (bestLang, bestScore) = scored.head
+    var bestLang  = "und"
+    var bestScore = Double.NegativeInfinity
+    profilesSorted.foreach { case (lang, prof) =>
+      val sc = tg.intersect(prof).size.toDouble / prof.size
+      if (sc > bestScore) { bestScore = sc; bestLang = lang }
+    }
     if (bestScore < 0.05) "und" else bestLang
   }
 }

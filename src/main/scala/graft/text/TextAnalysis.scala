@@ -174,11 +174,19 @@ object TextAnalysis {
       .select(explode(toks).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("freq"))
+    // persist the sorted vocab RDD: zipWithIndex launches a
+    // partition-count job over the full aggregate+sort lineage, and the
+    // final join would otherwise re-execute that lineage from scratch —
+    // two vocabulary aggregations per query (r3 self-review). RDD-level
+    // persist is reclaimed by the ContextCleaner once unreferenced and
+    // never enters the cacheManager.
+    val sortedVocab = freq
+      .orderBy($"freq".desc, $"token")
+      .select($"token")
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = s.createDataFrame(
-      freq
-        .orderBy($"freq".desc, $"token")
-        .select($"token")
-        .rdd
+      sortedVocab
         .zipWithIndex()
         .map { case (r, i) => Row(r.getString(0), i + 1L) },
       StructType(Seq(StructField("token", StringType), StructField("rank", LongType)))
