@@ -61,25 +61,22 @@ object SquareEtl {
       .withColumn("dow", weekday($"created_at_local"))        // T5, Mon=0
     val w = Window.partitionBy($"trans_date", $"device_name") // W1
     d.withColumn("first_trans", min($"created_at_local").over(w))
-      .withColumn(
-        "market",
-        // layered np.where, later writes win ⇒ evaluate in reverse layer
-        // order as a standard first-match CASE (`square_ETL.py:185-190`)
-        when($"dow" === 3, "San Rafael Thurs")
-          .when($"dow" === 5, "Danville Farmers Market")
-          .when(
-            $"dow" === 6 &&
-              date_format($"first_trans", "HH:mm:ss") < "07:00:00",
-            "Alameda Antique Faire"
-          )
-          .when(
-            $"dow" === 6 &&
-              date_format($"first_trans", "HH:mm:ss") > "07:00:00",
-            "San Rafael Sunday"
-          )
-          .otherwise("other")
-      )
+      .withColumn("market", marketCase($"dow", $"first_trans"))
   }
+
+  /** The market-attribution cascade (`square_ETL.py:185-190`) — layered
+    * np.where, later writes win ⇒ evaluated in reverse layer order as a
+    * first-match CASE. ONE definition shared by the ETL and the
+    * `w1_f11_market_attrib` verification query (r3 self-review: the
+    * verifier previously carried a hand copy that a future boundary edit
+    * could silently desynchronize).
+    */
+  def marketCase(dow: org.apache.spark.sql.Column, firstTrans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(dow === 3, "San Rafael Thurs")
+      .when(dow === 5, "Danville Farmers Market")
+      .when(dow === 6 && date_format(firstTrans, "HH:mm:ss") < "07:00:00", "Alameda Antique Faire")
+      .when(dow === 6 && date_format(firstTrans, "HH:mm:ss") > "07:00:00", "San Rafael Sunday")
+      .otherwise("other")
 
   /** F5 — the detail-table projection (`square_ETL.py:193-201`). */
   def detailsTable(withMarket: DataFrame): DataFrame =

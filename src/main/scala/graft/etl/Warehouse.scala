@@ -40,16 +40,22 @@ object Warehouse {
 
   /** S7 + dedup-on-key: drop rows whose key already exists in the target —
     * the MERGE-shaped fix for the reference's crash-between-load-and-
-    * watermark duplicate hazard. Left-anti join against the existing keys;
-    * at 100 TB the target side is pruned to the key column only (column
-    * pruning) and the incremental batch is small, so the anti-join
-    * broadcasts the batch keys.
+    * watermark duplicate hazard. NULL-SAFE left-anti join against the
+    * existing keys: a plain equi anti-join never matches NULL = NULL, so
+    * null-key rows would re-append on every crash replay, silently
+    * breaking the effectively-once guarantee (r3 self-review). At 100 TB
+    * the target side is pruned to the key column (column pruning) and the
+    * anti-join shuffles on the key — Spark builds the RIGHT (existing)
+    * side for LeftAnti, so "broadcast the small batch" is not available;
+    * a bucketed target makes the existing side shuffle-free instead.
     */
   def appendDedup(spark: SparkSession, df: DataFrame, path: String, key: String): Unit = {
     val fresh =
       if (pathExists(spark, path)) {
-        val existing = spark.read.parquet(path).select(col(key)).distinct()
-        df.join(existing, Seq(key), "left_anti")
+        // no distinct(): the anti-join only tests existence — a distinct
+        // would pay an extra shuffle of the target's key column per batch
+        val existing = spark.read.parquet(path).select(col(key).as("__existing_key"))
+        df.join(existing, df(key) <=> existing("__existing_key"), "left_anti")
       } else df
     fresh.write.mode(SaveMode.Append).parquet(path)
   }
@@ -149,7 +155,9 @@ object Warehouse {
         .limit(1)
         .collect()
         .headOption
-        .map(_.getTimestamp(1))
+        // by name, not position — a schema-merged read or added column
+        // would silently shift a positional index (r3 self-review)
+        .map(_.getAs[java.sql.Timestamp]("high_water_mark"))
 
   def writeWatermark(spark: SparkSession, path: String, pipeline: String, hwm: java.sql.Timestamp): Unit = {
     import spark.implicits._

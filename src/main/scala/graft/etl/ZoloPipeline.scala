@@ -72,7 +72,10 @@ object ZoloPipeline {
       registerAll(s); s.table("square_trans").orderBy("payment_id")
     }),
     "zolo_square_details" -> ((s, _) => {
-      registerAll(s); s.table("square_trans_details").orderBy("payment_id", "square_id")
+      // quantity/dollars tiebreakers: (payment_id, square_id) is not a
+      // total key when a payment holds two lines of the same item
+      registerAll(s)
+      s.table("square_trans_details").orderBy("payment_id", "square_id", "quantity", "dollars")
     }),
     "zolo_shopify_trans" -> ((s, _) => {
       registerAll(s); s.table("shopify_trans").orderBy("order_id")
@@ -189,7 +192,7 @@ object ZoloPipeline {
     "zolo_square_details" ->
       s"""WITH $sqCtes
          |SELECT payment_id, square_id, quantity, dollars, modifiers, variation_name
-         |FROM sq_m ORDER BY payment_id, square_id""".stripMargin,
+         |FROM sq_m ORDER BY payment_id, square_id, quantity, dollars""".stripMargin,
     "zolo_shopify_trans" ->
       s"""WITH $shCtes
          |SELECT order_id, created_at_local AS created_at,

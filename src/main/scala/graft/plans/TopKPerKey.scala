@@ -43,6 +43,14 @@ final case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partitionExprs) :: Nil
 
+  // the operator is a per-partition filter — rows stay where the child's
+  // exchange put them. Without this override SparkPlan reports
+  // UnknownPartitioning and every downstream window on the SAME keys
+  // (rankPerProbe, top-bigrams) paid a second redundant hash exchange
+  // (r3 self-review).
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val schema = child.output
@@ -59,10 +67,16 @@ final case class TopKPerKeyExec(
         .empty[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       rows.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(
-          key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
-        )
+        // copy the key only on a map MISS — getOrElseUpdate(key.copy(), …)
+        // evaluated the copy eagerly, allocating per input row instead of
+        // per distinct key (r3 self-review)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue()
@@ -92,8 +106,10 @@ object TopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
 
-  /** Per-key top-k of `df` by `orderCol` (descending), deterministic via
-    * the caller-supplied tiebreak ordering columns.
+  /** Per-key top-k of `df` under the caller-supplied ordering. Every
+    * ordering column MUST carry an explicit direction (`.asc`/`.desc`) —
+    * a bare column used to be wrapped Ascending silently, which returned
+    * bottom-k to a caller expecting the documented "top" (r3 self-review).
     */
   def perKey(df: DataFrame, keys: Seq[Column], ordering: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -102,7 +118,12 @@ object TopK {
     val ord = ordering.map { c =>
       GraftSqlBridge.expr(spark, c) match {
         case so: SortOrder => so
-        case e             => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+        case e =>
+          throw new IllegalArgumentException(
+            s"TopK.perKey ordering column '$e' has no sort direction — " +
+              "pass .asc or .desc explicitly (a silent Ascending default " +
+              "turns top-k into bottom-k)"
+          )
       }
     }
     GraftSqlBridge.ofRows(spark, TopKPerKey(k, part, ord, GraftSqlBridge.logicalPlan(df)))

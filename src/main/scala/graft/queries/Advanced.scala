@@ -139,6 +139,11 @@ object Advanced {
       .events(s, d)
       .withColumn("mean_v", sumV / n)
       .withColumn("var_v", (sumV2 - sumV * sumV / n) / (n - lit(1)))
+      // a degenerate (constant-value) type has no outliers by definition;
+      // without the guard, cancellation can push var_v epsilon-negative —
+      // Spark's sqrt yields NaN while DuckDB ERRORS, crashing the oracle
+      // (r3 self-review)
+      .filter($"var_v" > 0)
       .withColumn("z", ($"value" - $"mean_v") / sqrt($"var_v"))
       .filter(abs($"z") > 3.0)
       .select($"event_id", $"event_type", $"value", round($"z", 6).as("z_score"))
@@ -256,7 +261,8 @@ object Advanced {
         |SELECT event_id, event_type, value,
         |  round((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1)), 6) AS z_score
         |FROM m
-        |WHERE abs((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1))) > 3.0
+        |WHERE (sv2 - sv * sv / n) / (n - 1) > 0
+        |  AND abs((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1))) > 3.0
         |ORDER BY event_id""".stripMargin,
     "e_funnel" ->
       """SELECT user_id,

@@ -118,14 +118,8 @@ object Relational {
     val w   = Window.partitionBy($"trans_date", $"device")
     val dow = weekday($"ts")
     e.withColumn("first_trans", min($"ts").over(w))
-      .withColumn(
-        "market",
-        when(dow === 3, "San Rafael Thurs")
-          .when(dow === 5, "Danville Farmers Market")
-          .when(dow === 6 && date_format($"first_trans", "HH:mm:ss") < "07:00:00", "Alameda Antique Faire")
-          .when(dow === 6 && date_format($"first_trans", "HH:mm:ss") > "07:00:00", "San Rafael Sunday")
-          .otherwise("other")
-      )
+      // the ETL's OWN cascade definition — not a copy (r3 self-review)
+      .withColumn("market", graft.etl.SquareEtl.marketCase(dow, $"first_trans"))
       .groupBy($"market")
       .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
       .orderBy($"market")

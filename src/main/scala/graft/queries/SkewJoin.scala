@@ -22,12 +22,18 @@ object SkewJoin {
       salts: Int
   ): DataFrame = {
     require(salts > 0)
-    // the salt must vary WITHIN a key (salting BY the key — or by a row
-    // hash, when hot rows are bit-identical — re-concentrates the hot
-    // key); a per-physical-row counter is uniform by construction
+    // the salt must vary WITHIN a key and be DETERMINISTIC under task
+    // recomputation: monotonically_increasing_id reassigns values when a
+    // lost map task is recomputed, so a fetch-failure retry could route
+    // the same logical row to a different salt than copies already
+    // fetched — duplicated/lost join rows (the SPARK-23207 class; r3
+    // self-review). A full-row hash is stable under recomputation;
+    // bit-identical hot rows collide onto one salt, which only matters
+    // if the skew IS duplicate identical rows (then they carry no
+    // distinguishing payload anyway).
     val saltedBig = big.withColumn(
       "__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int")
     )
     val saltedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig
