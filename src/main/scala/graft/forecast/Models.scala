@@ -229,6 +229,19 @@ object Models {
       stdError: Double
   )
 
+  /** Undo d-fold differencing for a 1-step forecast: fold the last value
+    * of each successively-differenced series back onto the differenced-
+    * scale forecast. Shared by [[arimaFitMle]] and the fixed-parameter
+    * MLE oracle job so the oracle exercises the exact production loop.
+    */
+  private[forecast] def integrateForecast(xs: Array[Double], d: Int, fc0: Double): Double = {
+    var fc = fc0
+    var series = xs
+    var k = 0
+    while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+    fc
+  }
+
   /** Difference a series d times. */
   def diff(xs: Array[Double], d: Int): Array[Double] = {
     var cur = xs
@@ -560,10 +573,7 @@ object Models {
             val mu = params(0)
             val phi = params.slice(1, 1 + p)
             val theta = params.slice(1 + p, 1 + p + q)
-            var fc = fr.forecast
-            var series = xs
-            var k = 0
-            while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
+            val fc = integrateForecast(xs, d, fr.forecast)
             ArimaFit(
               p, d, q, phi, theta,
               c = mu * (1.0 - phi.sum),
