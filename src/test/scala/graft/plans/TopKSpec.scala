@@ -22,6 +22,21 @@ class TopKSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("map-side partial trim runs below the exchange, exact stage above") {
+    val df = Similarity.bruteForceTopKNative(spark, sf0001, k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial (no required distribution) must appear, and the exchange
+    // must sit BETWEEN the exact stage and the partial stage: shuffle
+    // volume is ≤ k rows per (mapper, key), not the full candidate set
+    assert(plan.contains("TopKPerKeyPartial"))
+    val iExact   = plan.indexOf("TopKPerKey ")
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    val iExch    = plan.indexOf("Exchange hashpartitioning", iExact)
+    assert(iExact >= 0 && iExch > iExact && iPartial > iExch,
+      s"expected exact -> exchange -> partial order in:\n$plan")
+  }
+
   test("heap boundary: k larger than group size returns whole group, ties break by id") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5),
