@@ -331,13 +331,23 @@ object Similarity {
     * pruning (nprobe < nCells) variant is asserted by SimilaritySpec's
     * PartitionFilters check.
     */
+  /** Upper bound on a serving batch accepted by [[ivfProbeIndexBatch]]:
+    * the batch is checkpointed, broadcast, and its distinct probed cells
+    * collected to the driver — all sound ONLY for genuinely small
+    * batches. A million-probe "batch" is a corpus×corpus join and must go
+    * through the bulk paths instead; the guard makes that contract an
+    * error rather than prose (r3 "What's wrong" #3).
+    */
+  val maxProbeBatch = 10000L
+
   def ivfProbeIndexBatch(
       s: SparkSession,
       indexPath: String,
       cents: Array[Array[Double]],
       probes: DataFrame, // (probe_id, pv)
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      maxBatch: Long = maxProbeBatch
   ): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val bc = s.sparkContext.broadcast(cents)
@@ -345,6 +355,13 @@ object Similarity {
     val probeCellsDf = probes
       .select($"probe_id", $"pv", explode(cellsUdf($"pv")).as("cell_id"))
       .localCheckpoint() // tiny (batch × nprobe); avoids recomputing the UDF for the collect below
+    val batchRows = probeCellsDf.count()
+    require(
+      batchRows <= maxBatch * math.max(nprobe, 1),
+      s"ivfProbeIndexBatch: probe batch of ${batchRows / math.max(nprobe, 1)} vectors exceeds " +
+        s"the serving-batch cap ($maxBatch) — the batch is driver-collected for partition " +
+        "pruning; route bulk corpus joins through ivfTopK/bruteForceTopK instead"
+    )
     val cellsNeeded = probeCellsDf
       .select($"cell_id").distinct().collect().map(_.getInt(0)).toSeq.sorted
     val idx = s.read.parquet(indexPath).filter($"cell_id".isin(cellsNeeded: _*))
@@ -355,12 +372,32 @@ object Similarity {
     rankPerProbe(sims, k)
   }
 
+  /** Session-scoped scratch root for materialized index layouts, deleted
+    * on JVM exit. Keyed by pid (two concurrent sessions sharing
+    * java.io.tmpdir must not race on one path) with a per-corpus-dir
+    * SANITIZED tag — the previous math.abs(d.hashCode) key could collide
+    * across different corpus dirs, went negative for Int.MinValue, and
+    * was never cleaned up (r3 ADVICE).
+    */
+  private lazy val scratchRoot: java.io.File = {
+    val f = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${ProcessHandle.current().pid()}")
+    def deleteRec(x: java.io.File): Unit = {
+      val cs = x.listFiles(); if (cs != null) cs.foreach(deleteRec); x.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(f)))
+    f
+  }
+
+  private def scratchDir(tag: String, d: String): String =
+    s"$scratchRoot/${tag}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
   /** Driver row for the batched index path: build the index, then probe
     * the standard 10 probes through it at full width (see
     * [[ivfProbeIndexBatch]] — exact, so it shares the brute-force oracle).
     */
   def ivfIndexTopK(s: SparkSession, d: String, k: Int, nCells: Int): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(d.hashCode)}"
+    val path = scratchDir("index", d)
     val cents = writeIvfIndex(s, d, path, nCells, iters = 3)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
@@ -396,7 +433,7 @@ object Similarity {
     * directory before each append.)
     */
   def ivfIndexAppendTopK(s: SparkSession, d: String, k: Int, nCells: Int): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_${math.abs(d.hashCode)}"
+    val path = scratchDir("append", d)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val cents = writeIvfIndexFor(s, e.filter($"vec_id" % 2 === 0), path, nCells, iters = 3)
     appendToIvfIndex(s, e.filter($"vec_id" % 2 =!= 0), path, cents)

@@ -185,12 +185,19 @@ object TextAnalysis {
       .select($"token")
       .rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ranked = s.createDataFrame(
-      sortedVocab
-        .zipWithIndex()
-        .map { case (r, i) => Row(r.getString(0), i + 1L) },
-      StructType(Seq(StructField("token", StringType), StructField("rank", LongType)))
-    )
+    // materialize (token, rank) eagerly, then free the vocab RDD
+    // deterministically — relying on the driver GC-ing the reference kept
+    // the full aggregate+sort lineage cached across a long sweep (r3
+    // ADVICE); the checkpoint holds only the two-column ranked vocab
+    val ranked =
+      try
+        s.createDataFrame(
+          sortedVocab
+            .zipWithIndex()
+            .map { case (r, i) => Row(r.getString(0), i + 1L) },
+          StructType(Seq(StructField("token", StringType), StructField("rank", LongType)))
+        ).localCheckpoint()
+      finally sortedVocab.unpersist()
     docs
       .select($"doc_id", explode(toks).as("token"))
       .join(ranked, "token")

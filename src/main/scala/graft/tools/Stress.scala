@@ -178,7 +178,7 @@ object Stress {
     )
     log(
       f"- IVF batched probe (10 probes, nprobe=8/$nCells): $nTop rows in $tProbe%.1f s " +
-        f"- reads <= ${10 * 8} of $nCells partitions"
+        f"- reads <= ${math.min(10 * 8, nCells)} of $nCells partitions"
     )
     log("")
     spark.stop()

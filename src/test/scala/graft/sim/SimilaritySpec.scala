@@ -124,6 +124,13 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val bfRows = bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(full.toSeq == bfRows.toSeq)
+    // the serving-batch contract is enforced, not prose: a batch over the
+    // cap must fail fast BEFORE the driver-side cell collect (r3 verdict)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeIndexBatch(
+        spark, dir, cents, probes, k = 5, nprobe = 2, maxBatch = 4)
+    }
+    assert(err.getMessage.contains("serving-batch cap"))
   }
 
   test("IVF append: frozen-centroid append covers the corpus, stays probe-exact, re-invocation safe") {
