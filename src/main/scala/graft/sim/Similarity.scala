@@ -389,7 +389,7 @@ object Similarity {
     f
   }
 
-  private def scratchDir(tag: String, d: String): String =
+  private[graft] def scratchDir(tag: String, d: String): String =
     s"$scratchRoot/${tag}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
   /** Driver row for the batched index path: build the index, then probe

@@ -26,6 +26,53 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE runtime skew split handles the same hot key (when manual salting is NOT needed)") {
+    import spark.implicits._
+    // One hot key carrying ~90% of the big side. With the skew thresholds
+    // lowered to test scale and broadcast disabled (forcing the shuffle
+    // join AQE's skew rule targets), the runtime re-plan must split the
+    // oversized partition: the final adaptive plan shows a skew-handled
+    // shuffle read. This is the path every graft session already enables
+    // (GraftSession: adaptive.enabled=true) — saltedInnerJoin exists for
+    // the cases AQE can't cover, see scaladoc.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val big = spark
+        .range(200000)
+        .select(
+          when($"id" % 10 === 0, concat(lit("cold"), ($"id" % 97).cast("string")))
+            .otherwise(lit("hot")).as("k"),
+          rpad($"id".cast("string"), 32, "x").as("payload")
+        )
+      val small = (Seq("hot") ++ (0 until 97).map(i => s"cold$i")).toDF("k")
+        .withColumn("name", concat(lit("dim_"), $"k"))
+      // collect() (not count()) so the adaptive plan we inspect is the
+      // one that ran: count() spawns its own QueryExecution
+      val joined = big.join(small, Seq("k"), "inner")
+      val n = joined.collect().length
+      assert(n == 200000)
+      // the materialized adaptive plan must contain a skew-split shuffle
+      // read (AQEShuffleRead ... skewed) — i.e. AQE actually re-planned
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skewed"), s"no skew split in plan:\n$planStr")
+      // and the salted fallback computes the identical result
+      val salted = SkewJoin.saltedInnerJoin(big, small, "k", salts = 8)
+      assert(salted.count() == n)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salt spreads a bit-identical hot key across buckets") {
     import spark.implicits._
     // 1000 identical rows — the worst-case hot key; join against a

@@ -140,7 +140,7 @@ class SimilaritySpec extends SparkSpec {
     val bfRows = bf.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(out1.toSeq == bfRows.toSeq)
     // the appended index holds every vector exactly once
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_${math.abs(sf0001.hashCode)}"
+    val dir = Similarity.scratchDir("append", sf0001)
     assert(spark.read.parquet(dir).count() == n)
     // second invocation must reset the directory, not double it
     val out2 = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
