@@ -606,13 +606,146 @@ object Dedup {
        |  FROM cand c JOIN shing sa ON c.doc_a = sa.doc_id JOIN shing sb ON c.doc_b = sb.doc_id),
        |sel AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5)""".stripMargin
 
-  /** xxhash64-based signatures aren't DuckDB-expressible, so the sig
-    * tables themselves (`dedup_minhash_sigs`, `dedup_simhash`) stay
-    * rows-only; everything built ON the signatures is oracle-checked —
-    * the winnow family end-to-end (HUGEINT rolling-hash replay) and the
-    * minhash/simhash family downstream of the dumped sig boundary.
+  /** DuckDB replay of [[Hashing.hash64]] — FNV-1a over UTF-16 bytes with
+    * a seed fold and the splitmix64 finisher — in HUGEINT mod-2⁶⁴
+    * arithmetic (the same machinery as the winnow rolling-hash replay).
+    *
+    * Input relation `src` provides (`key`, sd BIGINT, bs HUGEINT[]) where
+    * bs is the char stream flattened to bytes (lo, hi per UTF-16 unit —
+    * exactly the two `(c & 0xff)` / `((c >> 8) & 0xff)` folds). The FNV
+    * fold is ONE list_reduce with a constant-size lambda (byte-XOR only
+    * touches the low 8 bits, so no sign conversion inside the loop);
+    * splitmix64 is six stacked stages, each referencing the previous
+    * COLUMN — nesting them textually would duplicate the fold expression
+    * exponentially. 64-bit XOR rides BIGINT two's-complement `xor` with
+    * explicit unsigned↔signed conversion; `*` mod 2⁶⁴ of two 64-bit
+    * values splits the left operand at 2³² so no product exceeds
+    * HUGEINT's 127 bits. Emits `<p>6`(`key`, sd, hh BIGINT signed).
+    */
+  private def hash64ReplaySql(p: String, src: String, key: String): String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    val SB = "9223372036854775808::HUGEINT" // 2^63
+    // unsigned column -> signed BIGINT bit pattern
+    def u2s(c: String) =
+      s"CAST($c - (CASE WHEN $c >= $SB THEN $M ELSE 0::HUGEINT END) AS BIGINT)"
+    // signed xor result -> unsigned HUGEINT
+    def s2u(c: String) =
+      s"(CASE WHEN $c < 0 THEN CAST($c AS HUGEINT) + $M ELSE CAST($c AS HUGEINT) END)"
+    // (z * const) mod 2^64, z < 2^64: split z at 2^32
+    def mulmod(cst: String) =
+      s"""((((z // 4294967296) * $cst) % 4294967296) * 4294967296
+         |    + (z % 4294967296) * $cst) % $M""".stripMargin
+    def xorShift(shift: Long, from: String) =
+      s"""(SELECT $key, sd,
+         |    xor(${u2s("z")}, CAST(z // $shift AS BIGINT)) AS xr FROM $from)""".stripMargin
+    s"""${p}0 AS (
+       |  SELECT $key, sd,
+       |    list_reduce(
+       |      list_prepend(${s2u("x")}, bs),
+       |      (acc, b) ->
+       |        ((acc // 256) * 256
+       |          + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |        * 1099511628211::HUGEINT % $M
+       |    ) AS h
+       |  FROM (SELECT $key, sd, bs,
+       |          xor(-3750763034362895579::BIGINT, CAST(sd * 1099511628211 AS BIGINT)) AS x
+       |        FROM $src) t),
+       |${p}1 AS (SELECT $key, sd, (h + 11400714819323198485::HUGEINT) % $M AS z FROM ${p}0),
+       |${p}2 AS (SELECT $key, sd, ${s2u("xr")} AS z FROM ${xorShift(1073741824L, s"${p}1")} t),
+       |${p}3 AS (SELECT $key, sd, ${mulmod("13787848793156543929::HUGEINT")} AS z FROM ${p}2),
+       |${p}4 AS (SELECT $key, sd, ${s2u("xr")} AS z FROM ${xorShift(134217728L, s"${p}3")} t),
+       |${p}5 AS (SELECT $key, sd, ${mulmod("10723151780598845931::HUGEINT")} AS z FROM ${p}4),
+       |${p}6 AS (SELECT $key, sd, xor(${u2s("z")}, CAST(z // 2147483648 AS BIGINT)) AS hh FROM ${p}5)""".stripMargin
+  }
+
+  /** UTF-16 units of `s` flattened to (lo, hi) byte pairs — the exact
+    * stream [[Hashing.hash64]] folds. BMP-only like the winnow replay
+    * (the corpus is ASCII; astral chars would be one code point here vs
+    * two units in Scala).
+    */
+  private val bytesOf =
+    """flatten([[CAST(unicode(s[i]) % 256 AS HUGEINT),
+      |          CAST((unicode(s[i]) // 256) % 256 AS HUGEINT)]
+      |         for i in range(1, length(s)+1)])""".stripMargin
+
+  /** Word-3-gram shingles of every doc, byte-flattened: (doc_id, bs). */
+  private val shingleBytesCte =
+    s"""sh AS (
+       |  SELECT doc_id, $bytesOf AS bs
+       |  FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(w) >= 3
+       |        THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+       |        ELSE [] END) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u)""".stripMargin
+
+  /** Full independent replay of the MinHash signature table: shingle →
+    * 16 seeded FNV/splitmix hashes → per-seed signed min (Long.MaxValue
+    * for <3-word docs) → band hashes over the comma-joined signed-decimal
+    * signature slices. With this, the minhash family is oracle-checked
+    * END-TO-END: sigs here, band/cap/join/verify/CC/keep via the
+    * sig-boundary replays.
+    */
+  private val minhashSigReplay: String = {
+    val sigCols = (0 until numPerms)
+      .map(i => s"COALESCE(MIN(CASE WHEN sd = $i THEN sig END), 9223372036854775807) AS sig$i")
+      .mkString(",\n    ")
+    val bandSrcs = (0 until numBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b::BIGINT AS sd, concat_ws(',', $slice) AS s FROM sigp"
+    }.mkString(" UNION ALL ")
+    val bandCols = (0 until numBands)
+      .map(b => s"MIN(CASE WHEN sd = $b THEN hh END) AS band$b").mkString(", ")
+    s"""WITH $shingleBytesCte,
+       |mrows AS (SELECT doc_id, r.range AS sd, bs FROM sh, range(0, $numPerms) r),
+       |${hash64ReplaySql("m", "mrows", "doc_id")},
+       |sigs AS (SELECT doc_id, sd, MIN(hh) AS sig FROM m6 GROUP BY doc_id, sd),
+       |sigp AS (
+       |  SELECT d.doc_id,
+       |    $sigCols
+       |  FROM documents d LEFT JOIN sigs ON d.doc_id = sigs.doc_id
+       |  GROUP BY d.doc_id),
+       |bandsrc AS (SELECT doc_id, sd, $bytesOf AS bs FROM ($bandSrcs) bu),
+       |${hash64ReplaySql("b", "bandsrc", "doc_id")},
+       |bandp AS (SELECT doc_id, $bandCols FROM b6 GROUP BY doc_id)
+       |SELECT s.*, ${(0 until numBands).map(b => s"band$b").mkString(", ")}
+       |FROM sigp s JOIN bandp USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full independent replay of the 64-bit SimHash table: one seed-0 hash
+    * per shingle, per-bit ±1 counts, sign bits reassembled. Docs with no
+    * shingles get 0, matching the all-negative-counts engine output.
+    */
+  private val simhashReplay: String = {
+    val M = "18446744073709551616::HUGEINT"
+    val pows = (0 until 64).map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+    s"""WITH $shingleBytesCte,
+       |srows AS (SELECT doc_id, 0::BIGINT AS sd, bs FROM sh),
+       |${hash64ReplaySql("s", "srows", "doc_id")},
+       |hu AS (SELECT doc_id,
+       |  (CASE WHEN hh < 0 THEN CAST(hh AS HUGEINT) + $M ELSE CAST(hh AS HUGEINT) END) AS u FROM s6),
+       |pows AS (SELECT * FROM (VALUES $pows) v(b, pw)),
+       |cnts AS (
+       |  SELECT doc_id, b, pw,
+       |    SUM(CASE WHEN (u // pw) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM hu, pows GROUP BY doc_id, b, pw),
+       |sim AS (SELECT doc_id, SUM(CASE WHEN cnt > 0 THEN pw ELSE 0::HUGEINT END) AS su FROM cnts GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(su, 0::HUGEINT)
+       |    - (CASE WHEN COALESCE(su, 0::HUGEINT) >= 9223372036854775808::HUGEINT THEN $M ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+       |FROM documents d LEFT JOIN sim USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Every dedup row is now oracle-checked: the winnow family end-to-end
+    * (HUGEINT rolling-hash replay), the minhash/simhash SIGNATURES by a
+    * full FNV-1a/splitmix64 replay in mod-2⁶⁴ HUGEINT arithmetic (r4 —
+    * previously the one engine-internal stage), and the LSH stages
+    * downstream of the dumped sig boundary.
     */
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_sigs" -> minhashSigReplay,
+    "dedup_simhash"      -> simhashReplay,
     "dedup_minhash_pairs" ->
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, jaccard FROM verified
