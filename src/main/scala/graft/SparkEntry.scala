@@ -26,6 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ graft.queries.Advanced.queries ++
+      graft.queries.AsofJoin.queries ++
       ForecastJobs.queries ++ ZoloPipeline.queries ++
       TextAnalysis.queries ++ graft.text.Chunking.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ graft.streaming.StreamQueries.queries
@@ -34,7 +35,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ graft.queries.Advanced.oracles ++ ForecastJobs.oracles ++
+    Relational.oracles ++ graft.queries.Advanced.oracles ++
+      graft.queries.AsofJoin.oracles ++ ForecastJobs.oracles ++
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++
       graft.streaming.StreamQueries.oracles

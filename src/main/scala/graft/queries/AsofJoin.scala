@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for every left row (key, t), attach the latest right row
+  * with the same key and rightTime ≤ t (left-outer: no match → nulls).
+  * The time-series operator Spark's join zoo doesn't ship (DuckDB: `ASOF
+  * JOIN`, which is exactly the oracle used for `j_asof`).
+  *
+  * Spark-first shape: tag both sides, UNION, one running
+  * `last(payload, ignoreNulls)` window ordered by (t, side, tiebreak).
+  * That is ONE hash shuffle on the key and a running frame —
+  *  - no range-condition join (Catalyst would nested-loop it),
+  *  - no per-key collect/sort buffer beyond the window's spillable sort,
+  *  - no right-side pre-aggregation shuffle: ties on rightTime resolve
+  *    INSIDE the same sort via the tiebreak column (last wins ⇒ max
+  *    tiebreak), so dedup rides the window's own exchange.
+  * At 100 TB both sides shuffle once on the join key — the same cost as
+  * the equi-join the as-of degenerates to when times are unique; skew
+  * follows the key distribution, AQE splits oversized partitions.
+  *
+  * Ordering semantics: right rows sort BEFORE left rows at equal time
+  * (side 0 < 1), so a right row at exactly t IS visible to that left row
+  * ("at-or-before", matching `ASOF JOIN ... ON l.t >= r.t`).
+  */
+object AsofJoin {
+
+  /** @param payload right-side columns to carry; `payload.head` is also
+    *                the tiebreak among right rows sharing (key, time) —
+    *                pass a unique id first for deterministic output.
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payload.map(col): _*)
+    val r = right.select(
+      col(key).as("__k"),
+      col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      payloadStruct.as("__p")
+    )
+    val l = left.select(
+      (leftCols.map(col) :+
+        col(key).as("__k") :+
+        col(leftTime).as("__t") :+
+        lit(1).as("__side") :+
+        lit(null).cast(r.schema("__p").dataType).as("__p")): _*
+    )
+    // one shuffle: partition by key; running last() needs no full-frame
+    // buffer. __p sorts right rows at equal __t so "last" = max tiebreak.
+    val w = Window
+      .partitionBy($"__k")
+      .orderBy($"__t".asc, $"__side".asc, $"__p".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last($"__p", ignoreNulls = true).over(w))
+      .filter($"__side" === 1)
+    matched.select(
+      (leftCols.map(col) ++ payload.map(p => col(s"__m.$p").as(p))): _*
+    )
+  }
+
+  /** Driver row: purchase attribution over the events stream — for every
+    * non-purchase event, the same user's most recent purchase at-or-before
+    * it. Oracle: DuckDB's native ASOF LEFT JOIN (an independent
+    * implementation of the semantics, not a replay of ours).
+    */
+  val jAsof: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d)
+    val purchases = e
+      .filter($"event_type" === "purchase")
+      .select(
+        $"user_id",
+        $"ts",
+        $"event_id".as("purchase_id"),
+        $"value".as("purchase_value")
+      )
+    val lefts = e
+      .filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    asof(lefts, purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+      payload = Seq("purchase_id", "purchase_value"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("j_asof" -> jAsof)
+
+  val oracles: Map[String, String] = Map(
+    "j_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT event_id, user_id, ts, event_type
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type, p.purchase_id, p.purchase_value
+        |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        |ORDER BY l.event_id""".stripMargin
+  )
+}
