@@ -55,6 +55,14 @@ final case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(partitionExprs) :: Nil
 
+  // numOutputRows on the PARTIAL node is the shuffle volume the trim
+  // actually ships (everything it emits crosses the exchange above it) —
+  // the observable evidence for the map-side-trim claim, spec-asserted
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"))
+
   // the operator is a per-partition filter — rows stay where the child's
   // exchange put them. Without this override SparkPlan reports
   // UnknownPartitioning and every downstream window on the SAME keys
@@ -68,6 +76,7 @@ final case class TopKPerKeyExec(
     val schema = child.output
     val partExprs = partitionExprs
     val sortOrder = order
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(partExprs, schema)
       val rowOrd  = new LazilyGeneratedOrdering(sortOrder, schema)
@@ -96,6 +105,7 @@ final case class TopKPerKeyExec(
         }
       }
       heaps.iterator.flatMap { case (_, heap) => heap.toSeq.sorted(rowOrd).iterator }
+        .map { r => numOutputRows += 1; r }
     }
   }
 

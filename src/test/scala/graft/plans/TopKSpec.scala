@@ -37,6 +37,27 @@ class TopKSpec extends SparkSpec {
       s"expected exact -> exchange -> partial order in:\n$plan")
   }
 
+  test("partial trim measurably cuts shuffle volume: metric <= k * keys * mappers") {
+    val nRows = 100000
+    val nKeys = 10
+    val k     = 5
+    val df = spark.range(nRows).repartition(8)
+      .select(($"id" % nKeys).as("key"), $"id", rand(42).as("score"))
+    val out = TopK.perKey(df, Seq(col("key")), Seq(col("score").desc, col("id").asc), k = k)
+    assert(out.collect().length == nKeys * k)
+    val execs = out.queryExecution.executedPlan.collect {
+      case t: TopKPerKeyExec => t
+    }
+    val partial = execs.find(_.partial).get
+    val exact   = execs.find(!_.partial).get
+    val shipped = partial.metrics("numOutputRows").value
+    // each of the 8 mappers ships at most k rows per key it saw — ~400
+    // rows cross the exchange instead of the 100k candidates
+    assert(shipped <= (k * nKeys * 8).toLong, s"partial shipped $shipped rows")
+    assert(shipped < nRows / 100, s"no real trim: $shipped of $nRows")
+    assert(exact.metrics("numOutputRows").value == (nKeys * k).toLong)
+  }
+
   test("heap boundary: k larger than group size returns whole group, ties break by id") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5),
