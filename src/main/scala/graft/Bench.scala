@@ -77,7 +77,11 @@ object Bench {
     val results = passes.head.keys.map { k =>
       val rs  = passes.map(_(k))
       val oks = rs.collect { case Right(v) => v }
-      k -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
+      // all three passes failed: report every distinct failure mode, not
+      // just pass 1's (a persistent steady-state error must not hide
+      // behind a transient cold-start one)
+      k -> (if (oks.nonEmpty) Right(oks.min)
+            else Left(rs.collect { case Left(m) => m }.distinct.mkString(" | ")))
     }.toMap
     def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val ok = results.collect { case (k, Right(v)) => k -> v }

@@ -31,7 +31,18 @@ object AsofJoin {
 
   /** @param payload right-side columns to carry; `payload.head` is also
     *                the tiebreak among right rows sharing (key, time) —
-    *                pass a unique id first for deterministic output.
+    *                pass a unique non-null id first so ties resolve to the
+    *                max-id row deterministically (equivalent to pre-reducing
+    *                the right side to argmax(payload.head) per (key, time),
+    *                but resolved inside the window's own sort — no extra
+    *                shuffle).
+    *
+    * Null semantics match `ASOF JOIN ... ON l.key = r.key AND l.t >= r.t`:
+    * a NULL never satisfies either conjunct, so right rows with NULL
+    * key/time are dropped up front, and left rows with NULL key/time fall
+    * through with a null match — a null-key left partition contains no
+    * right rows, and a null-time left row sorts before every right row of
+    * its key (asc = nulls first), so its running `last` is empty.
     */
   def asof(
       left: DataFrame,
@@ -43,12 +54,14 @@ object AsofJoin {
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(payload.map(col): _*)
-    val r = right.select(
-      col(key).as("__k"),
-      col(rightTime).as("__t"),
-      lit(0).as("__side"),
-      payloadStruct.as("__p")
-    )
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(key).as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        payloadStruct.as("__p")
+      )
     val l = left.select(
       (leftCols.map(col) :+
         col(key).as("__k") :+
@@ -74,7 +87,11 @@ object AsofJoin {
   /** Driver row: purchase attribution over the events stream — for every
     * non-purchase event, the same user's most recent purchase at-or-before
     * it. Oracle: DuckDB's native ASOF LEFT JOIN (an independent
-    * implementation of the semantics, not a replay of ours).
+    * implementation of the semantics, not a replay of ours). Tie semantics
+    * among purchases sharing (user_id, ts) are unspecified in native ASOF,
+    * so the oracle pre-reduces the right side to the max-purchase_id row
+    * per (user_id, ts) — exactly what the engine's in-window tiebreak picks
+    * (purchase_id is unique, so max payload struct = max purchase_id).
     */
   val jAsof: (SparkSession, String) => DataFrame = (s, d) => {
     val e = Tables.events(s, d)
@@ -99,9 +116,15 @@ object AsofJoin {
 
   val oracles: Map[String, String] = Map(
     "j_asof" ->
-      """WITH p AS (
+      """WITH p0 AS (
         |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (
+        |  SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, ts ORDER BY purchase_id DESC) AS rn
+        |    FROM p0) WHERE rn = 1),
         |l AS (
         |  SELECT event_id, user_id, ts, event_type
         |  FROM events WHERE event_type <> 'purchase')

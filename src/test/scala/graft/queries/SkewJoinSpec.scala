@@ -60,10 +60,28 @@ class SkewJoinSpec extends SparkSpec {
       val joined = big.join(small, Seq("k"), "inner")
       val n = joined.collect().length
       assert(n == 200000)
-      // the materialized adaptive plan must contain a skew-split shuffle
-      // read (AQEShuffleRead ... skewed) — i.e. AQE actually re-planned
-      val planStr = joined.queryExecution.executedPlan.toString
-      assert(planStr.contains("skewed"), s"no skew split in plan:\n$planStr")
+      // the materialized adaptive plan must contain a shuffle read whose
+      // partitionSpecs include a PartialReducerPartitionSpec — the node
+      // AQE inserts when it splits a skewed partition. Typed assertion,
+      // not a toString substring: survives display-format renames and
+      // can't false-positive on an unrelated plan node.
+      import org.apache.spark.sql.execution.{PartialReducerPartitionSpec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a
+      }.getOrElse(fail("no AdaptiveSparkPlanExec root in executed plan"))
+      // manual recursion: QueryStageExec holds its subtree in `.plan`, not
+      // in `children`, so a plain collect() stops at stage boundaries
+      def reads(p: SparkPlan): Seq[AQEShuffleReadExec] = {
+        val here = p match { case r: AQEShuffleReadExec => Seq(r); case _ => Nil }
+        val kids = p match { case q: QueryStageExec => Seq(q.plan); case _ => p.children }
+        here ++ kids.flatMap(reads)
+      }
+      assert(
+        reads(adaptive.executedPlan)
+          .exists(_.partitionSpecs.exists(_.isInstanceOf[PartialReducerPartitionSpec])),
+        s"no skew-split AQEShuffleRead in plan:\n${adaptive.executedPlan}"
+      )
       // and the salted fallback computes the identical result
       val salted = SkewJoin.saltedInnerJoin(big, small, "k", salts = 8)
       assert(salted.count() == n)
