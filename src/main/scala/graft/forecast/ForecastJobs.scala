@@ -165,15 +165,18 @@ object ForecastJobs {
     * core busy regardless of profile count (measured ~10× at sf0.1).
     * Duplicating the (small) weekly series into each task row costs ~MBs.
     */
-  def arimaJob(s: SparkSession, dir: String): DataFrame = {
+  /** The distributed (profile × config) walk-forward grid — shared verbatim
+    * by the production `m_arima_forecast` and the bounded, oracle-replayed
+    * `m_arima_grid`, so the oracle exercises the exact scoring path.
+    */
+  private def gridScored(
+      s: SparkSession,
+      seriesDs: Dataset[(String, Array[Double])]
+  ): Dataset[GridTask] = {
     import s.implicits._
     val configs = for { p <- 0 until 5; d <- 0 until 2; q <- 0 until 5 } yield (p, d, q)
-    val seriesDs: Dataset[(String, Array[Double])] =
-      typedWeekly(s, dir, minWeeks = 5)
-        .groupByKey(_.profile_name)
-        .mapGroups((k, rows) => (k, series(rows)))
     val cores = s.sparkContext.defaultParallelism
-    val scored: Dataset[GridTask] = seriesDs
+    seriesDs
       .flatMap { case (k, xs) => configs.map { case (p, d, q) => (k, p, d, q, xs) } }
       .repartition(math.max(cores * 2, 8))
       .map { case (k, p, d, q, xs) =>
@@ -185,6 +188,13 @@ object ForecastJobs {
           .getOrElse(Double.NaN)
         GridTask(k, p, d, q, m, xs)
       }
+  }
+
+  /** Deterministic min-MSE config per profile (tie-break on the config
+    * tuple) — the grid's reduce side, shared like [[gridScored]].
+    */
+  private def gridBest(s: SparkSession, scored: Dataset[GridTask]): Dataset[(String, GridTask)] = {
+    import s.implicits._
     scored
       .filter(t => t.mse.isFinite)
       .groupByKey(_.profile_name)
@@ -192,6 +202,15 @@ object ForecastJobs {
         val ord = implicitly[Ordering[(Double, Int, Int, Int)]]
         if (ord.lteq((a.mse, a.p, a.d, a.q), (b.mse, b.p, b.d, b.q))) a else b
       }
+  }
+
+  def arimaJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seriesDs: Dataset[(String, Array[Double])] =
+      typedWeekly(s, dir, minWeeks = 5)
+        .groupByKey(_.profile_name)
+        .mapGroups((k, rows) => (k, series(rows)))
+    gridBest(s, gridScored(s, seriesDs))
       .map { case (_, t) =>
         // grid scored by fast HR walk-forward; the winning config's FINAL
         // parameters go HR → CSS (Nelder–Mead) → exact Kalman-filter MLE
@@ -435,6 +454,80 @@ object ForecastJobs {
       .orderBy(col("profile_name"), col("config"))
   }
 
+  final case class HrFitResult(
+      profile_name: String,
+      config: String,
+      c: Double,
+      sigma2: Double,
+      prediction: Double
+  )
+
+  /** Fixed-config Hannan–Rissanen fit on each full weekly series — the
+    * OLS half of the ARIMA pipeline ([[Models.arimaFit]]: stage-1 long-AR,
+    * stage-2 regression on lags+residuals, innovations variance, 1-step
+    * forecast) at three configs covering the q = 0 / p = 0 / two-stage
+    * shapes. The DuckDB oracle ([[HrReplay]]) replays both normal-equation
+    * builds and both Gaussian eliminations bit-for-bit — the arithmetic
+    * the `m_arima_forecast` grid runs thousands of times per profile.
+    * Reference semantics: `lib.py:98-132` (fit per config).
+    */
+  def arimaHrJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfgs = Seq((2, 1, 0), (0, 1, 2), (2, 1, 2))
+    typedWeekly(s, dir, minWeeks = 10)
+      .groupByKey(_.profile_name)
+      .mapGroups((k, rows) => (k, series(rows)))
+      .flatMap { case (k, xs) =>
+        cfgs.map { case (p, d, q) =>
+          val f = Models
+            .arimaFit(xs, p, d, q)
+            .getOrElse(throw new IllegalStateException(s"HR fit failed for $k/($p,$d,$q)"))
+          HrFitResult(k, s"arima($p,$d,$q)", f.c, f.sigma2, f.forecast)
+        }
+      }
+      .toDF()
+      // same last-ulp guard as the other fixed-recursion oracles
+      .select(
+        col("profile_name"),
+        col("config"),
+        round(col("c"), 6).as("c"),
+        round(col("sigma2"), 6).as("sigma2"),
+        round(col("prediction"), 6).as("prediction")
+      )
+      .orderBy(col("profile_name"), col("config"))
+  }
+
+  final case class GridSelResult(profile_name: String, best_config: String, mse: Double)
+
+  /** The REAL 50-config grid selection — [[gridScored]] + [[gridBest]],
+    * the exact production path `m_arima_forecast` runs — on bounded input
+    * (3 profiles × first 60 weeks) so the DuckDB oracle can afford to
+    * replay the whole thing: every (config, step) prefix gets a full HR
+    * refit ([[HrReplay]]), per-config walk-forward MSE folds in step
+    * order, failed/non-finite configs drop, and the argmin tie-breaks on
+    * (mse, p, d, q) — closing the grid half of the `m_arima_forecast`
+    * composition that had no independent check (the MLE half is anchored
+    * by `m_arima_mle_fixed`). Reference: `lib.py:98-132`,
+    * `arima_models.py:47-49`.
+    */
+  def arimaGridJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seriesDs: Dataset[(String, Array[Double])] =
+      typedWeekly(s, dir, minWeeks = 10)
+        .filter(_.profile_name < "Brand#14")
+        .groupByKey(_.profile_name)
+        .mapGroups((k, rows) => (k, series(rows).take(60)))
+    gridBest(s, gridScored(s, seriesDs))
+      .map { case (_, t) => GridSelResult(t.profile_name, s"(${t.p}, ${t.d}, ${t.q})", t.mse) }
+      .toDF()
+      .select(
+        col("profile_name"),
+        col("best_config"),
+        round(col("mse"), 6).as("mse")
+      )
+      .orderBy(col("profile_name"))
+  }
+
   final case class HoltOptResult(profile_name: String, alpha: Double, beta: Double, prediction: Double)
 
   /** Optimized-Holt composition (judge r2 next-round #1b): the REAL
@@ -477,6 +570,8 @@ object ForecastJobs {
     "m_arma_fixed"       -> (armaFixedJob(_, _)),
     "m_holt_fixed"       -> (holtFixedJob(_, _)),
     "m_arima_mle_fixed"  -> (arimaMleFixedJob(_, _)),
+    "m_arima_hr"         -> (arimaHrJob(_, _)),
+    "m_arima_grid"       -> (arimaGridJob(_, _)),
     "m_ses_forecast"     -> (sesJob(_, _)),
     "m_holt_forecast"    -> (holtJob(_, _, takeWeeks = 60)),
     "m_arima_forecast"   -> (arimaJob(_, _)),
@@ -695,6 +790,76 @@ object ForecastJobs {
          |sentinel AS (SELECT profile_name, pred AS prediction FROM joined WHERE actual IS NULL)
          |SELECT m.profile_name, round(m.mse, 6) AS mse, round(s2.prediction, 6) AS prediction
          |FROM permse m JOIN sentinel s2 USING (profile_name) ORDER BY profile_name""".stripMargin,
+    // m_arima_hr: the Hannan–Rissanen fit chain (both OLS solves via
+    // Gaussian elimination, innovations, forecast) replayed bit-exact by
+    // HrReplay at three fixed configs on every full weekly series.
+    "m_arima_hr" ->
+      s"""WITH RECURSIVE $weekly10,
+         |hseries AS (
+         |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+         |  FROM weekly GROUP BY profile_name),
+         |hcfg AS (SELECT * FROM (VALUES (2, 1, 0), (0, 1, 2), (2, 1, 2)) AS t(p, d, q)),
+         |units AS (
+         |  SELECT s.profile_name || '|' || c.p || '|' || c.d || '|' || c.q AS ukey,
+         |    c.p, c.d, c.q, s.xs
+         |  FROM hseries s, hcfg c),
+         |umeta AS (
+         |  SELECT s.profile_name || '|' || c.p || '|' || c.d || '|' || c.q AS ukey,
+         |    s.profile_name, 'arima(' || c.p || ',' || c.d || ',' || c.q || ')' AS config
+         |  FROM hseries s, hcfg c),
+         |${HrReplay.chain(s1Passes = 7, s2Passes = 5)}
+         |SELECT m.profile_name, m.config, round(h.c, 6) AS c,
+         |  round(h.s2, 6) AS sigma2, round(h.forecast, 6) AS prediction
+         |FROM hrfit h JOIN umeta m USING (ukey)
+         |ORDER BY m.profile_name, m.config""".stripMargin,
+    // m_arima_grid: the full 50-config grid selection replay — a complete
+    // HR refit (HrReplay) per (profile, config, walk-forward step) prefix,
+    // step-ordered MSE folds, configs with any failed step or non-finite
+    // MSE dropped (arimaWalkForward's None / isFinite filter), argmin with
+    // the (mse, p, d, q) tie-break of the engine's reduceGroups.
+    "m_arima_grid" ->
+      s"""WITH RECURSIVE $weekly10,
+         |gser AS (
+         |  SELECT profile_name, (list(weight ORDER BY week_date))[1:60] AS fxs
+         |  FROM weekly WHERE profile_name < 'Brand#14' GROUP BY profile_name),
+         |gcalc AS (
+         |  SELECT profile_name, fxs, len(fxs) AS fn,
+         |    CAST(floor(len(fxs) * 0.75) AS INT) AS sp
+         |  FROM gser),
+         |gcfg AS (
+         |  SELECT CAST(pp.range AS INT) AS p, CAST(dd.range AS INT) AS d, CAST(qq.range AS INT) AS q
+         |  FROM range(0, 5) pp, range(0, 2) dd, range(0, 5) qq),
+         |gidx AS (SELECT CAST(ii.range AS INT) AS i FROM range(0, 32) ii),
+         |gsteps AS (
+         |  SELECT profile_name, p, d, q, fxs, fn, sp, i
+         |  FROM gcalc, gcfg, gidx
+         |  WHERE sp >= d + greatest(p, q) + 5 AND i < fn - sp),
+         |units AS (
+         |  SELECT profile_name || '|' || p || '|' || d || '|' || q || '|' || i AS ukey,
+         |    p, d, q, fxs[1 : sp + i] AS xs
+         |  FROM gsteps),
+         |umeta AS (
+         |  SELECT profile_name || '|' || p || '|' || d || '|' || q || '|' || i AS ukey,
+         |    profile_name, p, d, q, i AS step, fxs[sp + i + 1] AS actual, fn - sp AS nsteps
+         |  FROM gsteps),
+         |${HrReplay.chain(s1Passes = 11, s2Passes = 9)},
+         |gpred AS (
+         |  SELECT m.profile_name, m.p, m.d, m.q, m.step, m.actual, m.nsteps, h.forecast
+         |  FROM umeta m JOIN hrfit h USING (ukey)),
+         |gmse AS (
+         |  SELECT profile_name, p, d, q,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list((forecast - actual) * (forecast - actual) ORDER BY step)),
+         |      (a, b) -> a + b) / count(*) AS mse,
+         |    count(*) AS got, any_value(nsteps) AS want
+         |  FROM gpred GROUP BY profile_name, p, d, q),
+         |gsel AS (
+         |  SELECT profile_name, p, d, q, mse,
+         |    row_number() OVER (PARTITION BY profile_name ORDER BY mse, p, d, q) AS rn
+         |  FROM gmse WHERE got = want AND isfinite(mse))
+         |SELECT profile_name, '(' || p || ', ' || d || ', ' || q || ')' AS best_config,
+         |  round(mse, 6) AS mse
+         |FROM gsel WHERE rn = 1 ORDER BY profile_name""".stripMargin,
     // m_arima_mle_fixed (judge r3 #1): three fixed-(p,d,q) Kalman filters
     // — AR(1), MA(1), ARMA(1,1), all d=1, μ=10 — each reduced to the
     // scalar (a, P₀₀) recursion its companion-form structure implies, in
