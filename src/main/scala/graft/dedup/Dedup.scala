@@ -503,7 +503,53 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the DuckDB-replayable
+    * companion to the HLL row `a_approx_distinct`: because the sketch is
+    * built on the library's own FNV-1a/splitmix64 ([[Hashing.hash64]],
+    * already replayed mod-2⁶⁴ for the minhash/simhash oracles) and the
+    * estimator ⌊(k−1)·2⁶⁴ / h₍ₖ₎⌋ stays in integer space, the WHOLE
+    * approximate-distinct pipeline gets a hash-exact oracle — something a
+    * black-box HLL can never have. Shape at scale: one map (hash), one
+    * distinct shuffle, then TakeOrdered's per-partition top-k (k·parts
+    * rows to the driver, k = 256); the estimate itself is an O(1) reduce.
+    * Runs over two columns to exercise both regimes: event_id (distinct ≫
+    * k, real estimation) and user_id (distinct < k at small SF → the
+    * sketch degrades to the exact count by construction).
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val e = Tables.events(s, dir)
+    val hashU = udf { (v: String) => Hashing.hash64(v, 0L) }
+    def sketch(c: String): DataFrame = {
+      val base = e.filter(col(c).isNotNull).select(col(c).cast("string").as("v"))
+      val hs = base.select(hashU($"v").as("h")).distinct()
+      // unsigned order rides signed sort via the sign-bit flip
+      val topk = hs.orderBy($"h".bitwiseXOR(lit(Long.MinValue)).asc).limit(k)
+      val agg = topk.agg(
+        max($"h".bitwiseXOR(lit(Long.MinValue))).as("xmax"),
+        count(lit(1)).as("got")
+      )
+      // ⌊(k−1)·2⁶⁴ / u₍ₖ₎⌋ in BigInt — no doubles, so the oracle's
+      // HUGEINT division matches bit-for-bit; < k distincts → exact count
+      val estU = udf { (xmax: Long, got: Long) =>
+        if (got < k) got
+        else ((BigInt(k - 1) << 64) / (BigInt(xmax) + (BigInt(1) << 63))).toLong
+      }
+      val exact = base.agg(countDistinct($"v").as("exact_distinct"))
+      agg.crossJoin(exact).select(
+        lit(c).as("column_name"),
+        lit(k).as("k"),
+        $"got",
+        $"xmax".bitwiseXOR(lit(Long.MinValue)).as("kth_hash"),
+        estU($"xmax", $"got").as("est_distinct"),
+        $"exact_distinct"
+      )
+    }
+    sketch("event_id").unionByName(sketch("user_id")).orderBy($"column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_kmv_distinct"        -> (kmvDistinct(_, _)),
     "dedup_winnow_pairs"    -> dedupWinnowPairs,
     "dedup_winnow_clusters" -> dedupWinnowClusters,
     "dedup_winnow_keep"     -> dedupWinnowKeep,
@@ -737,6 +783,34 @@ object Dedup {
        |FROM documents d LEFT JOIN sim USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Full replay of the KMV sketch: the same FNV-1a/splitmix64 chain as
+    * the signature replays over each column's distinct string values,
+    * unsigned top-k via HUGEINT ordering, and the integer estimator —
+    * every stage exact, no floats anywhere.
+    */
+  private val kmvReplay: String = {
+    val M = "18446744073709551616::HUGEINT"
+    def side(tag: String, c: String) =
+      s"""v$tag AS (SELECT DISTINCT CAST($c AS VARCHAR) AS s FROM events WHERE $c IS NOT NULL),
+         |src$tag AS (SELECT s AS key, 0::BIGINT AS sd, $bytesOf AS bs FROM v$tag),
+         |${hash64ReplaySql(tag, s"src$tag", "key")},
+         |u$tag AS (SELECT DISTINCT
+         |  (CASE WHEN hh < 0 THEN CAST(hh AS HUGEINT) + $M ELSE CAST(hh AS HUGEINT) END) AS u
+         |  FROM ${tag}6),
+         |t$tag AS (SELECT u FROM u$tag ORDER BY u LIMIT 256),
+         |a$tag AS (SELECT max(u) AS umax, count(*) AS got FROM t$tag),
+         |r$tag AS (
+         |  SELECT '$c' AS column_name, 256 AS k, got,
+         |    CAST(umax - (CASE WHEN umax >= 9223372036854775808::HUGEINT THEN $M ELSE 0::HUGEINT END) AS BIGINT) AS kth_hash,
+         |    CASE WHEN got < 256 THEN got
+         |         ELSE CAST((255::HUGEINT * $M) // umax AS BIGINT) END AS est_distinct,
+         |    (SELECT count(DISTINCT $c) FROM events WHERE $c IS NOT NULL) AS exact_distinct
+         |  FROM a$tag)""".stripMargin
+    s"""WITH ${side("ka", "event_id")},
+       |${side("kb", "user_id")}
+       |SELECT * FROM rka UNION ALL SELECT * FROM rkb ORDER BY column_name""".stripMargin
+  }
+
   /** Every dedup row is now oracle-checked: the winnow family end-to-end
     * (HUGEINT rolling-hash replay), the minhash/simhash SIGNATURES by a
     * full FNV-1a/splitmix64 replay in mod-2⁶⁴ HUGEINT arithmetic (r4 —
@@ -744,6 +818,7 @@ object Dedup {
     * downstream of the dumped sig boundary.
     */
   val oracles: Map[String, String] = Map(
+    "a_kmv_distinct"     -> kmvReplay,
     "dedup_minhash_sigs" -> minhashSigReplay,
     "dedup_simhash"      -> simhashReplay,
     "dedup_minhash_pairs" ->

@@ -181,4 +181,26 @@ class DedupSpec extends SparkSpec {
     val nonReps = clusters.count(r => r.getLong(0) != r.getLong(1))
     assert(Dedup.dedupWinnowKeep(spark, sf0001).count() == docs - nonReps)
   }
+
+  test("KMV sketch: exact fallback below k, bounded error above k") {
+    val rows = Dedup
+      .kmvDistinct(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toMap
+    // sf0.001 events: 15 users < k=256 -> the sketch IS the exact count
+    val (k, gotU, estU, exactU) = rows("user_id")
+    assert(gotU == exactU && estU == exactU)
+    // 1000 event_ids > k -> real estimation; KMV stderr ~ 1/sqrt(k) ~ 6%,
+    // assert a loose 4-sigma envelope so the test never flakes on data
+    val (_, gotE, estE, exactE) = rows("event_id")
+    assert(gotE == k.toLong)
+    assert(math.abs(estE.toDouble / exactE.toDouble - 1.0) < 0.25, s"est $estE vs exact $exactE")
+  }
+
+  test("KMV estimator is deterministic across runs") {
+    val a = Dedup.kmvDistinct(spark, sf0001).collect().toSeq
+    val b = Dedup.kmvDistinct(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
 }
