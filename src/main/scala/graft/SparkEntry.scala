@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.AsofJoin.queries ++
       ForecastJobs.queries ++ ZoloPipeline.queries ++
       TextAnalysis.queries ++ graft.text.Chunking.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ graft.streaming.StreamQueries.queries
+      Similarity.queries ++ Multimodal.queries ++ graft.streaming.StreamQueries.queries ++
+      graft.sources.RestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,5 @@ object SparkEntry {
       graft.queries.AsofJoin.oracles ++ ForecastJobs.oracles ++
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++
-      graft.streaming.StreamQueries.oracles
+      graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles
 }

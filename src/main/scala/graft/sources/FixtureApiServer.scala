@@ -1,0 +1,219 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.{InetAddress, InetSocketAddress, URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+/** Loopback test double for the three source APIs the reference extracts
+  * from. The container has zero egress, so the HTTP CONTRACTS — pagination,
+  * auth, rate-limit/retry signalling — are reproduced here from the
+  * reference's own client code (cited per endpoint) and served from the
+  * bundled fixture JSONL. The connector under test ([[RestSource]]/[[Http]])
+  * is the real production path; only the host is fake.
+  *
+  * Every endpoint requires auth (401 without it) and can inject
+  * `failFirst` leading failures (429 with `Retry-After: 0`, then 500) to
+  * exercise the retry policy on the real wire.
+  */
+final class FixtureApiServer private[sources] (server: HttpServer) {
+  val port: Int    = server.getAddress.getPort
+  def base: String = s"http://127.0.0.1:$port"
+  def stop(): Unit = server.stop(0)
+  private[sources] val requests = new AtomicInteger(0)
+  /** Total data requests served (for fetch-once assertions in specs). */
+  def requestCount: Int = requests.get()
+}
+
+object FixtureApiServer {
+
+  /** One fixture record: the raw JSONL line plus the field a date-range
+    * filter applies to (`created_at` / `TxnDate`).
+    */
+  private final case class Rec(line: String, ts: String)
+
+  private def load(jsonlPath: String, tsField: String): Vector[Rec] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    Files
+      .readAllLines(Paths.get(jsonlPath), UTF_8)
+      .asScala
+      .iterator
+      .filter(_.trim.nonEmpty)
+      .map { line =>
+        val node = mapper.readTree(line)
+        Rec(line.trim, Option(node.get(tsField)).map(_.asText).getOrElse(""))
+      }
+      .toVector
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery)
+      .map(_.split('&').iterator.map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else URLDecoder.decode(kv.take(i), UTF_8) -> URLDecoder.decode(kv.drop(i + 1), UTF_8)
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  private def respond(ex: HttpExchange, status: Int, body: String, headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    val bytes = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def start(routes: (String, (FixtureApiServer, HttpExchange) => Unit)*): FixtureApiServer = {
+    val server = HttpServer.create(new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    val wrapped = new FixtureApiServer(server)
+    routes.foreach { case (path, h) =>
+      server.createContext(path, (ex: HttpExchange) =>
+        try h(wrapped, ex)
+        catch { case e: Exception => respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""") })
+    }
+    server.setExecutor(null)
+    server.start()
+    wrapped
+  }
+
+  /** Shared failure injection: the first `failFirst` data requests get
+    * 429 (Retry-After: 0) alternating with 500 — both classes the client
+    * must retry.
+    */
+  private def injectFailure(srv: FixtureApiServer, ex: HttpExchange, failFirst: Int): Boolean = {
+    val n = srv.requests.incrementAndGet()
+    if (n <= failFirst) {
+      if (n % 2 == 1) respond(ex, 429, """{"error":"rate limited"}""", Map("Retry-After" -> "0"))
+      else respond(ex, 500, """{"error":"transient"}""")
+      true
+    } else false
+  }
+
+  private def authorized(ex: HttpExchange, expect: String): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expect)
+
+  private def inRange(rec: Rec, begin: Option[String], end: Option[String]): Boolean =
+    begin.forall(rec.ts >= _) && end.forall(rec.ts < _)
+
+  // ---- Square Connect v1 ------------------------------------------------
+
+  /** `GET /v1/{location}/payments?begin_time=..&end_time=..[&batch_token=..]`
+    * → body = JSON array of payments (≤ pageSize); while more pages remain,
+    * a `Link` header carries the next batch token in EXACTLY the shape the
+    * reference scrapes with `batch_token=(.*?)&begin_time=`
+    * (`square_ETL.py:88-91`). Bearer-token auth (`square_ETL.py:70`).
+    */
+  def squareV1(
+      jsonlPath: String,
+      locationId: String,
+      token: String,
+      pageSize: Int,
+      failFirst: Int = 0): FixtureApiServer = {
+    val recs = load(jsonlPath, "created_at")
+    start(s"/v1/$locationId/payments" -> { (srv, ex) =>
+      if (!injectFailure(srv, ex, failFirst)) {
+        if (!authorized(ex, s"Bearer $token")) respond(ex, 401, """{"error":"unauthorized"}""")
+        else {
+          val p     = params(ex)
+          val begin = p.get("begin_time")
+          val end   = p.get("end_time")
+          val window = recs.filter(inRange(_, begin, end))
+          val off    = p.get("batch_token").flatMap(_.toIntOption).getOrElse(0)
+          val page   = window.slice(off, off + pageSize)
+          val hdrs =
+            if (off + pageSize < window.size) {
+              val nextTok = (off + pageSize).toString
+              val b       = begin.map(URLEncoder.encode(_, UTF_8)).getOrElse("")
+              val e       = end.map(URLEncoder.encode(_, UTF_8)).getOrElse("")
+              Map("Link" ->
+                s"""<${srv.base}/v1/$locationId/payments?batch_token=$nextTok&begin_time=$b&end_time=$e>;rel="next"""")
+            } else Map.empty[String, String]
+          respond(ex, 200, page.map(_.line).mkString("[", ",", "]"), hdrs)
+        }
+      }
+    })
+  }
+
+  // ---- Shopify admin ----------------------------------------------------
+
+  /** `GET /admin/orders/count.json?created_at_min=..&created_at_max=..` →
+    * `{"count": N}`; `GET /admin/orders.json?...&limit=L&page=K` (1-based)
+    * → `{"orders":[...]}` (`shopify_ETL.py:70-88`). Basic auth — the
+    * reference embeds `key:password` in the URL (`:70-73`); the connector
+    * sends the equivalent `Authorization: Basic` header.
+    */
+  def shopifyAdmin(
+      jsonlPath: String,
+      user: String,
+      pass: String,
+      failFirst: Int = 0): FixtureApiServer = {
+    val recs = load(jsonlPath, "created_at")
+    val expect = "Basic " + java.util.Base64.getEncoder.encodeToString(s"$user:$pass".getBytes(UTF_8))
+    def window(p: Map[String, String]) =
+      recs.filter(inRange(_, p.get("created_at_min"), p.get("created_at_max")))
+    start(
+      "/admin/orders/count.json" -> { (srv, ex) =>
+        if (!injectFailure(srv, ex, failFirst)) {
+          if (!authorized(ex, expect)) respond(ex, 401, """{"error":"unauthorized"}""")
+          else respond(ex, 200, s"""{"count":${window(params(ex)).size}}""")
+        }
+      },
+      "/admin/orders.json" -> { (srv, ex) =>
+        if (!injectFailure(srv, ex, failFirst)) {
+          if (!authorized(ex, expect)) respond(ex, 401, """{"error":"unauthorized"}""")
+          else {
+            val p     = params(ex)
+            val limit = p.get("limit").flatMap(_.toIntOption).getOrElse(50)
+            val page  = p.get("page").flatMap(_.toIntOption).getOrElse(1)
+            val slice = window(p).slice((page - 1) * limit, page * limit)
+            respond(ex, 200, slice.map(_.line).mkString("""{"orders":[""", ",", "]}"))
+          }
+        }
+      }
+    )
+  }
+
+  // ---- QuickBooks query API ----------------------------------------------
+
+  /** `GET /v3/company/{realm}/query?query=<sql>` — `select count(*) from
+    * Invoice where TxnDate > '..' and TxnDate < '..'` →
+    * `{"QueryResponse":{"totalCount":N}}`; with `STARTPOSITION S MAXRESULTS
+    * M` (1-based) → `{"QueryResponse":{"Invoice":[...]}}`
+    * (`quickbooks_ETL.py:92-113`). Bearer auth (OAuth2 access token,
+    * `quickbooks_ETL.py:70-82`).
+    */
+  def qbQuery(
+      jsonlPath: String,
+      realmId: String,
+      token: String,
+      failFirst: Int = 0): FixtureApiServer = {
+    val recs     = load(jsonlPath, "TxnDate")
+    val startPos = """STARTPOSITION\s+(\d+)\s+MAXRESULTS\s+(\d+)""".r
+    val range    = """TxnDate\s*>\s*'([^']*)'\s*and\s*TxnDate\s*<\s*'([^']*)'""".r
+    start(s"/v3/company/$realmId/query" -> { (srv, ex) =>
+      if (!injectFailure(srv, ex, failFirst)) {
+        if (!authorized(ex, s"Bearer $token")) respond(ex, 401, """{"error":"unauthorized"}""")
+        else {
+          val q = params(ex).getOrElse("query", "")
+          val window = range.findFirstMatchIn(q) match {
+            // QB SQL range is exclusive on both ends (TxnDate > a and < b)
+            case Some(m) => recs.filter(r => r.ts > m.group(1) && r.ts < m.group(2))
+            case None    => recs
+          }
+          if (q.toLowerCase.contains("count(*)"))
+            respond(ex, 200, s"""{"QueryResponse":{"totalCount":${window.size}}}""")
+          else {
+            val (s, m) = startPos.findFirstMatchIn(q) match {
+              case Some(g) => (g.group(1).toInt, g.group(2).toInt)
+              case None    => (1, window.size)
+            }
+            val slice = window.slice(s - 1, s - 1 + m)
+            respond(ex, 200, slice.map(_.line).mkString("""{"QueryResponse":{"Invoice":[""", ",", "]}}"))
+          }
+        }
+      }
+    })
+  }
+}

@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.etl.{QuickbooksEtl, ShopifyEtl, SquareEtl, ZoloPipeline, ZoloSchemas}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Driver queries exercising the full HTTP extraction path end-to-end:
+  * loopback API ([[FixtureApiServer]]) → real connector ([[Http]] retries
+  * included — each server injects leading 429/500s) → pinned-schema parse →
+  * the SAME transform stages as the file-based ETLs → the SAME DuckDB
+  * oracles (which re-derive from the fixture JSONL independently of both
+  * the connector and Spark).
+  *
+  * sfDir is ignored, like the other zolo queries — the reference's nested
+  * payloads have no TPC-H analog.
+  */
+object RestQueries {
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+  private val begin          = "2019-01-01T00:00:00Z"
+  private val end            = "2020-01-01T00:00:00Z"
+
+  private def countOf(body: String, field: String): Int = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    field.split('.').foldLeft(node)((n, f) => n.get(f)).asInt
+  }
+
+  /** Square: sequential batch-token chain scraped off the Link header with
+    * the reference's own regex (`square_ETL.py:88-91`), 3 records/page so
+    * the fixture spans several pages.
+    */
+  def squareHttpTrans(spark: SparkSession): DataFrame = {
+    val srv = FixtureApiServer.squareV1(
+      s"${ZoloPipeline.fixturesDir}/square_payments.json",
+      locationId = "LOC1", token = "sq-fixture-token", pageSize = 3, failFirst = 2)
+    try {
+      val base  = s"${srv.base}/v1/LOC1/payments"
+      val range = s"begin_time=${enc(begin)}&end_time=${enc(end)}"
+      val tokRe = """batch_token=(.*?)&begin_time=""".r
+      val bodies = RestSource.fetchTokenPages(
+        s"$base?$range",
+        p => p.header("Link").flatMap(tokRe.findFirstMatchIn(_)).map(m => s"$base?batch_token=${m.group(1)}&$range"),
+        HttpConf().withBearer("sq-fixture-token"))
+      val raw = RestSource.recordsFromArrayPages(RestSource.pagesDf(spark, bodies), ZoloSchemas.squarePayment)
+      SquareEtl.headerTable(SquareEtl.withMarket(SquareEtl.details(raw))).orderBy("payment_id")
+    } finally srv.stop()
+  }
+
+  /** Shopify: count endpoint → independent page URLs → DISTRIBUTED fetch on
+    * executors (`shopify_ETL.py:70-88`; page size 2 forces real pagination
+    * on the fixture). Eager localCheckpoint pins the fetched bodies so the
+    * server can stop and plan re-execution never re-hits the API.
+    */
+  def shopifyHttpTrans(spark: SparkSession): DataFrame = {
+    val srv = FixtureApiServer.shopifyAdmin(
+      s"${ZoloPipeline.fixturesDir}/shopify_orders.json",
+      user = "sh-key", pass = "sh-pass", failFirst = 2)
+    try {
+      val cfg   = HttpConf().withBasicAuth("sh-key", "sh-pass")
+      val range = s"created_at_min=${enc(begin)}&created_at_max=${enc(end)}"
+      val count = countOf(
+        Http.get(Http.newClient(), s"${srv.base}/admin/orders/count.json?$range", cfg).body, "count")
+      val limit = 2
+      val urls = (1 to math.ceil(count / limit.toDouble).toInt)
+        .map(k => s"${srv.base}/admin/orders.json?$range&limit=$limit&page=$k")
+      val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
+      val envelope = StructType(Seq(StructField("orders", ArrayType(ZoloSchemas.shopifyOrder))))
+      val raw = RestSource.recordsFromEnvelopePages(bodies, envelope, "orders")
+      ShopifyEtl.headerTable(ShopifyEtl.details(raw)).orderBy("order_id")
+    } finally srv.stop()
+  }
+
+  /** QuickBooks: count query → STARTPOSITION/MAXRESULTS offset pages →
+    * distributed fetch (`quickbooks_ETL.py:92-113`). Deliberate divergence:
+    * the reference sizes the loop with `round(n / 25)` (`:101`), silently
+    * fetching ZERO pages when n < 13 — page count here is `ceil`, the
+    * arithmetic the reference plainly intended.
+    */
+  def qbHttpTrans(spark: SparkSession): DataFrame = {
+    val srv = FixtureApiServer.qbQuery(
+      s"${ZoloPipeline.fixturesDir}/qb_invoices.json",
+      realmId = "RLM1", token = "qb-fixture-token", failFirst = 2)
+    try {
+      val cfg = HttpConf().withBearer("qb-fixture-token")
+      // QB SQL range is exclusive both ends; the fixture dates are interior
+      val where = s"where TxnDate > '$begin' and TxnDate < '$end'"
+      def q(sql: String) = s"${srv.base}/v3/company/RLM1/query?query=${enc(sql)}"
+      val count = countOf(
+        Http.get(Http.newClient(), q(s"select count(*) from Invoice $where"), cfg).body,
+        "QueryResponse.totalCount")
+      val per = 2
+      val urls = (0 until math.ceil(count / per.toDouble).toInt)
+        .map(p => q(s"select * from Invoice $where STARTPOSITION ${p * per + 1} MAXRESULTS $per"))
+      val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
+      val envelope = StructType(Seq(StructField(
+        "QueryResponse",
+        StructType(Seq(StructField("Invoice", ArrayType(ZoloSchemas.qbInvoice)))))))
+      val raw = RestSource.recordsFromEnvelopePages(bodies, envelope, "QueryResponse.Invoice")
+      QuickbooksEtl.headerTable(QuickbooksEtl.details(raw)).orderBy("payment_id")
+    } finally srv.stop()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zolo_square_http"  -> ((s, _) => squareHttpTrans(s)),
+    "zolo_shopify_http" -> ((s, _) => shopifyHttpTrans(s)),
+    "zolo_qb_http"      -> ((s, _) => qbHttpTrans(s))
+  )
+
+  /** The HTTP paths must land EXACTLY the tables the file ETLs land, so
+    * they share those oracles verbatim.
+    */
+  val oracles: Map[String, String] = Map(
+    "zolo_square_http"  -> ZoloPipeline.oracles("zolo_square_trans"),
+    "zolo_shopify_http" -> ZoloPipeline.oracles("zolo_shopify_trans"),
+    "zolo_qb_http"      -> ZoloPipeline.oracles("zolo_qb_trans")
+  )
+}

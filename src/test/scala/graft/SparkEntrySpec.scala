@@ -16,10 +16,12 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("query keys are globally unique across modules") {
     val maps = Seq(
-      Relational.queries, Advanced.queries, ForecastJobs.queries,
+      Relational.queries, Advanced.queries, graft.queries.AsofJoin.queries,
+      ForecastJobs.queries,
       ZoloPipeline.queries, TextAnalysis.queries, Dedup.queries,
       Similarity.queries, Multimodal.queries,
-      graft.streaming.StreamQueries.queries, graft.text.Chunking.queries
+      graft.streaming.StreamQueries.queries, graft.text.Chunking.queries,
+      graft.sources.RestQueries.queries
     )
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size == total,

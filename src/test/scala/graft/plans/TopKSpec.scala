@@ -45,11 +45,23 @@ class TopKSpec extends SparkSpec {
       .select(($"id" % nKeys).as("key"), $"id", rand(42).as("score"))
     val out = TopK.perKey(df, Seq(col("key")), Seq(col("score").desc, col("id").asc), k = k)
     assert(out.collect().length == nKeys * k)
-    val execs = out.queryExecution.executedPlan.collect {
-      case t: TopKPerKeyExec => t
+    // TreeNode.collect stops at QueryStageExec (a leaf) when AQE has
+    // re-planned — descend through adaptive wrappers explicitly, or the
+    // partial node below the exchange is invisible to the traversal
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def execs(p: SparkPlan): Seq[TopKPerKeyExec] = {
+      val here = p match { case t: TopKPerKeyExec => Seq(t); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      here ++ kids.flatMap(execs)
     }
-    val partial = execs.find(_.partial).get
-    val exact   = execs.find(!_.partial).get
+    val all     = execs(out.queryExecution.executedPlan)
+    val partial = all.find(_.partial).get
+    val exact   = all.find(!_.partial).get
     val shipped = partial.metrics("numOutputRows").value
     // each of the 8 mappers ships at most k rows per key it saw — ~400
     // rows cross the exchange instead of the 100k candidates
