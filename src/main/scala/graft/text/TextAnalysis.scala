@@ -375,7 +375,122 @@ object TextAnalysis {
       .orderBy($"lang", $"sample_rank")
   }
 
+  /** MassiveText repetition filters (Rae et al. 2021 §A1.1, public): top
+    * n-gram character fraction (n=2..4) and duplicated-n-gram character
+    * coverage (n=5..10), with the paper's per-n keep thresholds. The
+    * corpus is single-line word streams, so the line/paragraph half of the
+    * rule family maps away; the n-gram half is the load-bearing part at
+    * pretraining scale. Top fractions use the paper's count×len product
+    * (overlapping occurrences can push it past 1.0 — it is a filter
+    * signal, not a measure); coverage marks each word position covered by
+    * ANY ≥2× n-gram once, so it is a true fraction.
+    *
+    * 100 TB shape: n-gram generation is row-local (transform over
+    * sequence, one explode); counts ride one shuffle on (doc_id, n, gram)
+    * with map-side partial agg; dup coverage re-joins gram starts on the
+    * same key and reduces per doc. Everything is per-document, so the
+    * shuffles are uniformly keyed by doc — no global state, no skew
+    * beyond document length itself.
+    */
+  val textRepetition: Q = (s, d) => {
+    val ns = (2 to 10).toArray
+    val docs = Tables
+      .documents(s, d)
+      .select($"doc_id", $"text")
+      .withColumn("ws", split($"text", " "))
+      .withColumn("m", size($"ws"))
+      .withColumn("charsum", length(regexp_replace($"text", " ", "")))
+
+    // every (n, start, gram) triple of one doc, built row-locally; starts
+    // past m-n+1 are dropped by the filter (sequence(1, m) keeps the
+    // lambda type-stable — sequence with a negative span would reverse)
+    val gramArr = filter(
+      flatten(
+        transform(
+          lit(ns),
+          n =>
+            transform(
+              sequence(lit(1), $"m"),
+              i => struct(n.as("n"), i.as("start"), array_join(slice($"ws", i, n), " ").as("g"))
+            )
+        )
+      ),
+      x => x("start") <= $"m" - x("n") + 1
+    )
+    val grams = docs
+      .select($"doc_id", explode(gramArr).as("x"))
+      .select($"doc_id", $"x.n".as("n"), $"x.start".as("start"), $"x.g".as("g"))
+    val cnts = grams.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("cnt"))
+
+    // top n-gram (n=2..4): ties pinned by (cnt desc, gram asc); numerator
+    // is count × chars-of-gram (spaces excluded: length(g) - (n-1))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id", $"n")
+      .orderBy($"cnt".desc, $"g".asc)
+    val tops = cnts
+      .filter($"n" <= 4)
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n", ($"cnt" * (length($"g") - ($"n" - 1))).as("num"))
+      .groupBy($"doc_id")
+      .agg(
+        max(when($"n" === 2, $"num")).as("top2_num"),
+        max(when($"n" === 3, $"num")).as("top3_num"),
+        max(when($"n" === 4, $"num")).as("top4_num")
+      )
+
+    // duplicated n-grams (n=5..10): word positions covered by any gram
+    // occurring >= 2 times, counted once per (n, position)
+    val dups = cnts.filter($"n" >= 5 && $"cnt" >= 2).select($"doc_id", $"n", $"g")
+    val covered = grams
+      .filter($"n" >= 5)
+      .join(dups, Seq("doc_id", "n", "g"))
+      .select($"doc_id", $"n", explode(sequence($"start", $"start" + $"n" - 1)).as("p"))
+      .distinct()
+    val positions = docs
+      .select($"doc_id", posexplode($"ws").as(Seq("p0", "w")))
+      .select($"doc_id", ($"p0" + 1).as("p"), length($"w").as("wlen"))
+    val dupAgg = covered
+      .join(positions, Seq("doc_id", "p"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"n" === 5, $"wlen")).as("dup5_num"),
+        sum(when($"n" === 6, $"wlen")).as("dup6_num"),
+        sum(when($"n" === 7, $"wlen")).as("dup7_num"),
+        sum(when($"n" === 8, $"wlen")).as("dup8_num"),
+        sum(when($"n" === 9, $"wlen")).as("dup9_num"),
+        sum(when($"n" === 10, $"wlen")).as("dup10_num")
+      )
+
+    def frac(c: String, as: String) =
+      (coalesce(col(c), lit(0L)).cast("double") / $"charsum").as(as)
+    docs
+      .select($"doc_id", $"charsum")
+      .join(tops, Seq("doc_id"), "left")
+      .join(dupAgg, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        frac("top2_num", "top2_frac"),
+        frac("top3_num", "top3_frac"),
+        frac("top4_num", "top4_frac"),
+        frac("dup5_num", "dup5_frac"),
+        frac("dup6_num", "dup6_frac"),
+        frac("dup7_num", "dup7_frac"),
+        frac("dup8_num", "dup8_frac"),
+        frac("dup9_num", "dup9_frac"),
+        frac("dup10_num", "dup10_frac")
+      )
+      .withColumn(
+        "keep",
+        ($"top2_frac" <= 0.20 && $"top3_frac" <= 0.18 && $"top4_frac" <= 0.16 &&
+          $"dup5_frac" <= 0.15 && $"dup6_frac" <= 0.14 && $"dup7_frac" <= 0.13 &&
+          $"dup8_frac" <= 0.12 && $"dup9_frac" <= 0.11 && $"dup10_frac" <= 0.10).cast("int")
+      )
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_repetition"   -> textRepetition,
     "text_gopher_rules" -> textGopherRules,
     "text_stratified_sample" -> textStratifiedSample,
     "text_top_ngrams"   -> textTopNgrams,
@@ -421,6 +536,69 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // text_repetition: full independent replay — n-gram generation via
+    // lateral generate_series + list slicing, counts, tie-pinned top via
+    // QUALIFY, coverage via DISTINCT covered positions. Fractions are
+    // integer/AsDouble divisions → bit-exact on both engines.
+    "text_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS m,
+        |    length(replace(text, ' ', '')) AS charsum
+        |  FROM documents),
+        |grams AS (
+        |  SELECT d.doc_id, n.n, i.i AS start,
+        |    array_to_string(d.ws[i.i : i.i + n.n - 1], ' ') AS g
+        |  FROM docs d,
+        |    (SELECT unnest(generate_series(2, 10)) AS n) n,
+        |    LATERAL (SELECT unnest(generate_series(1, d.m - n.n + 1)) AS i) i),
+        |cnts AS (
+        |  SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+        |top1 AS (
+        |  SELECT doc_id, n, cnt * (length(g) - (n - 1)) AS num
+        |  FROM cnts WHERE n <= 4
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g) = 1),
+        |tops AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN num END) AS top2_num,
+        |    max(CASE WHEN n = 3 THEN num END) AS top3_num,
+        |    max(CASE WHEN n = 4 THEN num END) AS top4_num
+        |  FROM top1 GROUP BY doc_id),
+        |dups AS (SELECT doc_id, n, g FROM cnts WHERE n >= 5 AND cnt >= 2),
+        |covered AS (
+        |  SELECT DISTINCT gr.doc_id, gr.n, pp.p
+        |  FROM grams gr
+        |  JOIN dups USING (doc_id, n, g),
+        |  LATERAL (SELECT unnest(generate_series(gr.start, gr.start + gr.n - 1)) AS p) pp),
+        |positions AS (
+        |  SELECT d.doc_id, i.i AS p, length(d.ws[i.i]) AS wlen
+        |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i),
+        |dupagg AS (
+        |  SELECT c.doc_id,
+        |    sum(CASE WHEN c.n = 5 THEN pos.wlen END) AS dup5_num,
+        |    sum(CASE WHEN c.n = 6 THEN pos.wlen END) AS dup6_num,
+        |    sum(CASE WHEN c.n = 7 THEN pos.wlen END) AS dup7_num,
+        |    sum(CASE WHEN c.n = 8 THEN pos.wlen END) AS dup8_num,
+        |    sum(CASE WHEN c.n = 9 THEN pos.wlen END) AS dup9_num,
+        |    sum(CASE WHEN c.n = 10 THEN pos.wlen END) AS dup10_num
+        |  FROM covered c JOIN positions pos USING (doc_id, p) GROUP BY 1),
+        |fr AS (
+        |  SELECT d.doc_id,
+        |    coalesce(top2_num, 0) / CAST(d.charsum AS DOUBLE) AS top2_frac,
+        |    coalesce(top3_num, 0) / CAST(d.charsum AS DOUBLE) AS top3_frac,
+        |    coalesce(top4_num, 0) / CAST(d.charsum AS DOUBLE) AS top4_frac,
+        |    coalesce(dup5_num, 0) / CAST(d.charsum AS DOUBLE) AS dup5_frac,
+        |    coalesce(dup6_num, 0) / CAST(d.charsum AS DOUBLE) AS dup6_frac,
+        |    coalesce(dup7_num, 0) / CAST(d.charsum AS DOUBLE) AS dup7_frac,
+        |    coalesce(dup8_num, 0) / CAST(d.charsum AS DOUBLE) AS dup8_frac,
+        |    coalesce(dup9_num, 0) / CAST(d.charsum AS DOUBLE) AS dup9_frac,
+        |    coalesce(dup10_num, 0) / CAST(d.charsum AS DOUBLE) AS dup10_frac
+        |  FROM docs d
+        |  LEFT JOIN tops USING (doc_id) LEFT JOIN dupagg USING (doc_id))
+        |SELECT *, CAST(top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        |  AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+        |  AND dup8_frac <= 0.12 AND dup9_frac <= 0.11 AND dup10_frac <= 0.10 AS INT) AS keep
+        |FROM fr ORDER BY doc_id""".stripMargin,
     "text_langid_ngram" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS labeled_lang,

@@ -54,4 +54,36 @@ class TextSpec extends SparkSpec {
     assert(fp.map(_.getString(1)).distinct.length <= fp.length)
     assert(fp.forall(_.getString(1).length == 32))
   }
+
+  test("repetition filters: planted top-bigram and duplicated-5-gram cases") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-repetition").toString
+    Seq(
+      // "x y" appears 3 times over 6 chars of words → top2 = 3*2/6 = 1.0;
+      // every 5-gram is unique → dup5 = 0
+      (1L, "x y x y x y"),
+      // 10×"a": "a a a a a" occurs 6 times → all 10 positions covered →
+      // dup5 = 1.0; top2 = 9 overlapping occurrences × 2 chars / 10 = 1.8
+      // (the count×len product deliberately exceeds 1 on pure repetition)
+      (2L, "a a a a a a a a a a"),
+      // no repeated n-gram of any size: dup fractions all 0, keep=0 is
+      // still forced by top2 = 1/15 vs m=4 short-window products
+      (3L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis
+      .textRepetition(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(rows(1L).getDouble(1) == 1.0)  // top2_frac
+    assert(rows(1L).getDouble(4) == 0.0)  // dup5_frac
+    assert(rows(2L).getDouble(1) == 1.8)
+    assert(rows(2L).getDouble(4) == 1.0)
+    assert(rows(2L).getInt(10) == 0)      // keep rejects pure repetition
+    (4 to 9).foreach(i => assert(rows(3L).getDouble(i) == 0.0)) // all dup fracs
+    // coverage is a true fraction even where the count×len product is not
+    rows.values.foreach(r => (4 to 9).foreach { i =>
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+    })
+  }
 }
