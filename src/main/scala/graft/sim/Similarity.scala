@@ -547,7 +547,81 @@ object Similarity {
       .orderBy($"probe_id", $"neighbor_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, public): semantic near-dup removal via
+    * k-means clustering + within-cluster cosine threshold. The pairwise
+    * stage is keyed by cell_id, so the quadratic is bounded at O(n²/k)
+    * per cell and NEVER crosses cluster boundaries — the paper's entire
+    * scale argument, and the same partition-the-quadratic shape as the
+    * LSH bucket join. Duplicate groups are connected components of the
+    * ≥ tau graph (shared [[graft.dedup.Dedup.connectedComponents]]);
+    * the kept representative is the member with the LOWEST similarity to
+    * its cluster centroid (the paper's §3 rule — keeps the least
+    * redundant member), ties by id.
+    *
+    * Trained centroids are dumped as a boundary-oracle input
+    * ([[graft.OracleIo]]): DuckDB replays assignment, the within-cell
+    * pair graph, the recursive-CTE closure, and the representative rule,
+    * so everything downstream of Lloyd training is hash-checked.
+    */
+  def semDeDupKeep(
+      s: SparkSession,
+      d: String,
+      nCells: Int,
+      tau: Double,
+      centsDump: Option[String] = None
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e     = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val cents = trainCentroids(s, e, nCells, iters = 3)
+    centsDump.foreach { p =>
+      import s.implicits._
+      cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p)
+    }
+    val bc         = s.sparkContext.broadcast(cents)
+    val assignCell = udf { (v: Seq[Double]) => nearestCell(bc.value, v) }
+    val centSim    = udf { (c: Int, v: Seq[Double]) => cosLocal(bc.value(c), v) }
+    val assigned = e
+      .withColumn("cell_id", assignCell($"v"))
+      .withColumn("cent_sim", round(centSim($"cell_id", $"v"), 6))
+      .persist()
+    try {
+      val a = assigned.select($"vec_id".as("vec_a"), $"cell_id", $"v".as("va"))
+      val b = assigned.select($"vec_id".as("vec_b"), $"cell_id", $"v".as("vb"))
+      val pairs = a
+        .join(b, Seq("cell_id"))
+        .filter($"vec_a" < $"vec_b")
+        .filter(round(cosine($"va", $"vb"), 6) >= tau)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+      val comps = graft.dedup.Dedup.connectedComponents(pairs)
+      val out = assigned
+        .select($"vec_id", $"cell_id", $"cent_sim")
+        .join(comps.select($"doc_id".as("vec_id"), $"cluster_id"), Seq("vec_id"), "left")
+        .withColumn("component", coalesce($"cluster_id", $"vec_id"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy($"component").orderBy($"cent_sim".asc, $"vec_id".asc))
+        )
+        .select(
+          $"vec_id",
+          $"cell_id".cast("int").as("cell_id"),
+          $"component",
+          ($"rn" === 1).cast("int").as("keep")
+        )
+        .orderBy($"vec_id")
+      out.localCheckpoint(eager = true)
+    } finally assigned.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_semdedup_keep" -> ((s, d) =>
+      semDeDupKeep(s, d, nCells = 16, tau = 0.4,
+        centsDump = Some(s"${graft.OracleIo.dir(d)}/semdedup_centroids"))),
     "sim_quantize_int8"   -> quantizeInt8,
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d, k = 5)),
     "ann_topk_native"     -> ((s, d) => bruteForceTopKNative(s, d, k = 5)),
@@ -562,6 +636,51 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // given-centroids SemDeDup replay: assignment (first-max argmax),
+    // within-cell pair graph at tau, recursive-CTE transitive closure
+    // (min-label = the engine's converged CC), then the paper's
+    // representative rule (lowest centroid similarity, id tiebreak)
+    "dedup_semdedup_keep" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT cell_id, centroid
+         |  FROM read_parquet('${graft.OracleIo.sqlDir}/semdedup_centroids/*.parquet')),
+         |asim AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |    list_dot_product(c.centroid, e.v)
+         |      / sqrt(list_dot_product(c.centroid, c.centroid) * list_dot_product(e.v, e.v)) AS sim
+         |  FROM e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, cell_id, round(sim, 6) AS cent_sim FROM (
+         |    SELECT vec_id, cell_id, sim,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM asim) t WHERE rn = 1),
+         |sel AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM assigned a
+         |  JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(list_dot_product(ea.v, eb.v)
+         |    / sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)), 6) >= 0.4),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sel
+         |          UNION SELECT doc_b, doc_a FROM sel),
+         |reach AS (
+         |  SELECT src AS doc_id, src AS r FROM edges
+         |  UNION
+         |  SELECT g.src, reach.r FROM edges g JOIN reach ON reach.doc_id = g.dst),
+         |clusters AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |lab AS (
+         |  SELECT a.vec_id, a.cell_id, a.cent_sim,
+         |    coalesce(c.cluster_id, a.vec_id) AS component
+         |  FROM assigned a LEFT JOIN clusters c ON c.doc_id = a.vec_id)
+         |SELECT vec_id, CAST(cell_id AS INT) AS cell_id, component,
+         |  CAST(CASE WHEN row_number() OVER
+         |    (PARTITION BY component ORDER BY cent_sim, vec_id) = 1
+         |    THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM lab ORDER BY vec_id""".stripMargin,
     // given-centroids replay of the PRUNED IVF path (judge r3 #7): cell
     // assignment (first-max argmax), per-probe nprobe=4 cell restriction,
     // in-cell cosine, top-5 rank — all recomputed by DuckDB from the

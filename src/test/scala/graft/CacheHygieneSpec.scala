@@ -31,6 +31,7 @@ class CacheHygieneSpec extends SparkSpec {
     "dedup_keep_list",
     "ann_ivf_topk",
     "ann_ivf_index_topk",
-    "ann_srp_topk"
+    "ann_srp_topk",
+    "dedup_semdedup_keep"
   ).foreach(assertNoCache)
 }

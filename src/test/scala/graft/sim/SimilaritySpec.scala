@@ -147,4 +147,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out2.toSeq == bfRows.toSeq)
     assert(spark.read.parquet(dir).count() == n)
   }
+
+  test("semdedup: planted near-dup group keeps exactly the least-central member") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    // ids 0..3 are orthogonal axes (they become the k-means seeds, so the
+    // 4 cells spread); ids 10..12 are tiny rotations of axis 0 → a
+    // near-dup group with vec 0 (pairwise cos ≈ 1 >> 0.4), all landing in
+    // cell 0 — the within-cell pair graph must collapse them
+    val dim = 8
+    def unit(axis: Int, eps: Double): Array[Float] = {
+      val v = new Array[Double](dim)
+      v(axis) = 1.0; v((axis + 1) % dim) += eps
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0L to 3L).map(i => i -> unit(i.toInt, 0.0)) ++
+      Seq(10L -> unit(0, 0.01), 11L -> unit(0, 0.02), 12L -> unit(0, 0.03))
+    rows
+      .map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.catalog.clearCache()
+    val out = Similarity
+      .semDeDupKeep(spark, dir, nCells = 4, tau = 0.4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    val group = Seq(0L, 10L, 11L, 12L)
+    // the group collapses to one component labeled by the min id...
+    assert(group.map(out(_)._1).distinct == Seq(0L))
+    // ...keeping exactly one representative
+    assert(group.map(out(_)._2).sum == 1, "exactly one representative kept")
+    // orthogonal singletons keep themselves
+    (1L to 3L).foreach(i => assert(out(i) == (i, 1)))
+    // cache hygiene: the builder must clean up its persists
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
