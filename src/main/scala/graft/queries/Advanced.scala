@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.tables.Tables
 import graft.syntax._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -208,7 +208,89 @@ object Advanced {
       )
       .orderBy($"c_custkey")
 
+  /** Mergeable bottom-k quantile sketch: a KMV-style deterministic
+    * uniform sample — the k rows with the smallest md5(primary key) —
+    * plus type-1 (no interpolation) quantiles read off the value-sorted
+    * sample. The k-row sample IS the sketch state and merges exactly
+    * like KMV: bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)), so
+    * shards sketch independently and a coordinator merges fixed-size
+    * states (AdvancedSpec proves the identity). Unlike percentile_approx
+    * the state is deterministic and engine-agnostic, so the estimate
+    * itself is oracle-exact. The bottom-k runs on the native TopKPerKey
+    * operator: its map-side partial trim ships ≤ k rows per mapper — the
+    * 100 TB shape for a global bottom-k (no full sort, no full shuffle).
+    */
+  val sketchK = 256
+
+  def quantileSample(rows: DataFrame): DataFrame =
+    graft.plans.TopK
+      .perKey(rows.withColumn("g", lit(1)), Seq($"g"), Seq($"h".asc, $"v".asc), sketchK)
+      .drop("g")
+
+  val aQuantileSketch: Q = (s, d) => {
+    val hashed = Tables
+      .lineitem(s, d)
+      .select(
+        $"l_extendedprice".as("v"),
+        md5(concat_ws("|", $"l_orderkey", $"l_linenumber").cast("binary")).as("h")
+      )
+    val sample = quantileSample(hashed)
+    val ranked = sample
+      .withColumn("r", row_number().over(Window.orderBy($"v", $"h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    s.range(1)
+      .select(explode(lit(Array(0.25, 0.5, 0.75, 0.9, 0.99))).as("q"))
+      .join(ranked, $"r" === ceil($"q" * $"n").cast("long"))
+      .select($"q", $"v".as("est_v"), $"n".cast("int").as("sample_n"))
+      .orderBy($"q")
+  }
+
+  /** Count-min sketch heavy hitters: depth×width counter matrix
+    * (4 × 512), bucket_j(key) = first-8-hex of md5(j|key) mod width. The
+    * counter build is ONE map-side-combinable groupBy whose output is ≤
+    * depth×width rows per mapper — the fixed-size mergeable state a
+    * 100 TB frequency scan ships instead of a per-key shuffle; merging
+    * shards is elementwise counter addition (linearity, spec-proven).
+    * Estimates (min over rows) are queried for the exact top-10 keys and
+    * carry the one-sided CMS guarantee est ≥ exact, visible in the
+    * output and hash-checked by the oracle.
+    */
+  val cmsDepth = 4
+  val cmsWidth = 512
+
+  /** Exposed for the linearity spec. */
+  def cmsBucketPublic(j: Int, key: Column): Column = cmsBucket(j, key)
+
+  private def cmsBucket(j: Int, key: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(j), key).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % cmsWidth
+
+  val aCmsHeavy: Q = (s, d) => {
+    val ev = Tables.events(s, d).select($"user_id")
+    val counters = ev
+      .select(explode(array((0 until cmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(j, $"user_id").as("b"))): _*)).as("jb"))
+      .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+    val top = exact
+      .withColumn("rn", row_number().over(Window.orderBy($"exact_cnt".desc, $"user_id")))
+      .filter($"rn" <= 10)
+    val est = top
+      .select($"user_id", $"exact_cnt", $"rn",
+        explode(array((0 until cmsDepth).map(j =>
+          struct(lit(j).as("j"), cmsBucket(j, $"user_id").as("b"))): _*)).as("jb"))
+      .join(counters, $"jb.j" === $"j" && $"jb.b" === $"b")
+      .groupBy($"user_id", $"exact_cnt", $"rn")
+      .agg(min($"c").as("cms_est"))
+    est
+      .select($"user_id", $"exact_cnt", $"cms_est", ($"cms_est" >= $"exact_cnt").cast("int").as("one_sided_ok"))
+      .orderBy($"exact_cnt".desc, $"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_quantile_sketch" -> aQuantileSketch,
+    "a_cms_heavy"       -> aCmsHeavy,
     "w_running_total"   -> wRunningTotal,
     "w_lead_lag"        -> wLeadLag,
     "f_string_funcs"    -> fStringFuncs,
@@ -222,6 +304,47 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay: same md5 bottom-k sample, same type-1 rank pick —
+    // the sketch STATE is deterministic, so even the estimates hash-match
+    "a_quantile_sketch" ->
+      s"""WITH h AS (
+         |  SELECT l_extendedprice AS v,
+         |    md5(concat_ws('|', l_orderkey, l_linenumber)) AS h
+         |  FROM lineitem),
+         |sm AS (SELECT v, h FROM h QUALIFY row_number() OVER (ORDER BY h, v) <= $sketchK),
+         |rk AS (SELECT v, h, row_number() OVER (ORDER BY v, h) AS r,
+         |       count(*) OVER () AS n FROM sm)
+         |SELECT q, v AS est_v, CAST(n AS INT) AS sample_n
+         |FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q) qs
+         |JOIN rk ON rk.r = CAST(ceil(q * rk.n) AS BIGINT)
+         |ORDER BY q""".stripMargin,
+    // full replay of the counter matrix and the min-over-rows estimates;
+    // the hex-parse fold replays Spark's conv(substr(md5,1,8),16,10)
+    "a_cms_heavy" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |jd AS (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS j),
+         |counters AS (
+         |  SELECT jd.j,
+         |    list_reduce([instr('0123456789abcdef',
+         |        md5(concat_ws('|', jd.j, ev.user_id))[i]) - 1
+         |      for i in range(1, 9)], (a, b) -> a * 16 + b) % $cmsWidth AS b,
+         |    count(*) AS c
+         |  FROM ev, jd GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY 1),
+         |top AS (SELECT user_id, exact_cnt FROM exact
+         |  QUALIFY row_number() OVER (ORDER BY exact_cnt DESC, user_id) <= 10),
+         |est AS (
+         |  SELECT t.user_id, t.exact_cnt, MIN(c.c) AS cms_est
+         |  FROM top t
+         |  CROSS JOIN jd
+         |  JOIN counters c ON c.j = jd.j
+         |    AND c.b = list_reduce([instr('0123456789abcdef',
+         |          md5(concat_ws('|', jd.j, t.user_id))[i]) - 1
+         |        for i in range(1, 9)], (a, b) -> a * 16 + b) % $cmsWidth
+         |  GROUP BY 1, 2)
+         |SELECT user_id, exact_cnt, cms_est,
+         |  CAST(cms_est >= exact_cnt AS INT) AS one_sided_ok
+         |FROM est ORDER BY exact_cnt DESC, user_id""".stripMargin,
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER

@@ -24,4 +24,53 @@ class AdvancedSpec extends SparkSpec {
       assert(ids.toSeq == (1L to ids.length))
     }
   }
+
+  test("quantile sketch merges: bottomK(A ∪ B) == bottomK(bottomK(A) ∪ bottomK(B))") {
+    import org.apache.spark.sql.functions._
+    val hashed = graft.tables.Tables
+      .lineitem(spark, sf0001)
+      .select(
+        col("l_extendedprice").as("v"),
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")).cast("binary")).as("h")
+      )
+    // shard on an arbitrary predicate, sketch each shard, merge the states
+    val a      = hashed.filter(col("h") < "8")
+    val b      = hashed.filter(col("h") >= "8")
+    val merged = Advanced.quantileSample(Advanced.quantileSample(a).union(Advanced.quantileSample(b)))
+    val direct = Advanced.quantileSample(hashed)
+    val key    = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("h").collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(key(merged) == key(direct))
+    assert(direct.count() == Advanced.sketchK)
+  }
+
+  test("CMS counters are linear (shard-mergeable) and estimates one-sided") {
+    import org.apache.spark.sql.functions._
+    val rows = Advanced.aCmsHeavy(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS under-counted: $r") // est >= exact
+      assert(r.getInt(3) == 1)
+    }
+    // linearity: counters built on the union equal summed shard counters —
+    // the merge a 100 TB run performs between executor-local sketches
+    val ev = graft.tables.Tables.events(spark, sf0001).select(col("user_id"))
+    def counters(df: org.apache.spark.sql.DataFrame) = df
+      .select(
+        col("user_id"),
+        explode(array((0 until Advanced.cmsDepth).map(j =>
+          struct(lit(j).as("j"), Advanced.cmsBucketPublic(j, col("user_id")).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val aSide = ev.filter(col("user_id") % 2 === 0)
+    val bSide = ev.filter(col("user_id") % 2 =!= 0)
+    val summed = counters(aSide)
+      .union(counters(bSide))
+      .groupBy("j", "b")
+      .agg(sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = counters(ev)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(summed == whole)
+  }
 }
