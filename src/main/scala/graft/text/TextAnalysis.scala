@@ -489,7 +489,107 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-scaled mixture sampling — the corpus-composition
+    * primitive (multilingual-training style): per-language acceptance
+    * rates ∝ n_l^T rebalance head languages down and tail languages up,
+    * then each doc accepts deterministically via an md5-derived uniform.
+    * T = 0.5 (square-root temperature) keeps every float op IEEE-exact
+    * across engines: sqrt and division are correctly rounded, pow is not
+    * — so the oracle hash-matches instead of drifting in the last bit.
+    * Two passes: a tiny per-lang count aggregate (broadcast back), then
+    * a map-only accept — no shuffle of the corpus itself.
+    */
+  val textMixtureSample: Q = (s, d) => {
+    val docs   = Tables.documents(s, d)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val wTot   = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rates = counts
+      .withColumn("q_l", sqrt($"n_l".cast("double")))
+      .withColumn("share", $"q_l" / sum($"q_l").over(wTot))
+      .withColumn("target", $"share" * (sum($"n_l").over(wTot) * lit(0.5)))
+      .withColumn("rate", least(lit(1.0), $"target" / $"n_l"))
+      .select($"lang", $"rate")
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn(
+        "u",
+        conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+      )
+      .filter($"u" < $"rate")
+      .select($"doc_id", $"lang", $"rate")
+      .orderBy($"doc_id")
+  }
+
+  /** Cross-document duplicated-span detection (the Lee et al. 2022
+    * "Deduplicating Training Data" substring signal, word-granular): an
+    * 8-gram occurring in ≥ 2 DISTINCT docs marks every word position it
+    * covers in every doc; per doc we report the number of shared-gram
+    * starts, the covered-character fraction, and a ≤ 0.3 keep gate.
+    * Complements `text_repetition` (within-doc) and `pipe_decontaminate`
+    * (train/eval leakage) — this is the corpus-wide boilerplate measure.
+    *
+    * Scale shape: gram generation is row-local; the shared-gram set is
+    * ONE groupBy(gram) with partial aggregation (count distinct docs
+    * expands to a two-phase distinct — no pair join anywhere, so unlike
+    * all-pairs dedup there is no quadratic to cap: cost is linear in
+    * total occurrences even for a boilerplate gram in every doc).
+    */
+  val textDupSpans: Q = (s, d) => {
+    val n = 8
+    val docs = Tables
+      .documents(s, d)
+      .select($"doc_id", $"text")
+      .withColumn("ws", split($"text", " "))
+      .withColumn("m", size($"ws"))
+      .withColumn("charsum", length(regexp_replace($"text", " ", "")))
+    val grams = docs
+      .select(
+        $"doc_id",
+        explode(
+          filter(
+            transform(
+              sequence(lit(1), $"m"),
+              i => struct(i.as("start"), array_join(slice($"ws", i, lit(n)), " ").as("g"))
+            ),
+            x => x("start") <= $"m" - n + 1
+          )
+        ).as("x")
+      )
+      .select($"doc_id", $"x.start".as("start"), $"x.g".as("g"))
+    val shared = grams
+      .groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"g")
+    val hits = grams.join(shared, Seq("g"))
+    val starts = hits.groupBy($"doc_id").agg(count(lit(1)).as("n_shared_starts"))
+    val covered = hits
+      .select($"doc_id", explode(sequence($"start", $"start" + (n - 1))).as("p"))
+      .distinct()
+    val positions = docs
+      .select($"doc_id", posexplode($"ws").as(Seq("p0", "w")))
+      .select($"doc_id", ($"p0" + 1).as("p"), length($"w").as("wlen"))
+    val frac = covered
+      .join(positions, Seq("doc_id", "p"))
+      .groupBy($"doc_id")
+      .agg(sum($"wlen").as("cov_chars"))
+    docs
+      .select($"doc_id", $"charsum")
+      .join(starts, Seq("doc_id"), "left")
+      .join(frac, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_shared_starts", lit(0L)).cast("int").as("n_shared_starts"),
+        (coalesce($"cov_chars", lit(0L)).cast("double") / $"charsum").as("dup_frac")
+      )
+      .withColumn("keep", ($"dup_frac" <= 0.3).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_dup_spans"      -> textDupSpans,
+    "text_mixture_sample" -> textMixtureSample,
     "text_repetition"   -> textRepetition,
     "text_gopher_rules" -> textGopherRules,
     "text_stratified_sample" -> textStratifiedSample,
@@ -536,6 +636,55 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // text_dup_spans: 8-gram generation + cross-doc distinct count +
+    // DISTINCT position coverage, replayed like text_repetition
+    "text_dup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS m,
+        |    length(replace(text, ' ', '')) AS charsum
+        |  FROM documents),
+        |grams AS (
+        |  SELECT d.doc_id, i.i AS start,
+        |    array_to_string(d.ws[i.i : i.i + 7], ' ') AS g
+        |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m - 7)) AS i) i),
+        |shared AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT gr.* FROM grams gr JOIN shared USING (g)),
+        |starts AS (
+        |  SELECT doc_id, count(*) AS n_shared_starts FROM hits GROUP BY doc_id),
+        |covered AS (
+        |  SELECT DISTINCT h.doc_id, pp.p
+        |  FROM hits h,
+        |    LATERAL (SELECT unnest(generate_series(h.start, h.start + 7)) AS p) pp),
+        |positions AS (
+        |  SELECT d.doc_id, i.i AS p, length(d.ws[i.i]) AS wlen
+        |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i),
+        |frac AS (
+        |  SELECT c.doc_id, sum(pos.wlen) AS cov_chars
+        |  FROM covered c JOIN positions pos USING (doc_id, p) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_shared_starts, 0) AS INT) AS n_shared_starts,
+        |  coalesce(f.cov_chars, 0) / CAST(d.charsum AS DOUBLE) AS dup_frac,
+        |  CAST(coalesce(f.cov_chars, 0) / CAST(d.charsum AS DOUBLE) <= 0.3 AS INT) AS keep
+        |FROM docs d
+        |LEFT JOIN starts s USING (doc_id) LEFT JOIN frac f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // text_mixture_sample: rates from per-lang counts (sqrt temperature —
+    // IEEE-exact), accept via the same md5-hex uniform the engine uses
+    "text_mixture_sample" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |rates AS (
+        |  SELECT lang,
+        |    least(1.0, (sqrt(CAST(n_l AS DOUBLE)) / sum(sqrt(CAST(n_l AS DOUBLE))) OVER ())
+        |      * (sum(n_l) OVER () * 0.5) / n_l) AS rate
+        |  FROM counts)
+        |SELECT d.doc_id, d.lang, r.rate
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE list_reduce([instr('0123456789abcdef',
+        |      md5(CAST(d.doc_id AS VARCHAR))[i]) - 1
+        |    for i in range(1, 9)], (a, b) -> a * 16 + b) / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     // text_repetition: full independent replay — n-gram generation via
     // lateral generate_series + list slicing, counts, tie-pinned top via
     // QUALIFY, coverage via DISTINCT covered positions. Fractions are

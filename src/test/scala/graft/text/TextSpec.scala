@@ -86,4 +86,46 @@ class TextSpec extends SparkSpec {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
     })
   }
+
+  test("cross-doc dup spans: shared 8-gram flags both docs, unique doc untouched") {
+    import spark.implicits._
+    val dir    = java.nio.file.Files.createTempDirectory("graft-dupspans").toString
+    val shared = "one two three four five six seven eight"
+    Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"beta gamma $shared"),
+      (3L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis
+      .textDupSpans(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    // both carriers see exactly the one shared 8-gram start
+    assert(rows(1L)._1 == 1 && rows(2L)._1 == 1)
+    assert(rows(1L)._2 > 0.0 && rows(2L)._2 > 0.0)
+    assert(rows(3L) == ((0, 0.0, 1)))
+    // doc 2's covered chars: the 8 shared words out of 10 words
+    val covered = shared.replace(" ", "").length.toDouble
+    val total   = s"beta gamma $shared".replace(" ", "").length.toDouble
+    assert(rows(2L)._2 == covered / total)
+  }
+
+  test("mixture sampling: sqrt temperature upsamples tail languages, deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixture").toString
+    val docs = (1L to 90L).map(i => (i, s"head doc $i", "en")) ++
+      (91L to 100L).map(i => (i, s"tail doc $i", "fr"))
+    docs.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textMixtureSample(spark, dir).collect()
+    val rateByLang = rows.map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // en: share = sqrt(90)/(sqrt(90)+sqrt(10)) ≈ .75, target ≈ 37.5 of 90 → rate < 1
+    // fr: target ≈ 12.5 of 10 → clamped to 1.0 (every tail doc kept)
+    assert(rateByLang("fr") == 1.0)
+    assert(rateByLang("en") < 0.5)
+    assert(rows.count(_.getString(1) == "fr") == 10)
+    // deterministic: same corpus, same sample
+    val again = TextAnalysis.textMixtureSample(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
