@@ -23,6 +23,8 @@ final class FixtureApiServer private[sources] (server: HttpServer) {
   def base: String = s"http://127.0.0.1:$port"
   def stop(): Unit = server.stop(0)
   private[sources] val requests = new AtomicInteger(0)
+  private[sources] val uriAttempts =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
   /** Total data requests served (for fetch-once assertions in specs). */
   def requestCount: Int = requests.get()
 }
@@ -78,12 +80,20 @@ object FixtureApiServer {
     wrapped
   }
 
-  /** Shared failure injection: the first `failFirst` data requests get
-    * 429 (Retry-After: 0) alternating with 500 — both classes the client
-    * must retry.
+  /** Failure injection, keyed PER URI: the first `failFirst` attempts at
+    * each distinct request URI get 429 (Retry-After: 0) alternating with
+    * 500 — both classes the client must retry. Per-URI (not a global
+    * prefix) so EVERY request path exercises the retry policy: a global
+    * prefix would be fully consumed by whichever request arrives first
+    * (the driver-side count call), leaving the executor-side page
+    * fetches — the path whose serialization/retry behavior most needs
+    * coverage — served clean (r5 self-review).
     */
   private def injectFailure(srv: FixtureApiServer, ex: HttpExchange, failFirst: Int): Boolean = {
-    val n = srv.requests.incrementAndGet()
+    srv.requests.incrementAndGet()
+    val n = srv.uriAttempts
+      .computeIfAbsent(ex.getRequestURI.toString, _ => new AtomicInteger(0))
+      .incrementAndGet()
     if (n <= failFirst) {
       if (n % 2 == 1) respond(ex, 429, """{"error":"rate limited"}""", Map("Retry-After" -> "0"))
       else respond(ex, 500, """{"error":"transient"}""")

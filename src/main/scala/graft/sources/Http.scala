@@ -97,7 +97,9 @@ object Http {
   }
 
   private def backoff(attempt: Int, conf: HttpConf): Long =
-    math.min(conf.baseBackoffMs << (attempt - 1), conf.maxBackoffMs)
+    // clamp the exponent: a large maxAttempts would overflow the shift
+    // into a negative "backoff" and turn the retry loop into a hot loop
+    math.min(conf.baseBackoffMs << math.min(attempt - 1, 20), conf.maxBackoffMs)
 
   private def sleep(ms: Long): Unit = if (ms > 0) Thread.sleep(ms)
 

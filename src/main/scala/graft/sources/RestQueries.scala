@@ -8,10 +8,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 /** Driver queries exercising the full HTTP extraction path end-to-end:
   * loopback API ([[FixtureApiServer]]) → real connector ([[Http]] retries
-  * included — each server injects leading 429/500s) → pinned-schema parse →
-  * the SAME transform stages as the file-based ETLs → the SAME DuckDB
-  * oracles (which re-derive from the fixture JSONL independently of both
-  * the connector and Spark).
+  * included — each server 429/500-fails the first attempts of EVERY
+  * distinct URI, so the retry policy runs on the driver-side count calls
+  * AND inside executor page-fetch tasks) → pinned-schema parse → the SAME
+  * transform stages as the file-based ETLs → the SAME DuckDB oracles
+  * (which re-derive from the fixture JSONL independently of both the
+  * connector and Spark).
   *
   * sfDir is ignored, like the other zolo queries — the reference's nested
   * payloads have no TPC-H analog.

@@ -392,22 +392,27 @@ object TextAnalysis {
     * shuffles are uniformly keyed by doc — no global state, no skew
     * beyond document length itself.
     */
-  val textRepetition: Q = (s, d) => {
-    val ns = (2 to 10).toArray
-    val docs = Tables
+  // ---- shared word-n-gram machinery (repetition + dup-span queries) ----
+
+  /** documents + word array + word count + space-free char count. */
+  private def wordedDocs(s: SparkSession, d: String): DataFrame =
+    Tables
       .documents(s, d)
       .select($"doc_id", $"text")
       .withColumn("ws", split($"text", " "))
       .withColumn("m", size($"ws"))
       .withColumn("charsum", length(regexp_replace($"text", " ", "")))
 
-    // every (n, start, gram) triple of one doc, built row-locally; starts
-    // past m-n+1 are dropped by the filter (sequence(1, m) keeps the
-    // lambda type-stable — sequence with a negative span would reverse)
+  /** One row per (doc_id, n, start, gram) for every n in `ns` — built
+    * row-locally (transform over sequence, ONE explode); starts past
+    * m-n+1 are dropped by the filter (sequence(1, m) keeps the lambda
+    * type-stable — sequence with a negative span would reverse).
+    */
+  private def wordGrams(docs: DataFrame, ns: Seq[Int]): DataFrame = {
     val gramArr = filter(
       flatten(
         transform(
-          lit(ns),
+          lit(ns.toArray),
           n =>
             transform(
               sequence(lit(1), $"m"),
@@ -417,10 +422,29 @@ object TextAnalysis {
       ),
       x => x("start") <= $"m" - x("n") + 1
     )
-    val grams = docs
+    docs
       .select($"doc_id", explode(gramArr).as("x"))
       .select($"doc_id", $"x.n".as("n"), $"x.start".as("start"), $"x.g".as("g"))
-    val cnts = grams.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** (doc_id, p, wlen) for every 1-based word position. */
+  private def wordPositions(docs: DataFrame): DataFrame =
+    docs
+      .select($"doc_id", posexplode($"ws").as(Seq("p0", "w")))
+      .select($"doc_id", ($"p0" + 1).as("p"), length($"w").as("wlen"))
+
+  /** DISTINCT (doc_id, n, p): word positions covered by hit occurrences
+    * ((doc_id, n, start) rows).
+    */
+  private def coveredPositions(hits: DataFrame): DataFrame =
+    hits
+      .select($"doc_id", $"n", explode(sequence($"start", $"start" + $"n" - 1)).as("p"))
+      .distinct()
+
+  val textRepetition: Q = (s, d) => {
+    val docs  = wordedDocs(s, d)
+    val grams = wordGrams(docs, 2 to 10)
+    val cnts  = grams.groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("cnt"))
 
     // top n-gram (n=2..4): ties pinned by (cnt desc, gram asc); numerator
     // is count × chars-of-gram (spaces excluded: length(g) - (n-1))
@@ -442,14 +466,9 @@ object TextAnalysis {
     // duplicated n-grams (n=5..10): word positions covered by any gram
     // occurring >= 2 times, counted once per (n, position)
     val dups = cnts.filter($"n" >= 5 && $"cnt" >= 2).select($"doc_id", $"n", $"g")
-    val covered = grams
-      .filter($"n" >= 5)
-      .join(dups, Seq("doc_id", "n", "g"))
-      .select($"doc_id", $"n", explode(sequence($"start", $"start" + $"n" - 1)).as("p"))
-      .distinct()
-    val positions = docs
-      .select($"doc_id", posexplode($"ws").as(Seq("p0", "w")))
-      .select($"doc_id", ($"p0" + 1).as("p"), length($"w").as("wlen"))
+    val covered = coveredPositions(
+      grams.filter($"n" >= 5).join(dups, Seq("doc_id", "n", "g")))
+    val positions = wordPositions(docs)
     val dupAgg = covered
       .join(positions, Seq("doc_id", "p"))
       .groupBy($"doc_id")
@@ -502,13 +521,26 @@ object TextAnalysis {
   val textMixtureSample: Q = (s, d) => {
     val docs   = Tables.documents(s, d)
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
-    val wTot   = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val rates = counts
-      .withColumn("q_l", sqrt($"n_l".cast("double")))
-      .withColumn("share", $"q_l" / sum($"q_l").over(wTot))
-      .withColumn("target", $"share" * (sum($"n_l").over(wTot) * lit(0.5)))
-      .withColumn("rate", least(lit(1.0), $"target" / $"n_l"))
-      .select($"lang", $"rate")
+    // Deterministic scalar reduction: per-lang counts are tiny by nature
+    // (≤ #languages), so collect them SORTED and left-fold the sqrt sum
+    // on the driver. A float window/aggregate sum accumulates in shuffle
+    // order — nondeterministic in the last ULP across runs AND engines
+    // (r5 self-review: the 5-lang gate corpus produces 3 distinct sums
+    // over its 120 possible orders, enough to flip a boundary accept).
+    // The oracle mirrors the fold with list_reduce over list(ORDER BY
+    // lang), the same left-to-right order.
+    val byLang = counts.orderBy($"lang").collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalN = byLang.map(_._2).sum
+    val sumQ   = byLang.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    val rateRows = byLang.map { case (l, n) =>
+      val share = math.sqrt(n.toDouble) / sumQ
+      org.apache.spark.sql.Row(l, math.min(1.0, share * (totalN * 0.5) / n))
+    }
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val rates = s.createDataFrame(
+      s.sparkContext.parallelize(rateRows.toSeq, 1),
+      StructType(Seq(StructField("lang", StringType), StructField("rate", DoubleType)))
+    )
     docs
       .join(broadcast(rates), Seq("lang"))
       .withColumn(
@@ -536,40 +568,17 @@ object TextAnalysis {
     * total occurrences even for a boilerplate gram in every doc).
     */
   val textDupSpans: Q = (s, d) => {
-    val n = 8
-    val docs = Tables
-      .documents(s, d)
-      .select($"doc_id", $"text")
-      .withColumn("ws", split($"text", " "))
-      .withColumn("m", size($"ws"))
-      .withColumn("charsum", length(regexp_replace($"text", " ", "")))
-    val grams = docs
-      .select(
-        $"doc_id",
-        explode(
-          filter(
-            transform(
-              sequence(lit(1), $"m"),
-              i => struct(i.as("start"), array_join(slice($"ws", i, lit(n)), " ").as("g"))
-            ),
-            x => x("start") <= $"m" - n + 1
-          )
-        ).as("x")
-      )
-      .select($"doc_id", $"x.start".as("start"), $"x.g".as("g"))
+    val docs  = wordedDocs(s, d)
+    val grams = wordGrams(docs, Seq(8))
     val shared = grams
       .groupBy($"g")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
       .select($"g")
-    val hits = grams.join(shared, Seq("g"))
-    val starts = hits.groupBy($"doc_id").agg(count(lit(1)).as("n_shared_starts"))
-    val covered = hits
-      .select($"doc_id", explode(sequence($"start", $"start" + (n - 1))).as("p"))
-      .distinct()
-    val positions = docs
-      .select($"doc_id", posexplode($"ws").as(Seq("p0", "w")))
-      .select($"doc_id", ($"p0" + 1).as("p"), length($"w").as("wlen"))
+    val hits    = grams.join(shared, Seq("g"))
+    val starts  = hits.groupBy($"doc_id").agg(count(lit(1)).as("n_shared_starts"))
+    val covered = coveredPositions(hits).drop("n")
+    val positions = wordPositions(docs)
     val frac = covered
       .join(positions, Seq("doc_id", "p"))
       .groupBy($"doc_id")
@@ -635,50 +644,62 @@ object TextAnalysis {
     s"CASE WHEN $ms < 0.05 THEN 'und'\n       $cascade END"
   }
 
+  // shared replay CTEs for the word-n-gram queries (mirror [[wordedDocs]]
+  // and [[wordPositions]] — one definition per semantics on each side)
+  private val wordedDocsCte =
+    """docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS m,
+      |    length(replace(text, ' ', '')) AS charsum
+      |  FROM documents)""".stripMargin
+  private val wordPositionsCte =
+    """positions AS (
+      |  SELECT d.doc_id, i.i AS p, length(d.ws[i.i]) AS wlen
+      |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // text_dup_spans: 8-gram generation + cross-doc distinct count +
     // DISTINCT position coverage, replayed like text_repetition
     "text_dup_spans" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws,
-        |    len(string_split(text, ' ')) AS m,
-        |    length(replace(text, ' ', '')) AS charsum
-        |  FROM documents),
-        |grams AS (
-        |  SELECT d.doc_id, i.i AS start,
-        |    array_to_string(d.ws[i.i : i.i + 7], ' ') AS g
-        |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m - 7)) AS i) i),
-        |shared AS (
-        |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT gr.* FROM grams gr JOIN shared USING (g)),
-        |starts AS (
-        |  SELECT doc_id, count(*) AS n_shared_starts FROM hits GROUP BY doc_id),
-        |covered AS (
-        |  SELECT DISTINCT h.doc_id, pp.p
-        |  FROM hits h,
-        |    LATERAL (SELECT unnest(generate_series(h.start, h.start + 7)) AS p) pp),
-        |positions AS (
-        |  SELECT d.doc_id, i.i AS p, length(d.ws[i.i]) AS wlen
-        |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i),
-        |frac AS (
-        |  SELECT c.doc_id, sum(pos.wlen) AS cov_chars
-        |  FROM covered c JOIN positions pos USING (doc_id, p) GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(s.n_shared_starts, 0) AS INT) AS n_shared_starts,
-        |  coalesce(f.cov_chars, 0) / CAST(d.charsum AS DOUBLE) AS dup_frac,
-        |  CAST(coalesce(f.cov_chars, 0) / CAST(d.charsum AS DOUBLE) <= 0.3 AS INT) AS keep
-        |FROM docs d
-        |LEFT JOIN starts s USING (doc_id) LEFT JOIN frac f USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $wordedDocsCte,
+         |grams AS (
+         |  SELECT d.doc_id, i.i AS start,
+         |    array_to_string(d.ws[i.i : i.i + 7], ' ') AS g
+         |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m - 7)) AS i) i),
+         |shared AS (
+         |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT gr.* FROM grams gr JOIN shared USING (g)),
+         |starts AS (
+         |  SELECT doc_id, count(*) AS n_shared_starts FROM hits GROUP BY doc_id),
+         |covered AS (
+         |  SELECT DISTINCT h.doc_id, pp.p
+         |  FROM hits h,
+         |    LATERAL (SELECT unnest(generate_series(h.start, h.start + 7)) AS p) pp),
+         |$wordPositionsCte,
+         |frac AS (
+         |  SELECT c.doc_id, sum(pos.wlen) AS cov_chars
+         |  FROM covered c JOIN positions pos USING (doc_id, p) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_shared_starts, 0) AS INT) AS n_shared_starts,
+         |  coalesce(f.cov_chars, 0) / CAST(d.charsum AS DOUBLE) AS dup_frac,
+         |  CAST(coalesce(f.cov_chars, 0) / CAST(d.charsum AS DOUBLE) <= 0.3 AS INT) AS keep
+         |FROM docs d
+         |LEFT JOIN starts s USING (doc_id) LEFT JOIN frac f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // text_mixture_sample: rates from per-lang counts (sqrt temperature —
     // IEEE-exact), accept via the same md5-hex uniform the engine uses
     "text_mixture_sample" ->
       """WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT
+        |    list_reduce(list(sqrt(CAST(n_l AS DOUBLE)) ORDER BY lang),
+        |                (a, b) -> a + b) AS sumq,
+        |    sum(n_l) AS n
+        |  FROM counts),
         |rates AS (
         |  SELECT lang,
-        |    least(1.0, (sqrt(CAST(n_l AS DOUBLE)) / sum(sqrt(CAST(n_l AS DOUBLE))) OVER ())
-        |      * (sum(n_l) OVER () * 0.5) / n_l) AS rate
-        |  FROM counts)
+        |    least(1.0, (sqrt(CAST(n_l AS DOUBLE)) / tot.sumq) * (tot.n * 0.5) / n_l) AS rate
+        |  FROM counts, tot)
         |SELECT d.doc_id, d.lang, r.rate
         |FROM documents d JOIN rates r USING (lang)
         |WHERE list_reduce([instr('0123456789abcdef',
@@ -690,11 +711,7 @@ object TextAnalysis {
     // QUALIFY, coverage via DISTINCT covered positions. Fractions are
     // integer/AsDouble divisions → bit-exact on both engines.
     "text_repetition" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws,
-        |    len(string_split(text, ' ')) AS m,
-        |    length(replace(text, ' ', '')) AS charsum
-        |  FROM documents),
+      s"""WITH $wordedDocsCte,
         |grams AS (
         |  SELECT d.doc_id, n.n, i.i AS start,
         |    array_to_string(d.ws[i.i : i.i + n.n - 1], ' ') AS g
@@ -719,9 +736,7 @@ object TextAnalysis {
         |  FROM grams gr
         |  JOIN dups USING (doc_id, n, g),
         |  LATERAL (SELECT unnest(generate_series(gr.start, gr.start + gr.n - 1)) AS p) pp),
-        |positions AS (
-        |  SELECT d.doc_id, i.i AS p, length(d.ws[i.i]) AS wlen
-        |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i),
+        |$wordPositionsCte,
         |dupagg AS (
         |  SELECT c.doc_id,
         |    sum(CASE WHEN c.n = 5 THEN pos.wlen END) AS dup5_num,

@@ -110,6 +110,26 @@ class RestSourceSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("distributed fetch retries INSIDE executor tasks: every page URI fails twice first") {
+    val srv = FixtureApiServer.shopifyAdmin(
+      s"${ZoloPipeline.fixturesDir}/shopify_orders.json",
+      user = "u", pass = "p", failFirst = 2)
+    try {
+      val cfg  = HttpConf().withBasicAuth("u", "p")
+      val urls = (1 to 2).map(k => s"${srv.base}/admin/orders.json?limit=2&page=$k")
+      val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 2)
+        .collect().map(_.getString(1))
+      assert(bodies.length == 2 && bodies.forall(_.startsWith("""{"orders":[""")))
+      // per-URI injection: each page URL was attempted exactly 3 times
+      // (429, 500, 200) — and those attempts ran in Spark tasks, so the
+      // retry loop is proven to survive closure serialization
+      urls.foreach { u =>
+        val uri = u.stripPrefix(srv.base)
+        assert(srv.uriAttempts.get(uri).get() == 3, s"attempts for $uri")
+      }
+    } finally srv.stop()
+  }
+
   test("4xx auth errors fail fast — no retry burns the budget on a bad token") {
     val srv = FixtureApiServer.squareV1(
       s"${ZoloPipeline.fixturesDir}/square_payments.json",
