@@ -95,6 +95,17 @@ object Warehouse {
   def compact(spark: SparkSession, path: String, outPath: String, targetFiles: Int): Unit =
     spark.read.parquet(path).repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
 
+  /** ORC sink/source — the second columnar interchange format a warehouse
+    * at scale must speak (Hive-ecosystem tables arrive as ORC). Same
+    * planner benefits as parquet: predicate pushdown and column pruning
+    * reach the ORC reader (OrcSpec asserts PushedFilters on the scan).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Date-partitioned fact layout — the other half of the 100 TB story:
     * facts land under `date=.../` directories so time-range queries prune
     * partitions at planning time (PartitionFilters in the scan, asserted
