@@ -94,6 +94,25 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"curation pipeline scans the corpus $scans times:\n$p")
   }
 
+  test("text_mixture_sample: corpus never shuffles — rates broadcast, accept is map-only") {
+    val p = plan(graft.text.TextAnalysis.textMixtureSample(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"rates side not broadcast:\n$p")
+    // the only exchanges allowed are the broadcast and the final sort —
+    // a hash exchange would mean the corpus itself is being shuffled
+    assert(!p.contains("Exchange hashpartitioning"), s"corpus shuffled:\n$p")
+  }
+
+  test("a_cms_heavy: counter build partial-aggregates map-side (fixed-size sketch state)") {
+    val p = plan(graft.queries.Advanced.aCmsHeavy(spark, sf0001))
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("a_quantile_sketch: bottom-k rides the native TopK partial trim") {
+    val df = graft.queries.Advanced.aQuantileSketch(spark, sf0001)
+    val p  = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"), s"no map-side partial trim:\n$p")
+  }
+
   test("pipe_decontaminate: gram index join is a shuffle join; cap is a window, not a groupBy+join (round-3)") {
     // the 8-gram inverted index is corpus-sized — never broadcastable;
     // judge the shape with the size-based broadcast decision off
