@@ -270,7 +270,8 @@ object Advanced {
     val counters = ev
       .select(explode(array((0 until cmsDepth).map(j =>
         struct(lit(j).as("j"), cmsBucket(j, $"user_id").as("b"))): _*)).as("jb"))
-      .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
+      .select($"jb.j".as("j"), $"jb.b".as("b"))
+      .groupBy($"j", $"b")
       .agg(count(lit(1)).as("c"))
     val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
     val top = exact

@@ -29,25 +29,42 @@ object RestQueries {
     field.split('.').foldLeft(node)((n, f) => n.get(f)).asInt
   }
 
-  /** Square: sequential batch-token chain scraped off the Link header with
-    * the reference's own regex (`square_ETL.py:88-91`), 3 records/page so
-    * the fixture spans several pages.
+  private val squareTokRe = """batch_token=(.*?)&begin_time=""".r
+
+  /** The square extraction chain, parameterized by endpoint and window:
+    * sequential batch-token pagination scraped off the Link header with
+    * the reference's own regex (`square_ETL.py:88-91`) → pinned-schema
+    * parse → the file ETL's transform stack. ONE definition serves the
+    * driver query and the incremental-ingest spec (same Link contract,
+    * same transform — they must not drift apart).
+    */
+  def squareExtract(
+      spark: SparkSession,
+      paymentsUrl: String,
+      token: String,
+      beginTime: String,
+      endTime: String): DataFrame = {
+    val range = s"begin_time=${enc(beginTime)}&end_time=${enc(endTime)}"
+    val bodies = RestSource.fetchTokenPages(
+      s"$paymentsUrl?$range",
+      p => p.header("Link").flatMap(squareTokRe.findFirstMatchIn(_))
+        .map(m => s"$paymentsUrl?batch_token=${m.group(1)}&$range"),
+      HttpConf().withBearer(token))
+    val raw = RestSource.recordsFromArrayPages(RestSource.pagesDf(spark, bodies), ZoloSchemas.squarePayment)
+    SquareEtl.headerTable(SquareEtl.withMarket(SquareEtl.details(raw)))
+  }
+
+  /** Square driver query: 3 records/page so the fixture spans several
+    * pages; injected 429/500s on every URI.
     */
   def squareHttpTrans(spark: SparkSession): DataFrame = {
     val srv = FixtureApiServer.squareV1(
       s"${ZoloPipeline.fixturesDir}/square_payments.json",
       locationId = "LOC1", token = "sq-fixture-token", pageSize = 3, failFirst = 2)
-    try {
-      val base  = s"${srv.base}/v1/LOC1/payments"
-      val range = s"begin_time=${enc(begin)}&end_time=${enc(end)}"
-      val tokRe = """batch_token=(.*?)&begin_time=""".r
-      val bodies = RestSource.fetchTokenPages(
-        s"$base?$range",
-        p => p.header("Link").flatMap(tokRe.findFirstMatchIn(_)).map(m => s"$base?batch_token=${m.group(1)}&$range"),
-        HttpConf().withBearer("sq-fixture-token"))
-      val raw = RestSource.recordsFromArrayPages(RestSource.pagesDf(spark, bodies), ZoloSchemas.squarePayment)
-      SquareEtl.headerTable(SquareEtl.withMarket(SquareEtl.details(raw))).orderBy("payment_id")
-    } finally srv.stop()
+    try
+      squareExtract(spark, s"${srv.base}/v1/LOC1/payments", "sq-fixture-token", begin, end)
+        .orderBy("payment_id")
+    finally srv.stop()
   }
 
   /** Shopify: count endpoint → independent page URLs → DISTRIBUTED fetch on

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *  - '''dup-span shared grams''': the groupBy(gram) distinct-doc count
   *    has no pair join to blow up, but a heavy-tailed gram frequency
   *    would skew its shuffle. Logged: gram doc-frequency histogram +
-  *    end-to-end wall time — planted verbatim replicas guarantee real
-  *    shared grams exist to find.
+  *    end-to-end wall time — verbatim doc replicas (cadence scaled to
+  *    mult so every base doc gets ≥ 2 copies) guarantee real shared
+  *    grams exist to find.
   *
   * Output: one markdown section (stdout) appended to BENCH_LOCAL.md.
   */
@@ -39,9 +40,13 @@ object StressR5 {
     log(s"### r5 stress run (mult=$mult, base=$sfDir)")
     log("")
 
-    // ---- corpus build (same perturbation recipe as Stress) -------------
+    // ---- corpus build (Stress's perturbation recipe, with the verbatim
+    // cadence scaled to mult: Stress's fixed `rep % 50` plants dup PAIRS
+    // only at mult >= 51 — at the default mult=10 it would leave a single
+    // verbatim copy per base and the positive control would be dead) ----
+    val verbatimEvery = math.max(1, mult / 2)
     val perturb = udf { (text: String, docId: Long, rep: Int) =>
-      if (rep % 50 == 0) text
+      if (rep % verbatimEvery == 0) text
       else {
         val words = text.split(' ')
         val sb = new StringBuilder(text.length * 2)
@@ -94,7 +99,8 @@ object StressR5 {
       f"($tGram%.1f s)")
     val (nDupDocs, tDup) = t(
       TextAnalysis.textDupSpans(spark, docPath).filter($"n_shared_starts" > 0).count())
-    log(f"- dup-span end-to-end: $nDupDocs%,d docs with shared spans in $tDup%.1f s")
+    log(f"- dup-span end-to-end: $nDupDocs%,d docs with shared spans in $tDup%.1f s" +
+      f" (verbatim cadence: every $verbatimEvery%d reps)")
 
     // ---- SemDeDup with corpus-proportional cells -----------------------
     val jitter = udf { (v: Seq[Double], vecId: Long, rep: Int) =>
@@ -127,6 +133,8 @@ object StressR5 {
       (out.count(), out.filter($"keep" === 0).count())
     }
     log(f"- semdedup end-to-end: ${semOut._1}%,d vectors, ${semOut._2}%,d dropped " +
-      f"as near-dups in $tSem%.1f s (tau=0.99; planted verbatim replicas every 50th)")
+      f"as near-dups in $tSem%.1f s (tau=0.99; every replica is a jittered near-dup " +
+      "of its base, so ~(mult-1)/mult of the corpus should drop)")
+    spark.stop()
   }
 }

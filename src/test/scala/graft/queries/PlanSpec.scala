@@ -95,7 +95,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text_mixture_sample: corpus never shuffles — rates broadcast, accept is map-only") {
-    val p = plan(graft.text.TextAnalysis.textMixtureSample(spark, sf0001))
+    // simple-mode toString: exchanges print as one line there, so the
+    // no-hash-exchange assertion actually bites (formatted mode splits
+    // the node header from its hashpartitioning arguments)
+    val p = graft.text.TextAnalysis.textMixtureSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"rates side not broadcast:\n$p")
     // the only exchanges allowed are the broadcast and the final sort —
     // a hash exchange would mean the corpus itself is being shuffled
@@ -103,8 +107,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("a_cms_heavy: counter build partial-aggregates map-side (fixed-size sketch state)") {
-    val p = plan(graft.queries.Advanced.aCmsHeavy(spark, sf0001))
-    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+    val p = graft.queries.Advanced.aCmsHeavy(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // anchor on the COUNTERS aggregate (keys j, b) — the exact-top-10
+    // branch also plans a partial_count and must not satisfy this test
+    val counterPartial = p.linesIterator.exists(l =>
+      l.contains("partial_count") && l.contains("keys=[j#") && l.contains("b#"))
+    assert(counterPartial, s"counter build lost its map-side partial stage:\n$p")
   }
 
   test("a_quantile_sketch: bottom-k rides the native TopK partial trim") {

@@ -1,31 +1,23 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.etl.{SquareEtl, Warehouse, ZoloPipeline, ZoloSchemas}
+import graft.etl.{SquareEtl, Warehouse, ZoloPipeline}
 import org.apache.spark.sql.functions.col
 
 /** The reference's ACTUAL operating loop, end-to-end over the wire:
-  * read watermark → extract (start, end] from the API → transform →
+  * read watermark → extract [start, end) from the API → transform →
   * effectively-once append → advance watermark (`square_ETL.py:17-56`'s
-  * config.yml round-trip, re-expressed as warehouse state). Two
-  * incremental runs must land exactly the full corpus, and a crash
-  * replay of a window (append succeeded, watermark write lost) must not
-  * duplicate a single row.
+  * config.yml round-trip, re-expressed as warehouse state; the window is
+  * begin-inclusive / end-exclusive on both server and client, so
+  * consecutive windows are gap- and overlap-free). Two incremental runs
+  * must land exactly the full corpus, and a crash replay of a window
+  * (append succeeded, watermark write lost) must not duplicate a single
+  * row.
   */
 class RestIngestSpec extends SparkSpec {
 
-  private val tokRe = """batch_token=(.*?)&begin_time=""".r
-
-  private def extractWindow(srv: FixtureApiServer, begin: String, end: String) = {
-    val base = s"${srv.base}/v1/L/payments"
-    def range = s"begin_time=$begin&end_time=$end"
-    val bodies = RestSource.fetchTokenPages(
-      s"$base?$range",
-      p => p.header("Link").flatMap(tokRe.findFirstMatchIn(_)).map(m => s"$base?batch_token=${m.group(1)}&$range"),
-      HttpConf().withBearer("t"))
-    val raw = RestSource.recordsFromArrayPages(RestSource.pagesDf(spark, bodies), ZoloSchemas.squarePayment)
-    SquareEtl.headerTable(SquareEtl.withMarket(SquareEtl.details(raw)))
-  }
+  private def extractWindow(srv: FixtureApiServer, begin: String, end: String) =
+    RestQueries.squareExtract(spark, s"${srv.base}/v1/L/payments", "t", begin, end)
 
   test("watermarked incremental HTTP ingest: two windows land the full corpus once") {
     val srv = FixtureApiServer.squareV1(
