@@ -198,7 +198,8 @@ object FixtureApiServer {
       jsonlPath: String,
       realmId: String,
       token: String,
-      failFirst: Int = 0): FixtureApiServer = {
+      failFirst: Int = 0,
+      entity: String = "Invoice"): FixtureApiServer = {
     val recs     = load(jsonlPath, "TxnDate")
     val startPos = """STARTPOSITION\s+(\d+)\s+MAXRESULTS\s+(\d+)""".r
     val range    = """TxnDate\s*>\s*'([^']*)'\s*and\s*TxnDate\s*<\s*'([^']*)'""".r
@@ -220,7 +221,7 @@ object FixtureApiServer {
               case None    => (1, window.size)
             }
             val slice = window.slice(s - 1, s - 1 + m)
-            respond(ex, 200, slice.map(_.line).mkString("""{"QueryResponse":{"Invoice":[""", ",", "]}}"))
+            respond(ex, 200, slice.map(_.line).mkString(s"""{"QueryResponse":{"$entity":[""", ",", "]}}"))
           }
         }
       }

@@ -121,10 +121,38 @@ object RestQueries {
     } finally srv.stop()
   }
 
+  /** QuickBooks customers: the S4 full-refresh dimension — an UNBOUNDED
+    * `select * from Customer` paged by STARTPOSITION (no date predicate;
+    * `qb_customers_ETL.py:58-105`), wrapped in the entity's own envelope
+    * key. Distributed fetch like the invoices path.
+    */
+  def qbCustomersHttp(spark: SparkSession): DataFrame = {
+    val srv = FixtureApiServer.qbQuery(
+      s"${ZoloPipeline.fixturesDir}/qb_customers.json",
+      realmId = "RLM1", token = "qb-fixture-token", failFirst = 2, entity = "Customer")
+    try {
+      val cfg            = HttpConf().withBearer("qb-fixture-token")
+      def q(sql: String) = s"${srv.base}/v3/company/RLM1/query?query=${enc(sql)}"
+      val count = countOf(
+        Http.get(Http.newClient(), q("select count(*) from Customer"), cfg).body,
+        "QueryResponse.totalCount")
+      val per = 1 // 2 fixture customers → 2 pages, real pagination
+      val urls = (0 until math.ceil(count / per.toDouble).toInt)
+        .map(p => q(s"select * from Customer STARTPOSITION ${p * per + 1} MAXRESULTS $per"))
+      val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
+      val envelope = StructType(Seq(StructField(
+        "QueryResponse",
+        StructType(Seq(StructField("Customer", ArrayType(ZoloSchemas.qbCustomer)))))))
+      val raw = RestSource.recordsFromEnvelopePages(bodies, envelope, "QueryResponse.Customer")
+      graft.etl.QbCustomersEtl.customers(raw).orderBy("customer_id")
+    } finally srv.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zolo_square_http"  -> ((s, _) => squareHttpTrans(s)),
     "zolo_shopify_http" -> ((s, _) => shopifyHttpTrans(s)),
-    "zolo_qb_http"      -> ((s, _) => qbHttpTrans(s))
+    "zolo_qb_http"      -> ((s, _) => qbHttpTrans(s)),
+    "zolo_qbc_http"     -> ((s, _) => qbCustomersHttp(s))
   )
 
   /** The HTTP paths must land EXACTLY the tables the file ETLs land, so
@@ -133,6 +161,7 @@ object RestQueries {
   val oracles: Map[String, String] = Map(
     "zolo_square_http"  -> ZoloPipeline.oracles("zolo_square_trans"),
     "zolo_shopify_http" -> ZoloPipeline.oracles("zolo_shopify_trans"),
-    "zolo_qb_http"      -> ZoloPipeline.oracles("zolo_qb_trans")
+    "zolo_qb_http"      -> ZoloPipeline.oracles("zolo_qb_trans"),
+    "zolo_qbc_http"     -> ZoloPipeline.oracles("zolo_qb_customers")
   )
 }
