@@ -80,6 +80,16 @@ object ZoloPipeline {
     "zolo_shopify_trans" -> ((s, _) => {
       registerAll(s); s.table("shopify_trans").orderBy("order_id")
     }),
+    "zolo_shopify_details" -> ((s, _) => {
+      // (order_id, shopify_id) is not a total key when an order repeats a
+      // variant — quantity/price complete the sort
+      registerAll(s)
+      s.table("shopify_trans_details").orderBy("order_id", "shopify_id", "quantity", "price")
+    }),
+    "zolo_qb_details" -> ((s, _) => {
+      registerAll(s)
+      s.table("qb_trans_details").orderBy("payment_id", "quickbooks_id", "quantity", "price")
+    }),
     "zolo_qb_trans" -> ((s, _) => {
       registerAll(s); s.table("qb_trans").orderBy("payment_id")
     }),
@@ -200,6 +210,18 @@ object ZoloPipeline {
          |  SUM(CAST(li.quantity AS INT) * CAST(li.price AS DOUBLE)) AS subtotal,
          |  SUM(CAST(li.quantity AS INT) * CAST(li.price AS DOUBLE)) + MIN(shipping_price) AS total_dollars
          |FROM sh_det GROUP BY 1, 2 ORDER BY order_id""".stripMargin,
+    "zolo_shopify_details" ->
+      s"""WITH $shCtes
+         |SELECT order_id, CAST(li.variant_id AS VARCHAR) AS shopify_id,
+         |  CAST(li.quantity AS INT) AS quantity, CAST(li.price AS DOUBLE) AS price
+         |FROM sh_det ORDER BY order_id, shopify_id, quantity, price""".stripMargin,
+    "zolo_qb_details" ->
+      s"""WITH $qbCtes
+         |SELECT payment_id, line.SalesItemLineDetail.ItemRef.value AS quickbooks_id,
+         |  CAST(trunc(line.SalesItemLineDetail.Qty) AS INT) AS quantity,
+         |  line.SalesItemLineDetail.UnitPrice AS price,
+         |  CAST(trunc(line.SalesItemLineDetail.Qty) AS INT) * line.SalesItemLineDetail.UnitPrice AS dollars
+         |FROM qb_det ORDER BY payment_id, quickbooks_id, quantity, price""".stripMargin,
     "zolo_qb_trans" ->
       s"""WITH $qbCtes
          |SELECT payment_id, created_at, customer_id,
