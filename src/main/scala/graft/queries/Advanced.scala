@@ -245,6 +245,34 @@ object Advanced {
       .orderBy($"q")
   }
 
+  /** Per-GROUP quantile sketch — the same KMV-style bottom-k state, keyed:
+    * one fixed-size sample per group rides a single TopKPerKey pass
+    * (partial trim ships ≤ k rows per (mapper, group)), so per-group
+    * distribution profiles cost one bounded shuffle regardless of group
+    * sizes — the grouped analog a 100 TB profiling job actually runs.
+    */
+  val aQuantileSketchGrouped: Q = (s, d) => {
+    val k = 128
+    val hashed = Tables
+      .lineitem(s, d)
+      .select(
+        $"l_returnflag",
+        $"l_extendedprice".as("v"),
+        md5(concat_ws("|", $"l_orderkey", $"l_linenumber").cast("binary")).as("h")
+      )
+    val sample = graft.plans.TopK
+      .perKey(hashed, Seq($"l_returnflag"), Seq($"h".asc, $"v".asc), k)
+    val ranked = sample
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"l_returnflag").orderBy($"v", $"h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+    s.range(1)
+      .select(explode(lit(Array(0.25, 0.5, 0.75, 0.9, 0.99))).as("q"))
+      .join(ranked, $"r" === ceil($"q" * $"n").cast("long"))
+      .select($"l_returnflag", $"q", $"v".as("est_v"), $"n".cast("int").as("sample_n"))
+      .orderBy($"l_returnflag", $"q")
+  }
+
   /** Count-min sketch heavy hitters: depth×width counter matrix
     * (4 × 512), bucket_j(key) = first-8-hex of md5(j|key) mod width. The
     * counter build is ONE map-side-combinable groupBy whose output is ≤
@@ -291,6 +319,7 @@ object Advanced {
 
   val queries: Map[String, Q] = Map(
     "a_quantile_sketch" -> aQuantileSketch,
+    "a_quantile_sketch_grouped" -> aQuantileSketchGrouped,
     "a_cms_heavy"       -> aCmsHeavy,
     "w_running_total"   -> wRunningTotal,
     "w_lead_lag"        -> wLeadLag,
@@ -319,6 +348,20 @@ object Advanced {
          |FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q) qs
          |JOIN rk ON rk.r = CAST(ceil(q * rk.n) AS BIGINT)
          |ORDER BY q""".stripMargin,
+    "a_quantile_sketch_grouped" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    md5(concat_ws('|', l_orderkey, l_linenumber)) AS h
+        |  FROM lineitem),
+        |sm AS (SELECT l_returnflag, v, h FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) <= 128),
+        |rk AS (SELECT l_returnflag, v, h,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS r,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n FROM sm)
+        |SELECT l_returnflag, q, v AS est_v, CAST(n AS INT) AS sample_n
+        |FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q) qs
+        |JOIN rk ON rk.r = CAST(ceil(q * rk.n) AS BIGINT)
+        |ORDER BY l_returnflag, q""".stripMargin,
     // full replay of the counter matrix and the min-over-rows estimates;
     // the hex-parse fold replays Spark's conv(substr(md5,1,8),16,10)
     "a_cms_heavy" ->
