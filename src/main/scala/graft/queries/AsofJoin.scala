@@ -44,13 +44,22 @@ object AsofJoin {
     * right rows, and a null-time left row sorts before every right row of
     * its key (asc = nulls first), so its running `last` is empty.
     */
+  /** @param forward false = "at-or-before" (latest rightTime ≤ t, the
+    *                default ASOF direction); true = "at-or-after"
+    *                (EARLIEST rightTime ≥ t — lead-time joins: next
+    *                shipment, next price change). Same single-shuffle
+    *                union+window shape, scanned in reverse time order;
+    *                nulls-first keeps null-time left rows matchless in
+    *                both directions.
+    */
   def asof(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]
+      payload: Seq[String],
+      forward: Boolean = false
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(payload.map(col): _*)
@@ -71,9 +80,14 @@ object AsofJoin {
     )
     // one shuffle: partition by key; running last() needs no full-frame
     // buffer. __p sorts right rows at equal __t so "last" = max tiebreak.
+    // Forward direction scans time DESC (nulls first, so a null-time left
+    // row still precedes every right row and stays matchless); right rows
+    // keep sorting before left rows at equal time, so "at-or-after"
+    // includes the exact-t right row symmetrically to "at-or-before".
+    val timeOrder = if (forward) $"__t".desc_nulls_first else $"__t".asc
     val w = Window
       .partitionBy($"__k")
-      .orderBy($"__t".asc, $"__side".asc, $"__p".asc)
+      .orderBy(timeOrder, $"__side".asc, $"__p".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l
       .unionByName(r, allowMissingColumns = true)
@@ -111,8 +125,31 @@ object AsofJoin {
       .orderBy($"event_id")
   }
 
+  /** Forward driver row: for every non-purchase event, the same user's
+    * EARLIEST purchase at-or-after it (lead-time attribution). Oracle:
+    * DuckDB native `ASOF LEFT JOIN ... ON l.ts <= p.ts`, right side
+    * pre-reduced per (user_id, ts) exactly as the backward row.
+    */
+  val jAsofForward: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d)
+    val purchases = e
+      .filter($"event_type" === "purchase")
+      .select(
+        $"user_id",
+        $"ts",
+        $"event_id".as("purchase_id"),
+        $"value".as("purchase_value")
+      )
+    val lefts = e
+      .filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    asof(lefts, purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+      payload = Seq("purchase_id", "purchase_value"), forward = true)
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("j_asof" -> jAsof)
+    Map("j_asof" -> jAsof, "j_asof_forward" -> jAsofForward)
 
   val oracles: Map[String, String] = Map(
     "j_asof" ->
@@ -130,6 +167,22 @@ object AsofJoin {
         |  FROM events WHERE event_type <> 'purchase')
         |SELECT l.event_id, l.user_id, l.ts, l.event_type, p.purchase_id, p.purchase_value
         |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "j_asof_forward" ->
+      """WITH p0 AS (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (
+        |  SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, ts ORDER BY purchase_id DESC) AS rn
+        |    FROM p0) WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, ts, event_type
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type, p.purchase_id, p.purchase_value
+        |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts
         |ORDER BY l.event_id""".stripMargin
   )
 }

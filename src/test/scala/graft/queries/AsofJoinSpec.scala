@@ -47,4 +47,25 @@ class AsofJoinSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
+
+  test("forward direction: earliest at-or-after wins; exact-t visible; null-time left matchless") {
+    val left = Seq((1L, Some(10L), "a"), (1L, Some(20L), "b"), (1L, None, "n"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L, 1.0), (1L, 15L, 200L, 2.0), (1L, 12L, 150L, 3.0))
+      .toDF("k", "t", "rid", "rv")
+    val out = AsofJoin
+      .asof(left, right, "k", "t", "t", Seq("rid", "rv"), forward = true)
+      .collect().map(r => (r.getString(2), Option(r.get(3)))).toSet
+    assert(out == Set(
+      ("a", Some(100L)), // exact-t right row included ("at-or-after")
+      ("b", None),       // nothing at-or-after 20
+      ("n", None)        // null left time never matches
+    ))
+    // earliest (not just any later) right row wins: t=11 → rid 150 at t=12
+    val out2 = AsofJoin
+      .asof(Seq((1L, 11L, "x")).toDF("k", "t", "tag"), right, "k", "t", "t",
+        Seq("rid", "rv"), forward = true)
+      .collect().map(r => Option(r.get(3))).toSeq
+    assert(out2 == Seq(Some(150L)))
+  }
 }
