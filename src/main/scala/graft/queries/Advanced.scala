@@ -245,6 +245,32 @@ object Advanced {
       .orderBy($"q")
   }
 
+  /** Ranking-function breadth: rank/dense_rank/percent_rank/cume_dist
+    * over a TIE-BEARING ordering (date only — equal ranks are the point)
+    * plus row_number/ntile over the total ordering (they are only
+    * deterministic under one). percent_rank and cume_dist are integer
+    * ratios → bit-exact cross-engine. One window exchange, both
+    * orderings share the per-customer partition.
+    */
+  val wRankFuncs: Q = (s, d) => {
+    val byDate = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+    val total  = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables
+      .orders(s, d)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        $"o_orderdate",
+        rank().over(byDate).as("rnk"),
+        dense_rank().over(byDate).as("drnk"),
+        percent_rank().over(byDate).as("prnk"),
+        cume_dist().over(byDate).as("cdist"),
+        row_number().over(total).as("rn"),
+        ntile(4).over(total).as("quartile")
+      )
+      .orderBy($"o_custkey", $"rn")
+  }
+
   /** Per-GROUP quantile sketch — the same KMV-style bottom-k state, keyed:
     * one fixed-size sample per group rides a single TopKPerKey pass
     * (partial trim ships ≤ k rows per (mapper, group)), so per-group
@@ -321,6 +347,7 @@ object Advanced {
     "a_quantile_sketch" -> aQuantileSketch,
     "a_quantile_sketch_grouped" -> aQuantileSketchGrouped,
     "a_cms_heavy"       -> aCmsHeavy,
+    "w_rank_funcs"      -> wRankFuncs,
     "w_running_total"   -> wRunningTotal,
     "w_lead_lag"        -> wLeadLag,
     "f_string_funcs"    -> fStringFuncs,
@@ -348,6 +375,19 @@ object Advanced {
          |FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q) qs
          |JOIN rk ON rk.r = CAST(ceil(q * rk.n) AS BIGINT)
          |ORDER BY q""".stripMargin,
+    "w_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(rank() OVER wd AS INT) AS rnk,
+        |  CAST(dense_rank() OVER wd AS INT) AS drnk,
+        |  percent_rank() OVER wd AS prnk,
+        |  cume_dist() OVER wd AS cdist,
+        |  CAST(row_number() OVER wt AS INT) AS rn,
+        |  CAST(ntile(4) OVER wt AS INT) AS quartile
+        |FROM orders
+        |WINDOW
+        |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+        |  wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
     "a_quantile_sketch_grouped" ->
       """WITH h AS (
         |  SELECT l_returnflag, l_extendedprice AS v,
