@@ -245,6 +245,24 @@ object Advanced {
       .orderBy($"q")
   }
 
+  /** GROUPING SETS — the general form cube/rollup specialize (a_cube /
+    * a_rollup cover those): an explicit, non-hierarchical set list with
+    * grouping_id disambiguating the all-NULL rows. Spark plans one
+    * Expand + one aggregate — rows multiply by |sets|, not by 2^cols.
+    */
+  val aGroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag, l_linestatus
+    """)
+  }
+
   /** Ranking-function breadth: rank/dense_rank/percent_rank/cume_dist
     * over a TIE-BEARING ordering (date only — equal ranks are the point)
     * plus row_number/ntile over the total ordering (they are only
@@ -347,6 +365,7 @@ object Advanced {
     "a_quantile_sketch" -> aQuantileSketch,
     "a_quantile_sketch_grouped" -> aQuantileSketchGrouped,
     "a_cms_heavy"       -> aCmsHeavy,
+    "a_grouping_sets"   -> aGroupingSets,
     "w_rank_funcs"      -> wRankFuncs,
     "w_running_total"   -> wRunningTotal,
     "w_lead_lag"        -> wLeadLag,
@@ -375,6 +394,14 @@ object Advanced {
          |FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q) qs
          |JOIN rk ON rk.r = CAST(ceil(q * rk.n) AS BIGINT)
          |ORDER BY q""".stripMargin,
+    "a_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "w_rank_funcs" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(rank() OVER wd AS INT) AS rnk,
