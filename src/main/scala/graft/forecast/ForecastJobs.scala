@@ -396,7 +396,9 @@ object ForecastJobs {
       nll: Double,
       sigma2: Double,
       prediction: Double,
-      std_error: Double
+      std_error: Double,
+      lower_bound: Double,
+      upper_bound: Double
   )
 
   /** Fixed-parameter Kalman-MLE filter replay (judge r3 next-round #1):
@@ -410,8 +412,10 @@ object ForecastJobs {
     * FP op order the SQL reproduces exactly, including the Gaussian-
     * elimination order of the Lyapunov solve), hash-anchoring the one
     * arithmetic chain `m_arima_forecast` builds on that previously had
-    * no independent check. Reference semantics: `lib.py:23-27`,
-    * `arima_models.py:203-209`.
+    * no independent check. The 95% CI bounds (M9: prediction ± 1.96 ×
+    * std_error, the exact arithmetic `arimaJob` emits) ride the same
+    * replay. Reference semantics: `lib.py:23-27`,
+    * `arima_models.py:203-209`, `lib.py:130-132` (CI bounds).
     */
   def arimaMleFixedJob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -430,13 +434,19 @@ object ForecastJobs {
           val fr = Kalman
             .filter(w, p, q, params)
             .getOrElse(throw new IllegalStateException(s"Kalman filter rejected fixed params for $k/$name"))
+          val pred = Models.integrateForecast(xs, 1, fr.forecast)
+          val se   = math.sqrt(math.max(fr.forecastVar, 0.0))
           MleFixedResult(
             k,
             name,
             fr.negLogLik,
             fr.sigma2,
-            Models.integrateForecast(xs, 1, fr.forecast),
-            math.sqrt(math.max(fr.forecastVar, 0.0))
+            pred,
+            se,
+            // M9: the production CI arithmetic (arimaJob) verbatim, so
+            // the bounds ride the same bit-exact oracle as prediction
+            pred - 1.96 * se,
+            pred + 1.96 * se
           )
         }
       }
@@ -449,7 +459,9 @@ object ForecastJobs {
         round(col("nll"), 6).as("nll"),
         round(col("sigma2"), 6).as("sigma2"),
         round(col("prediction"), 6).as("prediction"),
-        round(col("std_error"), 6).as("std_error")
+        round(col("std_error"), 6).as("std_error"),
+        round(col("lower_bound"), 6).as("lower_bound"),
+        round(col("upper_bound"), 6).as("upper_bound")
       )
       .orderBy(col("profile_name"), col("config"))
   }
@@ -890,7 +902,9 @@ object ForecastJobs {
            aE = "(0.5*a) + (kg*v)",
            pE = "(((((0.5*p) + 1.0*0.3)*0.5) + ((0.5*0.3) + 1.0*(0.3*0.3))) + (1.0*1.0)) - ((kg*p)*kg)")}
          |SELECT profile_name, config, round(nll, 6) AS nll, round(sigma2, 6) AS sigma2,
-         |  round(prediction, 6) AS prediction, round(std_error, 6) AS std_error
+         |  round(prediction, 6) AS prediction, round(std_error, 6) AS std_error,
+         |  round(prediction - 1.96 * std_error, 6) AS lower_bound,
+         |  round(prediction + 1.96 * std_error, 6) AS upper_bound
          |FROM (SELECT * FROM mfin0 UNION ALL SELECT * FROM mfin1 UNION ALL SELECT * FROM mfin2) u
          |ORDER BY profile_name, config""".stripMargin,
     "m_arma_fixed" ->
