@@ -206,6 +206,65 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Sparse TF-IDF cosine similarity pairs — the sparse-vector
+    * counterpart of `dedup_embedding_cos` (dense) and `dedup_minhash_*`
+    * (set): near-dup and topical-overlap detection over the exact
+    * token-weight vectors, sklearn-TfidfVectorizer-style (idf = ln(N/df),
+    * vocabulary restricted to 2 ≤ df ≤ 0.9·N; pair threshold 0.85 =
+    * the near-dup band).
+    *
+    * Scale shape: the all-pairs cosine never materializes a doc×doc
+    * matrix — it is an inverted-index (postings) self-join on token, so
+    * per-token fan-out is bounded by df, and the df-window prune is THE
+    * quadratic-blowup lever: min_df=2 drops the long tail (a df=1 token
+    * can never produce a pair — typically half the vocabulary), max_df
+    * kills the stopword heads whose df² pair fan-out would dominate the
+    * shuffle (at 100 TB compose with an absolute per-token cap, as the
+    * LSH path's capBuckets does). Three shuffles total: (doc,token) tf,
+    * token df+postings join, (doc_a,doc_b) pair-agg — each map-side
+    * combined. Dot products and norms are order-independent DECIMAL
+    * sums, so the result is partitioning-invariant and DuckDB replays it
+    * exactly.
+    */
+  val textTfidfPairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select($"doc_id", explode(toks).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val vocab = tf
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"df" >= 2 && $"df" <= $"n_docs" * 0.9)
+      .select($"token", log($"n_docs".cast("double") / $"df".cast("double")).as("idf"))
+    // postings used three times (norms + both self-join sides): persist,
+    // materialize the tiny pair output, then free — the cache-hygiene
+    // pattern the winnow/LSH paths use
+    val w = tf
+      .join(vocab, "token")
+      .select($"doc_id", $"token", ($"tf".cast("double") * $"idf").as("w"))
+      .persist()
+    try {
+      val norms = w
+        .groupBy($"doc_id")
+        .agg(sqrt(sum(($"w" * $"w").cast("decimal(38,15)")).cast("double")).as("nrm"))
+      val dots = w
+        .as("a")
+        .join(w.as("b"), $"a.token" === $"b.token" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(sum(($"a.w" * $"b.w").cast("decimal(38,15)")).cast("double").as("dot"))
+      dots
+        .join(norms.as("na"), $"doc_a" === $"na.doc_id")
+        .join(norms.as("nb"), $"doc_b" === $"nb.doc_id")
+        .select($"doc_a", $"doc_b", round($"dot" / ($"na.nrm" * $"nb.nrm"), 6).as("cosine"))
+        .filter($"cosine" >= 0.85)
+        .orderBy($"doc_a", $"doc_b")
+        .localCheckpoint()
+    } finally w.unpersist()
+  }
+
   /** Corpus profiling — the audit pass before training-data release:
     * doc/token/vocab totals per (lang, source) stratum plus a char-length
     * histogram bucket.
@@ -607,6 +666,7 @@ object TextAnalysis {
     "text_tokens_bpe"   -> textTokensBpe,
     "text_corpus_profile" -> textCorpusProfile,
     "text_rare_score"   -> textRareScore,
+    "text_tfidf_pairs"  -> textTfidfPairs,
     "text_normalize"    -> textNormalize,
     "text_sample_bucket" -> textSampleBucket,
     "text_tokens"       -> textTokens,
@@ -860,6 +920,35 @@ object TextAnalysis {
         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
         |FROM tok JOIN ranked USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tf-idf pairs: the DECIMAL(38,15) casts make both engines' dot/norm
+    // sums order-independent and exactly equal; ln/÷/sqrt are per-row
+    // IEEE ops, bit-exact cross-engine
+    "text_tfidf_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |vocab AS (
+        |  SELECT token, ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS idf
+        |  FROM tf, n GROUP BY token, n_docs
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= n_docs * 0.9),
+        |w AS (
+        |  SELECT doc_id, token, CAST(tf AS DOUBLE) * idf AS w
+        |  FROM tf JOIN vocab USING (token)),
+        |nrm AS (
+        |  SELECT doc_id, sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cosine FROM (
+        |  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM dots JOIN nrm na ON doc_a = na.doc_id JOIN nrm nb ON doc_b = nb.doc_id) t
+        |WHERE cosine >= 0.85
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text

@@ -128,4 +128,20 @@ class TextSpec extends SparkSpec {
     val again = TextAnalysis.textMixtureSample(spark, dir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("tf-idf pairs: exact dup scores 1.0, partial overlap stays below the near-dup band") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    // N=4 ⇒ df window keeps 2 ≤ df ≤ 3: alpha/beta (df 3), gamma (df 2);
+    // delta and doc 4's tokens are all df=1 ⇒ pruned (doc 4 drops out
+    // entirely — no norm row, no pair, no div-by-zero)
+    Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"), // exact duplicate of 1
+      (3L, "alpha beta delta"), // cos vs 1/2 = 0.506 — below 0.85
+      (4L, "zz yy xx")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textTfidfPairs(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == Seq((1L, 2L, 1.0)))
+  }
 }
