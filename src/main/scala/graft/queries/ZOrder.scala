@@ -48,12 +48,15 @@ object ZOrder {
     * normalization that gives each dimension the same weight in the
     * interleave regardless of natural magnitude (raw interleaving of a
     * 0..149 user id against an epoch in the 10⁹ range would let the
-    * larger dimension own every significant bit). Integer `div` keeps it
-    * exact: the micros products exceed 2⁵³ and a double division would
-    * not round-trip.
+    * larger dimension own every significant bit). Exact integer
+    * arithmetic: the ×65535 product runs in DECIMAL(38,0) — a long
+    * multiply overflows (and under ANSI mode throws) once the dimension
+    * span exceeds ~1.4e14, i.e. any epoch-micros column — and a double
+    * division would not round-trip above 2⁵³. Dimensions must be
+    * integral; bucket or scale doubles first.
     */
   private def rank16(x: String, lo: String, hi: String): Column =
-    expr(s"(($x - $lo) * 65535) div greatest($hi - $lo, 1)")
+    expr(s"(CAST(`$x` - `$lo` AS DECIMAL(38,0)) * 65535) div greatest(`$hi` - `$lo`, 1)")
 
   /** Oracle-checked Morton codes over events (user_id × epoch-second):
     * bounds → 16-bit ranks → bit interleave. The expensive part at scale

@@ -228,10 +228,15 @@ object TextAnalysis {
     */
   val textTfidfPairs: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // persisted: the tokenize + (doc_id, token) shuffle feeds BOTH the
+    // vocab df-count branch and the weight join — without the persist the
+    // corpus explodes and shuffles twice (exchange reuse can't merge the
+    // two differently-pruned partial aggregates)
     val tf = docs
       .select($"doc_id", explode(toks).as("token"))
       .groupBy($"doc_id", $"token")
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val vocab = tf
       .groupBy($"token")
@@ -262,7 +267,10 @@ object TextAnalysis {
         .filter($"cosine" >= 0.85)
         .orderBy($"doc_a", $"doc_b")
         .localCheckpoint()
-    } finally w.unpersist()
+    } finally {
+      w.unpersist()
+      tf.unpersist()
+    }
   }
 
   /** Corpus profiling — the audit pass before training-data release:
