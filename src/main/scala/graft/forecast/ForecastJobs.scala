@@ -63,6 +63,42 @@ object ForecastJobs {
       .drop("n_weeks")
   }
 
+  /** Week-spine gap fill — the resample step every time-series model
+    * assumes has already happened (the recursions in [[Models]] treat
+    * consecutive rows as consecutive weeks; a sales gap silently
+    * compresses time without it). Per-profile min/max bounds → a
+    * `sequence(...)` spine exploded map-side (date_trunc weeks are
+    * Monday-aligned, so a 7-day step hits every actual week) → left join
+    * actuals → zero-fill with an `is_gap` marker. Scale shape: the spine
+    * is generated from a two-column agg (no shuffle beyond the weekly
+    * rollup's own), and the join shuffles only the already-aggregated
+    * weekly rows — never the fact table.
+    */
+  def gapfillJob(s: SparkSession, dir: String): DataFrame = {
+    // persisted: both the bounds branch and the join probe consume the
+    // rollup — without it the fact scan + join + aggregation run twice
+    val w = weeklySeries(s, dir, minWeeks = 5).persist()
+    try {
+      val spine = w
+        .groupBy($"profile_name")
+        .agg(min($"week_date").as("wmin"), max($"week_date").as("wmax"))
+        .select(
+          $"profile_name",
+          explode(expr("sequence(wmin, wmax, interval 7 days)")).as("week_date")
+        )
+      spine
+        .join(w, Seq("profile_name", "week_date"), "left")
+        .select(
+          $"profile_name",
+          $"week_date",
+          coalesce($"weight", lit(0.0)).as("weight"),
+          $"weight".isNull.cast("int").as("is_gap")
+        )
+        .orderBy($"profile_name", $"week_date")
+        .localCheckpoint()
+    } finally w.unpersist()
+  }
+
   private def series(it: Iterator[WeeklyRow]): Array[Double] =
     it.toArray.sortBy(r => r.week_date.getTime).map(_.weight)
 
@@ -589,6 +625,7 @@ object ForecastJobs {
     "m_arima_forecast"   -> (arimaJob(_, _)),
     "m_weekly_series"  -> ((s, d) =>
       weeklySeries(s, d, minWeeks = 5).orderBy($"profile_name", $"week_date")),
+    "t_gapfill"        -> (gapfillJob(_, _)),
     "m_weekly_incremental" -> ((s, d) => weeklyIncrementalJob(s, d))
   )
 
@@ -982,6 +1019,29 @@ object ForecastJobs {
         |  WHERE l_shipdate < TIMESTAMP '2001-06-01') t
         |GROUP BY profile_name, week_date
         |QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 5
+        |ORDER BY profile_name, week_date""".stripMargin,
+    "t_gapfill" ->
+      """WITH weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 5),
+        |b AS (
+        |  SELECT profile_name, min(week_date) AS wmin, max(week_date) AS wmax
+        |  FROM weekly GROUP BY profile_name),
+        |spine AS (
+        |  SELECT profile_name, CAST(unnest(generate_series(wmin, wmax, INTERVAL 7 DAY)) AS DATE) AS week_date
+        |  FROM b)
+        |SELECT s.profile_name, s.week_date,
+        |  coalesce(w.weight, 0.0) AS weight,
+        |  CASE WHEN w.weight IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM spine s LEFT JOIN weekly w USING (profile_name, week_date)
         |ORDER BY profile_name, week_date""".stripMargin,
     "m_weekly_series" ->
       """SELECT profile_name, week_date,

@@ -361,7 +361,97 @@ object Advanced {
       .orderBy($"exact_cnt".desc, $"user_id")
   }
 
+  /** UNPIVOT — the inverse of `a_pivot`: wide per-flag metric columns
+    * melted to (key, metric, value) rows, the shape feature stores and
+    * metric pipelines ingest. Spark's native `unpivot` is a map-side
+    * expression expansion — zero additional shuffle beyond the feeding
+    * aggregation. DECIMAL sums keep the melted values engine-exact.
+    */
+  val aUnpivot: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum($"l_extendedprice".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+        sum($"l_discount".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_disc")
+      )
+      .unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_price", $"sum_disc"),
+        "metric",
+        "value"
+      )
+      .orderBy($"l_returnflag", $"metric")
+
+  /** Data-quality audit — the dbt-test/Deequ-shaped constraint report a
+    * pipeline runs before publishing a table: null-rate, key uniqueness,
+    * referential integrity, domain range. One row per check with its
+    * violation count. Scale shape: each check is a single scan with a
+    * partial agg (the RI check a key-pruned anti join); the union of
+    * one-row aggregates is free.
+    */
+  val qDqChecks: Q = (s, d) => {
+    val li  = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cus = Tables.customer(s, d)
+    def one(name: String, violations: DataFrame): DataFrame =
+      violations.select(
+        lit(name).as("check_name"),
+        $"violations",
+        ($"violations" === 0L).cast("int").as("passed")
+      )
+    one("orders_custkey_not_null", ord.agg(count(when($"o_custkey".isNull, 1)).as("violations")))
+      .unionAll(
+        one(
+          "orders_orderkey_unique",
+          ord
+            .groupBy($"o_orderkey")
+            .agg(count(lit(1)).as("n"))
+            .agg(count(when($"n" > 1, 1)).as("violations"))
+        )
+      )
+      .unionAll(
+        one(
+          "orders_custkey_ri",
+          ord
+            .join(cus, ord("o_custkey") === cus("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("violations"))
+        )
+      )
+      .unionAll(
+        one(
+          "lineitem_discount_in_range",
+          li.agg(count(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1)).as("violations"))
+        )
+      )
+      .orderBy($"check_name")
+  }
+
+  /** Correlated scalar subqueries — orders beating their customer's
+    * average — exercising Catalyst's subquery decorrelation (the rewrite
+    * to an aggregated self-join; no per-row re-execution survives in the
+    * physical plan). The comparison is multiplied out (price · n > Σprice
+    * as DECIMAL) so no engine ever divides: cross-engine exact with zero
+    * float-boundary risk.
+    */
+  val jScalarSubquery: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_v o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+            > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+               FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_unpivot"         -> aUnpivot,
+    "q_dq_checks"       -> qDqChecks,
+    "j_scalar_subquery" -> jScalarSubquery,
     "a_quantile_sketch" -> aQuantileSketch,
     "a_quantile_sketch_grouped" -> aQuantileSketchGrouped,
     "a_cms_heavy"       -> aCmsHeavy,
@@ -380,6 +470,42 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM agg) u
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT check_name, violations,
+        |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
+        |FROM (
+        |  SELECT 'orders_custkey_not_null' AS check_name,
+        |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique', COUNT(*) FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) t
+        |  UNION ALL
+        |  SELECT 'orders_custkey_ri', COUNT(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_range',
+        |    COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 END) FROM lineitem) u
+        |ORDER BY check_name""".stripMargin,
+    "j_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |        * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |      > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |         FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     // full replay: same md5 bottom-k sample, same type-1 rank pick —
     // the sketch STATE is deterministic, so even the estimates hash-match
     "a_quantile_sketch" ->

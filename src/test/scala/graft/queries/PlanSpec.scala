@@ -137,4 +137,24 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Window"), s"bucket cap lost its window form:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("a_unpivot: melt is an Expand below ONE exchange — no shuffle added to the agg's") {
+    val p = plan(Advanced.aUnpivot(spark, sf0001))
+    assert(p.contains("Expand"), s"unpivot lost its Expand form:\n$p")
+    // the feeding aggregation's exchange plus the final global sort's
+    // range exchange; the melt itself must not add one (formatted mode
+    // prints each node twice — count the "(n) Exchange" detail headers)
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchanges <= 2, s"unpivot added a shuffle:\n$p")
+  }
+
+  test("j_scalar_subquery: correlated subqueries decorrelate to aggregate+join, no per-row subquery") {
+    val p = plan(Advanced.jScalarSubquery(spark, sf0001))
+    assert(!p.contains("ScalarSubquery"), s"per-row scalar subquery survived:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"no join produced by decorrelation:\n$p"
+    )
+  }
 }
