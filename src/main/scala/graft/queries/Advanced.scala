@@ -448,7 +448,60 @@ object Advanced {
     """)
   }
 
+  /** Pearson correlation matrix over the lineitem measures — computed
+    * from DECIMAL moment sums, NOT the built-in `corr()`: both engines'
+    * corr/covar are streaming double accumulations whose result depends
+    * on partition order, so they can never hash-match (or even
+    * reproduce run-to-run). Exact Σx/Σy/Σxy/Σx²/Σy² in one map-side-
+    * combinable aggregation pass over a single scan; the closed form
+    * (n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is then per-row
+    * IEEE arithmetic on the exact sums — deterministic on any cluster.
+    */
+  val aCorrMatrix: Q = (s, d) => {
+    def dec(c: Column)           = c.cast(DecimalType(38, 12))
+    def s2(c: Column)            = sum(dec(c)).cast(DoubleType)
+    def pearson(
+        n: Column,
+        sx: Column,
+        sy: Column,
+        sxy: Column,
+        sxx: Column,
+        syy: Column
+    ): Column =
+      (n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+    val m = Tables
+      .lineitem(s, d)
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        s2($"l_quantity").as("sq"),
+        s2($"l_extendedprice").as("sp"),
+        s2($"l_discount").as("sd"),
+        s2($"l_quantity" * $"l_quantity").as("sqq"),
+        s2($"l_extendedprice" * $"l_extendedprice").as("spp"),
+        s2($"l_discount" * $"l_discount").as("sdd"),
+        s2($"l_quantity" * $"l_extendedprice").as("sqp"),
+        s2($"l_quantity" * $"l_discount").as("sqd"),
+        s2($"l_extendedprice" * $"l_discount").as("spd")
+      )
+    m.select(
+      lit("quantity_price").as("pair"),
+      round(pearson($"n", $"sq", $"sp", $"sqp", $"sqq", $"spp"), 6).as("corr")
+    ).unionAll(
+      m.select(
+        lit("quantity_discount").as("pair"),
+        round(pearson($"n", $"sq", $"sd", $"sqd", $"sqq", $"sdd"), 6).as("corr")
+      )
+    ).unionAll(
+      m.select(
+        lit("price_discount").as("pair"),
+        round(pearson($"n", $"sp", $"sd", $"spd", $"spp", $"sdd"), 6).as("corr")
+      )
+    ).orderBy($"pair")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_corr_matrix"     -> aCorrMatrix,
     "a_unpivot"         -> aUnpivot,
     "q_dq_checks"       -> qDqChecks,
     "j_scalar_subquery" -> jScalarSubquery,
@@ -470,6 +523,32 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sqp,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT pair, corr FROM (
+        |  SELECT 'quantity_price' AS pair,
+        |    round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'quantity_discount',
+        |    round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'price_discount',
+        |    round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+        |  FROM m) u
+        |ORDER BY pair""".stripMargin,
     "a_unpivot" ->
       """WITH agg AS (
         |  SELECT l_returnflag,
