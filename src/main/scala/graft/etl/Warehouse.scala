@@ -114,6 +114,21 @@ object Warehouse {
   def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(path)
 
+  /** Dynamic partition overwrite — the idempotent-backfill primitive for
+    * date-partitioned facts: rewrite ONLY the partitions the batch
+    * touches, leave every other date's files untouched. With the default
+    * STATIC mode an overwrite of one late-arriving day would silently
+    * truncate the whole table; re-running a day's load with this is
+    * exactly-once at the partition level regardless of how many times it
+    * replays. The mode is set per-write (session config untouched).
+    */
+  def overwritePartitions(df: DataFrame, path: String, dateCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol)
+      .parquet(path)
+
   /** Bucketed co-located layout — the 100 TB answer to the header⟕detail
     * joins (J1/J4/J6): write both fact tables bucketed AND sorted by the
     * join key; equal bucket counts let the sort-merge join run with NO

@@ -12,6 +12,36 @@ class WarehouseSpec extends SparkSpec {
 
   private def tmp() = Files.createTempDirectory("graft-wh").toString
 
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    val dir = tmp() + "/fact"
+    Warehouse.overwritePartitions(
+      Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b"), (3, "2024-01-03", "c"))
+        .toDF("id", "dt", "v"),
+      dir,
+      "dt"
+    )
+    // replay day 2 with corrected data; days 1 and 3 must survive
+    Warehouse.overwritePartitions(
+      Seq((9, "2024-01-02", "b2")).toDF("id", "dt", "v"),
+      dir,
+      "dt"
+    )
+    val rows = spark.read
+      .parquet(dir)
+      .select("id", "v")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+      .toSet
+    assert(rows == Set((1, "a"), (9, "b2"), (3, "c")))
+    // idempotent: running the same day again changes nothing
+    Warehouse.overwritePartitions(
+      Seq((9, "2024-01-02", "b2")).toDF("id", "dt", "v"),
+      dir,
+      "dt"
+    )
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("append accumulates, overwrite replaces") {
     val dir = tmp() + "/t"
     Warehouse.append(Seq((1, "a")).toDF("id", "v"), dir)
