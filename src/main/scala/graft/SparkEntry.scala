@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ graft.queries.Advanced.queries ++
       graft.queries.AsofJoin.queries ++ graft.queries.ZOrder.queries ++ graft.queries.Graph.queries ++
-      ForecastJobs.queries ++ ZoloPipeline.queries ++
+      ForecastJobs.queries ++ graft.forecast.SeriesAnalysis.queries ++ ZoloPipeline.queries ++
       TextAnalysis.queries ++ graft.text.Chunking.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ graft.streaming.StreamQueries.queries ++
       graft.sources.RestQueries.queries
@@ -37,7 +37,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ graft.queries.Advanced.oracles ++
-      graft.queries.AsofJoin.oracles ++ graft.queries.ZOrder.oracles ++ graft.queries.Graph.oracles ++ ForecastJobs.oracles ++
+      graft.queries.AsofJoin.oracles ++ graft.queries.ZOrder.oracles ++ graft.queries.Graph.oracles ++ ForecastJobs.oracles ++ graft.forecast.SeriesAnalysis.oracles ++
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++
       graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles

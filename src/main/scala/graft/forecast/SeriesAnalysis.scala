@@ -1,0 +1,307 @@
+package graft.forecast
+
+import graft.syntax._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series diagnostics and intermittent-demand models over the weekly
+  * demand rollup — the analysis layer a forecasting warehouse runs BEFORE
+  * picking a model family (the reference jumps straight to its three
+  * models; `arima_models.py:193-213` assumes a dense series and
+  * `holt_model.py` a trended one — these operators are how a user decides
+  * which assumption holds).
+  *
+  * All three ride the gap-filled series ([[ForecastJobs.gapfillJob]]):
+  * Croston is DEFINED on the zero-bearing series, and the moving-average /
+  * autocovariance windows assume consecutive rows are consecutive weeks.
+  *
+  * Scale design: inputs are the weekly rollup (profiles × weeks — tiny
+  * relative to the fact table even at 100 TB); every aggregation that sums
+  * floats goes through the DECIMAL(38,18) cast so results are
+  * partitioning-invariant and the DuckDB oracles match hash-exactly
+  * (the [[graft.queries.Graph]] PageRank precedent). Float literals (0.2,
+  * 0.8, 0.9) are written literally in BOTH engines — never derived as
+  * `1 - α`, which lands on a different IEEE double than the parsed
+  * literal.
+  */
+object SeriesAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(38, 18)
+
+  // ---------------------------------------------------------------- Croston
+
+  final case class GapRow(
+      profile_name: String,
+      week_date: java.sql.Date,
+      weight: Double,
+      is_gap: Int
+  )
+  final case class CrostonRow(
+      profile_name: String,
+      demand_level: Double,
+      interval_est: Double,
+      forecast: Double,
+      sba_forecast: Double
+  )
+
+  /** Croston's method (Croston 1972) with the Syntetos–Boylan (SBA)
+    * bias-corrected variant, α = 0.2: separate SES recursions on the
+    * non-zero demand sizes and on the inter-demand intervals; the demand
+    * rate is their ratio. The per-profile fold is the same
+    * `groupByKey.flatMapGroups` shape as the reference's model loop
+    * (`simp_avg_model.py:182-199` — SURVEY §2.8 M1), parallel across
+    * profiles after one shuffle.
+    */
+  def crostonJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ForecastJobs
+      .gapfillJob(s, dir)
+      .as[GapRow]
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
+        val f  = xs.indexWhere(_ > 0)
+        if (f < 0) Iterator.empty
+        else {
+          var z = xs(f)             // demand-size level, seeded on first demand
+          var p = (f + 1).toDouble  // interval level, seeded on its position
+          var q = 1                 // periods since last demand
+          var i = f + 1
+          while (i < xs.length) {
+            if (xs(i) > 0) {
+              z = 0.2 * xs(i) + 0.8 * z
+              p = 0.2 * q + 0.8 * p
+              q = 1
+            } else q += 1
+            i += 1
+          }
+          Iterator.single(CrostonRow(profile, z, p, z / p, 0.9 * z / p))
+        }
+      }
+      .toDF()
+      .select(
+        col("profile_name"),
+        round(col("demand_level"), 6).as("demand_level"),
+        round(col("interval_est"), 6).as("interval_est"),
+        round(col("forecast"), 6).as("forecast"),
+        round(col("sba_forecast"), 6).as("sba_forecast")
+      )
+      .orderBy(col("profile_name"))
+  }
+
+  // ----------------------------------------------- seasonal decomposition
+
+  /** Classical additive decomposition, period 13 (a quarterly cycle on
+    * weekly data): trend = 13-wide centered moving average (defined only
+    * where the full window exists), seasonal = per-phase mean of the
+    * detrended series re-centered to zero mean across phases, residual =
+    * the rest. Window sums ride the DECIMAL cast so the sliding-frame
+    * association order cannot leak into the doubles.
+    */
+  def seasonalDecompJob(s: SparkSession, dir: String): DataFrame = {
+    val byProf = Window.partitionBy($"profile_name")
+    val ord    = Window.partitionBy($"profile_name").orderBy($"week_date")
+    val ma     = ord.rowsBetween(-6, 6)
+
+    val base = ForecastJobs
+      .gapfillJob(s, dir)
+      .withColumn("idx", row_number().over(ord))
+      .withColumn(
+        "trend",
+        when(
+          count(lit(1)).over(ma) === 13,
+          sum($"weight".cast(dec)).over(ma).cast("double") / 13.0
+        )
+      )
+      .withColumn("detr", $"weight" - $"trend")
+      .withColumn("phase", ($"idx" - 1) % 13)
+
+    val seasonal = base
+      .groupBy($"profile_name", $"phase")
+      .agg((sum($"detr".cast(dec)).cast("double") / count($"detr")).as("s_raw"))
+      .withColumn(
+        "seasonal",
+        $"s_raw" -
+          sum($"s_raw".cast(dec)).over(byProf).cast("double") /
+          count($"s_raw").over(byProf)
+      )
+      .select($"profile_name", $"phase", $"seasonal")
+
+    base
+      .join(seasonal, Seq("profile_name", "phase"))
+      .select(
+        $"profile_name",
+        $"week_date",
+        $"weight",
+        round($"trend", 6).as("trend"),
+        round($"seasonal", 6).as("seasonal"),
+        round($"weight" - $"trend" - $"seasonal", 6).as("resid")
+      )
+      .orderBy($"profile_name", $"week_date")
+  }
+
+  // -------------------------------------------------------------------- ACF
+
+  val acfMaxLag = 6
+
+  /** Sample autocorrelation, lags 1..6, per profile: one pass of `lead`
+    * windows on the shared profile shuffle, one grouped aggregation of the
+    * lagged products (DECIMAL partials), ratios and the lag unpivot on the
+    * tiny per-profile result. No per-lag scan — the fact-side cost is the
+    * gap-filled rollup once.
+    */
+  def acfJob(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy($"profile_name").orderBy($"week_date")
+
+    val base = ForecastJobs
+      .gapfillJob(s, dir)
+      .withColumn(
+        "mu",
+        sum($"weight".cast(dec)).over(Window.partitionBy($"profile_name")).cast("double") /
+          count(lit(1)).over(Window.partitionBy($"profile_name"))
+      )
+      .withColumn("dev", $"weight" - $"mu")
+
+    val lagged = (1 to acfMaxLag).foldLeft(base) { (df, k) =>
+      df.withColumn(s"d$k", lead($"dev", k).over(ord))
+    }
+
+    val sums = lagged
+      .groupBy($"profile_name")
+      .agg(
+        sum(($"dev" * $"dev").cast(dec)).cast("double").as("c0"),
+        (1 to acfMaxLag).map(k =>
+          sum(($"dev" * col(s"d$k")).cast(dec)).cast("double").as(s"c$k")
+        ): _*
+      )
+
+    val stackExpr = (1 to acfMaxLag).map(k => s"$k, c$k").mkString(s"stack($acfMaxLag, ", ", ", ") as (lag, ck)")
+    sums
+      .select($"profile_name", $"c0", expr(stackExpr))
+      .select($"profile_name", $"lag", round($"ck" / $"c0", 6).as("acf"))
+      .orderBy($"profile_name", $"lag")
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** The gap-filled weekly series as a shared CTE — the `t_gapfill` oracle
+    * verbatim minus its ORDER BY.
+    */
+  private val gapCte =
+    """gap AS (
+      |  WITH weekly AS (
+      |    SELECT profile_name, week_date,
+      |      CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+      |    FROM (
+      |      SELECT p_brand AS profile_name,
+      |        CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+      |        l_quantity, p_retailprice
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+      |    GROUP BY profile_name, week_date
+      |    QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 5),
+      |  b AS (
+      |    SELECT profile_name, min(week_date) AS wmin, max(week_date) AS wmax
+      |    FROM weekly GROUP BY profile_name),
+      |  spine AS (
+      |    SELECT profile_name, CAST(unnest(generate_series(wmin, wmax, INTERVAL 7 DAY)) AS DATE) AS week_date
+      |    FROM b)
+      |  SELECT s.profile_name, s.week_date, coalesce(w.weight, 0.0) AS weight
+      |  FROM spine s LEFT JOIN weekly w USING (profile_name, week_date))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "m_croston"         -> (crostonJob(_, _)),
+    "m_seasonal_decomp" -> (seasonalDecompJob(_, _)),
+    "m_acf"             -> (acfJob(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m_croston" ->
+      s"""WITH RECURSIVE $gapCte,
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM gap GROUP BY profile_name),
+        |init AS (
+        |  SELECT profile_name, xs, len(xs) AS n,
+        |    list_position([x > 0 for x in xs], true) AS f
+        |  FROM series
+        |  WHERE list_position([x > 0 for x in xs], true) IS NOT NULL),
+        |cro AS (
+        |  SELECT profile_name, xs, n, f AS i, xs[f] AS z,
+        |    CAST(f AS DOUBLE) AS p, 1 AS q
+        |  FROM init
+        |  UNION ALL
+        |  SELECT profile_name, xs, n, i + 1,
+        |    CASE WHEN xs[i + 1] > 0 THEN 0.2 * xs[i + 1] + 0.8 * z ELSE z END,
+        |    CASE WHEN xs[i + 1] > 0 THEN 0.2 * q + 0.8 * p ELSE p END,
+        |    CASE WHEN xs[i + 1] > 0 THEN 1 ELSE q + 1 END
+        |  FROM cro WHERE i < n)
+        |SELECT profile_name,
+        |  round(z, 6) AS demand_level,
+        |  round(p, 6) AS interval_est,
+        |  round(z / p, 6) AS forecast,
+        |  round(0.9 * z / p, 6) AS sba_forecast
+        |FROM cro WHERE i = n ORDER BY profile_name""".stripMargin,
+    "m_seasonal_decomp" ->
+      s"""WITH $gapCte,
+        |base AS (
+        |  SELECT profile_name, week_date, weight,
+        |    row_number() OVER w AS idx,
+        |    CASE WHEN COUNT(*) OVER ma = 13
+        |         THEN CAST(SUM(CAST(weight AS DECIMAL(38,18))) OVER ma AS DOUBLE) / 13.0
+        |    END AS trend
+        |  FROM gap
+        |  WINDOW w AS (PARTITION BY profile_name ORDER BY week_date),
+        |    ma AS (PARTITION BY profile_name ORDER BY week_date
+        |           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+        |detr AS (
+        |  SELECT *, weight - trend AS detr, (idx - 1) % 13 AS phase FROM base),
+        |sea AS (
+        |  SELECT profile_name, phase,
+        |    CAST(SUM(CAST(detr AS DECIMAL(38,18))) AS DOUBLE) / COUNT(detr) AS s_raw
+        |  FROM detr GROUP BY profile_name, phase),
+        |sea_adj AS (
+        |  SELECT profile_name, phase,
+        |    s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(38,18))) OVER p AS DOUBLE)
+        |            / COUNT(s_raw) OVER p AS seasonal
+        |  FROM sea WINDOW p AS (PARTITION BY profile_name))
+        |SELECT d.profile_name, d.week_date, d.weight,
+        |  round(d.trend, 6) AS trend,
+        |  round(a.seasonal, 6) AS seasonal,
+        |  round(d.weight - d.trend - a.seasonal, 6) AS resid
+        |FROM detr d JOIN sea_adj a USING (profile_name, phase)
+        |ORDER BY profile_name, week_date""".stripMargin,
+    "m_acf" -> {
+      val leads = (1 to acfMaxLag)
+        .map(k => s"lead(dev, $k) OVER w AS d$k")
+        .mkString(",\n        |    ")
+      val csums = (1 to acfMaxLag)
+        .map(k => s"CAST(SUM(CAST(dev * d$k AS DECIMAL(38,18))) AS DOUBLE) AS c$k")
+        .mkString(",\n        |    ")
+      val branches = (1 to acfMaxLag)
+        .map(k => s"SELECT profile_name, $k AS lag, round(c$k / c0, 6) AS acf FROM c")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH $gapCte,
+        |m AS (
+        |  SELECT profile_name, week_date, weight,
+        |    weight - CAST(SUM(CAST(weight AS DECIMAL(38,18))) OVER p AS DOUBLE)
+        |             / COUNT(*) OVER p AS dev
+        |  FROM gap WINDOW p AS (PARTITION BY profile_name)),
+        |l AS (
+        |  SELECT profile_name, dev,
+        |    $leads
+        |  FROM m WINDOW w AS (PARTITION BY profile_name ORDER BY week_date)),
+        |c AS (
+        |  SELECT profile_name,
+        |    CAST(SUM(CAST(dev * dev AS DECIMAL(38,18))) AS DOUBLE) AS c0,
+        |    $csums
+        |  FROM l GROUP BY profile_name)
+        |SELECT * FROM (
+        |  $branches)
+        |ORDER BY profile_name, lag""".stripMargin
+    }
+  )
+}

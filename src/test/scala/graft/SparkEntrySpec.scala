@@ -18,7 +18,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val maps = Seq(
       Relational.queries, Advanced.queries, graft.queries.AsofJoin.queries,
       graft.queries.ZOrder.queries, graft.queries.Graph.queries,
-      ForecastJobs.queries,
+      ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries,
       ZoloPipeline.queries, TextAnalysis.queries, Dedup.queries,
       Similarity.queries, Multimodal.queries,
       graft.streaming.StreamQueries.queries, graft.text.Chunking.queries,

@@ -1,0 +1,61 @@
+package graft.forecast
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SeriesAnalysisSpec extends SparkSpec {
+
+  test("croston: forecast is the level/interval ratio and SBA shrinks it") {
+    val rows = SeriesAnalysis.crostonJob(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z  = r.getDouble(1); val p = r.getDouble(2)
+      val f  = r.getDouble(3); val sba = r.getDouble(4)
+      assert(p >= 1.0, s"interval below 1: $p")
+      assert(z > 0.0, s"non-positive demand level: $z")
+      // all four columns are independently rounded to 6 dp, so the ratio
+      // check only holds to a relative tolerance scaled by the magnitude
+      assert(math.abs(f - z / p) < 1e-4 * math.max(1.0, f), s"forecast != z/p: $f vs ${z / p}")
+      assert(sba < f, s"SBA must shrink the Croston forecast: $sba !< $f")
+    }
+  }
+
+  test("croston on a hand-built intermittent series matches the recursion") {
+    // xs = [0, 4, 0, 0, 6]: seed at t=2 (z=4, p=2); one update at t=5 with
+    // q=3: z = .2*6+.8*4 = 4.4, p = .2*3+.8*2 = 2.2
+    val xs = Array(0.0, 4.0, 0.0, 0.0, 6.0)
+    val f  = xs.indexWhere(_ > 0)
+    var z  = xs(f); var p = (f + 1).toDouble; var q = 1
+    (f + 1 until xs.length).foreach { i =>
+      if (xs(i) > 0) { z = 0.2 * xs(i) + 0.8 * z; p = 0.2 * q + 0.8 * p; q = 1 }
+      else q += 1
+    }
+    assert(math.abs(z - 4.4) < 1e-12 && math.abs(p - 2.2) < 1e-12)
+  }
+
+  test("seasonal decomposition: components reassemble the series where defined") {
+    val df = SeriesAnalysis.seasonalDecompJob(spark, sf0001)
+    val bad = df
+      .filter(col("trend").isNotNull && col("seasonal").isNotNull)
+      .filter(abs(col("weight") - (col("trend") + col("seasonal") + col("resid"))) > lit(1e-5))
+      .count()
+    assert(bad == 0, s"$bad rows where trend+seasonal+resid != weight")
+    // seasonal means are centered: per profile the 13 phase effects sum ~0
+    val off = df
+      .filter(col("seasonal").isNotNull)
+      .select(col("profile_name"), col("seasonal")).distinct()
+      .groupBy(col("profile_name")).agg(sum(col("seasonal")).as("s"))
+      .filter(abs(col("s")) > lit(1e-4))
+      .count()
+    assert(off == 0, s"$off profiles with un-centered seasonal effects")
+  }
+
+  test("acf: lag range is 1..6 and values are bounded correlations") {
+    val rows = SeriesAnalysis.acfJob(spark, sf0001).collect()
+    assert(rows.map(_.getInt(1)).distinct.sorted.toSeq == (1 to SeriesAnalysis.acfMaxLag))
+    rows.filterNot(_.isNullAt(2)).foreach { r =>
+      val a = r.getDouble(2)
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of range: $a")
+    }
+  }
+}
