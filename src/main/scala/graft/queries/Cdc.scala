@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture surface: MERGE-style upsert of a dimension
+  * snapshot with a delta batch, and SCD Type-2 interval construction
+  * from a change stream. The reference's warehouse refreshes dims by
+  * full overwrite (`quickbooks_customers_ETL.py` rewrites the whole
+  * table per run); these are the incremental forms that replace a full
+  * rewrite once the dim stops fitting a single run's budget.
+  *
+  * Scale design: the upsert is one shuffle join on the merge key (the
+  * delta side is the small CDC batch — broadcast-able when it fits;
+  * Catalyst decides from stats), never a full-table sort. SCD2 is the
+  * gaps-and-islands shape: ONE shuffle on the entity key, then two
+  * window passes and a grouped aggregate riding the same partitioning —
+  * Catalyst collapses the window/group chain onto a single exchange.
+  */
+object Cdc {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MERGE semantics (WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    * INSERT) without a table format that supports MERGE INTO: the delta
+    * wins wholesale on key collision, unmatched base rows pass through.
+    * Columns must align by name. One anti-join + union — a single
+    * shuffle, no driver round-trip, rewrite-free until the sink.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** Latest order per customer within a date predicate — the snapshot
+    * shape on either side of the CDC cutoff. Tie-broken by orderkey so
+    * same-day orders resolve identically in both engines.
+    */
+  private def lastOrderSnap(s: SparkSession, d: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables
+      .orders(s, d)
+      .filter(pred)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"o_custkey".as("c_custkey"),
+        $"o_orderkey".as("last_orderkey"),
+        $"o_orderstatus".as("last_status"),
+        $"o_totalprice".as("last_price"),
+        $"o_orderdate".as("last_date")
+      )
+  }
+
+  /** Upsert the pre-cutoff activity snapshot with the post-cutoff CDC
+    * batch: customers active only before stay 'base', active after are
+    * replaced ('delta'), first-active-after are inserted ('delta').
+    */
+  val wMergeUpsert: Q = (s, d) => {
+    // late cutoff = small delta batch (the realistic CDC shape): ~30% of
+    // customers are active after it, the rest pass through as 'base'
+    val cutoff = lit("2001-06-01").cast("date")
+    val base   = lastOrderSnap(s, d, $"o_orderdate" < cutoff).withColumn("src", lit("base"))
+    val delta  = lastOrderSnap(s, d, $"o_orderdate" >= cutoff).withColumn("src", lit("delta"))
+    mergeUpsert(base, delta, Seq("c_custkey")).orderBy($"c_custkey")
+  }
+
+  /** SCD Type-2 from the event stream: per user, consecutive runs of the
+    * same event_type collapse into a versioned validity interval
+    * [valid_from, valid_to), open-ended for the current state. Classic
+    * gaps-and-islands: change flag → running sum → island aggregate →
+    * lead for the interval end.
+    */
+  val eScd2: Q = (s, d) => {
+    val w    = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id").rowsBetween(Window.unboundedPreceding, 0)
+    val byVersion = Window.partitionBy($"user_id").orderBy($"version")
+    Tables
+      .events(s, d)
+      .withColumn(
+        "chg",
+        when(lag($"event_type", 1).over(w).isNull || lag($"event_type", 1).over(w) =!= $"event_type", 1)
+          .otherwise(0)
+      )
+      .withColumn("version", sum($"chg").over(runs))
+      .groupBy($"user_id", $"version")
+      .agg(
+        max($"event_type").as("status"), // constant within an island
+        min($"ts").as("valid_from"),
+        count(lit(1)).as("n_events")
+      )
+      .withColumn("valid_to", lead($"valid_from", 1).over(byVersion))
+      .withColumn("is_current", $"valid_to".isNull.cast("int"))
+      .select($"user_id", $"version", $"status", $"valid_from", $"valid_to", $"n_events", $"is_current")
+      .orderBy($"user_id", $"version")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "w_merge_upsert" -> wMergeUpsert,
+    "e_scd2"         -> eScd2
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS c_custkey, o_orderkey AS last_orderkey,
+        |      o_orderstatus AS last_status, o_totalprice AS last_price,
+        |      o_orderdate AS last_date, 'base' AS src,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate < DATE '2001-06-01')
+        |  WHERE rn = 1),
+        |delta AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS c_custkey, o_orderkey AS last_orderkey,
+        |      o_orderstatus AS last_status, o_totalprice AS last_price,
+        |      o_orderdate AS last_date, 'delta' AS src,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate >= DATE '2001-06-01')
+        |  WHERE rn = 1)
+        |SELECT c_custkey, last_orderkey, last_status, last_price, last_date, src
+        |FROM (
+        |  SELECT * FROM delta
+        |  UNION ALL
+        |  SELECT b.* FROM base b ANTI JOIN delta d USING (c_custkey))
+        |ORDER BY c_custkey""".stripMargin,
+    "e_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM flagged),
+        |grouped AS (
+        |  SELECT user_id, version, MAX(event_type) AS status,
+        |    MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM islands GROUP BY user_id, version)
+        |SELECT user_id, version, status, valid_from,
+        |  lead(valid_from) OVER v AS valid_to, n_events,
+        |  CAST(lead(valid_from) OVER v IS NULL AS INT) AS is_current
+        |FROM grouped
+        |WINDOW v AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin
+  )
+}

@@ -17,7 +17,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("query keys are globally unique across modules") {
     val maps = Seq(
       Relational.queries, Advanced.queries, graft.queries.AsofJoin.queries,
-      graft.queries.ZOrder.queries, graft.queries.Graph.queries,
+      graft.queries.ZOrder.queries, graft.queries.Graph.queries, graft.queries.Cdc.queries,
       ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries,
       ZoloPipeline.queries, TextAnalysis.queries, Dedup.queries,
       Similarity.queries, Multimodal.queries,
