@@ -80,9 +80,122 @@ object Graph {
     }
   }
 
+  /** Undirected co-purchase edges: distinct part pairs sharing an order —
+    * the unipartite projection of the order↔part graph (the bipartite
+    * part↔supplier edges above are triangle-free by construction).
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    val ip = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
+    ip.as("a")
+      .join(
+        ip.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey")
+      )
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  /** (triangles, wedge count) of an undirected simple graph given as
+    * (u, v) rows with u < v. Orients each edge low→high by (degree, id) —
+    * the orientation is a total order, so every triangle survives exactly
+    * once, and out-degrees are O(√m), which is what keeps the wedge join
+    * from exploding on high-degree nodes at 100 TB (the count-triangles
+    * standard since Chiba–Nishizeki; a naive undirected wedge join is
+    * Σ deg² and dies on the first popular part).
+    */
+  private[queries] def triangleStats(e0: DataFrame): (Long, Long) = {
+    val e = e0.persist()
+    try {
+      val deg = e
+        .select($"u".as("node"))
+        .unionAll(e.select($"v".as("node")))
+        .groupBy($"node")
+        .agg(count(lit(1)).as("deg"))
+        .persist()
+      try {
+        val wedges = deg.agg(sum($"deg" * ($"deg" - 1)).as("w")).first().getLong(0) / 2
+        val lower = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+        val de = e
+          .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+          .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+          .select(
+            when(lower, $"u").otherwise($"v").as("src"),
+            when(lower, $"v").otherwise($"u").as("dst")
+          )
+          .persist()
+        val tri =
+          try {
+            de.select($"src".as("u"), $"dst".as("v"))
+              .join(de.select($"src".as("v"), $"dst".as("w")), "v")
+              .join(de.select($"src".as("u"), $"dst".as("w")), Seq("u", "w"), "left_semi")
+              .count()
+          } finally de.unpersist()
+        (tri, wedges)
+      } finally deg.unpersist()
+    } finally e.unpersist()
+  }
+
+  /** Triangle census of the co-purchase graph: count, wedge count, and
+    * the global clustering coefficient (3·triangles / wedges).
+    */
+  val gTriangles: Q = (s, d) => {
+    val (tri, wedges) = triangleStats(coEdges(s, d))
+    s.range(1)
+      .select(
+        lit(tri).as("n_triangles"),
+        lit(wedges).as("n_wedges"),
+        round(lit(3.0) * lit(tri) / lit(wedges), 9).as("clustering_coeff")
+      )
+  }
+
+  val hopSeedBrand = "Brand#11"
+  val maxHops      = 3
+
+  /** BFS minimum hop distance (≤ 3) from one brand's parts over the
+    * co-purchase graph. Same iterative discipline as PageRank: the big
+    * edge list is pre-partitioned on src and persisted so every round's
+    * frontier join reuses the partitioning; each round localCheckpoints
+    * the compact (node, hop) state to cut lineage.
+    */
+  val gHops: Q = (s, d) => {
+    val e = coEdges(s, d)
+    val bi = e
+      .select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .repartition(s.sparkContext.defaultParallelism, $"src")
+      .persist()
+    try {
+      var reached = Tables
+        .part(s, d)
+        .filter($"p_brand" === hopSeedBrand)
+        .select($"p_partkey".as("node"), lit(0).as("hop"))
+        .localCheckpoint()
+      for (h <- 1 to maxHops) {
+        val frontier = reached.filter($"hop" === h - 1).select($"node".as("src"))
+        val nxt      = bi.join(frontier, "src").select($"dst".as("node"), lit(h).as("hop"))
+        reached = reached
+          .unionAll(nxt)
+          .groupBy($"node")
+          .agg(min($"hop").as("hop"))
+          .localCheckpoint()
+      }
+      reached.select($"node", $"hop".as("min_hops")).orderBy($"node")
+    } finally bi.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
-    "g_pagerank" -> gPagerank
+    "g_pagerank"  -> gPagerank,
+    "g_triangles" -> gTriangles,
+    "g_hops"      -> gHops
   )
+
+  /** Shared SQL for the co-purchase projection. */
+  private val coBase =
+    """ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM ip a JOIN ip b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
 
   private val base =
     """edges0 AS (
@@ -108,6 +221,46 @@ object Graph {
       s"""WITH $base,
          |${(1 to iterations).map(prRound).mkString(",\n")}
          |SELECT node, round(rank, 9) AS rank
-         |FROM r$iterations ORDER BY node""".stripMargin
+         |FROM r$iterations ORDER BY node""".stripMargin,
+    "g_triangles" ->
+      s"""WITH $coBase,
+         |deg AS (
+         |  SELECT node, COUNT(*) AS deg
+         |  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         |  GROUP BY node),
+         |de AS (
+         |  SELECT
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.u ELSE e.v END AS src,
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |         THEN e.v ELSE e.u END AS dst
+         |  FROM e
+         |  JOIN deg du ON e.u = du.node
+         |  JOIN deg dv ON e.v = dv.node),
+         |tri AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM (
+         |    SELECT e1.src AS u, e2.dst AS w
+         |    FROM de e1 JOIN de e2 ON e1.dst = e2.src) wdg
+         |  WHERE EXISTS (SELECT 1 FROM de e3 WHERE e3.src = wdg.u AND e3.dst = wdg.w)),
+         |wed AS (
+         |  SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) // 2 AS n_wedges FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  round(3.0 * n_triangles / n_wedges, 9) AS clustering_coeff
+         |FROM tri, wed""".stripMargin,
+    "g_hops" ->
+      s"""WITH RECURSIVE $coBase,
+         |bi AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e),
+         |bfs AS (
+         |  SELECT p_partkey AS node, 0 AS hop
+         |  FROM part WHERE p_brand = '$hopSeedBrand'
+         |  UNION
+         |  SELECT b2.dst AS node, bfs.hop + 1 AS hop
+         |  FROM bfs JOIN bi b2 ON b2.src = bfs.node
+         |  WHERE bfs.hop < $maxHops)
+         |SELECT node, MIN(hop) AS min_hops FROM bfs
+         |GROUP BY node ORDER BY node""".stripMargin
   )
 }

@@ -29,4 +29,31 @@ class GraphSpec extends SparkSpec {
     // redistributes what the previous round held
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
   }
+
+  test("triangleStats: K4 has 4 triangles, 12 wedges, coefficient 1") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val (tri, wedges) = Graph.triangleStats(k4)
+    assert(tri == 4L, s"K4 triangles: $tri")
+    assert(wedges == 12L, s"K4 wedges: $wedges")
+  }
+
+  test("triangleStats: a path has no triangles but counts its wedges") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val (tri, wedges) = Graph.triangleStats(path)
+    assert(tri == 0L)
+    assert(wedges == 2L) // the two interior nodes each center one wedge
+  }
+
+  test("g_hops: BFS distances on a synthetic order chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+    // orders chain parts 10-20, 20-30, 30-40: BFS from {10} → hops 0,1,2,3
+    Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L), (3L, 30L), (3L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, Graph.hopSeedBrand), (20L, "Brand#99"), (30L, "Brand#99"), (40L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val hops = Graph.gHops(spark, dir).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops == Map(10L -> 0, 20L -> 1, 30L -> 2, 40L -> 3))
+  }
 }
