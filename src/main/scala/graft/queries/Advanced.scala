@@ -500,7 +500,35 @@ object Advanced {
     ).orderBy($"pair")
   }
 
+  /** Equi-width histogram of order totals: data-driven bounds (one tiny
+    * min/max aggregate broadcast back over the scan), 20 buckets, exact
+    * DECIMAL sums per bucket. The two-pass shape is the scale answer —
+    * bucketing is map-only once the two bounds are known, and the bucket
+    * aggregate is a 20-group combine; no sort, no global window.
+    */
+  val aHistogram: Q = (s, d) => {
+    val o      = Tables.orders(s, d)
+    val stats  = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+    val nb     = 20
+    o.crossJoin(broadcast(stats))
+      .withColumn(
+        "bucket",
+        least(
+          floor(($"o_totalprice" - $"mn") / (($"mx" - $"mn") / lit(nb.toDouble))),
+          lit((nb - 1).toDouble)
+        ).cast("int")
+      )
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_price")
+      )
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_histogram"       -> aHistogram,
     "a_corr_matrix"     -> aCorrMatrix,
     "a_unpivot"         -> aUnpivot,
     "q_dq_checks"       -> qDqChecks,
@@ -523,6 +551,14 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_histogram" ->
+      """WITH s AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20.0)), 19.0) AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders, s
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "a_corr_matrix" ->
       """WITH m AS (
         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,

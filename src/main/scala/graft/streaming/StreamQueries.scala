@@ -104,12 +104,67 @@ object StreamQueries {
           $"user_id", $"total_value", $"n_events")
     }.orderBy($"user_id", $"session_start")
 
+  /** Stream-stream interval join through the real engine: views matched
+    * to the same user's purchases within the following hour. Both sides
+    * are watermarked (2 h > the 1 h interval, so state eviction can never
+    * outrun a legal match) and the join is inner — every match is emitted
+    * as it resolves, so the bounded AvailableNow replay converges to the
+    * batch join and the plain-SQL oracle applies. At firehose scale the
+    * watermark bound is what keeps the buffered join state finite.
+    */
+  val streamJoin: Q = (s, d) => {
+    val ck = java.nio.file.Files.createTempDirectory("graft-ssjoin-ck").toString
+    def side(tpe: String, prefix: String) = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter($"event_type" === tpe)
+      .select(
+        $"user_id".as(s"${prefix}_user"),
+        $"event_id".as(s"${prefix}_id"),
+        $"ts".as(s"${prefix}_ts")
+      )
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("view", "v").join(
+      side("purchase", "p"),
+      expr("""v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR""")
+    )
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("s_stream_join_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    s.table("s_stream_join_sink")
+      .select(
+        $"v_user".as("user_id"),
+        $"v_id".as("view_id"),
+        $"p_id".as("purchase_id"),
+        $"v_ts".as("view_ts"),
+        $"p_ts".as("purchase_ts")
+      )
+      .orderBy($"user_id", $"view_id", $"purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s_stream_windows"  -> streamWindows,
-    "s_stream_sessions" -> streamSessions
+    "s_stream_sessions" -> streamSessions,
+    "s_stream_join"     -> streamJoin
   )
 
   val oracles: Map[String, String] = Map(
+    "s_stream_join" ->
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |  p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     "s_stream_windows" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
         |  time_bucket(INTERVAL 30 MINUTE, ts) + INTERVAL 30 MINUTE AS window_end,

@@ -663,7 +663,61 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Held-out novelty check on the md5 train/val/test split: the fraction
+    * of word TRIGRAMS in each held-out split never seen in train — the
+    * distribution-shift / memorization-headroom diagnostic run before
+    * trusting an eval split (unigram OOV is degenerate on any corpus with
+    * a closed vocabulary; trigrams measure phrase novelty). One tokenize
+    * pass feeds the vocabulary and both held-out sides; the membership
+    * probe is a left join on the gram — at 100 TB the train vocabulary is
+    * billions of grams and must shuffle, never broadcast (same rule as
+    * `text_rare_score`).
+    */
+  val textOovRate: Q = (s, d) => {
+    val grams = Tables
+      .documents(s, d)
+      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
+      .withColumn(
+        "split",
+        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
+      )
+      .withColumn("w", toks)
+      .filter(size($"w") >= 3)
+      .select(
+        $"split",
+        explode(
+          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")
+        ).as("gram")
+      )
+      .persist()
+    try {
+      val vocab = grams.filter($"split" === "train").select($"gram").distinct()
+      grams
+        .filter($"split" =!= "train")
+        .join(vocab.withColumn("seen", lit(1)), Seq("gram"), "left")
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct($"gram").as("n_types"),
+          countDistinct(when($"seen".isNull, $"gram")).as("n_oov_types")
+        )
+        .select(
+          $"split",
+          $"n_grams",
+          $"n_oov",
+          round($"n_oov" / $"n_grams", 6).as("oov_rate"),
+          $"n_types",
+          $"n_oov_types",
+          round($"n_oov_types" / $"n_types", 6).as("oov_type_rate")
+        )
+        .orderBy($"split")
+        .localCheckpoint()
+    } finally grams.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_oov_rate"       -> textOovRate,
     "text_dup_spans"      -> textDupSpans,
     "text_mixture_sample" -> textMixtureSample,
     "text_repetition"   -> textRepetition,
@@ -726,6 +780,28 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_oov_rate" ->
+      """WITH docs AS (
+        |  SELECT CASE substring(md5(text), 1, 1)
+        |      WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split,
+        |    string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |tk AS (
+        |  SELECT split, array_to_string(w[i:i+2], ' ') AS gram
+        |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t),
+        |v AS (SELECT DISTINCT gram FROM tk WHERE split = 'train'),
+        |h AS (
+        |  SELECT tk.split, tk.gram, v.gram IS NOT NULL AS seen
+        |  FROM tk LEFT JOIN v ON tk.gram = v.gram
+        |  WHERE tk.split <> 'train')
+        |SELECT split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) FILTER (WHERE NOT seen) AS BIGINT) AS n_oov,
+        |  round(COUNT(*) FILTER (WHERE NOT seen) / COUNT(*), 6) AS oov_rate,
+        |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_types,
+        |  CAST(COUNT(DISTINCT gram) FILTER (WHERE NOT seen) AS BIGINT) AS n_oov_types,
+        |  round(COUNT(DISTINCT gram) FILTER (WHERE NOT seen) / COUNT(DISTINCT gram), 6) AS oov_type_rate
+        |FROM h GROUP BY split ORDER BY split""".stripMargin,
     // text_dup_spans: 8-gram generation + cross-doc distinct count +
     // DISTINCT position coverage, replayed like text_repetition
     "text_dup_spans" ->

@@ -73,4 +73,13 @@ class AdvancedSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(summed == whole)
   }
+
+  test("a_histogram: buckets cover every order exactly once, edges clamp") {
+    val rows = Advanced.aHistogram(spark, sf0001).collect()
+    val buckets = rows.map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b <= 19), s"bucket out of range: ${buckets.mkString(",")}")
+    assert(buckets.distinct.length == buckets.length)
+    val total = graft.tables.Tables.orders(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "histogram loses or double-counts orders")
+  }
 }

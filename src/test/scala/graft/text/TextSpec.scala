@@ -144,4 +144,18 @@ class TextSpec extends SparkSpec {
     val rows = TextAnalysis.textTfidfPairs(spark, dir).collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == Seq((1L, 2L, 1.0)))
   }
+
+  test("text_oov_rate: held-out splits only, rates bounded, oov <= total") {
+    val rows = TextAnalysis.textOovRate(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "val"))
+    rows.foreach { r =>
+      val (n, oov, rate)      = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (ty, oovTy, tyRate) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(oov <= n && oovTy <= ty)
+      assert(rate >= 0.0 && rate <= 1.0 && tyRate >= 0.0 && tyRate <= 1.0)
+      // token-level novelty can't exceed type-level on a closed unigram
+      // vocabulary corpus where unseen grams are mostly singletons
+      assert(ty <= n)
+    }
+  }
 }
