@@ -185,6 +185,114 @@ object SeriesAnalysis {
       .orderBy($"profile_name", $"lag")
   }
 
+  // ------------------------------------------------------- Holt-Winters
+
+  final case class HwRow(
+      profile_name: String,
+      level: Double,
+      trend: Double,
+      seasonal_next: Double,
+      prediction: Double
+  )
+
+  val hwPeriod = 13
+  // fixed smoothing constants (α,β,γ) = (0.3,0.1,0.2) — written literally
+  // in BOTH engines, complements as 0.7/0.9/0.8 literals (never 1-α); an
+  // optimized-parameter path would follow the holtFit grid pattern
+
+  /** Additive Holt–Winters with fixed (α,β,γ) = (0.3,0.1,0.2), period 13 —
+    * the triple-exponential member the reference's model set (SES, Holt,
+    * ARIMA) stops short of. Standard init on the first two seasons
+    * (level = season-1 mean, trend = season-over-season mean shift / m,
+    * seasonals = season-1 deviations), recursion thereafter; h=1 forecast
+    * = level + trend + matching seasonal. Same flatMapGroups shape as the
+    * other per-profile models.
+    */
+  def holtWintersJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = hwPeriod
+    ForecastJobs
+      .gapfillJob(s, dir)
+      .as[GapRow]
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
+        val n  = xs.length
+        if (n < 2 * m + 1) Iterator.empty
+        else {
+          // sequential left folds, mirrored by list_reduce in the oracle
+          var m1 = 0.0; var i = 0
+          while (i < m) { m1 += xs(i); i += 1 }
+          m1 /= m
+          var m2 = 0.0; i = m
+          while (i < 2 * m) { m2 += xs(i); i += 1 }
+          m2 /= m
+          var l = m1
+          var b = (m2 - m1) / m
+          val slist = Array.tabulate(m)(j => xs(j) - m1)
+          var t = m
+          while (t < n) {
+            val sOld = slist(0)
+            val lNew = 0.3 * (xs(t) - sOld) + 0.7 * (l + b)
+            val bNew = 0.1 * (lNew - l) + 0.9 * b
+            val sNew = 0.2 * (xs(t) - l - b) + 0.8 * sOld
+            System.arraycopy(slist, 1, slist, 0, m - 1)
+            slist(m - 1) = sNew
+            l = lNew; b = bNew
+            t += 1
+          }
+          Iterator.single(HwRow(profile, l, b, slist(0), l + b + slist(0)))
+        }
+      }
+      .toDF()
+      .select(
+        col("profile_name"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal_next"), 6).as("seasonal_next"),
+        round(col("prediction"), 6).as("prediction")
+      )
+      .orderBy(col("profile_name"))
+  }
+
+  // ------------------------------------------------------------- OLS trend
+
+  /** Per-profile least-squares trend line over the gap-filled series
+    * (x = week index): slope, intercept, and R² from the five moment
+    * sums — the "is there a trend worth Holt over SES" test. Moments
+    * accumulate as DECIMAL partials (map-side combine; one shuffle of
+    * five numbers per profile), closed-form arithmetic on the tiny
+    * per-profile row — the same exact-moments pattern as
+    * `a_corr_matrix`.
+    */
+  def trendOlsJob(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy($"profile_name").orderBy($"week_date")
+    ForecastJobs
+      .gapfillJob(s, dir)
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .groupBy($"profile_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"i").as("sx"),
+        sum($"i" * $"i").as("sxx"),
+        sum($"weight".cast(dec)).cast("double").as("sy"),
+        sum(($"i" * $"weight").cast(dec)).cast("double").as("sxy"),
+        sum(($"weight" * $"weight").cast(dec)).cast("double").as("syy")
+      )
+      .select(
+        $"profile_name",
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6)
+          .as("intercept"),
+        round(
+          (($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")) /
+            (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")),
+          6
+        ).as("r2")
+      )
+      .orderBy($"profile_name")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** The gap-filled weekly series as a shared CTE — the `t_gapfill` oracle
@@ -215,7 +323,9 @@ object SeriesAnalysis {
   val queries: Map[String, Q] = Map(
     "m_croston"         -> (crostonJob(_, _)),
     "m_seasonal_decomp" -> (seasonalDecompJob(_, _)),
-    "m_acf"             -> (acfJob(_, _))
+    "m_acf"             -> (acfJob(_, _)),
+    "m_hw_fixed"        -> (holtWintersJob(_, _)),
+    "m_trend_ols"       -> (trendOlsJob(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +384,54 @@ object SeriesAnalysis {
         |  round(d.weight - d.trend - a.seasonal, 6) AS resid
         |FROM detr d JOIN sea_adj a USING (profile_name, phase)
         |ORDER BY profile_name, week_date""".stripMargin,
+    "m_hw_fixed" ->
+      s"""WITH RECURSIVE $gapCte,
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM gap GROUP BY profile_name),
+        |init AS (
+        |  SELECT profile_name, xs, len(xs) AS n,
+        |    list_reduce(xs[1:13], (a, b) -> a + b) / 13 AS m1,
+        |    list_reduce(xs[14:26], (a, b) -> a + b) / 13 AS m2
+        |  FROM series WHERE len(xs) >= 27),
+        |hw AS (
+        |  SELECT profile_name, xs, n, 13 AS i,
+        |    m1 AS l, (m2 - m1) / 13 AS b,
+        |    [x - m1 for x in xs[1:13]] AS slist
+        |  FROM init
+        |  UNION ALL
+        |  SELECT profile_name, xs, n, i + 1,
+        |    0.3 * (xs[i + 1] - slist[1]) + 0.7 * (l + b),
+        |    0.1 * ((0.3 * (xs[i + 1] - slist[1]) + 0.7 * (l + b)) - l) + 0.9 * b,
+        |    slist[2:13] || [0.2 * (xs[i + 1] - l - b) + 0.8 * slist[1]]
+        |  FROM hw WHERE i < n)
+        |SELECT profile_name,
+        |  round(l, 6) AS level,
+        |  round(b, 6) AS trend,
+        |  round(slist[1], 6) AS seasonal_next,
+        |  round(l + b + slist[1], 6) AS prediction
+        |FROM hw WHERE i = n ORDER BY profile_name""".stripMargin,
+    "m_trend_ols" ->
+      s"""WITH $gapCte,
+        |idx AS (
+        |  SELECT profile_name, weight,
+        |    row_number() OVER (PARTITION BY profile_name ORDER BY week_date) AS i
+        |  FROM gap),
+        |mo AS (
+        |  SELECT profile_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(i) AS BIGINT) AS sx,
+        |    CAST(SUM(i * i) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(weight AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(i * weight AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(weight * weight AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        |  FROM idx GROUP BY profile_name)
+        |SELECT profile_name,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM mo ORDER BY profile_name""".stripMargin,
     "m_acf" -> {
       val leads = (1 to acfMaxLag)
         .map(k => s"lead(dev, $k) OVER w AS d$k")

@@ -50,6 +50,26 @@ class SeriesAnalysisSpec extends SparkSpec {
     assert(off == 0, s"$off profiles with un-centered seasonal effects")
   }
 
+  test("holt-winters: prediction decomposes into level + trend + seasonal") {
+    val rows = SeriesAnalysis.holtWintersJob(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, b, sn, p) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // components independently rounded to 6 dp → tolerance, not equality
+      assert(math.abs(p - (l + b + sn)) < 1e-4 * math.max(1.0, math.abs(p)),
+        s"prediction != l+b+s: $p vs ${l + b + sn}")
+    }
+  }
+
+  test("trend OLS: r2 is a bounded fraction, slope and intercept are finite") {
+    val df = SeriesAnalysis.trendOlsJob(spark, sf0001)
+    df.collect().foreach { r =>
+      val r2 = r.getDouble(3)
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r2")
+      assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
+    }
+  }
+
   test("acf: lag range is 1..6 and values are bounded correlations") {
     val rows = SeriesAnalysis.acfJob(spark, sf0001).collect()
     assert(rows.map(_.getInt(1)).distinct.sorted.toSeq == (1 to SeriesAnalysis.acfMaxLag))
