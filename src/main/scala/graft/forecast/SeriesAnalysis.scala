@@ -293,6 +293,66 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  // ------------------------------------------------------ inventory sim
+
+  final case class InvRow(
+      profile_name: String,
+      final_stock: Double,
+      lost_sales: Double,
+      n_orders: Int,
+      service_rate: Double
+  )
+
+  /** Lost-sales inventory simulation under an (R, Q) reorder policy with
+    * one-week lead time — the decision layer the reference's demand
+    * forecasts feed. Per profile over the gap-filled weekly demand:
+    * start stock 4·mean, reorder point 2·mean, order quantity 4·mean;
+    * at most one order outstanding (lead time 1 ⇒ an order placed at
+    * week t arrives at t+1, before the next decision). Reports final
+    * stock, lost sales, order count, and the demand fill rate. The
+    * sequential fold is per-profile (embarrassingly parallel after one
+    * shuffle); the DuckDB oracle replays it as a recursive CTE.
+    */
+  def inventorySimJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ForecastJobs
+      .gapfillJob(s, dir)
+      .as[GapRow]
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
+        val n  = xs.length
+        // sequential left fold for the mean — list_reduce in the oracle
+        var tot = 0.0; var i = 0
+        while (i < n) { tot += xs(i); i += 1 }
+        val m = tot / n
+        val q = 4.0 * m; val r = 2.0 * m
+        var stock   = 4.0 * m
+        var pending = false
+        var lost    = 0.0
+        var orders  = 0
+        i = 0
+        while (i < n) {
+          val avail = stock + (if (pending) q else 0.0)
+          stock = math.max(avail - xs(i), 0.0)
+          lost = lost + math.max(xs(i) - avail, 0.0)
+          pending = stock < r
+          if (pending) orders += 1
+          i += 1
+        }
+        Iterator.single(InvRow(profile, stock, lost, orders, (tot - lost) / tot))
+      }
+      .toDF()
+      .select(
+        col("profile_name"),
+        round(col("final_stock"), 6).as("final_stock"),
+        round(col("lost_sales"), 6).as("lost_sales"),
+        col("n_orders"),
+        round(col("service_rate"), 6).as("service_rate")
+      )
+      .orderBy(col("profile_name"))
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** The gap-filled weekly series as a shared CTE — the `t_gapfill` oracle
@@ -325,7 +385,8 @@ object SeriesAnalysis {
     "m_seasonal_decomp" -> (seasonalDecompJob(_, _)),
     "m_acf"             -> (acfJob(_, _)),
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
-    "m_trend_ols"       -> (trendOlsJob(_, _))
+    "m_trend_ols"       -> (trendOlsJob(_, _)),
+    "m_inventory_sim"   -> (inventorySimJob(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -411,6 +472,35 @@ object SeriesAnalysis {
         |  round(slist[1], 6) AS seasonal_next,
         |  round(l + b + slist[1], 6) AS prediction
         |FROM hw WHERE i = n ORDER BY profile_name""".stripMargin,
+    "m_inventory_sim" ->
+      s"""WITH RECURSIVE $gapCte,
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM gap GROUP BY profile_name),
+        |init AS (
+        |  SELECT profile_name, xs, len(xs) AS n,
+        |    list_reduce(xs, (a, b) -> a + b) AS tot,
+        |    list_reduce(xs, (a, b) -> a + b) / len(xs) AS m
+        |  FROM series),
+        |inv AS (
+        |  SELECT profile_name, xs, n, tot, m, 0 AS i,
+        |    4.0 * m AS stock, 0 AS pending, CAST(0.0 AS DOUBLE) AS lost, 0 AS orders
+        |  FROM init
+        |  UNION ALL
+        |  SELECT profile_name, xs, n, tot, m, i + 1,
+        |    greatest((stock + CASE WHEN pending = 1 THEN 4.0 * m ELSE 0.0 END) - xs[i + 1], 0.0),
+        |    CASE WHEN greatest((stock + CASE WHEN pending = 1 THEN 4.0 * m ELSE 0.0 END) - xs[i + 1], 0.0)
+        |              < 2.0 * m THEN 1 ELSE 0 END,
+        |    lost + greatest(xs[i + 1] - (stock + CASE WHEN pending = 1 THEN 4.0 * m ELSE 0.0 END), 0.0),
+        |    orders + CASE WHEN greatest((stock + CASE WHEN pending = 1 THEN 4.0 * m ELSE 0.0 END) - xs[i + 1], 0.0)
+        |                       < 2.0 * m THEN 1 ELSE 0 END
+        |  FROM inv WHERE i < n)
+        |SELECT profile_name,
+        |  round(stock, 6) AS final_stock,
+        |  round(lost, 6) AS lost_sales,
+        |  CAST(orders AS INT) AS n_orders,
+        |  round((tot - lost) / tot, 6) AS service_rate
+        |FROM inv WHERE i = n ORDER BY profile_name""".stripMargin,
     "m_trend_ols" ->
       s"""WITH $gapCte,
         |idx AS (

@@ -527,7 +527,38 @@ object Advanced {
       .orderBy($"bucket")
   }
 
+  /** ABC inventory classification: parts ranked by revenue, classed A/B/C
+    * at the 80%/95% cumulative-share Pareto cuts. The running share is an
+    * exact DECIMAL cumulative sum over the revenue-ranked order (ties
+    * broken by partkey); only the per-part aggregate — not the fact
+    * table — flows through the rank window. The global ORDER BY window is
+    * acceptable here because its input is the part dimension (n_parts
+    * rows), never the 100 TB lineitem side; contrast `text_rare_score`,
+    * where the ranked set is itself huge and uses the range-sort path.
+    */
+  val aAbcClass: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val rev = li
+      .groupBy($"l_partkey".as("p_partkey"))
+      .agg(sum(($"l_quantity" * $"l_extendedprice").cast(dec18)).as("rev"))
+    val byRev = Window.orderBy($"rev".desc, $"p_partkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("cum", sum($"rev").over(byRev))
+      .withColumn("total", sum($"rev").over(Window.partitionBy()))
+      .withColumn("cum_share", ($"cum".cast("double") / $"total".cast("double")))
+      .select(
+        $"p_partkey",
+        $"rev".cast("double").as("revenue"),
+        round($"cum_share", 6).as("cum_share"),
+        when($"cum_share" <= 0.8, "A").when($"cum_share" <= 0.95, "B").otherwise("C").as("abc_class")
+      )
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_abc_class"       -> aAbcClass,
     "a_histogram"       -> aHistogram,
     "a_corr_matrix"     -> aCorrMatrix,
     "a_unpivot"         -> aUnpivot,
@@ -551,6 +582,23 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT p_partkey, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, p_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(rev) OVER () AS total
+        |  FROM rev)
+        |SELECT p_partkey,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+        |  CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+        |       WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY p_partkey""".stripMargin,
     "a_histogram" ->
       """WITH s AS (
         |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)

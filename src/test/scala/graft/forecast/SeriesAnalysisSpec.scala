@@ -70,6 +70,25 @@ class SeriesAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("inventory sim: rates bounded, stock non-negative, hand case replays") {
+    SeriesAnalysis.inventorySimJob(spark, sf0001).collect().foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0)
+      val sr = r.getDouble(4)
+      assert(sr >= 0.0 && sr <= 1.0, s"service rate out of range: $sr")
+    }
+    // xs=[10,10,10]: S0=40,R=20,Q=40 → stocks 30,20,10; one order placed
+    // at t3 (10 < 20), nothing lost
+    val xs = Array(10.0, 10.0, 10.0)
+    val m  = xs.sum / xs.length
+    var stock = 4.0 * m; var pending = false; var lost = 0.0; var orders = 0
+    xs.foreach { x =>
+      val avail = stock + (if (pending) 4.0 * m else 0.0)
+      stock = math.max(avail - x, 0.0); lost += math.max(x - avail, 0.0)
+      pending = stock < 2.0 * m; if (pending) orders += 1
+    }
+    assert(stock == 10.0 && lost == 0.0 && orders == 1)
+  }
+
   test("acf: lag range is 1..6 and values are bounded correlations") {
     val rows = SeriesAnalysis.acfJob(spark, sf0001).collect()
     assert(rows.map(_.getInt(1)).distinct.sorted.toSeq == (1 to SeriesAnalysis.acfMaxLag))

@@ -82,4 +82,14 @@ class AdvancedSpec extends SparkSpec {
     val total = graft.tables.Tables.orders(spark, sf0001).count()
     assert(rows.map(_.getLong(1)).sum == total, "histogram loses or double-counts orders")
   }
+
+  test("a_abc_class: Pareto cuts respected and all classes populated") {
+    val rows = Advanced.aAbcClass(spark, sf0001).collect()
+      .map(r => (r.getDouble(2), r.getString(3)))
+    // cum_share is rounded to 6 dp AFTER classification — compare with slack
+    assert(rows.collect { case (s, "A") => s }.forall(_ <= 0.8 + 1e-6))
+    assert(rows.collect { case (s, "B") => s }.forall(s => s > 0.8 - 1e-6 && s <= 0.95 + 1e-6))
+    assert(rows.collect { case (s, "C") => s }.forall(_ > 0.95 - 1e-6))
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq("A", "B", "C"))
+  }
 }
