@@ -293,6 +293,39 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  // ------------------------------------------------------------ CUSUM
+
+  /** CUSUM drift monitor: running sum of deviations from the profile mean,
+    * flagged where |cusum| exceeds 5σ — the "did the demand level shift"
+    * changepoint screen (a pointwise z-score like `e_anomalies` misses
+    * slow drifts that accumulate; CUSUM is the standard answer). Mean and
+    * σ come from the same one-pass DECIMAL moment sums as the OLS trend;
+    * the running sum is an exact DECIMAL cumulative window on the profile
+    * shuffle.
+    */
+  def cusumJob(s: SparkSession, dir: String): DataFrame = {
+    val byProf = Window.partitionBy($"profile_name")
+    val run = Window
+      .partitionBy($"profile_name")
+      .orderBy($"week_date")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ForecastJobs
+      .gapfillJob(s, dir)
+      .withColumn("n", count(lit(1)).over(byProf))
+      .withColumn("sy", sum($"weight".cast(dec)).over(byProf).cast("double"))
+      .withColumn("syy", sum(($"weight" * $"weight").cast(dec)).over(byProf).cast("double"))
+      .withColumn("sigma", sqrt(($"syy" - $"sy" * $"sy" / $"n") / ($"n" - 1)))
+      .withColumn("dev", $"weight" - $"sy" / $"n")
+      .withColumn("cusum", sum($"dev".cast(dec)).over(run).cast("double"))
+      .select(
+        $"profile_name",
+        $"week_date",
+        round($"cusum", 6).as("cusum"),
+        ($"cusum" > lit(5.0) * $"sigma" || $"cusum" < lit(-5.0) * $"sigma").cast("int").as("drift_flag")
+      )
+      .orderBy($"profile_name", $"week_date")
+  }
+
   // ------------------------------------------------------ inventory sim
 
   final case class InvRow(
@@ -386,7 +419,8 @@ object SeriesAnalysis {
     "m_acf"             -> (acfJob(_, _)),
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
     "m_trend_ols"       -> (trendOlsJob(_, _)),
-    "m_inventory_sim"   -> (inventorySimJob(_, _))
+    "m_inventory_sim"   -> (inventorySimJob(_, _)),
+    "m_cusum"           -> (cusumJob(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -472,6 +506,29 @@ object SeriesAnalysis {
         |  round(slist[1], 6) AS seasonal_next,
         |  round(l + b + slist[1], 6) AS prediction
         |FROM hw WHERE i = n ORDER BY profile_name""".stripMargin,
+    "m_cusum" ->
+      s"""WITH $gapCte,
+        |m AS (
+        |  SELECT profile_name, week_date, weight,
+        |    COUNT(*) OVER p AS n,
+        |    CAST(SUM(CAST(weight AS DECIMAL(38,18))) OVER p AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(weight * weight AS DECIMAL(38,18))) OVER p AS DOUBLE) AS syy
+        |  FROM gap WINDOW p AS (PARTITION BY profile_name)),
+        |d AS (
+        |  SELECT *,
+        |    sqrt((syy - sy * sy / n) / (n - 1)) AS sigma,
+        |    weight - sy / n AS dev
+        |  FROM m),
+        |c AS (
+        |  SELECT *,
+        |    CAST(SUM(CAST(dev AS DECIMAL(38,18))) OVER
+        |      (PARTITION BY profile_name ORDER BY week_date
+        |       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cusum
+        |  FROM d)
+        |SELECT profile_name, week_date,
+        |  round(cusum, 6) AS cusum,
+        |  CAST(cusum > 5.0 * sigma OR cusum < -5.0 * sigma AS INT) AS drift_flag
+        |FROM c ORDER BY profile_name, week_date""".stripMargin,
     "m_inventory_sim" ->
       s"""WITH RECURSIVE $gapCte,
         |series AS (

@@ -716,7 +716,69 @@ object TextAnalysis {
     } finally grams.unpersist()
   }
 
+  final case class TokCounts(token: String, ct: Long, cv: Long, cs: Long)
+
+  /** Distribution shift between the train split and each held-out split:
+    * add-one-smoothed unigram KL(held ‖ train) and Jensen–Shannon
+    * divergence over the joint vocabulary. The corpus-side work is one
+    * tokenize + one (token, split) count aggregation; the divergence fold
+    * runs over the BOUNDED vocabulary in one task (the realistic contract:
+    * production pipelines compute KL over a tokenizer's 50k–200k entries,
+    * which fits one task by construction — an open-vocabulary corpus
+    * would use the sketch path instead). Terms are folded in token order
+    * on both engines (sorted Scala fold ↔ ordered list_reduce), the same
+    * determinism discipline as `text_mixture_sample`; ln parity follows
+    * the `text_tfidf_pairs` precedent.
+    */
+  val textSplitDivergence: Q = (s, d) => {
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn("b", substring(md5(col("text").cast("binary")), 1, 1))
+      .withColumn(
+        "split",
+        when(col("b") === "e", "val").when(col("b") === "f", "test").otherwise("train")
+      )
+      .select(col("split"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("cs")
+      )
+      .as[TokCounts]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.token)
+        val v    = rows.length
+        val nt   = rows.map(_.ct).sum
+        def divergence(ch: TokCounts => Long, nh: Long): (Double, Double) = {
+          var kl = 0.0; var jsd = 0.0; var i = 0
+          while (i < rows.length) {
+            val p = (ch(rows(i)) + 1).toDouble / (nh + v).toDouble
+            val q = (rows(i).ct + 1).toDouble / (nt + v).toDouble
+            kl += p * math.log(p / q)
+            val m = 0.5 * (p + q)
+            jsd += 0.5 * (p * math.log(p / m)) + 0.5 * (q * math.log(q / m))
+            i += 1
+          }
+          (kl, jsd)
+        }
+        val (klV, jsdV) = divergence(_.cv, rows.map(_.cv).sum)
+        val (klT, jsdT) = divergence(_.cs, rows.map(_.cs).sum)
+        Iterator(("test", klT, jsdT), ("val", klV, jsdV))
+      }
+      .toDF("split", "kl_vs_train", "jsd_vs_train")
+      .select(
+        col("split"),
+        round(col("kl_vs_train"), 6).as("kl_vs_train"),
+        round(col("jsd_vs_train"), 6).as("jsd_vs_train")
+      )
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_split_divergence" -> textSplitDivergence,
     "text_oov_rate"       -> textOovRate,
     "text_dup_spans"      -> textDupSpans,
     "text_mixture_sample" -> textMixtureSample,
@@ -780,6 +842,47 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_split_divergence" -> {
+      // p/q expand inline per use — the fold must be a single ordered
+      // list_reduce so its association matches the engine's token-order
+      // left fold exactly
+      def prob(c: String, n: String) = s"(CAST($c + 1 AS DOUBLE) / CAST($n + v AS DOUBLE))"
+      def branch(name: String, lh: String, nh: String): String = {
+        val ph = prob(s"$lh[i]", nh)
+        val qt = prob("lt[i]", "nt")
+        s"""SELECT '$name' AS split,
+           |  round(list_reduce(
+           |    [ $ph * ln($ph / $qt) for i in range(1, CAST(v + 1 AS INT)) ],
+           |    (a, b) -> a + b), 6) AS kl_vs_train,
+           |  round(list_reduce(
+           |    [ 0.5 * ($ph * ln($ph / (0.5 * ($ph + $qt)))) + 0.5 * ($qt * ln($qt / (0.5 * ($ph + $qt))))
+           |      for i in range(1, CAST(v + 1 AS INT)) ],
+           |    (a, b) -> a + b), 6) AS jsd_vs_train
+           |FROM lists""".stripMargin
+      }
+      s"""WITH tk AS (
+        |  SELECT CASE substring(md5(text), 1, 1)
+        |      WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token,
+        |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv,
+        |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cs
+        |  FROM tk GROUP BY token),
+        |lists AS (
+        |  SELECT list(ct ORDER BY token) AS lt,
+        |    list(cv ORDER BY token) AS lv,
+        |    list(cs ORDER BY token) AS ls,
+        |    COUNT(*) AS v, SUM(ct) AS nt, SUM(cv) AS nv, SUM(cs) AS ns
+        |  FROM c)
+        |SELECT * FROM (
+        |${branch("test", "ls", "ns")}
+        |UNION ALL
+        |${branch("val", "lv", "nv")})
+        |ORDER BY split""".stripMargin
+    },
     "text_oov_rate" ->
       """WITH docs AS (
         |  SELECT CASE substring(md5(text), 1, 1)

@@ -89,6 +89,21 @@ class SeriesAnalysisSpec extends SparkSpec {
     assert(stock == 10.0 && lost == 0.0 && orders == 1)
   }
 
+  test("cusum: deviations telescope — the final cumulative sum is ~0") {
+    // sum of (x_t - mean) over the whole series is exactly the telescoped
+    // residual of the mean division; per profile the LAST cusum must be
+    // numerically tiny relative to the series scale
+    val df = SeriesAnalysis.cusumJob(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("profile_name")).orderBy(col("week_date").desc)
+    val finals = df
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cusum")).collect().map(_.getDouble(0))
+    assert(finals.nonEmpty)
+    finals.foreach(c => assert(math.abs(c) < 1e-3, s"final cusum not ~0: $c"))
+  }
+
   test("acf: lag range is 1..6 and values are bounded correlations") {
     val rows = SeriesAnalysis.acfJob(spark, sf0001).collect()
     assert(rows.map(_.getInt(1)).distinct.sorted.toSeq == (1 to SeriesAnalysis.acfMaxLag))

@@ -158,4 +158,14 @@ class TextSpec extends SparkSpec {
       assert(ty <= n)
     }
   }
+
+  test("text_split_divergence: KL and JSD non-negative, JSD <= ln 2") {
+    val rows = TextAnalysis.textSplitDivergence(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "val"))
+    rows.foreach { r =>
+      val (kl, jsd) = (r.getDouble(1), r.getDouble(2))
+      assert(kl >= -1e-9, s"negative KL: $kl")
+      assert(jsd >= -1e-9 && jsd <= math.log(2.0) + 1e-9, s"JSD out of range: $jsd")
+    }
+  }
 }
