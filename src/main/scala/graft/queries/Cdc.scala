@@ -28,6 +28,10 @@ object Cdc {
     * wins wholesale on key collision, unmatched base rows pass through.
     * Columns must align by name. One anti-join + union — a single
     * shuffle, no driver round-trip, rewrite-free until the sink.
+    * The updates plan is consumed twice (probe keys + union payload);
+    * a caller whose delta is expensive to compute should persist it —
+    * not done here because a CDC batch is small by contract and this
+    * combinator must not own cache lifecycle for its inputs.
     */
   def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
