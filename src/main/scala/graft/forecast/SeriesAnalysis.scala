@@ -433,7 +433,9 @@ object SeriesAnalysis {
         |  SELECT profile_name, xs, len(xs) AS n,
         |    list_position([x > 0 for x in xs], true) AS f
         |  FROM series
-        |  WHERE list_position([x > 0 for x in xs], true) IS NOT NULL),
+        |  -- list_position returns 0 (not NULL) on no match: > 0 mirrors the
+        |  -- engine's `f < 0 => skip` for an all-zero-demand profile
+        |  WHERE list_position([x > 0 for x in xs], true) > 0),
         |cro AS (
         |  SELECT profile_name, xs, n, f AS i, xs[f] AS z,
         |    CAST(f AS DOUBLE) AS p, 1 AS q

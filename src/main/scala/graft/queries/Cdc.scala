@@ -65,8 +65,12 @@ object Cdc {
     // customers are active after it, the rest pass through as 'base'
     val cutoff = lit("2001-06-01").cast("date")
     val base   = lastOrderSnap(s, d, $"o_orderdate" < cutoff).withColumn("src", lit("base"))
-    val delta  = lastOrderSnap(s, d, $"o_orderdate" >= cutoff).withColumn("src", lit("delta"))
-    mergeUpsert(base, delta, Seq("c_custkey")).orderBy($"c_custkey")
+    // persisted: mergeUpsert consumes the delta twice (probe keys + union
+    // payload) and its lineage is a full orders scan + window — without
+    // the persist that pass runs twice per invocation
+    val delta = lastOrderSnap(s, d, $"o_orderdate" >= cutoff).withColumn("src", lit("delta")).persist()
+    try mergeUpsert(base, delta, Seq("c_custkey")).orderBy($"c_custkey").localCheckpoint()
+    finally delta.unpersist()
   }
 
   /** SCD Type-2 from the event stream: per user, consecutive runs of the
@@ -130,13 +134,19 @@ object Cdc {
         |  UNION ALL
         |  SELECT b.* FROM base b ANTI JOIN delta d USING (c_custkey))
         |ORDER BY c_custkey""".stripMargin,
+    // CAST(ts AS TIMESTAMP) pins microsecond grain (the s_stream_sessions
+    // precedent) — interval bounds and same-µs ordering must match the
+    // engine's `ts div 1000` truncation on a ns-native DuckDB
     "e_scd2" ->
-      """WITH flagged AS (
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |flagged AS (
         |  SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN lag(event_type) OVER w IS NULL
         |           OR lag(event_type) OVER w <> event_type
         |         THEN 1 ELSE 0 END AS chg
-        |  FROM events
+        |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |islands AS (
         |  SELECT user_id, ts, event_type,

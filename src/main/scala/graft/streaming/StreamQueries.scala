@@ -157,10 +157,18 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // CAST(ts AS TIMESTAMP) pins microsecond grain (the s_stream_sessions
+    // precedent): the engine truncates nanos via `ts div 1000`, and a
+    // DuckDB that reads parquet ns natively would otherwise keep sub-µs
+    // digits in the emitted bounds AND evaluate the 1-hour boundary at ns
+    // grain
     "s_stream_join" ->
-      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events)
+        |SELECT v.user_id AS user_id, v.event_id AS view_id,
         |  p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts
-        |FROM events v JOIN events p
+        |FROM e v JOIN e p
         |  ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
