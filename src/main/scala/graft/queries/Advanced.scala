@@ -557,7 +557,57 @@ object Advanced {
       .orderBy($"p_partkey")
   }
 
+  /** Weighted median of line quantity, weighted by extended price, per
+    * return flag: the smallest value whose cumulative weight reaches half
+    * the total. All arithmetic stays in DECIMAL and the half-threshold is
+    * expressed as `2·cum ≥ total` — no 0.5 multiplication, no doubles, so
+    * the comparison is exact in both engines. Weights pre-aggregate per
+    * distinct value (the running sum walks value groups, not rows), which
+    * also makes the cumulative window input value-cardinality-sized.
+    */
+  val aWeightedMedian: Q = (s, d) => {
+    val dec18 = DecimalType(18, 6)
+    val byVal = Window
+      .partitionBy($"l_returnflag")
+      .orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy($"l_returnflag")
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_quantity".as("v"))
+      .agg(sum($"l_extendedprice".cast(dec18)).as("w"))
+      .withColumn("cum", sum($"w").over(byVal))
+      .withColumn("total", sum($"w").over(tot))
+      .filter($"cum" * 2 >= $"total")
+      .groupBy($"l_returnflag")
+      .agg(min($"v").as("weighted_median"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Trailing-7-day activity per event: count and value sum of the same
+    * user's events in the closed [t−7d, t] window — a RANGE frame over
+    * integer microseconds (`unix_micros` ↔ `epoch_us`), so the boundary
+    * is exact on both engines and same-microsecond peers share a frame
+    * deterministically. The ROWS-frame cousins (`w_running_total`,
+    * `w_sessionize`) can't express "7 days", only "k rows".
+    */
+  val wRangeFrame: Q = (s, d) => {
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-sevenDaysUs, 0)
+    Tables
+      .events(s, d)
+      .withColumn("n_prior_7d", count(lit(1)).over(w))
+      .withColumn("sum_value_7d", sum($"value".cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select($"event_id", $"user_id", $"n_prior_7d", round($"sum_value_7d", 6).as("sum_value_7d"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_weighted_median" -> aWeightedMedian,
+    "w_range_frame"     -> wRangeFrame,
     "a_abc_class"       -> aAbcClass,
     "a_histogram"       -> aHistogram,
     "a_corr_matrix"     -> aCorrMatrix,
@@ -582,6 +632,28 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM g)
+        |SELECT l_returnflag, MIN(v) AS weighted_median
+        |FROM c WHERE 2 * cum >= total
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_prior_7d,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_value_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "a_abc_class" ->
       """WITH rev AS (
         |  SELECT l_partkey AS p_partkey,

@@ -103,9 +103,38 @@ object Cdc {
       .orderBy($"user_id", $"version")
   }
 
+  /** Snapshot reconciliation — the audit face of the same CDC cutoff:
+    * classify every customer key as added (delta only), removed (base
+    * only), changed, or unchanged between the two last-order snapshots.
+    * One full-outer join on the key; the classification is pure row-local
+    * CASE logic. This is how an incremental pipeline proves its merged
+    * table against a fresh snapshot without rewriting either.
+    */
+  val wSnapshotDiff: Q = (s, d) => {
+    val cutoff = lit("2001-06-01").cast("date")
+    val base = lastOrderSnap(s, d, $"o_orderdate" < cutoff)
+      .select($"c_custkey", $"last_orderkey".as("old_orderkey"), $"last_date".as("old_date"))
+    val delta = lastOrderSnap(s, d, $"o_orderdate" >= cutoff)
+      .select($"c_custkey", $"last_orderkey".as("new_orderkey"), $"last_date".as("new_date"))
+    base
+      .join(delta, Seq("c_custkey"), "full_outer")
+      .select(
+        $"c_custkey",
+        when($"old_orderkey".isNull, "added")
+          .when($"new_orderkey".isNull, "removed")
+          .when($"old_orderkey" =!= $"new_orderkey", "changed")
+          .otherwise("unchanged")
+          .as("change_type"),
+        $"old_orderkey",
+        $"new_orderkey"
+      )
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
-    "w_merge_upsert" -> wMergeUpsert,
-    "e_scd2"         -> eScd2
+    "w_merge_upsert"  -> wMergeUpsert,
+    "w_snapshot_diff" -> wSnapshotDiff,
+    "e_scd2"          -> eScd2
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,6 +163,29 @@ object Cdc {
         |  UNION ALL
         |  SELECT b.* FROM base b ANTI JOIN delta d USING (c_custkey))
         |ORDER BY c_custkey""".stripMargin,
+    "w_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS c_custkey, o_orderkey AS old_orderkey,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate < DATE '2001-06-01')
+        |  WHERE rn = 1),
+        |delta AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS c_custkey, o_orderkey AS new_orderkey,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate >= DATE '2001-06-01')
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.c_custkey, d.c_custkey) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |       WHEN d.c_custkey IS NULL THEN 'removed'
+        |       WHEN b.old_orderkey <> d.new_orderkey THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  b.old_orderkey, d.new_orderkey
+        |FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
+        |ORDER BY 1""".stripMargin,
     // CAST(ts AS TIMESTAMP) pins microsecond grain (the s_stream_sessions
     // precedent) — interval bounds and same-µs ordering must match the
     // engine's `ts div 1000` truncation on a ns-native DuckDB

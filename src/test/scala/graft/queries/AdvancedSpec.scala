@@ -92,4 +92,42 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.collect { case (s, "C") => s }.forall(_ > 0.95 - 1e-6))
     assert(rows.map(_._2).distinct.sorted.toSeq == Seq("A", "B", "C"))
   }
+
+  test("a_weighted_median: splits the weight mass — neither side exceeds half") {
+    import org.apache.spark.sql.functions._
+    val med = Advanced.aWeightedMedian(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val li = graft.tables.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice").cast(dec).as("w"))
+    med.foreach { case (flag, m) =>
+      val below = li.filter(col("l_returnflag") === flag && col("l_quantity") < m)
+        .agg(sum(col("w"))).first().getDecimal(0)
+      val total = li.filter(col("l_returnflag") === flag)
+        .agg(sum(col("w"))).first().getDecimal(0)
+      // strictly-below mass < half; mass at-or-below >= half (median def)
+      assert(below.doubleValue() < total.doubleValue() / 2, s"$flag: below-mass too large")
+      val atOrBelow = li.filter(col("l_returnflag") === flag && col("l_quantity") <= m)
+        .agg(sum(col("w"))).first().getDecimal(0)
+      assert(atOrBelow.doubleValue() * 2 >= total.doubleValue(), s"$flag: median too small")
+    }
+  }
+
+  test("w_range_frame: frame counts self and only trailing-7d same-user events") {
+    import org.apache.spark.sql.functions._
+    val rows = Advanced.wRangeFrame(spark, sf0001)
+    // every event counts at least itself
+    assert(rows.filter(col("n_prior_7d") < 1).count() == 0)
+    // spot-check one user against a direct self-join computation
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val u = ev.first().getLong(1)
+    val mine = ev.filter(col("user_id") === u).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = mine.map { case (id, t) =>
+      id -> mine.count { case (_, t2) => t2 <= t && t2 >= t - 7L * 24 * 3600 * 1000000 }.toLong
+    }.toMap
+    val got = rows.filter(col("user_id") === u).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }

@@ -31,6 +31,20 @@ class CdcSpec extends SparkSpec {
     assert(srcs == Set("base", "delta"), s"unexpected provenance classes: $srcs")
   }
 
+  test("w_snapshot_diff: classes partition the key space consistently with merge") {
+    val diff = Cdc.wSnapshotDiff(spark, sf0001).cache()
+    try {
+      assert(diff.select("c_custkey").distinct().count() == diff.count())
+      // added/changed keys are exactly the merge result's delta rows
+      val deltaKeys = Cdc.wMergeUpsert(spark, sf0001)
+        .filter(col("src") === "delta").select("c_custkey")
+      val diffKeys = diff.filter(col("change_type").isin("added", "changed"))
+        .select("c_custkey")
+      assert(diffKeys.exceptAll(deltaKeys).count() == 0)
+      assert(deltaKeys.exceptAll(diffKeys).count() == 0)
+    } finally diff.unpersist()
+  }
+
   test("e_scd2: intervals chain per user, exactly one current version") {
     val df = Cdc.eScd2(spark, sf0001).cache()
     try {
