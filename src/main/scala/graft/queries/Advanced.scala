@@ -605,7 +605,27 @@ object Advanced {
       .orderBy($"event_id")
   }
 
+  /** First-order event-transition matrix (the Markov view of user
+    * behavior): counts and conditional probabilities of event_type →
+    * next event_type per user journey. One lead window on the user
+    * shuffle, then a 5×5 aggregate — sequence mining at its cheapest,
+    * and the input shape for anomaly/journey models.
+    */
+  val eUserPaths: Q = (s, d) => {
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bySrc = Window.partitionBy($"from_state")
+    Tables
+      .events(s, d)
+      .withColumn("next", lead($"event_type", 1).over(ord))
+      .filter($"next".isNotNull)
+      .groupBy($"event_type".as("from_state"), $"next".as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round($"n" / sum($"n").over(bySrc), 6))
+      .orderBy($"from_state", $"to_state")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_user_paths"      -> eUserPaths,
     "a_weighted_median" -> aWeightedMedian,
     "w_range_frame"     -> wRangeFrame,
     "a_abc_class"       -> aAbcClass,
@@ -632,6 +652,21 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_user_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM ev),
+        |c AS (
+        |  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE to_state IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(n / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
     "a_weighted_median" ->
       """WITH g AS (
         |  SELECT l_returnflag, l_quantity AS v,

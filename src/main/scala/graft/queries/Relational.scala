@@ -521,7 +521,36 @@ object Relational {
       .agg(grouping_id().cast("int").as("gid"), sum($"l_quantity").as("sum_qty"))
       .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
 
+  /** Calendar dimension generator — the date spine every warehouse joins
+    * against: one row per day over the corpus's order-date range with the
+    * derived attributes the zolo queries compute inline (week truncation
+    * = T6, weekday = T5). Generated map-side from a `sequence()` explode;
+    * no source scan at all beyond the two bound literals. Weekday uses
+    * the documented cross-engine pairing Spark `weekday()` (Mon=0) =
+    * DuckDB `isodow()-1`.
+    */
+  val tCalendarDim: Q = (s, _) =>
+    s.range(1)
+      .select(
+        explode(
+          expr("sequence(date'1992-01-01', date'2001-12-31', interval 1 day)")
+        ).as("d")
+      )
+      .select(
+        $"d",
+        year($"d").cast("int").as("year"),
+        quarter($"d").cast("int").as("quarter"),
+        month($"d").cast("int").as("month"),
+        dayofmonth($"d").cast("int").as("day_of_month"),
+        weekday($"d").cast("int").as("weekday"),
+        (weekday($"d") >= 5).cast("int").as("is_weekend"),
+        date_trunc("week", $"d").cast("date").as("week_start"),
+        date_trunc("month", $"d").cast("date").as("month_start")
+      )
+      .orderBy($"d")
+
   val queries: Map[String, Q] = Map(
+    "t_calendar_dim"    -> tCalendarDim,
     "j_range_binned"    -> jRangeBinned,
     "u_intersect_except" -> uIntersectExcept,
     "a_cube"            -> aCube,
@@ -554,6 +583,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "t_calendar_dim" ->
+      """SELECT CAST(d AS DATE) AS d,
+        |  CAST(year(d) AS INT) AS year,
+        |  CAST(quarter(d) AS INT) AS quarter,
+        |  CAST(month(d) AS INT) AS month,
+        |  CAST(dayofmonth(d) AS INT) AS day_of_month,
+        |  CAST(isodow(d) - 1 AS INT) AS weekday,
+        |  CAST(isodow(d) - 1 >= 5 AS INT) AS is_weekend,
+        |  CAST(date_trunc('week', d) AS DATE) AS week_start,
+        |  CAST(date_trunc('month', d) AS DATE) AS month_start
+        |FROM (SELECT unnest(generate_series(DATE '1992-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d)
+        |ORDER BY d""".stripMargin,
     "f_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,

@@ -93,6 +93,15 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.sorted.toSeq == Seq("A", "B", "C"))
   }
 
+  test("e_user_paths: outgoing transition probabilities sum to 1 per state") {
+    import org.apache.spark.sql.functions._
+    val bad = Advanced.eUserPaths(spark, sf0001)
+      .groupBy(col("from_state")).agg(sum(col("p")).as("sp"))
+      .filter(abs(col("sp") - 1.0) > lit(1e-4))
+      .count()
+    assert(bad == 0, s"$bad states whose transition row doesn't normalize")
+  }
+
   test("a_weighted_median: splits the weight mass — neither side exceeds half") {
     import org.apache.spark.sql.functions._
     val med = Advanced.aWeightedMedian(spark, sf0001).collect()
