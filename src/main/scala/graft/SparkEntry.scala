@@ -25,7 +25,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ graft.queries.Advanced.queries ++
+    Relational.queries ++ graft.queries.Advanced.queries ++ graft.queries.Matching.queries ++
       graft.queries.AsofJoin.queries ++ graft.queries.ZOrder.queries ++ graft.queries.Graph.queries ++ graft.queries.Cdc.queries ++
       ForecastJobs.queries ++ graft.forecast.SeriesAnalysis.queries ++ ZoloPipeline.queries ++
       TextAnalysis.queries ++ graft.text.Chunking.queries ++ Dedup.queries ++
@@ -36,7 +36,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ graft.queries.Advanced.oracles ++
+    Relational.oracles ++ graft.queries.Advanced.oracles ++ graft.queries.Matching.oracles ++
       graft.queries.AsofJoin.oracles ++ graft.queries.ZOrder.oracles ++ graft.queries.Graph.oracles ++ graft.queries.Cdc.oracles ++ ForecastJobs.oracles ++ graft.forecast.SeriesAnalysis.oracles ++
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++

@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.tables.Tables
+import graft.syntax._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Entity matching, dominance analysis, and robust event analytics —
+  * warehouse breadth beyond the reference's own query set (the reference
+  * reconciles Square/Shopify names by exact key; a real multi-source
+  * warehouse needs the fuzzy path, cf `/root/reference/bin/etl` key joins).
+  *
+  * Every query here is oracle-checked against DuckDB (SparkEntry wiring).
+  */
+object Matching {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fuzzy entity matching over the part-name dictionary.
+    *
+    * Entity-resolution shape, not an all-pairs string join:
+    *  1. '''dictionary first''' — dedupe to distinct names with a groupBy
+    *     (the match runs over entities, not fact rows; at 100 TB the name
+    *     dictionary is orders of magnitude smaller than the fact table and
+    *     the per-name row count rides along as match evidence);
+    *  2. '''blocking''' — candidate pairs only within a blocking key (last
+    *     name token), turning O(n²) into O(Σ block²) — the standard ER
+    *     trade: a typo in the blocking token itself is missed;
+    *  3. '''cheap prefilters before the edit distance''' — length delta
+    *     bound (|len(a)−len(b)| ≤ k implies nothing is lost at dist ≤ k),
+    *     then the THRESHOLDED levenshtein (3-arg form, Spark 3.5+): the
+    *     kernel early-abandons once a row of the DP matrix exceeds k and
+    *     returns −1, so block pairs that are far apart cost O(k·len) not
+    *     O(len²).
+    * dist ∈ [1, k]: exact duplicates (dist 0) are the dedup family's job.
+    */
+  val jFuzzyMatch: Q = (s, d) => {
+    val names = Tables
+      .part(s, d)
+      .groupBy($"p_name")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", element_at(split($"p_name", " "), -1))
+    val a = names.select($"p_name".as("name_a"), $"cnt".as("cnt_a"), $"blk")
+    val b = names.select($"p_name".as("name_b"), $"cnt".as("cnt_b"), $"blk")
+    a.join(b, "blk")
+      .filter($"name_a" < $"name_b")
+      .filter(abs(length($"name_a") - length($"name_b")) <= 2)
+      .withColumn("dist", levenshtein($"name_a", $"name_b", 2))
+      .filter($"dist" >= 1) // threshold form returns -1 beyond 2
+      .select($"name_a", $"name_b", $"dist", $"cnt_a", $"cnt_b")
+      .orderBy($"name_a", $"name_b")
+  }
+
+  /** Pareto skyline of parts (maximize p_retailprice, minimize p_size) —
+    * the classic two-phase distributed skyline:
+    *  1. '''map-side local prune''' (mapPartitions): each partition sorts
+    *     its slice by (price desc, size asc) and sweeps once, emitting only
+    *     its local frontier. Sound: a point dominated inside a partition is
+    *     dominated globally, so nothing on the global frontier is lost and
+    *     the data volume entering the next stage collapses from n to
+    *     Σ per-partition frontier sizes (O(log n) expected per partition on
+    *     independent dims).
+    *  2. '''global verify''': the surviving candidates are tiny, so a
+    *     broadcast nested-loop LEFT ANTI self-join applies the exact
+    *     dominance predicate (≥/≤ with at least one strict). Duplicate
+    *     (price, size) points do not dominate each other and all survive —
+    *     matching the oracle's NOT EXISTS semantics.
+    * At 100 TB phase 1 is embarrassingly parallel over the scan and phase 2
+    * never sees more than candidates², with candidates ≪ n.
+    */
+  val aSkyline: Q = (s, d) => {
+    // explicit encoder — `import s.implicits._` would shadow graft.syntax's $
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Double, Int)] =
+      org.apache.spark.sql.Encoders.product[(Long, Double, Int)]
+    val pts = Tables
+      .part(s, d)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .as[(Long, Double, Int)]
+    val local = pts
+      .mapPartitions { it =>
+        val arr = it.toArray.sortBy { case (k, price, size) => (-price, size, k) }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+        var i = 0
+        var best = Int.MaxValue // min size over strictly-higher-priced groups
+        while (i < arr.length) {
+          var j = i
+          val price = arr(i)._2
+          while (j < arr.length && arr(j)._2 == price) j += 1
+          val groupMin = arr(i)._3 // within-price sort is size asc
+          if (groupMin < best) {
+            var t = i
+            while (t < j && arr(t)._3 == groupMin) { out += arr(t); t += 1 }
+            best = groupMin
+          }
+          i = j
+        }
+        out.iterator
+      }
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      // candidates are tiny by construction; checkpoint so the verify
+      // self-join reads them once instead of re-running the scan twice
+      .localCheckpoint(true)
+    val dominated = col("q.p_retailprice") >= col("c.p_retailprice") &&
+      col("q.p_size") <= col("c.p_size") &&
+      (col("q.p_retailprice") > col("c.p_retailprice") || col("q.p_size") < col("c.p_size"))
+    local
+      .alias("c")
+      .join(local.alias("q"), dominated, "left_anti")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** Cohort lifetime-value curves: customers grouped by first-order month,
+    * revenue accumulated along cohort age. Two shuffles (per-customer
+    * first-order min; cohort×age rollup) plus one partitioned window for
+    * the running sum — DECIMAL partial sums end to end, so the cumulative
+    * revenue is bit-exact and associative (safe under any partial-agg
+    * order at scale).
+    */
+  val eCohortLtv: Q = (s, d) => {
+    val o = Tables
+      .orders(s, d)
+      .select($"o_custkey", date_trunc("month", $"o_orderdate").as("m"), $"o_totalprice")
+    val first = o.groupBy($"o_custkey").agg(min($"m").as("m0"))
+    val cohort = o
+      .join(first, "o_custkey")
+      .groupBy(
+        $"m0".cast("date").as("cohort_month"),
+        (((year($"m") - year($"m0")) * 12) + (month($"m") - month($"m0"))).cast("int").as("age")
+      )
+      .agg(
+        countDistinct($"o_custkey").as("active_customers"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("revenue")
+      )
+    val w = Window
+      .partitionBy($"cohort_month")
+      .orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cohort
+      .withColumn("cum_revenue", sum($"revenue").over(w))
+      // DECIMAL internally (exact, associative), DOUBLE at the output
+      // boundary — house convention, keeps the driver compare on one type
+      .select(
+        $"cohort_month",
+        $"age",
+        $"active_customers",
+        $"revenue".cast(DoubleType).as("revenue"),
+        $"cum_revenue".cast(DoubleType).as("cum_revenue")
+      )
+      .orderBy($"cohort_month", $"age")
+  }
+
+  /** Robust (median/MAD) daily anomaly scores per event type — the
+    * outlier-resistant sibling of [[Advanced.eAnomalies]]'s z-scores (one
+    * extreme day inflates a stddev but barely moves a median). Daily
+    * pre-aggregation shrinks the corpus to days×types BEFORE the exact
+    * percentile stage, so the per-group sort the percentile needs is over
+    * group-local day counts, not raw events. Daily sums ride DECIMAL
+    * (order-independent); med/mad are rounded once and every downstream
+    * number derives from the rounded values, keeping both engines' floats
+    * aligned. A zero MAD (constant type) yields NULL score / flag 0 rather
+    * than a cross-engine divide-by-zero divergence.
+    */
+  val eAnomaliesMad: Q = (s, d) => {
+    val daily = Tables
+      .events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("d"))
+      .agg(sum($"value".cast(DecimalType(18, 6))).cast(DoubleType).as("v"))
+    val med     = daily.groupBy($"event_type").agg(round(expr("percentile(v, 0.5)"), 6).as("med"))
+    val withMed = daily.join(med, "event_type")
+    val mads =
+      withMed.groupBy($"event_type").agg(round(expr("percentile(abs(v - med), 0.5)"), 6).as("mad"))
+    withMed
+      .join(mads, "event_type")
+      .withColumn("score", when($"mad" > 0, round(abs($"v" - $"med") / (lit(1.4826) * $"mad"), 6)))
+      .withColumn("flag", (when($"mad" > 0, $"score" > 2.0).otherwise(lit(false))).cast("int"))
+      .select($"event_type", $"d", $"v", $"med", $"mad", $"score", $"flag")
+      .orderBy($"event_type", $"d")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j_fuzzy_match"   -> jFuzzyMatch,
+    "a_skyline"       -> aSkyline,
+    "e_cohort_ltv"    -> eCohortLtv,
+    "e_anomalies_mad" -> eAnomaliesMad
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j_fuzzy_match" ->
+      """WITH n AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name),
+        |p AS (SELECT p_name, cnt, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+        |  a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "a_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice > p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "e_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m, o_totalprice FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
+        |c AS (
+        |  SELECT CAST(f.m0 AS DATE) AS cohort_month,
+        |    CAST((year(o.m) - year(f.m0)) * 12 + (month(o.m) - month(f.m0)) AS INT) AS age,
+        |    count(DISTINCT o.o_custkey) AS active_customers,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT cohort_month, age, active_customers,
+        |  CAST(revenue AS DOUBLE) AS revenue,
+        |  CAST(SUM(revenue) OVER (PARTITION BY cohort_month ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM c ORDER BY cohort_month, age""".stripMargin,
+    "e_anomalies_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med FROM daily GROUP BY 1),
+        |m2 AS (
+        |  SELECT d.event_type, round(quantile_cont(abs(d.v - st.med), 0.5), 6) AS mad
+        |  FROM daily d JOIN st USING (event_type) GROUP BY 1)
+        |SELECT d.event_type, d.d, d.v, st.med, m2.mad,
+        |  CASE WHEN m2.mad > 0
+        |    THEN round(abs(d.v - st.med) / (1.4826 * m2.mad), 6) END AS score,
+        |  CAST(CASE WHEN m2.mad > 0
+        |      AND round(abs(d.v - st.med) / (1.4826 * m2.mad), 6) > 2.0
+        |    THEN 1 ELSE 0 END AS INT) AS flag
+        |FROM daily d JOIN st USING (event_type) JOIN m2 USING (event_type)
+        |ORDER BY d.event_type, d.d""".stripMargin
+  )
+}

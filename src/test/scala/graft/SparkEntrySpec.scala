@@ -16,7 +16,8 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("query keys are globally unique across modules") {
     val maps = Seq(
-      Relational.queries, Advanced.queries, graft.queries.AsofJoin.queries,
+      Relational.queries, Advanced.queries, graft.queries.Matching.queries,
+      graft.queries.AsofJoin.queries,
       graft.queries.ZOrder.queries, graft.queries.Graph.queries, graft.queries.Cdc.queries,
       ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries,
       ZoloPipeline.queries, TextAnalysis.queries, Dedup.queries,
