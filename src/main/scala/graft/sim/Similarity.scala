@@ -618,6 +618,157 @@ object Similarity {
     } finally assigned.unpersist()
   }
 
+  /** First-min L2² code over one subspace codebook (offset into the full
+    * vector) — the one definition of PQ assignment shared by training,
+    * encoding and the oracle's (ORDER BY sq, code_id) replay.
+    */
+  private[sim] def nearestCode(book: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      val cent = book(c); var sq = 0.0; var i = 0
+      while (i < cent.length) { val dx = v(off + i) - cent(i); sq += dx * dx; i += 1 }
+      if (sq < bestD) { bestD = sq; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization codebooks: m independent per-subspace k-means
+    * (Lloyd's, L2), trained JOINTLY in one pass per iteration — each
+    * partition accumulates all m×ksub partial sums in a flat local array
+    * (map-side combine), so an iteration costs one corpus scan plus a
+    * treeReduce of m·ksub·subDim doubles (8·16·8 = 1 KiB here), never a
+    * shuffle of per-row assignments. Seeding is deterministic (sub-vectors
+    * of the ksub smallest vec_ids); empty cells keep their previous
+    * centroid, mirroring [[trainCentroids]].
+    */
+  def trainPqCodebooks(
+      s: SparkSession,
+      e: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int
+  ): Array[Array[Array[Double]]] = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Double])] =
+      org.apache.spark.sql.Encoders.product[(Long, Array[Double])]
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].persist()
+    try {
+      val seeds = ds.orderBy(col("vec_id")).limit(ksub).collect().sortBy(_._1).map(_._2)
+      require(seeds.nonEmpty, "trainPqCodebooks: empty input")
+      val dim = seeds(0).length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val subDim = dim / m
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(si => seeds.map(v => v.slice(si * subDim, (si + 1) * subDim)))
+      for (_ <- 1 to iters) {
+        val bc = s.sparkContext.broadcast(books)
+        val (sums, cnts) = ds.rdd
+          .mapPartitions { it =>
+            val sums = new Array[Double](m * ksub * subDim)
+            val cnts = new Array[Long](m * ksub)
+            it.foreach { case (_, v) =>
+              var si = 0
+              while (si < m) {
+                val code = nearestCode(bc.value(si), v, si * subDim)
+                val base = (si * ksub + code) * subDim
+                var i = 0
+                while (i < subDim) { sums(base + i) += v(si * subDim + i); i += 1 }
+                cnts(si * ksub + code) += 1
+                si += 1
+              }
+            }
+            Iterator.single((sums, cnts))
+          }
+          .treeReduce { case ((s1, c1), (s2, c2)) =>
+            val s3 = new Array[Double](s1.length)
+            var i = 0; while (i < s1.length) { s3(i) = s1(i) + s2(i); i += 1 }
+            val c3 = new Array[Long](c1.length)
+            var j = 0; while (j < c1.length) { c3(j) = c1(j) + c2(j); j += 1 }
+            (s3, c3)
+          }
+        books = Array.tabulate(m) { si =>
+          Array.tabulate(ksub) { c =>
+            val n = cnts(si * ksub + c)
+            if (n == 0) books(si)(c) // empty cell keeps its centroid
+            else {
+              val base = (si * ksub + c) * subDim
+              Array.tabulate(subDim)(i => sums(base + i) / n)
+            }
+          }
+        }
+      }
+      books
+    } finally ds.unpersist()
+  }
+
+  /** Product-quantization ANN: encode the corpus to m small codes
+    * (map-only against broadcast codebooks — the 100 TB corpus never
+    * shuffles and stores m bytes + id per vector, a 32× compression of a
+    * 64-d float corpus), then answer probes by '''asymmetric distance'''
+    * (ADC): the probe keeps its exact sub-vectors and scores each
+    * neighbor by Σ_s L2²(probe_s, codeword(codes_s)) — one broadcast
+    * probe join over the code table, bounded-heap TopK tail. Codebooks
+    * are dumped as an oracle input table; DuckDB replays encoding
+    * (first-min argmin), ADC (identical left-to-right fold order) and the
+    * rank, so the path is hash-checked given codebooks — only Lloyd
+    * training stays engine-internal (recall is spec-measured vs brute
+    * force). Reference for semantics: Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011.
+    */
+  def pqTopK(
+      s: SparkSession,
+      d: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      booksDump: Option[String] = None
+  ): DataFrame = {
+    val e     = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val books = trainPqCodebooks(s, e, m, ksub, iters = 3)
+    val subDim = books(0)(0).length
+    booksDump.foreach { p =>
+      implicit val enc: org.apache.spark.sql.Encoder[(Int, Int, Seq[Double])] =
+        org.apache.spark.sql.Encoders.product[(Int, Int, Seq[Double])]
+      s.createDataset(
+        for { si <- 0 until m; c <- 0 until ksub } yield (si, c, books(si)(c).toSeq)
+      ).toDF("sub_id", "code_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p)
+    }
+    val bc = s.sparkContext.broadcast(books)
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      (0 until m).map(si => nearestCode(bc.value(si), arr, si * subDim))
+    }
+    val adcUdf = udf { (pv: Seq[Double], codes: Seq[Int]) =>
+      val p = pv.toArray
+      var tot = 0.0; var si = 0
+      while (si < m) {
+        val cent = bc.value(si)(codes(si))
+        var sq = 0.0; var i = 0
+        while (i < subDim) { val dx = p(si * subDim + i) - cent(i); sq += dx * dx; i += 1 }
+        tot += sq; si += 1
+      }
+      tot
+    }
+    val corpus = e.withColumn("codes", encodeUdf($"v"))
+    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val sims = corpus
+      .join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"), round(adcUdf($"pv", $"codes"), 6).as("adist"))
+    val top = graft.plans.TopK.perKey(
+      sims,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"adist".asc, $"neighbor_id".asc),
+      k = k
+    )
+    val w = Window.partitionBy($"probe_id").orderBy($"adist".asc, $"neighbor_id")
+    top
+      .withColumn("rank", row_number().over(w))
+      .orderBy($"probe_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_semdedup_keep" -> ((s, d) =>
       semDeDupKeep(s, d, nCells = 16, tau = 0.4,
@@ -632,6 +783,8 @@ object Similarity {
     "ann_ivf_append_topk" -> ((s, d) => ivfIndexAppendTopK(s, d, k = 5, nCells = 16)),
     "ann_srp_topk"        -> ((s, d) =>
       srpTopK(s, d, k = 5, sigDump = Some(s"${graft.OracleIo.dir(d)}/srp_sigs"))),
+    "ann_pq_topk"         -> ((s, d) =>
+      pqTopK(s, d, k = 5, booksDump = Some(s"${graft.OracleIo.dir(d)}/pq_codebooks"))),
     "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3))
   )
 
@@ -721,6 +874,47 @@ object Similarity {
          |  SELECT *, CAST(row_number() OVER
          |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
          |  FROM sims) t
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // given-codebooks PQ replay: per-subspace slices, first-min code
+    // assignment, asymmetric distance with the engine's exact fold order
+    // (per-dim squares left-to-right inside a subspace, subspaces summed
+    // in sub_id order via an ORDERED list fold — SQL SUM() would be
+    // order-nondeterministic in the last ulp), then the top-5 rank
+    "ann_pq_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cb AS (
+         |  SELECT sub_id, code_id, centroid
+         |  FROM read_parquet('${graft.OracleIo.sqlDir}/pq_codebooks/*.parquet')),
+         |sub AS (
+         |  SELECT vec_id, s.range AS sub_id,
+         |    list_slice(v, s.range * 8 + 1, s.range * 8 + 8) AS sv
+         |  FROM e, range(0, 8) s),
+         |asg AS (
+         |  SELECT vec_id, sub_id, code_id FROM (
+         |    SELECT sub.vec_id, sub.sub_id, cb.code_id,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.sub_id ORDER BY
+         |        list_reduce(list_transform(list_zip(sv, centroid),
+         |          pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])), (x, y) -> x + y),
+         |        cb.code_id) AS rn
+         |    FROM sub JOIN cb USING (sub_id)) t WHERE rn = 1),
+         |padc AS (
+         |  SELECT ps.vec_id AS probe_id, a.vec_id AS neighbor_id, ps.sub_id,
+         |    list_reduce(list_transform(list_zip(ps.sv, cb.centroid),
+         |      pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])), (x, y) -> x + y) AS sq
+         |  FROM sub ps
+         |  JOIN asg a ON a.sub_id = ps.sub_id AND a.vec_id <> ps.vec_id
+         |  JOIN cb ON cb.sub_id = a.sub_id AND cb.code_id = a.code_id
+         |  WHERE ps.vec_id < 10),
+         |tot AS (
+         |  SELECT probe_id, neighbor_id,
+         |    round(list_reduce(list(sq ORDER BY sub_id), (x, y) -> x + y), 6) AS adist
+         |  FROM padc GROUP BY probe_id, neighbor_id)
+         |SELECT probe_id, neighbor_id, adist, rank FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS INT) AS rank
+         |  FROM tot) t
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH e AS (

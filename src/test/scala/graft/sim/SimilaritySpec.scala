@@ -184,4 +184,56 @@ class SimilaritySpec extends SparkSpec {
     // cache hygiene: the builder must clean up its persists
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("PQ: shortlist recall vs exact L2, ADC ranking sorted, cache hygiene") {
+    val vecs = graft.tables.Tables
+      .embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val dx = a(i) - b(i); s += dx * dx; i += 1 }
+      s
+    }
+    // exact-L2 top-5 per probe — PQ approximates THIS metric, not cosine
+    val exact = (0L until 10L).map { p =>
+      p -> vecs.keys
+        .filter(_ != p)
+        .map(n => (l2sq(vecs(p), vecs(n)), n))
+        .toSeq
+        .sortBy(identity)
+        .take(5)
+        .map(_._2)
+        .toSet
+    }.toMap
+    val pq = Similarity.pqTopK(spark, sf0001, k = 5).collect()
+    assert(pq.length == 50)
+    val pqSet   = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.map { case (p, s) => s.count(n => pqSet((p, n))) }.sum
+    val recall  = overlap.toDouble / (10 * 5)
+    info(f"PQ recall@5 (vs exact L2) = $recall%.2f")
+    // Uniform random 64-d vectors are PQ's worst case (distances
+    // concentrate; quantization noise ~ the spread), so direct top-5
+    // agreement is only held above chance (5/500 = 1%) here...
+    assert(recall > 0.05, s"recall=$recall")
+    // ...the metric that matters for serving is SHORTLIST recall: PQ's
+    // role at scale is candidate generation (ADC top-L, exact re-rank of
+    // L ≪ n rows). Lock that contract: the exact top-5 must live inside
+    // the ADC top-50 shortlist (L/n = 10%).
+    val short = Similarity.pqTopK(spark, sf0001, k = 50).collect()
+    val shortSet = short.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortOverlap = exact.map { case (p, s) => s.count(n => shortSet((p, n))) }.sum
+    val shortRecall  = shortOverlap.toDouble / (10 * 5)
+    info(f"PQ shortlist recall (exact top-5 within ADC top-50) = $shortRecall%.2f")
+    assert(shortRecall > 0.5, s"shortlist recall=$shortRecall")
+    // within each probe the ADC ranking is sorted ascending
+    pq.groupBy(_.getLong(0)).values.foreach { rows =>
+      val d = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(d == d.sorted)
+    }
+    // cache hygiene: training persists must be released
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
