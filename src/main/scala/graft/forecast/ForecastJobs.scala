@@ -612,7 +612,87 @@ object ForecastJobs {
       .orderBy(col("profile_name"))
   }
 
+  /** Hierarchical forecast reconciliation over the brand hierarchy —
+    * the missing layer between the reference's per-profile models
+    * (`simp_avg_model.py`) and a fleet-level plan: per-profile SES base
+    * forecasts, a top-level SES on the aggregate series, and the two
+    * classical reconciliations (bottom-up total; top-down split by
+    * historical proportions).
+    *
+    * Determinism at scale: the aggregate weekly series and the
+    * proportion denominators ride DECIMAL sums (associative — exact
+    * under any partial-agg order); the bottom-up total folds per-profile
+    * predictions in profile-name order via an ordered array fold rather
+    * than a SUM whose reduction order floats. The weekly-total table and
+    * the two scalar aggregates are one-row/`weeks`-row collects —
+    * driver-cheap at any fact-table size because they sit above the
+    * rollup, never the fact scan.
+    */
+  def reconcileJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    val wkAll = li
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(col("l_shipdate") < lit("2001-06-01").cast("timestamp"))
+      .groupBy(
+        col("p_brand").as("profile_name"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("week_date")
+      )
+      .agg(sum((col("l_quantity") * col("p_retailprice") / lit(100.0))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("wdec"))
+    val byProf = Window.partitionBy(col("profile_name"))
+    val wk = wkAll
+      .withColumn("n", count(lit(1)).over(byProf))
+      .filter(col("n") > 8)
+      .drop("n")
+      .persist()
+    try {
+      // per-profile base forecasts — the same SES fold m_ses_forecast's
+      // oracle replays
+      val base = wk
+        .select(
+          col("profile_name"),
+          col("week_date"),
+          col("wdec").cast(org.apache.spark.sql.types.DoubleType).as("weight"))
+        .as[WeeklyRow]
+        .groupByKey(_.profile_name)
+        .mapGroups((k, rows) => (k, Models.sesForecast(series(rows), 0.6)))
+        .toDF("profile_name", "base_pred")
+      val shares = wk.groupBy(col("profile_name")).agg(sum(col("wdec")).as("wsum"))
+      val totXs = wk
+        .groupBy(col("week_date"))
+        .agg(sum(col("wdec")).as("tdec"))
+        .orderBy(col("week_date"))
+        .collect()
+        .map(_.getDecimal(1).doubleValue)
+      val topPred  = Models.sesForecast(totXs, 0.6)
+      val totalDec = shares.agg(sum(col("wsum"))).collect()(0).getDecimal(0).doubleValue
+      val totals = base.agg(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("profile_name"), col("base_pred")))),
+            x => x("base_pred")),
+          lit(0.0),
+          (acc, x) => acc + x
+        ).as("bu_total"))
+      base
+        .join(shares, "profile_name")
+        .crossJoin(totals)
+        .select(
+          col("profile_name"),
+          round(col("base_pred"), 6).as("base_pred"),
+          round(col("wsum").cast("double") / lit(totalDec), 6).as("share"),
+          round(lit(topPred) * (col("wsum").cast("double") / lit(totalDec)), 6).as("td_pred"),
+          round(col("bu_total"), 6).as("bu_total"),
+          round(lit(topPred), 6).as("top_pred")
+        )
+        .orderBy(col("profile_name"))
+    } finally wk.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_reconcile"        -> (reconcileJob(_, _)),
     "m_arma_wf"          -> (armaWfFixedJob(_, _)),
     "m_holt_opt"         -> (holtOptJob(_, _)),
     "m_arma_fixed"       -> (armaFixedJob(_, _)),
@@ -978,6 +1058,49 @@ object ForecastJobs {
         |SELECT profile_name, round(l, 6) AS level, round(b, 6) AS trend,
         |  round(l + b, 6) AS prediction
         |FROM holt WHERE i = len(xs) ORDER BY profile_name""".stripMargin,
+    // reconciliation replay: per-profile SES folds + the aggregate-series
+    // SES from DECIMAL weekly totals; bottom-up total folded in
+    // profile-name order (ordered list fold — SUM() would be
+    // order-nondeterministic in the last ulp); shares from DECIMAL
+    // numerator/denominator cast to DOUBLE before the one IEEE division
+    "m_reconcile" ->
+      """WITH wk AS (
+        |  SELECT profile_name, week_date,
+        |    SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS wdec
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 8),
+        |prof AS (
+        |  SELECT profile_name,
+        |    list(CAST(wdec AS DOUBLE) ORDER BY week_date) AS xs,
+        |    SUM(wdec) AS wsum
+        |  FROM wk GROUP BY profile_name),
+        |base AS (
+        |  SELECT profile_name,
+        |    list_reduce(xs, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS base_pred,
+        |    wsum
+        |  FROM prof),
+        |tot AS (
+        |  SELECT list(CAST(tdec AS DOUBLE) ORDER BY week_date) AS xs FROM (
+        |    SELECT week_date, SUM(wdec) AS tdec FROM wk GROUP BY week_date) t),
+        |toppred AS (
+        |  SELECT list_reduce(xs, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS top_pred FROM tot),
+        |butotal AS (
+        |  SELECT list_reduce(list(base_pred ORDER BY profile_name), (a, b) -> a + b) AS bu_total,
+        |    SUM(wsum) AS total_dec
+        |  FROM base)
+        |SELECT b.profile_name,
+        |  round(b.base_pred, 6) AS base_pred,
+        |  round(CAST(b.wsum AS DOUBLE) / CAST(bt.total_dec AS DOUBLE), 6) AS share,
+        |  round(tp.top_pred * (CAST(b.wsum AS DOUBLE) / CAST(bt.total_dec AS DOUBLE)), 6) AS td_pred,
+        |  round(bt.bu_total, 6) AS bu_total,
+        |  round(tp.top_pred, 6) AS top_pred
+        |FROM base b, toppred tp, butotal bt ORDER BY profile_name""".stripMargin,
     "m_ses_forecast" ->
       """WITH weekly AS (
         |  SELECT profile_name, week_date,

@@ -112,4 +112,22 @@ class SeriesAnalysisSpec extends SparkSpec {
       assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of range: $a")
     }
   }
+
+  test("reconciliation: shares partition unity, td sums to top, bu sums the bases") {
+    val rows = ForecastJobs.reconcileJob(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    val topPred = rows.head.getDouble(5)
+    assert(rows.forall(r => r.getDouble(5) == topPred)) // one top forecast
+    val tdSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(tdSum - topPred) < 1e-3 * math.max(1.0, math.abs(topPred)),
+      s"top-down split does not re-sum to the top forecast: $tdSum vs $topPred")
+    val buTotal = rows.head.getDouble(4)
+    val baseSum = rows.map(_.getDouble(1)).sum
+    assert(math.abs(buTotal - baseSum) < 1e-4 * math.max(1.0, math.abs(buTotal)),
+      s"bottom-up total != sum of base forecasts: $buTotal vs $baseSum")
+    // cache hygiene: the weekly rollup persist must be released
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
