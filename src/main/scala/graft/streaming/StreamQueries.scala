@@ -150,13 +150,54 @@ object StreamQueries {
       .orderBy($"user_id", $"view_id", $"purchase_id")
   }
 
+  /** Streaming deduplication through the real engine: the corpus unioned
+    * with a deterministic duplicate slice (every 10th event replayed — the
+    * at-least-once redelivery a Kafka-fed pipeline must absorb), then
+    * `dropDuplicatesWithinWatermark` on the event key. The
+    * within-watermark variant is the 100 TB-correct choice: dedup state is
+    * EVICTED once the watermark passes, so state size is bounded by the
+    * redelivery horizon (1 h here) instead of growing with the full
+    * key history as plain dropDuplicates would. Duplicates are exact
+    * copies, so first-arrival-wins converges to the distinct original
+    * rows and the plain SELECT oracle applies.
+    */
+  val streamDedup: Q = (s, d) => {
+    val ck = java.nio.file.Files.createTempDirectory("graft-sdedup-ck").toString
+    def src = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = src
+      .union(src.filter($"event_id" % 10 === 0))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .writeStream
+      .format("memory")
+      .queryName("s_stream_dedup_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    s.table("s_stream_dedup_sink").orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s_stream_windows"  -> streamWindows,
     "s_stream_sessions" -> streamSessions,
-    "s_stream_join"     -> streamJoin
+    "s_stream_join"     -> streamJoin,
+    "s_stream_dedup"    -> streamDedup
   )
 
   val oracles: Map[String, String] = Map(
+    // duplicates are exact copies, so the converged dedup is the original
+    // distinct row set; CAST(ts AS TIMESTAMP) pins microsecond grain
+    "s_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // CAST(ts AS TIMESTAMP) pins microsecond grain (the s_stream_sessions
     // precedent): the engine truncates nanos via `ts div 1000`, and a
     // DuckDB that reads parquet ns natively would otherwise keep sub-µs
