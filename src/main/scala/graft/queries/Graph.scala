@@ -183,10 +183,65 @@ object Graph {
     } finally bi.unpersist()
   }
 
+  val lpRounds = 4
+
+  /** Synchronous label propagation (community detection) over the
+    * co-purchase graph: every node starts as its own label; each round a
+    * node adopts its neighbors' most frequent label (ties → smallest
+    * label), all nodes updating simultaneously. A fixed round count with
+    * a total tie order makes the update deterministic, so the DuckDB
+    * oracle unrolls the rounds as chained CTEs and hash-matches.
+    *
+    * Same iterative discipline as PageRank/BFS: the doubled edge list is
+    * pre-partitioned on src and persisted (every round's neighbor join
+    * reuses it; only the compact label table moves), and each round
+    * localCheckpoints its labels to cut lineage. Per round the work is
+    * one join + one count aggregate + one per-node argmax — all keyed on
+    * src, riding the edge partitioning.
+    */
+  val gLabelProp: Q = (s, d) => {
+    val e = coEdges(s, d)
+    val bi = e
+      .select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .repartition(s.sparkContext.defaultParallelism, $"src")
+      .persist()
+    try {
+      var labels = bi
+        .select($"src".as("node"))
+        .distinct()
+        .select($"node", $"node".as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to lpRounds) {
+        val nb = bi
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy($"src", $"label")
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"src")
+          .orderBy($"c".desc, $"label".asc)
+        labels = nb
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"src".as("node"), $"label")
+          .localCheckpoint()
+      }
+      val sz = org.apache.spark.sql.expressions.Window.partitionBy($"label")
+      labels
+        .select(
+          $"node",
+          $"label".as("community"),
+          count(lit(1)).over(sz).as("community_size")
+        )
+        .orderBy($"node")
+    } finally bi.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
-    "g_pagerank"  -> gPagerank,
-    "g_triangles" -> gTriangles,
-    "g_hops"      -> gHops
+    "g_pagerank"   -> gPagerank,
+    "g_triangles"  -> gTriangles,
+    "g_hops"       -> gHops,
+    "g_label_prop" -> gLabelProp
   )
 
   /** Shared SQL for the co-purchase projection. */
@@ -261,6 +316,28 @@ object Graph {
          |  FROM bfs JOIN bi b2 ON b2.src = bfs.node
          |  WHERE bfs.hop < $maxHops)
          |SELECT node, MIN(hop) AS min_hops FROM bfs
-         |GROUP BY node ORDER BY node""".stripMargin
+         |GROUP BY node ORDER BY node""".stripMargin,
+    // one LPA round: per-src neighbor-label counts, argmax with the
+    // (count desc, label asc) total tie order the engine uses
+    "g_label_prop" -> {
+      def lpRound(i: Int): String =
+        s"""l$i AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT b.src, l.label, COUNT(*) AS c,
+           |      row_number() OVER (PARTITION BY b.src
+           |        ORDER BY COUNT(*) DESC, l.label) AS rn
+           |    FROM bi b JOIN l${i - 1} l ON l.node = b.dst
+           |    GROUP BY b.src, l.label) t
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $coBase,
+         |bi AS (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v AS src, u AS dst FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi),
+         |${(1 to lpRounds).map(lpRound).mkString(",\n")}
+         |SELECT node, label AS community,
+         |  COUNT(*) OVER (PARTITION BY label) AS community_size
+         |FROM l$lpRounds ORDER BY node""".stripMargin
+    }
   )
 }

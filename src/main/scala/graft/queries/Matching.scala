@@ -179,11 +179,60 @@ object Matching {
       .orderBy($"event_type", $"d")
   }
 
+  /** Welch's two-sample t-test per event type over a deterministic 50/50
+    * experiment split (event_id parity — the assignment rule an A/B
+    * framework would persist). One aggregation pass computes both arms'
+    * moments as conditional DECIMAL sums (exact under any partial-agg
+    * order), then the t statistic and Welch–Satterthwaite df are closed
+    * forms over the six moments — no per-row second pass, no shuffle
+    * beyond the one groupBy. Degenerate (zero-variance) arms are filtered
+    * on both engines rather than risking divide-by-zero divergence.
+    */
+  val eAbTest: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("grp", ($"event_id" % 2).cast("int"))
+    val agg = ev
+      .groupBy($"event_type")
+      .agg(
+        count(when($"grp" === 0, 1)).as("n_a"),
+        count(when($"grp" === 1, 1)).as("n_b"),
+        sum(when($"grp" === 0, $"value").cast(DecimalType(18, 6))).cast(DoubleType).as("sa"),
+        sum(when($"grp" === 1, $"value").cast(DecimalType(18, 6))).cast(DoubleType).as("sb"),
+        sum(when($"grp" === 0, $"value" * $"value").cast(DecimalType(24, 8)))
+          .cast(DoubleType).as("sa2"),
+        sum(when($"grp" === 1, $"value" * $"value").cast(DecimalType(24, 8)))
+          .cast(DoubleType).as("sb2")
+      )
+    val calc = agg
+      .withColumn("ma", $"sa" / $"n_a")
+      .withColumn("mb", $"sb" / $"n_b")
+      .withColumn("va", ($"sa2" - $"sa" * $"sa" / $"n_a") / ($"n_a" - 1))
+      .withColumn("vb", ($"sb2" - $"sb" * $"sb" / $"n_b") / ($"n_b" - 1))
+      .filter($"va" > 0 && $"vb" > 0)
+      .withColumn("se2", $"va" / $"n_a" + $"vb" / $"n_b")
+    calc
+      .select(
+        $"event_type",
+        $"n_a",
+        $"n_b",
+        round($"ma", 6).as("mean_a"),
+        round($"mb", 6).as("mean_b"),
+        round(($"ma" - $"mb") / sqrt($"se2"), 6).as("t_stat"),
+        round(
+          ($"se2" * $"se2") /
+            (($"va" / $"n_a") * ($"va" / $"n_a") / ($"n_a" - 1) +
+              ($"vb" / $"n_b") * ($"vb" / $"n_b") / ($"n_b" - 1)),
+          6
+        ).as("welch_df")
+      )
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "j_fuzzy_match"   -> jFuzzyMatch,
     "a_skyline"       -> aSkyline,
     "e_cohort_ltv"    -> eCohortLtv,
-    "e_anomalies_mad" -> eAnomaliesMad
+    "e_anomalies_mad" -> eAnomaliesMad,
+    "e_ab_test"       -> eAbTest
   )
 
   val oracles: Map[String, String] = Map(
@@ -219,6 +268,30 @@ object Matching {
         |  CAST(SUM(revenue) OVER (PARTITION BY cohort_month ORDER BY age
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
         |FROM c ORDER BY cohort_month, age""".stripMargin,
+    "e_ab_test" ->
+      """WITH g AS (SELECT event_type, event_id % 2 AS grp, value FROM events),
+        |agg AS (
+        |  SELECT event_type,
+        |    COUNT(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN grp = 1 THEN 1 END) AS n_b,
+        |    CAST(SUM(CAST(CASE WHEN grp = 0 THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(CASE WHEN grp = 1 THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(CASE WHEN grp = 0 THEN value * value END AS DECIMAL(24,8))) AS DOUBLE) AS sa2,
+        |    CAST(SUM(CAST(CASE WHEN grp = 1 THEN value * value END AS DECIMAL(24,8))) AS DOUBLE) AS sb2
+        |  FROM g GROUP BY event_type),
+        |calc AS (
+        |  SELECT event_type, n_a, n_b,
+        |    sa / n_a AS ma, sb / n_b AS mb,
+        |    (sa2 - sa * sa / n_a) / (n_a - 1) AS va,
+        |    (sb2 - sb * sb / n_b) / (n_b - 1) AS vb
+        |  FROM agg)
+        |SELECT event_type, n_a, n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+        |  round(((va / n_a + vb / n_b) * (va / n_a + vb / n_b)) /
+        |    ((va / n_a) * (va / n_a) / (n_a - 1)
+        |      + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6) AS welch_df
+        |FROM calc WHERE va > 0 AND vb > 0 ORDER BY event_type""".stripMargin,
     "e_anomalies_mad" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,

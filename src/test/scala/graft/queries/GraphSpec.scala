@@ -56,4 +56,16 @@ class GraphSpec extends SparkSpec {
     val hops = Graph.gHops(spark, dir).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(hops == Map(10L -> 0, 20L -> 1, 30L -> 2, 40L -> 3))
   }
+
+  test("g_label_prop: disjoint cliques converge to their min-id labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    // two disjoint co-purchase triangles: {1,2,3} and {10,11,12}
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 10L), (2L, 11L), (2L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Graph.gLabelProp(spark, dir).collect()
+    val lab = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    out.foreach(r => assert(r.getLong(2) == 3L)) // both communities size 3
+  }
 }

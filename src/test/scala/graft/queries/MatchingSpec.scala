@@ -102,4 +102,32 @@ class MatchingSpec extends SparkSpec {
       assert(math.abs(ts.head.getDouble(3) - med) < 1e-5)
     }
   }
+
+  test("Welch t-test matches a driver-side recompute from raw values") {
+    val raw = graft.tables.Tables
+      .events(spark, sf0001)
+      .select("event_type", "event_id", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0, r.getDouble(2)))
+    val got = Matching.eAbTest(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val tpe   = r.getString(0)
+      val a     = raw.filter(x => x._1 == tpe && x._2).map(_._3)
+      val b     = raw.filter(x => x._1 == tpe && !x._2).map(_._3)
+      def mean(v: Array[Double]) = v.sum / v.length
+      def vvar(v: Array[Double]) = {
+        val m = mean(v); v.map(x => (x - m) * (x - m)).sum / (v.length - 1)
+      }
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
+      val se2 = vvar(a) / a.length + vvar(b) / b.length
+      val t   = (mean(a) - mean(b)) / math.sqrt(se2)
+      val df  = se2 * se2 / (math.pow(vvar(a) / a.length, 2) / (a.length - 1) +
+        math.pow(vvar(b) / b.length, 2) / (b.length - 1))
+      assert(math.abs(r.getDouble(5) - t) < 1e-4, s"$tpe t: ${r.getDouble(5)} vs $t")
+      assert(math.abs(r.getDouble(6) - df) < 1e-2 * df, s"$tpe df: ${r.getDouble(6)} vs $df")
+      // Welch df is bracketed by min(n)-1 and n_a+n_b-2
+      assert(df >= math.min(a.length, b.length) - 1 && df <= a.length + b.length - 2)
+    }
+  }
 }
