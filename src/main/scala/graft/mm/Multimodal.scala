@@ -95,9 +95,10 @@ object Multimodal {
     * keeps it one codegen'd scan; at scale the sampled frames land
     * partitioned by doc for downstream batch decode.
     */
+  val frameSize = 64
+  val stride    = 4
+
   val mmFrameSample: Q = (s, d) => {
-    val frameSize = 64
-    val stride    = 4
     blobs(s, d)
       .select(
         $"doc_id",
@@ -143,10 +144,57 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Stop-frame cap: frames shared by more than this many docs are
+    * excluded from pair generation (the "black frame" problem — one
+    * ubiquitous frame would otherwise quadratically dominate the join).
+    */
+  val frameCap = 100
+
+  /** Cross-document duplicated-segment detection — the video-pipeline
+    * "reused footage" op: sampled frames joined on content hash, counted
+    * per doc pair. The inverted-index join is the dedup family's shape:
+    * per-doc DISTINCT frames first (within-doc repeats must not multiply
+    * counts), a hot-bucket cap riding the join's own frame_md5 shuffle
+    * (the window count and the self-join share one exchange), then a
+    * pair count. At 100 TB every stage is bounded: frames per doc by the
+    * stride, bucket width by [[frameCap]], so the join does O(Σ bucket²)
+    * work with buckets ≤ cap.
+    */
+  val mmFrameDedup: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"frame_md5")
+    val f = blobs(s, d)
+      .select(
+        $"doc_id",
+        explode(
+          filter(
+            transform(
+              sequence(lit(0), floor((octet_length($"blob") - 1) / (frameSize * stride)).cast("int")),
+              i => substring($"blob", (i * frameSize * stride + 1).cast("int"), lit(frameSize))
+            ),
+            fr => octet_length(fr) > 0
+          )
+        ).as("frame")
+      )
+      .select($"doc_id", md5($"frame").as("frame_md5"))
+      .distinct()
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .filter($"grp_n" <= frameCap)
+      .select($"doc_id", $"frame_md5")
+    f.as("x")
+      .join(
+        f.as("y"),
+        col("x.frame_md5") === col("y.frame_md5") && col("x.doc_id") < col("y.doc_id")
+      )
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata"     -> mmMetadata,
     "mm_decode"       -> mmDecode,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_frame_dedup"  -> mmFrameDedup,
     "mm_resize"       -> mmResize
   )
 
@@ -186,6 +234,24 @@ object Multimodal {
         |  md5(substring(text, CAST(i * 256 + 1 AS INT), 64)) AS frame_md5
         |FROM idx
         |WHERE strlen(substring(text, CAST(i * 256 + 1 AS INT), 64)) > 0
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_frame_dedup" ->
+      s"""WITH idx AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, CAST(floor((strlen(text) - 1) / 256.0) AS INT) + 1)) AS i
+         |  FROM documents),
+         |fr AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(substring(text, CAST(i * 256 + 1 AS INT), 64)) AS frame_md5
+         |  FROM idx
+         |  WHERE strlen(substring(text, CAST(i * 256 + 1 AS INT), 64)) > 0),
+         |capped AS (
+         |  SELECT doc_id, frame_md5 FROM fr
+         |  QUALIFY COUNT(*) OVER (PARTITION BY frame_md5) <= $frameCap)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS shared_frames
+         |FROM capped x JOIN capped y
+         |  ON x.frame_md5 = y.frame_md5 AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   )
 }
