@@ -620,6 +620,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    * k docs drawn with probability ∝ n_chars — the "sample proportional
+    * to quality/length" primitive of corpus curation. Each doc gets a
+    * deterministic md5-derived uniform u ∈ (0,1) and priority
+    * ln(u)/w (the monotone-log form of u^(1/w)); the global top-k by
+    * priority IS the weighted sample. One map-only scoring pass + a
+    * TakeOrdered top-k — no shuffle of the corpus, no rejection loop, and
+    * the same one-pass reservoir semantics an executor-local heap would
+    * give at 100 TB. Ranking uses the ROUNDED priority (9 dp) with a
+    * doc_id tiebreak so the cut is cross-engine deterministic (ln is the
+    * one non-correctly-rounded op here; validated bit-equal in this
+    * environment by the divergence ops, and the rounding margins it).
+    * The +0.5 offset keeps u strictly positive — ln(0) would error in
+    * DuckDB where Spark returns -Infinity.
+    */
+  val textWeightedSample: Q = (s, d) => {
+    val k = 50
+    val u = (conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val top = Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        $"n_chars",
+        round(log(u) / $"n_chars".cast("double"), 9).as("skey")
+      )
+      // TakeOrderedAndProject: per-partition partial top-k, never a full
+      // global sort — the rank window below only ever sees k rows
+      .orderBy($"skey".desc, $"doc_id")
+      .limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"skey".desc, $"doc_id")))
+      .orderBy($"rank")
+  }
+
   /** Cross-document duplicated-span detection (the Lee et al. 2022
     * "Deduplicating Training Data" substring signal, word-granular): an
     * 8-gram occurring in ≥ 2 DISTINCT docs marks every word position it
@@ -782,6 +820,7 @@ object TextAnalysis {
     "text_oov_rate"       -> textOovRate,
     "text_dup_spans"      -> textDupSpans,
     "text_mixture_sample" -> textMixtureSample,
+    "text_weighted_sample" -> textWeightedSample,
     "text_repetition"   -> textRepetition,
     "text_gopher_rules" -> textGopherRules,
     "text_stratified_sample" -> textStratifiedSample,
@@ -953,6 +992,20 @@ object TextAnalysis {
         |      md5(CAST(d.doc_id AS VARCHAR))[i]) - 1
         |    for i in range(1, 9)], (a, b) -> a * 16 + b) / 4294967296.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    // text_weighted_sample: same md5-hex uniform as the mixture sampler,
+    // Efraimidis–Spirakis priority ln(u)/w rounded to 9 dp before the
+    // rank so the top-k cut is deterministic cross-engine
+    "text_weighted_sample" ->
+      """WITH sc AS (
+        |  SELECT doc_id, n_chars,
+        |    round(ln((list_reduce([instr('0123456789abcdef',
+        |          md5(CAST(doc_id AS VARCHAR))[i]) - 1
+        |        for i in range(1, 9)], (a, b) -> a * 16 + b) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS skey
+        |  FROM documents)
+        |SELECT doc_id, n_chars, skey,
+        |  CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS INT) AS rank
+        |FROM sc QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
     // text_repetition: full independent replay — n-gram generation via
     // lateral generate_series + list slicing, counts, tie-pinned top via
     // QUALIFY, coverage via DISTINCT covered positions. Fractions are

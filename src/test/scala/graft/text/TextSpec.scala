@@ -168,4 +168,33 @@ class TextSpec extends SparkSpec {
       assert(jsd >= -1e-9 && jsd <= math.log(2.0) + 1e-9, s"JSD out of range: $jsd")
     }
   }
+
+  test("text_weighted_sample: exact ES top-k, sample skews toward long docs") {
+    val docs = graft.tables.Tables
+      .documents(spark, sf0001)
+      .select("doc_id", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side recompute of the Efraimidis–Spirakis selection
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = docs
+      .map { case (id, w) =>
+        val u = (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) + 0.5) / 4294967296.0
+        (id, BigDecimal(math.log(u) / w).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, k) => (-k, id) }
+      .take(50)
+      .map(_._1)
+      .toSeq
+    val got = TextAnalysis.textWeightedSample(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq == expect)
+    assert(got.map(_.getInt(3)).toSeq == (1 to 50))
+    // weighting ∝ n_chars must pull the sample's mean length above the
+    // corpus mean (chance of the opposite under correct weighting ≈ 0)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_.getLong(1)).sum.toDouble / got.length
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean !> corpus mean $corpusMean")
+  }
 }
