@@ -487,6 +487,61 @@ object Dedup {
         .select($"doc_a", $"doc_b")
     )
 
+  /** Base/delta edge split for the incremental-CC driver query: edges
+    * with both endpoints below the cutoff are "yesterday's" graph.
+    */
+  val ccIncrementalCutoff = 400L
+
+  /** Incremental connected-components maintenance — the warehouse answer
+    * to "new documents arrived; update the dedup clusters without
+    * recomputing the world". Base labels are computed once; a delta edge
+    * batch then touches only the components containing its endpoints:
+    * those components' base edges plus the delta re-run CC while every
+    * other node's label passes through untouched. The result provably
+    * equals a full recompute (the oracle IS the full winnow-chain
+    * closure), with a `recomputed` flag marking the incremental frontier.
+    *
+    * At 100 TB this is the difference between relabeling a corpus and
+    * relabeling the (delta-adjacent ∪ delta) subgraph — the same
+    * touched-partition discipline as the incremental weekly rollup
+    * (`m_weekly_incremental`), applied to graph state.
+    */
+  val dedupCcIncremental: Q = (s, d) => {
+    val pairs = winnowPairs(Tables.documents(s, d), minShared = winnowMinShared)
+      .select($"doc_a", $"doc_b")
+      .persist()
+    try {
+      val inBase = $"doc_a" < ccIncrementalCutoff && $"doc_b" < ccIncrementalCutoff
+      val base   = pairs.filter(inBase)
+      val delta  = pairs.filter(!inBase)
+      val baseLab = connectedComponents(base).persist()
+      try {
+        val ends = delta
+          .select($"doc_a".as("doc_id"))
+          .union(delta.select($"doc_b".as("doc_id")))
+          .distinct()
+        val touchedRoots = ends
+          .join(baseLab, Seq("doc_id"), "left")
+          .select(coalesce($"cluster_id", $"doc_id").as("root"))
+          .distinct()
+        val touchedNodes = baseLab
+          .join(touchedRoots, baseLab("cluster_id") === touchedRoots("root"), "left_semi")
+          .select($"doc_id")
+        // a base edge lives entirely inside one component, so one
+        // endpoint's membership decides the whole edge
+        val subBase = base
+          .join(touchedNodes.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        val subLab    = connectedComponents(subBase.union(delta))
+        val untouched = baseLab.join(touchedNodes, Seq("doc_id"), "left_anti")
+        untouched
+          .select($"doc_id", $"cluster_id", lit(0).as("recomputed"))
+          .union(subLab.select($"doc_id", $"cluster_id", lit(1).as("recomputed")))
+          .orderBy($"doc_id")
+          .localCheckpoint(eager = true)
+      } finally baseLab.unpersist()
+    } finally pairs.unpersist()
+  }
+
   /** Keep-list (surviving corpus) built on the winnow clusters — drops
     * every cluster member except the min-id representative; oracle-exact
     * end-to-end (pairs → CC → anti-join).
@@ -553,6 +608,7 @@ object Dedup {
     "dedup_winnow_pairs"    -> dedupWinnowPairs,
     "dedup_winnow_clusters" -> dedupWinnowClusters,
     "dedup_winnow_keep"     -> dedupWinnowKeep,
+    "dedup_cc_incremental"  -> dedupCcIncremental,
     "dedup_exact"           -> dedupExact,
     "dedup_ngram_jaccard"   -> dedupNgramJaccard,
     "dedup_minhash_sigs"    -> dedupMinhashSignatures,
@@ -863,6 +919,42 @@ object Dedup {
          |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY d.doc_id""".stripMargin,
+    // incremental CC: the GOLD here is a full recompute — the oracle
+    // replays the whole winnow chain and closure over ALL pairs, so the
+    // engine's incremental path must land on identical labels; the
+    // recomputed flag is re-derived from the base-only closure (a second
+    // recursive CTE) + the delta endpoints' touched roots
+    "dedup_cc_incremental" ->
+      s"""$winnowCte,
+         |$winnowCcCte,
+         |base_sel AS (
+         |  SELECT doc_a, doc_b FROM sel
+         |  WHERE doc_a < $ccIncrementalCutoff AND doc_b < $ccIncrementalCutoff),
+         |base_edges AS (SELECT doc_a AS src, doc_b AS dst FROM base_sel
+         |               UNION SELECT doc_b, doc_a FROM base_sel),
+         |base_reach AS (
+         |  SELECT src AS doc_id, src AS r FROM base_edges
+         |  UNION
+         |  SELECT e.src, base_reach.r
+         |  FROM base_edges e JOIN base_reach ON base_reach.doc_id = e.dst),
+         |base_clusters AS (
+         |  SELECT doc_id, MIN(r) AS cluster_id FROM base_reach GROUP BY doc_id),
+         |delta_ends AS (
+         |  SELECT doc_a AS doc_id FROM sel
+         |  WHERE NOT (doc_a < $ccIncrementalCutoff AND doc_b < $ccIncrementalCutoff)
+         |  UNION
+         |  SELECT doc_b FROM sel
+         |  WHERE NOT (doc_a < $ccIncrementalCutoff AND doc_b < $ccIncrementalCutoff)),
+         |touched_roots AS (
+         |  SELECT DISTINCT coalesce(bc.cluster_id, de.doc_id) AS root
+         |  FROM delta_ends de LEFT JOIN base_clusters bc USING (doc_id))
+         |SELECT c.doc_id, c.cluster_id,
+         |  CAST(CASE
+         |    WHEN bc.doc_id IS NULL THEN 1
+         |    WHEN bc.cluster_id IN (SELECT root FROM touched_roots) THEN 1
+         |    ELSE 0 END AS INT) AS recomputed
+         |FROM clusters c LEFT JOIN base_clusters bc USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies

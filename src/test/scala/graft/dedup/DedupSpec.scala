@@ -203,4 +203,23 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.kmvDistinct(spark, sf0001).collect().toSeq
     assert(a == b)
   }
+
+  test("incremental CC equals the full recompute and actually skips untouched components") {
+    import org.apache.spark.sql.functions.col
+    val inc = Dedup.dedupCcIncremental(spark, sf0001).collect()
+    val full = Dedup
+      .connectedComponents(
+        Dedup
+          .winnowPairs(graft.tables.Tables.documents(spark, sf0001), minShared = Dedup.winnowMinShared)
+          .select(col("doc_a"), col("doc_b")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(inc.map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
+    val flags = inc.map(_.getInt(2)).toSeq
+    assert(flags.contains(0), "no untouched nodes — the incremental path was vacuous")
+    assert(flags.contains(1), "no recomputed nodes — the delta batch was empty")
+    // cache hygiene across both CC invocations + the pair persist
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
