@@ -41,6 +41,10 @@ object Matching {
       .groupBy($"p_name")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("blk", element_at(split($"p_name", " "), -1))
+      // the dictionary is small by construction; checkpoint it so the
+      // self-join reads it twice instead of re-running the fact scan +
+      // rollup twice
+      .localCheckpoint(true)
     val a = names.select($"p_name".as("name_a"), $"cnt".as("cnt_a"), $"blk")
     val b = names.select($"p_name".as("name_b"), $"cnt".as("cnt_b"), $"blk")
     a.join(b, "blk")
