@@ -114,6 +114,9 @@ class SeriesAnalysisSpec extends SparkSpec {
   }
 
   test("reconciliation: shares partition unity, td sums to top, bu sums the bases") {
+    // the hygiene assertion below is about THIS job's persists; start from
+    // a clean cache so earlier suite members' state can't leak into it
+    spark.catalog.clearCache()
     val rows = ForecastJobs.reconcileJob(spark, sf0001).collect()
     assert(rows.nonEmpty)
     val shareSum = rows.map(_.getDouble(2)).sum
