@@ -769,6 +769,56 @@ object Similarity {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Two-stage prefix retrieval (Matryoshka-style — Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): a coarse pass
+    * scores the corpus on only the first `prefixDim` dimensions (at
+    * storage scale that's a 4× narrower column to scan), keeps a
+    * per-probe shortlist of `shortlist` candidates through the
+    * bounded-heap TopK, then reranks ONLY the shortlist with the full
+    * vector. Both stages are deterministic (rounded scores, id
+    * tiebreaks), so the whole cascade — coarse cut included — replays in
+    * DuckDB and hash-matches; recall vs single-stage brute force is
+    * spec-measured.
+    */
+  def matryoshkaTopK(
+      s: SparkSession,
+      d: String,
+      k: Int,
+      prefixDim: Int = 16,
+      shortlist: Int = 50
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    // coarse: prefix-slice cosine, map-only against broadcast probes
+    val pr = e
+      .filter($"vec_id" < 10)
+      .select(
+        $"vec_id".as("probe_id"),
+        slice($"v", 1, prefixDim).as("pv16"),
+        $"v".as("pv")
+      )
+    val coarse = e
+      .select($"vec_id", slice($"v", 1, prefixDim).as("v16"), $"v")
+      .join(broadcast(pr), $"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id".as("neighbor_id"),
+        round(cosine($"pv16", $"v16"), 6).as("coarse"),
+        $"pv",
+        $"v"
+      )
+    val short = graft.plans.TopK.perKey(
+      coarse,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"coarse".desc, $"neighbor_id".asc),
+      k = shortlist
+    )
+    // rerank the shortlist with the full vectors it carried along
+    val rer = short
+      .select($"probe_id", $"neighbor_id", round(cosine($"pv", $"v"), 6).as("cosine"))
+    rankPerProbe(rer, k)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_semdedup_keep" -> ((s, d) =>
       semDeDupKeep(s, d, nCells = 16, tau = 0.4,
@@ -785,6 +835,7 @@ object Similarity {
       srpTopK(s, d, k = 5, sigDump = Some(s"${graft.OracleIo.dir(d)}/srp_sigs"))),
     "ann_pq_topk"         -> ((s, d) =>
       pqTopK(s, d, k = 5, booksDump = Some(s"${graft.OracleIo.dir(d)}/pq_codebooks"))),
+    "ann_matryoshka_topk" -> ((s, d) => matryoshkaTopK(s, d, k = 5)),
     "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3))
   )
 
@@ -875,6 +926,36 @@ object Similarity {
          |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
          |  FROM sims) t
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // two-stage prefix cascade replay: coarse cut on the rounded 16-dim
+    // cosine (shortlist 50, id tiebreak), exact rerank on the survivors
+    "ann_matryoshka_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |coarse AS (
+        |  SELECT probe_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv[1:16], v[1:16])
+        |      / sqrt(list_dot_product(pv[1:16], pv[1:16])
+        |           * list_dot_product(v[1:16], v[1:16])), 6) AS c16
+        |  FROM e JOIN p ON e.vec_id <> p.probe_id),
+        |short AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY probe_id ORDER BY c16 DESC, neighbor_id) AS rn
+        |    FROM coarse) t WHERE rn <= 50),
+        |rer AS (
+        |  SELECT s.probe_id, s.neighbor_id,
+        |    round(list_dot_product(pe.v, ne.v)
+        |      / sqrt(list_dot_product(pe.v, pe.v) * list_dot_product(ne.v, ne.v)), 6) AS cosine
+        |  FROM short s
+        |  JOIN e pe ON pe.vec_id = s.probe_id
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM rer) t
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // given-codebooks PQ replay: per-subspace slices, first-min code
     // assignment, asymmetric distance with the engine's exact fold order
     // (per-dim squares left-to-right inside a subspace, subspaces summed

@@ -185,6 +185,27 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("matryoshka cascade: top-1 preserved often, result subset of shortlist semantics") {
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mk    = Similarity.matryoshkaTopK(spark, sf0001, k = 5).collect()
+    assert(mk.length == 50)
+    val mkSet  = mk.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bfSet & mkSet).size.toDouble / bfSet.size
+    info(f"matryoshka recall@5 vs full brute force = $recall%.2f")
+    // the rerank is EXACT on the shortlist, so any loss is purely the
+    // 16-dim coarse cut; random 64-d vectors are the worst case and the
+    // 10%-of-corpus shortlist must still clear chance (1%) by far
+    assert(recall > 0.3, s"recall=$recall")
+    // reranked scores are true full-dim cosines: each must match the
+    // brute-force value whenever the pair also appears there
+    val bfScore = bf.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    mk.foreach { r =>
+      bfScore.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(r.getDouble(2) == c)
+      }
+    }
+  }
+
   test("PQ: shortlist recall vs exact L2, ADC ranking sorted, cache hygiene") {
     val vecs = graft.tables.Tables
       .embeddings(spark, sf0001)
