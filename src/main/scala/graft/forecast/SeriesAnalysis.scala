@@ -316,12 +316,20 @@ object SeriesAnalysis {
       .withColumn("syy", sum(($"weight" * $"weight").cast(dec)).over(byProf).cast("double"))
       .withColumn("sigma", sqrt(($"syy" - $"sy" * $"sy" / $"n") / ($"n" - 1)))
       .withColumn("dev", $"weight" - $"sy" / $"n")
-      .withColumn("cusum", sum($"dev".cast(dec)).over(run).cast("double"))
+      // once-rounded discipline (the e_anomalies_mad precedent): the running
+      // sum stays DECIMAL(38,18) and is rounded ONCE in DECIMAL — exact
+      // arithmetic both engines replay bit-for-bit — before any double cast.
+      // Rounding the post-cast double instead (Spark = BigDecimal HALF_UP on
+      // the exact binary value, DuckDB = scaled float math) disagrees in the
+      // last ULP on tie-adjacent values. drift_flag derives from the same
+      // once-rounded value so the 5σ compare sees identical inputs too.
+      .withColumn("cusum_r", round(sum($"dev".cast(dec)).over(run), 6))
       .select(
         $"profile_name",
         $"week_date",
-        round($"cusum", 6).as("cusum"),
-        ($"cusum" > lit(5.0) * $"sigma" || $"cusum" < lit(-5.0) * $"sigma").cast("int").as("drift_flag")
+        $"cusum_r".cast("double").as("cusum"),
+        ($"cusum_r".cast("double") > lit(5.0) * $"sigma" ||
+          $"cusum_r".cast("double") < lit(-5.0) * $"sigma").cast("int").as("drift_flag")
       )
       .orderBy($"profile_name", $"week_date")
   }
@@ -522,14 +530,18 @@ object SeriesAnalysis {
         |    weight - sy / n AS dev
         |  FROM m),
         |c AS (
+        |  -- round ONCE in DECIMAL (exact, ties away from zero in both
+        |  -- engines) before the double cast; the flag compares the same
+        |  -- once-rounded value — mirrors the engine exactly
         |  SELECT *,
-        |    CAST(SUM(CAST(dev AS DECIMAL(38,18))) OVER
+        |    round(SUM(CAST(dev AS DECIMAL(38,18))) OVER
         |      (PARTITION BY profile_name ORDER BY week_date
-        |       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cusum
+        |       ROWS UNBOUNDED PRECEDING), 6) AS cusum_r
         |  FROM d)
         |SELECT profile_name, week_date,
-        |  round(cusum, 6) AS cusum,
-        |  CAST(cusum > 5.0 * sigma OR cusum < -5.0 * sigma AS INT) AS drift_flag
+        |  CAST(cusum_r AS DOUBLE) AS cusum,
+        |  CAST(CAST(cusum_r AS DOUBLE) > 5.0 * sigma
+        |    OR CAST(cusum_r AS DOUBLE) < -5.0 * sigma AS INT) AS drift_flag
         |FROM c ORDER BY profile_name, week_date""".stripMargin,
     "m_inventory_sim" ->
       s"""WITH RECURSIVE $gapCte,
