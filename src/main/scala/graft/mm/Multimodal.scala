@@ -3,59 +3,181 @@ package graft.mm
 import graft.syntax._
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /** Multimodal column plumbing — image/audio/video as opaque `binary`
   * columns with typed metadata (builder brief).
   *
-  * The real content here is the Spark-side shape, all of which is genuine
-  * and tested: binary columns flowing through parquet-friendly schemas,
-  * deterministic partition-parallel batch decode via `mapPartitions`
-  * (Scala's analog of the Python `mapInPandas` batch UDF: one iterator per
-  * partition, amortized per-batch setup), and a typed metadata struct.
-  * The codec itself is STUBBED — `FakeCodec.decode` derives metadata
-  * deterministically from the bytes (the image/audio libraries are not in
-  * this container); swap it for a real decoder without touching any of
-  * the plumbing.
+  * The codec is REAL: JDK `javax.imageio` (PNG + BMP writers/readers —
+  * public, dependency-free). The synthetic corpus ships no media bytes,
+  * so the blob table is *generated*: per document a deterministic image
+  * whose dimensions, band count and pixel values are pure integer
+  * functions of `doc_id` ([[ImageSynth]]), rendered into a raster and
+  * encoded through the real PNG/BMP writers. The decode side sees ONLY
+  * the encoded bytes — width/height/channels come from the decoder, the
+  * format name from the matched `ImageReader`, and intensity stats from
+  * the decoded raster — so the DuckDB oracle (the same integer
+  * arithmetic, no codec anywhere) verifies the entire encode→decode
+  * round trip value-exactly. A wrong stride, channel order, palette
+  * expansion or dimension swap in either direction breaks the hash.
   *
   * 100 TB notes: blobs ride in their own column chunk (columnar pruning
-  * keeps metadata-only queries from reading bytes); decode is map-only;
-  * `spark.sql.files.maxPartitionBytes` bounds per-task batch memory.
+  * keeps metadata-only queries from reading bytes); decode is map-only
+  * (`mapPartitions`, one codec setup per partition — the Scala analog of
+  * a `mapInPandas` batch UDF); `spark.sql.files.maxPartitionBytes`
+  * bounds per-task batch memory. `ImageIO.setUseCache(false)` keeps the
+  * codec in heap buffers — no executor temp-file churn.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** STUB decoder — deterministic fake: metadata is a pure function of
-    * the blob bytes, standing in for an image decode.
+  /** Deterministic synthetic image parameters — pure integer functions
+    * of `doc_id`, replayed verbatim by the DuckDB oracles.
     */
-  object FakeCodec {
-    def decode(blob: Array[Byte]): (Int, Int, Int, String) = {
-      val n = blob.length
-      val width  = 64 + (n % 512)
-      val height = 64 + ((n / 7) % 512)
-      val channels = if (n % 2 == 0) 3 else 1
-      val format = if (n % 3 == 0) "png" else "jpeg"
-      (width, height, channels, format)
+  object ImageSynth {
+    def width(id: Long): Int     = (4 + id % 13).toInt        // 4..16
+    def height(id: Long): Int    = (4 + (id / 13) % 11).toInt // 4..14
+    def channels(id: Long): Int  = if (id % 2 == 0) 3 else 1
+    def format(id: Long): String = if (id % 3 == 0) "bmp" else "png"
+    def pixel(id: Long, x: Int, y: Int): Int =
+      ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+    def render(w: Int, h: Int, c: Int)(px: (Int, Int) => Int): BufferedImage = {
+      val t =
+        if (c == 3) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_BYTE_GRAY
+      val img = new BufferedImage(w, h, t)
+      val r   = img.getRaster
+      var y   = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = px(x, y)
+          var b = 0
+          while (b < c) { r.setSample(x, y, b, v); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** The real encoded media blob for one document. */
+    def blobFor(id: Long): Array[Byte] =
+      ImageCodec.encode(
+        render(width(id), height(id), channels(id))(pixel(id, _, _)),
+        format(id)
+      )
+  }
+
+  /** Thin wrapper over `javax.imageio` — encode, decode (format name
+    * from the matched reader, not from any column), raster stats, and a
+    * deterministic nearest-neighbor 2:1 subsample.
+    */
+  object ImageCodec {
+    ImageIO.setUseCache(false) // in-memory streams; no temp-file cache on executors
+
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      require(ImageIO.write(img, fmt, bo), s"no ImageIO writer for '$fmt'")
+      bo.toByteArray
+    }
+
+    /** Decode bytes → (image, lowercase format name). The reader is
+      * discovered from the byte signature — nothing about the blob's
+      * provenance is consulted.
+      */
+    def decode(bytes: Array[Byte]): (BufferedImage, String) = {
+      val iis     = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader matches the blob signature")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val img = reader.read(0)
+      val fmt = reader.getFormatName.toLowerCase
+      reader.dispose()
+      (img, fmt)
+    }
+
+    /** (width, height, bands, sum of all samples over all bands). */
+    def stats(img: BufferedImage): (Int, Int, Int, Long) = {
+      val r           = img.getRaster
+      val (w, h, c)   = (img.getWidth, img.getHeight, r.getNumBands)
+      var sum         = 0L
+      var b           = 0
+      while (b < c) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, b); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      (w, h, c, sum)
+    }
+
+    /** Nearest-neighbor 2:1 subsample — keeps the pixels at even
+      * coordinates, so the output is an exact deterministic function of
+      * the input raster (no Graphics2D interpolation, whose rounding is
+      * implementation-defined). `(w+1)/2 × (h+1)/2`, band count kept.
+      */
+    def subsample2(img: BufferedImage): BufferedImage = {
+      val r  = img.getRaster
+      val c  = r.getNumBands
+      val w2 = (img.getWidth + 1) / 2
+      val h2 = (img.getHeight + 1) / 2
+      val t =
+        if (c == 3) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_BYTE_GRAY
+      val out = new BufferedImage(w2, h2, t)
+      val o   = out.getRaster
+      var b   = 0
+      while (b < c) {
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) { o.setSample(x, y, b, r.getSample(2 * x, 2 * y, b)); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      out
     }
   }
 
-  val decodedSchema: StructType = StructType(
-    Seq(
-      StructField("doc_id", LongType),
-      StructField("byte_len", IntegerType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("channels", IntegerType),
-      StructField("format", StringType)
-    )
-  )
-
-  /** The corpus as a blob table: text bytes standing in for media bytes. */
+  /** The corpus as a blob table: text bytes standing in for opaque media
+    * bytes (metadata/framing plumbing ops only — the codec family below
+    * uses [[imageBlobs]]).
+    */
   def blobs(s: SparkSession, d: String): DataFrame =
     Tables
       .documents(s, d)
       .select($"doc_id", $"text".cast("binary").as("blob"), $"source")
+
+  private val blobSchema = StructType(
+    Seq(StructField("doc_id", LongType), StructField("blob", BinaryType))
+  )
+
+  /** The generated media table: one REAL encoded PNG/BMP blob per
+    * document (partition-parallel render+encode; map-only).
+    */
+  def imageBlobs(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(blobSchema)
+    Tables
+      .documents(s, d)
+      .select($"doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, ImageSynth.blobFor(id))
+        }
+      }(enc)
+  }
 
   /** Metadata-only pass — never decodes, never needs the blob bytes
     * beyond length/digest (oracle-checked).
@@ -70,20 +192,33 @@ object Multimodal {
       )
       .orderBy($"doc_id")
 
-  /** Batch decode via mapPartitions — partition-parallel, one codec
-    * "session" per partition (the per-batch-setup pattern of mapInPandas).
+  val decodedSchema: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("format", StringType),
+      StructField("pix_sum", LongType),
+      StructField("mean_intensity", LongType)
+    )
+  )
+
+  /** REAL batch decode via mapPartitions: `ImageIO` parses the actual
+    * PNG/BMP bytes; every output column comes from the decoder (the
+    * format from the signature-matched reader). The oracle re-derives
+    * the same numbers from the `doc_id` arithmetic alone — codec-free —
+    * so a decode that read anything wrong hash-fails.
     */
   val mmDecode: Q = (s, d) => {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
-    blobs(s, d)
-      .select($"doc_id", $"blob")
+    imageBlobs(s, d)
       .mapPartitions { rows =>
-        // per-partition setup would open the real codec here
         rows.map { r =>
-          val id   = r.getLong(0)
-          val blob = r.getAs[Array[Byte]](1)
-          val (w, h, c, f) = FakeCodec.decode(blob)
-          Row(id, blob.length, w, h, c, f)
+          val id          = r.getLong(0)
+          val (img, fmt)  = ImageCodec.decode(r.getAs[Array[Byte]](1))
+          val (w, h, c, sum) = ImageCodec.stats(img)
+          Row(id, w, h, c, fmt, sum, sum / (w.toLong * h * c))
         }
       }(enc)
       .orderBy($"doc_id")
@@ -94,6 +229,10 @@ object Multimodal {
     * extraction plumbing for "sample 1 fps"-style pipelines). posexplode
     * keeps it one codegen'd scan; at scale the sampled frames land
     * partitioned by doc for downstream batch decode.
+    *
+    * ASCII assumption (pinned by MultimodalSpec): the engine frames
+    * BYTES (octet_length/substring on binary) while the oracle frames
+    * VARCHAR characters — equal only while every corpus byte is ASCII.
     */
   val frameSize = 64
   val stride    = 4
@@ -121,26 +260,39 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
-  /** Resize stub — 2:1 stride subsample of the blob (every other byte),
-    * halving the fake decode dimensions: the pixel-resample op's exact
-    * plumbing (map-only, blob→blob, metadata recomputed). The byte
-    * subsample is a regex pair-reduction, portable to the oracle.
+  val resizedSchema: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("orig_width", IntegerType),
+      StructField("orig_height", IntegerType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("resized_pix_sum", LongType),
+      StructField("resized_mean", LongType)
+    )
+  )
+
+  /** REAL resize: decode the blob, nearest-neighbor 2:1 subsample of the
+    * decoded raster, re-encode to PNG (resize pipelines emit blobs, not
+    * rasters), then decode the RE-ENCODED bytes again and report stats
+    * from that second decode — the whole
+    * decode→resample→encode→decode chain must be lossless for the
+    * arithmetic oracle to match.
     */
   val mmResize: Q = (s, d) => {
-    val half = regexp_replace($"text", "(.).", "$1")
-    // single pass: select blob AND text together instead of re-joining
-    // blobs back to documents for a column it just cast away
-    Tables
-      .documents(s, d)
-      .select($"doc_id", $"text".cast("binary").as("blob"), $"text")
-      .select(
-        $"doc_id",
-        octet_length($"blob").as("orig_bytes"),
-        octet_length(half.cast("binary")).as("resized_bytes"),
-        floor((lit(64) + octet_length($"blob") % 512) / 2).cast("int").as("resized_width"),
-        floor((lit(64) + floor(octet_length($"blob") / 7) % 512) / 2).cast("int").as("resized_height"),
-        md5(half.cast("binary")).as("resized_md5")
-      )
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    imageBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id         = r.getLong(0)
+          val (img, _)   = ImageCodec.decode(r.getAs[Array[Byte]](1))
+          val rebytes    = ImageCodec.encode(ImageCodec.subsample2(img), "png")
+          val (back, _)  = ImageCodec.decode(rebytes)
+          val (w2, h2, c, sum) = ImageCodec.stats(back)
+          Row(id, img.getWidth, img.getHeight, w2, h2, c, sum, sum / (w2.toLong * h2 * c))
+        }
+      }(enc)
       .orderBy($"doc_id")
   }
 
@@ -150,31 +302,58 @@ object Multimodal {
     */
   val frameCap = 100
 
-  /** Cross-document duplicated-segment detection — the video-pipeline
-    * "reused footage" op: sampled frames joined on content hash, counted
-    * per doc pair. The inverted-index join is the dedup family's shape:
-    * per-doc DISTINCT frames first (within-doc repeats must not multiply
-    * counts), a hot-bucket cap riding the join's own frame_md5 shuffle
-    * (the window count and the self-join share one exchange), then a
-    * pair count. At 100 TB every stage is bounded: frames per doc by the
-    * stride, bucket width by [[frameCap]], so the join does O(Σ bucket²)
-    * work with buckets ≤ cap.
+  /** Per-doc synthetic video: `3 + doc_id % 5` frames, each an 8×8 gray
+    * PNG whose pixels are a pure function of the frame KEY
+    * `(doc_id % frameKeyMod) * 16 + frame_idx` — so two documents emit
+    * byte-identical frames exactly when their ids collide mod
+    * [[frameKeyMod]] (deliberate planted reuse; PNG encoding is
+    * deterministic for identical rasters).
+    */
+  val frameKeyMod  = 211
+  val frameDimPx   = 8
+  def nFrames(id: Long): Int            = 3 + (id % 5).toInt
+  def frameKey(id: Long, f: Int): Long  = (id % frameKeyMod) * 16 + f
+  def frameBlob(k: Long): Array[Byte] =
+    ImageCodec.encode(
+      // the gradient alone is only injective in k mod 256 (31 is odd, so
+      // k ↦ 31k is a bijection of Z/256 — keys 256 apart collide); the
+      // first two pixels stamp k's low/high bytes so raster ⇔ key is a
+      // bijection over the full key range (< 16·frameKeyMod < 2^16)
+      ImageSynth.render(frameDimPx, frameDimPx, 1) { (x, y) =>
+        if (y == 0 && x == 0) (k % 256).toInt
+        else if (y == 0 && x == 1) ((k / 256) % 256).toInt
+        else ((k * 31 + x * 7 + y * 13) % 256).toInt
+      },
+      "png"
+    )
+
+  private val frameSchema = StructType(
+    Seq(StructField("doc_id", LongType), StructField("frame", BinaryType))
+  )
+
+  /** Cross-document duplicated-frame (reused footage) detection over
+    * REAL frame bytes: md5 of the encoded PNG frames, per-doc DISTINCT,
+    * a hot-bucket cap riding the join's own frame_md5 shuffle (window
+    * count + self-join share one exchange), then a pair count. The
+    * oracle replays the pipeline on the frame KEYS (same-key ⇒ same
+    * bytes ⇒ same md5; distinct keys ⇒ distinct rasters ⇒ distinct
+    * digests), so the engine's hash join over real bytes must produce
+    * the key-graph's exact pair counts. At 100 TB every stage is
+    * bounded: frames per doc by the synth cap, bucket width by
+    * [[frameCap]], so the join does O(Σ bucket²) with buckets ≤ cap.
     */
   val mmFrameDedup: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"frame_md5")
-    val f = blobs(s, d)
-      .select(
-        $"doc_id",
-        explode(
-          filter(
-            transform(
-              sequence(lit(0), floor((octet_length($"blob") - 1) / (frameSize * stride)).cast("int")),
-              i => substring($"blob", (i * frameSize * stride + 1).cast("int"), lit(frameSize))
-            ),
-            fr => octet_length(fr) > 0
-          )
-        ).as("frame")
-      )
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    val w   = Window.partitionBy($"frame_md5")
+    val f = Tables
+      .documents(s, d)
+      .select($"doc_id")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          (0 until nFrames(id)).iterator.map(i => Row(id, frameBlob(frameKey(id, i))))
+        }
+      }(enc)
       .select($"doc_id", md5($"frame").as("frame_md5"))
       .distinct()
       .withColumn("grp_n", count(lit(1)).over(w))
@@ -198,10 +377,11 @@ object Multimodal {
     "mm_resize"       -> mmResize
   )
 
-  /** The corpus is ASCII, so byte-level blob semantics are expressible
-    * over VARCHAR in DuckDB — even the STUB decode (pure integer
-    * arithmetic on byte length) and strided frame extraction get full
-    * oracles.
+  /** mm_metadata / mm_frame_sample: the corpus is ASCII (spec-pinned),
+    * so byte-level blob semantics are expressible over VARCHAR in
+    * DuckDB. mm_decode / mm_resize / mm_frame_dedup: the oracles carry
+    * NO codec — they re-derive what the real `javax.imageio` round trip
+    * must produce from the `doc_id` integer arithmetic alone.
     */
   val oracles: Map[String, String] = Map(
     "mm_metadata" ->
@@ -209,21 +389,43 @@ object Multimodal {
         |  md5(text) AS content_md5, source
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
-      """SELECT doc_id,
-        |  CAST(strlen(text) AS INT) AS byte_len,
-        |  CAST(64 + strlen(text) % 512 AS INT) AS width,
-        |  CAST(64 + (strlen(text) // 7) % 512 AS INT) AS height,
-        |  CAST(CASE WHEN strlen(text) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
-        |  CASE WHEN strlen(text) % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS width,
+        |    CAST(4 + (doc_id // 13) % 11 AS INT) AS height,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS format
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(channels * SUM((doc_id * 31 + (i % width) * 7 + (i // width) * 13) % 256) AS BIGINT) AS pix_sum
+        |  FROM (SELECT doc_id, width, height, channels,
+        |          unnest(range(0, width * height)) AS i FROM p) t
+        |  GROUP BY doc_id, channels)
+        |SELECT p.doc_id, p.width, p.height, p.channels, p.format, px.pix_sum,
+        |  CAST(px.pix_sum // (p.width * p.height * p.channels) AS BIGINT) AS mean_intensity
+        |FROM p JOIN px USING (doc_id) ORDER BY p.doc_id""".stripMargin,
     "mm_resize" ->
-      """SELECT doc_id,
-        |  CAST(strlen(text) AS INT) AS orig_bytes,
-        |  CAST(strlen(regexp_replace(text, '(.).', '\1', 'g')) AS INT) AS resized_bytes,
-        |  CAST(floor((64 + strlen(text) % 512) / 2.0) AS INT) AS resized_width,
-        |  CAST(floor((64 + (strlen(text) // 7) % 512) / 2.0) AS INT) AS resized_height,
-        |  md5(regexp_replace(text, '(.).', '\1', 'g')) AS resized_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS ow,
+        |    CAST(4 + (doc_id // 13) % 11 AS INT) AS oh,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST((ow + 1) // 2 AS INT) AS rw, CAST((oh + 1) // 2 AS INT) AS rh
+        |  FROM p),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(channels * SUM((doc_id * 31 + (2 * (i % rw)) * 7 + (2 * (i // rw)) * 13) % 256) AS BIGINT) AS ps
+        |  FROM (SELECT doc_id, rw, rh, channels,
+        |          unnest(range(0, rw * rh)) AS i FROM q) t
+        |  GROUP BY doc_id, channels)
+        |SELECT q.doc_id, q.ow AS orig_width, q.oh AS orig_height,
+        |  q.rw AS resized_width, q.rh AS resized_height, q.channels,
+        |  px.ps AS resized_pix_sum,
+        |  CAST(px.ps // (q.rw * q.rh * q.channels) AS BIGINT) AS resized_mean
+        |FROM q JOIN px USING (doc_id) ORDER BY q.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH idx AS (
         |  SELECT doc_id, text,
@@ -236,22 +438,17 @@ object Multimodal {
         |WHERE strlen(substring(text, CAST(i * 256 + 1 AS INT), 64)) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_frame_dedup" ->
-      s"""WITH idx AS (
-         |  SELECT doc_id, text,
-         |    unnest(range(0, CAST(floor((strlen(text) - 1) / 256.0) AS INT) + 1)) AS i
-         |  FROM documents),
-         |fr AS (
-         |  SELECT DISTINCT doc_id,
-         |    md5(substring(text, CAST(i * 256 + 1 AS INT), 64)) AS frame_md5
-         |  FROM idx
-         |  WHERE strlen(substring(text, CAST(i * 256 + 1 AS INT), 64)) > 0),
+      s"""WITH fr AS (
+         |  SELECT DISTINCT doc_id, (doc_id % $frameKeyMod) * 16 + i AS fkey
+         |  FROM (SELECT doc_id, unnest(range(0, 3 + CAST(doc_id % 5 AS INT))) AS i
+         |        FROM documents) t),
          |capped AS (
-         |  SELECT doc_id, frame_md5 FROM fr
-         |  QUALIFY COUNT(*) OVER (PARTITION BY frame_md5) <= $frameCap)
+         |  SELECT doc_id, fkey FROM fr
+         |  QUALIFY COUNT(*) OVER (PARTITION BY fkey) <= $frameCap)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  CAST(COUNT(*) AS BIGINT) AS shared_frames
          |FROM capped x JOIN capped y
-         |  ON x.frame_md5 = y.frame_md5 AND x.doc_id < y.doc_id
+         |  ON x.fkey = y.fkey AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   )
 }
