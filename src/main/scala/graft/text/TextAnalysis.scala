@@ -228,15 +228,85 @@ object TextAnalysis {
     */
   val textTfidfPairs: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // persisted: the tokenize + (doc_id, token) shuffle feeds BOTH the
-    // vocab df-count branch and the weight join — without the persist the
-    // corpus explodes and shuffles twice (exchange reuse can't merge the
-    // two differently-pruned partial aggregates)
+    // persisted: the tokenize + (doc_id, token) shuffle feeds the routing
+    // stats, the vocab df-count branch, and the weight side of whichever
+    // plan runs — without the persist the corpus explodes and shuffles
+    // repeatedly (exchange reuse can't merge differently-pruned partials)
     val tf = docs
       .select($"doc_id", explode(toks).as("token"))
       .groupBy($"doc_id", $"token")
       .agg(count(lit(1)).as("tf"))
       .persist()
+    try {
+      val nDocsL = docs.count()
+      // routing stats over the POST-window vocabulary (the df window is
+      // the quadratic-blowup lever — routing must see what the join
+      // would actually pay). One tiny aggregate: Σdf² as DECIMAL (Σdf²
+      // overflows BIGINT long before a corpus is "large") + vocab size.
+      val st = tf
+        .groupBy($"token")
+        .agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2 && $"df" <= nDocsL * 0.9)
+        .agg(
+          sum(($"df" * $"df").cast("decimal(38,0)")).as("df2"),
+          count(lit(1)).as("v")
+        )
+        .collect()(0)
+      val df2 = Option(st.getDecimal(0)).map(x => BigInt(x.toBigInteger)).getOrElse(BigInt(0))
+      tfidfRoute(df2, st.getLong(1), nDocsL) match {
+        case TfidfPostings => tfidfPostingsPairs(docs, tf)
+        case TfidfDense    => tfidfDensePairs(s, tf, nDocsL)
+      }
+    } finally tf.unpersist()
+  }
+
+  /** Plan routing for [[textTfidfPairs]]. Σdf² is the postings join's
+    * candidate fan-out — the ONLY quadratic term. Under budget the
+    * inverted-index join is the exact, scale-safe plan (Zipfian corpora,
+    * where the 2 ≤ df ≤ 0.9N window cuts the head and the df=1 tail).
+    * Over budget the corpus is in the bounded-vocabulary regime — every
+    * doc shares most tokens with every other, candidate generation by
+    * token presence is non-selective BY CONSTRUCTION (measured here:
+    * this corpus's ≥0.85-cosine pairs have word-3-gram Jaccard 0.0, so a
+    * shingle-MinHash prefilter has ZERO recall — similarity lives in tf
+    * patterns, not in shared phrases), and the exact answer needs the
+    * all-pairs dense rescore. That regime is intrinsically quadratic in
+    * docs; [[tfidfDenseMaxDocs]] fail-fasts past the point where n²·V is
+    * honest compute, with the fix spelled out in the error.
+    */
+  sealed trait TfidfRoute
+  case object TfidfPostings extends TfidfRoute
+  case object TfidfDense    extends TfidfRoute
+  val tfidfDf2Budget: BigInt  = BigInt(50L * 1000 * 1000)
+  val tfidfDenseVocabCap      = 4096L
+  val tfidfDenseMaxDocs       = 200000L
+
+  def tfidfRoute(df2: BigInt, vocab: Long, nDocs: Long): TfidfRoute =
+    if (df2 <= tfidfDf2Budget) TfidfPostings
+    else {
+      require(
+        vocab <= tfidfDenseVocabCap,
+        s"text_tfidf_pairs: postings fan-out Σdf²=$df2 exceeds $tfidfDf2Budget and vocab=$vocab " +
+          s"exceeds the dense cap $tfidfDenseVocabCap — tighten max_df (the Zipfian head is the " +
+          "blowup) or use the LSH dedup family for approximate near-dups"
+      )
+      require(
+        nDocs <= tfidfDenseMaxDocs,
+        s"text_tfidf_pairs: bounded-vocab corpus of $nDocs docs — all-pairs rescore is " +
+          s"intrinsically O(n²) and $nDocs exceeds $tfidfDenseMaxDocs; raise the pair threshold, " +
+          "partition the corpus (per-source/per-lang), or use the LSH dedup family"
+      )
+      TfidfDense
+    }
+
+  /** The exact inverted-index (postings) plan — scale-safe when Σdf² is
+    * bounded (Zipfian corpora after the df window). Three shuffles:
+    * (doc,token) tf, token df+postings join, (doc_a,doc_b) pair-agg —
+    * each map-side combined. Dot products and norms are
+    * order-independent DECIMAL sums, so the result is
+    * partitioning-invariant and DuckDB replays it exactly.
+    */
+  private[text] def tfidfPostingsPairs(docs: DataFrame, tf: DataFrame): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val vocab = tf
       .groupBy($"token")
@@ -267,10 +337,174 @@ object TextAnalysis {
         .filter($"cosine" >= 0.85)
         .orderBy($"doc_a", $"doc_b")
         .localCheckpoint()
-    } finally {
-      w.unpersist()
-      tf.unpersist()
-    }
+    } finally w.unpersist()
+  }
+
+  /** Docs per block in the dense all-pairs stage: a block row carries
+    * ≤ this many (sparse-vector, norm) structs, so block×block tasks are
+    * memory-bounded regardless of corpus size.
+    */
+  val tfidfDenseBlock = 256
+
+  /** The bounded-vocabulary exact plan: per-doc SPARSE tf-idf vectors
+    * over a driver-collected vocabulary (≤ [[tfidfDenseVocabCap]] — a
+    * couple hundred KB broadcast), blocked all-pairs with a double-dot
+    * prefilter, and an exact-DECIMAL rescore of survivors.
+    *
+    * BIT-IDENTICAL to the postings plan by construction, not by luck:
+    * the per-token products go through Spark's own `Decimal` double→
+    * decimal(38,15) cast, and exact decimal addition is associative, so
+    * the merge-walk sum equals the shuffle-order sum exactly; norms are
+    * the same exact decimal sums; and the final round/divide/threshold
+    * runs in the SAME Spark expressions. The double prefilter only skips
+    * pairs provably below threshold (double dot error ~1e-12 relative vs
+    * a 1e-4 margin under the round-half-up cutoff 0.8499995), so it
+    * cannot change the output. TfidfEquivalenceSpec asserts path
+    * equality corpus-wide at sf0.001/sf0.01.
+    */
+  private[text] def tfidfDensePairs(s: SparkSession, tf: DataFrame, nDocsL: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{Decimal => SDecimal, _}
+    val vocabRows = tf
+      .groupBy($"token")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= nDocsL * 0.9)
+      .collect()
+    // deterministic dense index: token-sorted (the walk order never
+    // affects the result — decimal addition is exact — but determinism
+    // keeps plans reproducible)
+    val vocab = vocabRows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val index = vocab.zipWithIndex.map { case ((t, df), i) =>
+      (t, (i, math.log(nDocsL.toDouble / df.toDouble)))
+    }.toMap
+    val bIndex = s.sparkContext.broadcast(index)
+
+    def prodDec(p: Double): java.math.BigDecimal =
+      // Spark's Cast(double → decimal(38,15)) replicated: Decimal.set(v)
+      // parses the double's canonical shortest decimal string (≤17 sig
+      // digits — java BigDecimal.valueOf; the DECIMAL128 construction
+      // context never truncates it) and changePrecision rounds HALF_UP
+      // to scale 15. TfidfEquivalenceSpec holds this to bit-parity with
+      // the real cast corpus-wide at two SFs.
+      java.math.BigDecimal.valueOf(p).setScale(15, java.math.RoundingMode.HALF_UP)
+
+    val docSchema = StructType(
+      Seq(
+        StructField("block", IntegerType),
+        StructField("doc_id", LongType),
+        StructField("idxs", ArrayType(IntegerType)),
+        StructField("ws", ArrayType(DoubleType)),
+        StructField("nrm", DoubleType)
+      )
+    )
+    val nBlocks = math.max(1L, (nDocsL + tfidfDenseBlock - 1) / tfidfDenseBlock).toInt
+    val docEnc  = org.apache.spark.sql.Encoders.row(docSchema)
+    val docVecs = tf
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"token", $"tf")).as("ts"))
+      .mapPartitions { rows =>
+        val ix = bIndex.value
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val iw = r
+            .getAs[scala.collection.Seq[Row]](1)
+            .iterator
+            .flatMap { t =>
+              ix.get(t.getString(0)).map { case (i, idf) => (i, t.getLong(1).toDouble * idf) }
+            }
+            .toArray
+            .sortBy(_._1)
+          if (iw.isEmpty) None
+          else {
+            var nrm2 = java.math.BigDecimal.ZERO
+            iw.foreach { case (_, w) => nrm2 = nrm2.add(prodDec(w * w)) }
+            Some(
+              Row(
+                ((id % nBlocks + nBlocks) % nBlocks).toInt,
+                id,
+                iw.map(_._1),
+                iw.map(_._2),
+                math.sqrt(nrm2.doubleValue)
+              )
+            )
+          }
+        }
+      }(docEnc)
+    val blocks = docVecs
+      .groupBy($"block")
+      .agg(collect_list(struct($"block", $"doc_id", $"idxs", $"ws", $"nrm")).as("ds"))
+      .persist()
+    try {
+      val pairSchema = StructType(
+        Seq(
+          StructField("doc_a", LongType),
+          StructField("doc_b", LongType),
+          StructField("dot", DecimalType(38, 15)),
+          StructField("na", DoubleType),
+          StructField("nb", DoubleType)
+        )
+      )
+      val pairEnc = org.apache.spark.sql.Encoders.row(pairSchema)
+      // prefilter strictly under the round-half-up cutoff: round(c,6) ≥
+      // 0.85 admits c ≥ 0.8499995; double-dot error is ~1e-12 relative
+      val preTh = 0.84995
+      val pairs = blocks
+        .as("x")
+        .join(blocks.as("y"), $"x.block" <= $"y.block")
+        .select($"x.block".as("bx"), $"y.block".as("by"), $"x.ds".as("xs"), $"y.ds".as("ys"))
+        .mapPartitions { rows =>
+          rows.flatMap { br =>
+            // same-block rows see each unordered pair twice (both orders)
+            // → keep a.id < b.id; cross-block rows see it exactly once in
+            // arbitrary id order (block = id mod nBlocks does NOT order
+            // ids) → keep all and normalize to (lo, hi) below
+            val sameBlock = br.getInt(0) == br.getInt(1)
+            val xs        = br.getAs[scala.collection.Seq[Row]](2)
+            val ys        = br.getAs[scala.collection.Seq[Row]](3)
+            for {
+              a <- xs.iterator
+              b <- ys.iterator
+              if (if (sameBlock) a.getLong(1) < b.getLong(1) else true)
+              out <- {
+                val ia = a.getAs[scala.collection.Seq[Int]](2)
+                val wa = a.getAs[scala.collection.Seq[Double]](3)
+                val ib = b.getAs[scala.collection.Seq[Int]](2)
+                val wb = b.getAs[scala.collection.Seq[Double]](3)
+                // merge walk over the sorted sparse indices
+                var i = 0; var j = 0; var dd = 0.0
+                while (i < ia.length && j < ib.length) {
+                  val c = ia(i) - ib(j)
+                  if (c == 0) { dd += wa(i) * wb(j); i += 1; j += 1 }
+                  else if (c < 0) i += 1
+                  else j += 1
+                }
+                val na = a.getDouble(4); val nb = b.getDouble(4)
+                if (dd < preTh * na * nb) None
+                else {
+                  var dot = java.math.BigDecimal.ZERO
+                  i = 0; j = 0
+                  while (i < ia.length && j < ib.length) {
+                    val c = ia(i) - ib(j)
+                    if (c == 0) { dot = dot.add(prodDec(wa(i) * wb(j))); i += 1; j += 1 }
+                    else if (c < 0) i += 1
+                    else j += 1
+                  }
+                  val (idA, idB) = (a.getLong(1), b.getLong(1))
+                  val out =
+                    if (idA < idB) Row(idA, idB, dot.setScale(15), na, nb)
+                    else Row(idB, idA, dot.setScale(15), nb, na)
+                  Some(out)
+                }
+              }
+            } yield out
+          }
+        }(pairEnc)
+        .localCheckpoint()
+      pairs
+        .select($"doc_a", $"doc_b", round($"dot".cast("double") / ($"na" * $"nb"), 6).as("cosine"))
+        .filter($"cosine" >= 0.85)
+        .orderBy($"doc_a", $"doc_b")
+    } finally blocks.unpersist()
   }
 
   /** Corpus profiling — the audit pass before training-data release:
