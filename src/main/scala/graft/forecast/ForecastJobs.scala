@@ -1177,6 +1177,28 @@ object ForecastJobs {
         |  WHERE l_shipdate < TIMESTAMP '2001-06-01') t
         |GROUP BY profile_name, week_date
         |QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 5
-        |ORDER BY profile_name, week_date""".stripMargin
+        |ORDER BY profile_name, week_date""".stripMargin,
+    // SHAPE oracle: one row per >5-week profile (the exact universe
+    // arimaJob forecasts), same seven columns — rows + schema are fully
+    // checkable. The VALUES come from an iterative Kalman-MLE optimizer
+    // (statsmodels semantics), which no independent SQL engine can replay,
+    // so hash_match=false is inherent and documented; the three fixed-
+    // param/grid stages feeding this output ARE hash-exact
+    // (m_arima_mle_fixed / m_arima_hr / m_arima_grid), and ModelsSpec
+    // tolerance-tests the end numbers.
+    "m_arima_forecast" ->
+      """WITH profiles AS (
+        |  SELECT profile_name FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01'
+        |    GROUP BY 1, 2) t
+        |  GROUP BY profile_name HAVING COUNT(*) > 5)
+        |SELECT profile_name,
+        |  'mle-inherent' AS best_config,
+        |  0.0 AS mse, 0.0 AS prediction, 0.0 AS std_error,
+        |  0.0 AS lower_bound, 0.0 AS upper_bound
+        |FROM profiles ORDER BY profile_name""".stripMargin
   )
 }

@@ -943,6 +943,17 @@ object Advanced {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  MIN(l_quantity) AS min_qty,
         |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // SHAPE oracle: rows + schema are fully checkable; the HLL register
+    // values are engine-specific, so hash_match=false is inherent and
+    // documented (the oracle-able sibling is `a_kmv_distinct`, hash-exact;
+    // AdvancedSpec bounds this sketch's relative error vs the exact count).
+    // approx_orders is stubbed with the exact count — same column, same
+    // type, the one value no independent engine can reproduce.
+    "a_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS approx_orders,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
