@@ -648,6 +648,13 @@ object ForecastJobs {
       .drop("n")
       .persist()
     try {
+      // degenerate-corpus guard (r5 ADVICE): with no >8-week profile the
+      // totals collect below is NULL and sesForecast has no input — fail
+      // with a message instead of an NPE deep in the fold
+      require(
+        !wk.isEmpty,
+        "m_reconcile: no profile clears the >8-week history filter — nothing to reconcile"
+      )
       // per-profile base forecasts — the same SES fold m_ses_forecast's
       // oracle replays
       val base = wk

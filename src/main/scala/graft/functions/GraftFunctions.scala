@@ -35,10 +35,18 @@ object GraftFunctions {
     f(exprs(0), exprs(1))
   }
 
+  /** Idempotent: queries call this at build time, many per session —
+    * replacing an already-registered function logs a WARN per call (r5
+    * bench tails were full of them), so registration happens only once
+    * per session.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("hamming64", binary("hamming64", Hamming64.apply) _, "built-in")
-    reg.createOrReplaceTempFunction("cosine64", binary("cosine64", Cosine64.apply) _, "built-in")
+    def once(name: String, b: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+    once("hamming64", binary("hamming64", Hamming64.apply) _)
+    once("cosine64", binary("cosine64", Cosine64.apply) _)
   }
 
   /** Column surface (requires [[register]] on the session first). */

@@ -715,12 +715,23 @@ object Similarity {
     * force). Reference for semantics: Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011.
     */
+  /** Shared ANN serving constants — interpolated into BOTH the Scala
+    * paths and their DuckDB oracle strings, so a non-default invocation
+    * cannot silently desync engine and oracle (r5 ADVICE).
+    */
+  val annProbeCut = 10 // probes = vec_id < this, every ANN family
+  val pqM         = 8  // PQ subspaces
+  val pqKsub      = 16 // codewords per subspace
+  val pqSubDim    = 8  // 64-d embeddings / pqM
+  val mkPrefixDim = 16 // Matryoshka coarse prefix
+  val mkShortlist = 50 // Matryoshka rerank shortlist
+
   def pqTopK(
       s: SparkSession,
       d: String,
       k: Int,
-      m: Int = 8,
-      ksub: Int = 16,
+      m: Int = pqM,
+      ksub: Int = pqKsub,
       booksDump: Option[String] = None
   ): DataFrame = {
     val e     = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
@@ -753,7 +764,7 @@ object Similarity {
       tot
     }
     val corpus = e.withColumn("codes", encodeUdf($"v"))
-    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val probes = e.filter($"vec_id" < annProbeCut).select($"vec_id".as("probe_id"), $"v".as("pv"))
     val sims = corpus
       .join(broadcast(probes), $"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id".as("neighbor_id"), round(adcUdf($"pv", $"codes"), 6).as("adist"))
@@ -784,14 +795,14 @@ object Similarity {
       s: SparkSession,
       d: String,
       k: Int,
-      prefixDim: Int = 16,
-      shortlist: Int = 50
+      prefixDim: Int = mkPrefixDim,
+      shortlist: Int = mkShortlist
   ): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     // coarse: prefix-slice cosine, map-only against broadcast probes
     val pr = e
-      .filter($"vec_id" < 10)
+      .filter($"vec_id" < annProbeCut)
       .select(
         $"vec_id".as("probe_id"),
         slice($"v", 1, prefixDim).as("pv16"),
@@ -929,21 +940,21 @@ object Similarity {
     // two-stage prefix cascade replay: coarse cut on the rounded 16-dim
     // cosine (shortlist 50, id tiebreak), exact rerank on the survivors
     "ann_matryoshka_topk" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < $annProbeCut),
         |coarse AS (
         |  SELECT probe_id, e.vec_id AS neighbor_id,
-        |    round(list_dot_product(pv[1:16], v[1:16])
-        |      / sqrt(list_dot_product(pv[1:16], pv[1:16])
-        |           * list_dot_product(v[1:16], v[1:16])), 6) AS c16
+        |    round(list_dot_product(pv[1:$mkPrefixDim], v[1:$mkPrefixDim])
+        |      / sqrt(list_dot_product(pv[1:$mkPrefixDim], pv[1:$mkPrefixDim])
+        |           * list_dot_product(v[1:$mkPrefixDim], v[1:$mkPrefixDim])), 6) AS c16
         |  FROM e JOIN p ON e.vec_id <> p.probe_id),
         |short AS (
         |  SELECT probe_id, neighbor_id FROM (
         |    SELECT *, row_number() OVER
         |      (PARTITION BY probe_id ORDER BY c16 DESC, neighbor_id) AS rn
-        |    FROM coarse) t WHERE rn <= 50),
+        |    FROM coarse) t WHERE rn <= $mkShortlist),
         |rer AS (
         |  SELECT s.probe_id, s.neighbor_id,
         |    round(list_dot_product(pe.v, ne.v)
@@ -970,8 +981,8 @@ object Similarity {
          |  FROM read_parquet('${graft.OracleIo.sqlDir}/pq_codebooks/*.parquet')),
          |sub AS (
          |  SELECT vec_id, s.range AS sub_id,
-         |    list_slice(v, s.range * 8 + 1, s.range * 8 + 8) AS sv
-         |  FROM e, range(0, 8) s),
+         |    list_slice(v, s.range * $pqSubDim + 1, s.range * $pqSubDim + $pqSubDim) AS sv
+         |  FROM e, range(0, $pqM) s),
          |asg AS (
          |  SELECT vec_id, sub_id, code_id FROM (
          |    SELECT sub.vec_id, sub.sub_id, cb.code_id,
@@ -987,7 +998,7 @@ object Similarity {
          |  FROM sub ps
          |  JOIN asg a ON a.sub_id = ps.sub_id AND a.vec_id <> ps.vec_id
          |  JOIN cb ON cb.sub_id = a.sub_id AND cb.code_id = a.code_id
-         |  WHERE ps.vec_id < 10),
+         |  WHERE ps.vec_id < $annProbeCut),
          |tot AS (
          |  SELECT probe_id, neighbor_id,
          |    round(list_reduce(list(sq ORDER BY sub_id), (x, y) -> x + y), 6) AS adist

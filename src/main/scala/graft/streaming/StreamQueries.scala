@@ -163,9 +163,22 @@ object StreamQueries {
     */
   val streamDedup: Q = (s, d) => {
     val ck = java.nio.file.Files.createTempDirectory("graft-sdedup-ck").toString
+    // SINGLE-BATCH ASSUMPTION (r5 ADVICE, pinned): equality with the
+    // plain batch oracle relies on the whole corpus landing in ONE
+    // AvailableNow micro-batch — the glob admits exactly one file and
+    // maxFilesPerTrigger is set explicitly above the corpus file count,
+    // so both union branches are read in the same batch. With a
+    // multi-file corpus split across batches, the duplicate slice could
+    // arrive after the watermark advanced past its event time (state
+    // already evicted → redelivered rows re-emitted, or rows dropped as
+    // late) and the converged table would legitimately diverge from the
+    // batch SELECT. runAvailableNow doesn't fit here: it is
+    // complete-mode aggregation scaffolding, while dedup emits append
+    // rows.
     def src = s.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1000")
       .parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = src
@@ -182,7 +195,12 @@ object StreamQueries {
       .start()
     try q.awaitTermination()
     finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
-    s.table("s_stream_dedup_sink").orderBy($"event_id")
+    // materialize, then drop the sink view — append-mode memory sinks
+    // are per-query tables, and leaving one registered leaks it into the
+    // session catalog across a 160-query sweep
+    val out = s.table("s_stream_dedup_sink").orderBy($"event_id").localCheckpoint()
+    s.catalog.dropTempView("s_stream_dedup_sink")
+    out
   }
 
   val queries: Map[String, Q] = Map(
