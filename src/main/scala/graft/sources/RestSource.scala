@@ -58,6 +58,42 @@ object RestSource {
     out.result()
   }
 
+  /** Half-open ISO-instant time slices covering [begin, end): equal
+    * whole-second sub-windows, boundaries exact, no overlap — the
+    * standard remedy for a cursor API whose pagination is sequential
+    * WITHIN a window but independent ACROSS windows.
+    */
+  def timeSlices(beginTime: String, endTime: String, n: Int): Vector[(String, String)] = {
+    val b     = java.time.Instant.parse(beginTime)
+    val e     = java.time.Instant.parse(endTime)
+    val total = java.time.Duration.between(b, e).getSeconds
+    require(total > 0, s"empty window [$beginTime, $endTime)")
+    require(n >= 1, "need at least one slice")
+    val bounds = (0 to n).map(i => b.plusSeconds(total * i / n)).distinct
+    bounds.sliding(2).collect { case Seq(x, y) if x != y => (x.toString, y.toString) }.toVector
+  }
+
+  /** Run one sequential fetch chain PER window, windows in parallel on
+    * executors (task-local clients, task-local retries — a retried task
+    * re-runs only its own window's chain). `fetchWindow` returns the
+    * window's page bodies in chain order; the page index is globally
+    * unique across windows. Lazy like [[fetchPages]] — eager-checkpoint
+    * before tearing down the server.
+    */
+  def fetchWindows(
+      spark: SparkSession,
+      windows: Seq[(String, String)],
+      maxPages: Int = 10000)(fetchWindow: (String, String) => Vector[String]): DataFrame = {
+    val rdd = spark.sparkContext
+      .parallelize(windows.zipWithIndex, math.max(1, windows.size))
+      .mapPartitions { it =>
+        it.flatMap { case ((wb, we), wi) =>
+          fetchWindow(wb, we).zipWithIndex.map { case (body, pi) => Row(wi * maxPages + pi, body) }
+        }
+      }
+    spark.createDataFrame(rdd, pageSchema)
+  }
+
   /** Distributed fetch of independent page URLs: (page, body) DataFrame.
     * Lazy — callers that must tear down the server (or avoid re-fetching
     * on plan re-execution) should `localCheckpoint(eager = true)` the

@@ -23,6 +23,31 @@ class RestSourceSpec extends SparkSpec {
     assert(viaHttp.nonEmpty && viaHttp == viaFile)
   }
 
+  test("time-sliced parallel square == sequential chain (r5 stretch: sharded cursor fetch)") {
+    val mk = () => FixtureApiServer.squareV1(
+      s"${ZoloPipeline.fixturesDir}/square_payments.json",
+      locationId = "L", token = "t", pageSize = 3)
+    val (b, e) = ("2019-01-01T00:00:00Z", "2020-01-01T00:00:00Z")
+    val srv1 = mk()
+    val seq1 =
+      try rows(RestQueries.squareExtract(spark, s"${srv1.base}/v1/L/payments", "t", b, e)
+        .orderBy("payment_id"))
+      finally srv1.stop()
+    val srv2 = mk()
+    try {
+      val par = rows(RestQueries.squareExtractSharded(
+        spark, s"${srv2.base}/v1/L/payments", "t", b, e, nSlices = 4).orderBy("payment_id"))
+      assert(par.nonEmpty && par == seq1)
+      // every sub-window issues at least its first request — the fetch
+      // genuinely fanned out across slices instead of one driver chain
+      assert(srv2.requestCount >= 4)
+    } finally srv2.stop()
+    // degenerate slicing still covers the window exactly
+    val slices = RestSource.timeSlices(b, e, 3)
+    assert(slices.head._1 == b && slices.last._2 == e)
+    assert(slices.sliding(2).forall { case Seq(x, y) => x._2 == y._1; case _ => true })
+  }
+
   test("shopify over HTTP == shopify over files (distributed page fetch)") {
     val viaHttp = rows(RestQueries.shopifyHttpTrans(spark))
     val viaFile = rows(
