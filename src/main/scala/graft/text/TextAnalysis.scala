@@ -676,6 +676,39 @@ object TextAnalysis {
       .orderBy($"lang", $"sample_rank")
   }
 
+  /** Per-domain document quota — the pretraining-mix curation step that
+    * caps any one source's contribution (a crawl snapshot's mega-domains
+    * would otherwise dominate the token budget). Keep the `capPerSource`
+    * longest documents per source, ties broken by `doc_id` so the
+    * ordering is total and both engines keep identical survivors.
+    *
+    * Scale shape: a quota IS per-key top-k, so this runs on the native
+    * [[graft.plans.TopKPerKey]] operator — per-mapper bounded heaps ship
+    * at most k rows per (source, mapper) into the exchange, so the
+    * shuffle is O(domains × k × mappers) regardless of corpus size. The
+    * window formulation the oracle replays (row_number ≤ k) shuffles the
+    * ENTIRE corpus to rank rows it then throws away — the difference
+    * between the two plans is the whole point at 100 TB. The rank column
+    * is re-derived by a window AFTER the cap, over ≤ k·domains
+    * survivors — negligible.
+    */
+  val textDomainCap: Q = (s, d) => {
+    val capPerSource = 10
+    val capped = graft.plans.TopK.perKey(
+      Tables.documents(s, d).select($"source", $"doc_id", $"n_chars"),
+      keys = Seq($"source"),
+      ordering = Seq($"n_chars".desc, $"doc_id".asc),
+      k = capPerSource
+    )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    capped
+      .withColumn("cap_rank", row_number().over(w).cast("int"))
+      .select($"source", $"doc_id", $"n_chars", $"cap_rank")
+      .orderBy($"source", $"cap_rank")
+  }
+
   /** MassiveText repetition filters (Rae et al. 2021 §A1.1, public): top
     * n-gram character fraction (n=2..4) and duplicated-n-gram character
     * coverage (n=5..10), with the paper's per-n keep thresholds. The
@@ -1058,6 +1091,7 @@ object TextAnalysis {
     "text_repetition"   -> textRepetition,
     "text_gopher_rules" -> textGopherRules,
     "text_stratified_sample" -> textStratifiedSample,
+    "text_domain_cap"   -> textDomainCap,
     "text_top_ngrams"   -> textTopNgrams,
     "text_split_assign" -> textSplitAssign,
     "text_tokens_bpe"   -> textTokensBpe,
@@ -1333,6 +1367,12 @@ object TextAnalysis {
          |    AND symbol_ratio <= 0.1 AND n_stopwords >= 2
          |    AND max_token_ratio <= 0.2 AS INT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_domain_cap" ->
+      """SELECT source, doc_id, n_chars, cap_rank FROM (
+        |  SELECT source, doc_id, n_chars, CAST(row_number() OVER
+        |    (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS cap_rank
+        |  FROM documents) t
+        |WHERE cap_rank <= 10 ORDER BY source, cap_rank""".stripMargin,
     "text_stratified_sample" ->
       """SELECT doc_id, lang, sample_rank FROM (
         |  SELECT doc_id, lang, CAST(row_number() OVER

@@ -1,58 +1,70 @@
 package graft.queries
 
 import graft.SparkSpec
-import graft.syntax._
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 
-/** Runtime bloom-filter join pruning — the Catalyst feature that makes a
-  * selective dim⋈fact shuffle join scale-safe when the dim side is too big
-  * to broadcast: the optimizer builds a bloom filter from the filtered
-  * creation side and injects might_contain on the fact side BEFORE its
-  * shuffle, so non-matching fact rows never cross the exchange. At 100 TB
-  * this is the difference between shuffling the whole fact table and
-  * shuffling the ~selectivity fraction that can actually join. Thresholds
-  * are lowered here because the test corpus is far below the production
-  * defaults (10 MB creation side / 10 GB application side).
+/** Runtime Bloom-filter join pruning: correctness must be independent of
+  * the bloom's false-positive rate (the exact join removes FPs), the
+  * prefilter must actually cut the fact scan, and the predicate must be
+  * codegen-resident (map-side, inside the scan stage).
   */
 class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
 
-  test("selective dim join injects a bloom might_contain below the fact shuffle") {
-    val prev = Map(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
-        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false"),
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
-        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"),
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
-        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    )
-    try {
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
-      val part = Tables.part(spark, sf0001).filter($"p_brand" === "Brand#13")
-      val li   = Tables.lineitem(spark, sf0001)
-      val joined = li
-        .join(part, $"l_partkey" === $"p_partkey")
-        .groupBy($"p_brand")
-        .agg(sum($"l_quantity").as("qty"))
-      val plan = joined.queryExecution.optimizedPlan.toString
-      assert(
-        plan.contains("might_contain") || plan.contains("bloom_filter"),
-        s"no runtime bloom filter injected:\n$plan"
-      )
-      // semantics unchanged by the filter: same result as the plain join
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      val expect = li
-        .join(part, $"l_partkey" === $"p_partkey")
-        .groupBy($"p_brand")
-        .agg(sum($"l_quantity").as("qty"))
-        .collect().map(_.toSeq).toSeq
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      assert(joined.collect().map(_.toSeq).toSeq == expect)
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  private def plainJoin() = {
+    val dim = RuntimeFilter.dimSlice(spark, sf0001)
+      .select($"o_orderkey", $"o_orderpriority")
+    Tables.lineitem(spark, sf0001)
+      .join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+  }
+
+  test("bloom-pruned join equals the plain join") {
+    val pruned = RuntimeFilter.jBloomPrune(spark, sf0001)
+      .select($"o_orderpriority", $"n_items").collect().map(_.toSeq).toSeq
+    assert(pruned == plainJoin())
+  }
+
+  test("a tiny FP-heavy bloom still yields the exact result") {
+    // 64 bits for ~1k keys: the bloom saturates and passes nearly
+    // everything — the join must absorb every false positive
+    val pruned = RuntimeFilter.jBloomPrune(spark, sf0001, numBits = 64)
+      .select($"o_orderpriority", $"n_items").collect().map(_.toSeq).toSeq
+    assert(pruned == plainJoin())
+  }
+
+  test("prefilter passes the matching rows plus a bounded FP tail") {
+    val dim = RuntimeFilter.dimSlice(spark, sf0001)
+    val bloom = RuntimeFilter.buildBloom(
+      dim, $"o_orderkey", expectedKeys = 1 << 16, numBits = 1 << 20)
+    val fact    = Tables.lineitem(spark, sf0001)
+    val total   = fact.count()
+    val passed  = RuntimeFilter.prunedFact(spark, sf0001, bloom).count()
+    val matching = fact.join(dim.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey",
+      "left_semi").count()
+    // no false negatives: every matching row passes
+    assert(passed >= matching)
+    // the prune is real: the slice is ~1.5% of the fact, FP rate ~1% of
+    // the remainder — passed must sit far below the full scan
+    assert(passed < total / 2,
+      s"bloom passed $passed of $total rows — prefilter is not pruning")
+  }
+
+  test("the bloom predicate evaluates inside the scan stage, before any exchange") {
+    val df = RuntimeFilter.jBloomPrune(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val iFilter = plan.indexOf("might_contain")
+    assert(iFilter >= 0, s"no bloom predicate in plan:\n$plan")
+    // map-side: the predicate sits below the first exchange of its
+    // branch — i.e. some scan follows it with no exchange in between
+    val iExch = plan.indexOf("Exchange", iFilter)
+    val iScan = plan.indexOf("Scan parquet", iFilter)
+    assert(iScan >= 0 && (iExch < 0 || iScan < iExch),
+      s"bloom predicate is not map-side over the fact scan:\n$plan")
   }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class TextSpec extends SparkSpec {
 
@@ -196,5 +197,27 @@ class TextSpec extends SparkSpec {
     val corpusMean = docs.map(_._2).sum.toDouble / docs.length
     val sampleMean = got.map(_.getLong(1)).sum.toDouble / got.length
     assert(sampleMean > corpusMean, s"sample mean $sampleMean !> corpus mean $corpusMean")
+  }
+
+  test("text_domain_cap: native top-k plan, equals the window formulation") {
+    val df = TextAnalysis.textDomainCap(spark, sf0001)
+    val got = df.collect()
+    // planned through the custom operator, not a full-corpus window sort
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // quota honored per source, ranks dense from 1
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+    }
+    // row-identical to the window row_number formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val expect = graft.tables.Tables.documents(spark, sf0001)
+      .withColumn("cap_rank", row_number().over(w).cast("int"))
+      .filter(col("cap_rank") <= 10)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("cap_rank"))
+      .orderBy(col("source"), col("cap_rank"))
+      .collect()
+    assert(got.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
   }
 }
