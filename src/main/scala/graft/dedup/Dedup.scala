@@ -603,8 +603,77 @@ object Dedup {
     sketch("event_id").unionByName(sketch("user_id")).orderBy($"column_name")
   }
 
+  /** KMV set-operation estimates — the property that makes KMV the
+    * 100 TB sketch: two sketches built independently (different
+    * partitions, days, datacenters) MERGE by "union the hash sets, keep
+    * the k smallest", so |A∪B| needs no re-scan of either input, and
+    * |A∩B| falls out of the merged sketch by inclusion counting
+    * (ρ = overlap fraction within the merged k-minimum set,
+    * est∩ = ⌊ρ·est∪⌋). Estimators stay in integer space end-to-end
+    * (BigInt here, HUGEINT in the oracle) so the WHOLE pipeline is
+    * hash-exact — the companion to [[kmvDistinct]]'s single-set row.
+    *
+    * Sets: distinct parts shipped in H1-1997 (A) vs H2-1997 (B) — heavy
+    * but partial overlap, and at sf ≥ 0.01 both sides exceed k = 256 so
+    * the true estimation regime is exercised (at sf0.001 the sketch
+    * degrades to exact counting by construction, also verified).
+    *
+    * Scale shape per side: map (hash) → distinct shuffle → per-partition
+    * top-k into a k-sized driver collect (k = 256 longs — the sketch IS
+    * the reduction; this collect is the point, not a bottleneck). The
+    * merge and estimators are O(k) driver arithmetic. The exact columns
+    * (for the oracle and the error story) are ordinary distinct counts.
+    */
+  def kmvSetops(s: SparkSession, dir: String): DataFrame = {
+    val k  = 256
+    val li = Tables.lineitem(s, dir)
+    val hashU = udf { (v: String) => Hashing.hash64(v, 0L) }
+    def keys(lo: String, hi: String): DataFrame =
+      li.filter($"l_shipdate" >= lit(lo).cast("timestamp") &&
+          $"l_shipdate" < lit(hi).cast("timestamp"))
+        .select($"l_partkey".cast("string").as("v")).distinct()
+    val a = keys("1997-01-01", "1997-07-01").persist()
+    val b = keys("1997-07-01", "1998-01-01").persist()
+    try {
+      def unsigned(h: Long): BigInt =
+        if (h < 0) BigInt(h) + (BigInt(1) << 64) else BigInt(h)
+      def sketch(df: DataFrame): Array[BigInt] =
+        df.select(hashU($"v").as("h")).distinct()
+          .orderBy($"h".bitwiseXOR(lit(Long.MinValue)).asc).limit(k)
+          .collect().map(r => unsigned(r.getLong(0)))
+      val ka = sketch(a)
+      val kb = sketch(b)
+      // KMV merge: k smallest of the union of the two k-minimum sets
+      val merged = (ka.toSet ++ kb.toSet).toArray.sorted.take(k)
+      def est(sk: Array[BigInt]): Long =
+        if (sk.length < k) sk.length.toLong
+        else ((BigInt(k - 1) << 64) / sk.last).toLong
+      val estU   = est(merged)
+      val setA   = ka.toSet
+      val setB   = kb.toSet
+      val m      = merged.count(u => setA.contains(u) && setB.contains(u)).toLong
+      val estI   = (BigInt(m) * BigInt(estU) / BigInt(merged.length)).toLong
+      val exactA = a.count()
+      val exactB = b.count()
+      val exactU = a.union(b).distinct().count()
+      val exactI = a.intersect(b).count()
+      // narrow implicit scope: graft.syntax's $ and SQLImplicits' $
+      // collide at file level
+      val toDf = () => {
+        import s.implicits._
+        Seq((k, ka.length.toLong, est(ka), exactA, kb.length.toLong, est(kb), exactB,
+          merged.length.toLong, estU, exactU, m, estI, exactI))
+          .toDF("k", "got_a", "est_a", "exact_a", "got_b", "est_b", "exact_b",
+            "got_union", "est_union", "exact_union", "overlap_m",
+            "est_intersection", "exact_intersection")
+      }
+      toDf()
+    } finally { a.unpersist(); b.unpersist() }
+  }
+
   val queries: Map[String, Q] = Map(
     "a_kmv_distinct"        -> (kmvDistinct(_, _)),
+    "a_kmv_setops"          -> (kmvSetops(_, _)),
     "dedup_winnow_pairs"    -> dedupWinnowPairs,
     "dedup_winnow_clusters" -> dedupWinnowClusters,
     "dedup_winnow_keep"     -> dedupWinnowKeep,
@@ -867,6 +936,56 @@ object Dedup {
        |SELECT * FROM rka UNION ALL SELECT * FROM rkb ORDER BY column_name""".stripMargin
   }
 
+  /** Full integer-space replay of [[kmvSetops]]: per-side FNV/splitmix
+    * hash replay → unsigned k-minimum sets → KMV merge (k smallest of
+    * the union) → inclusion counting → the same HUGEINT estimator
+    * arithmetic. Nothing leaves integer space, so every column is
+    * hash-exact.
+    */
+  private val kmvSetopsReplay: String = {
+    val M = "18446744073709551616::HUGEINT"
+    def est(got: String, umax: String) =
+      s"(CASE WHEN $got < 256 THEN CAST($got AS HUGEINT) ELSE (255::HUGEINT * $M) // $umax END)"
+    def side(tag: String, lo: String, hi: String) =
+      s"""v$tag AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS s FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$lo' AND l_shipdate < TIMESTAMP '$hi'),
+         |src$tag AS (SELECT s AS key, 0::BIGINT AS sd, $bytesOf AS bs FROM v$tag),
+         |${hash64ReplaySql(tag, s"src$tag", "key")},
+         |u$tag AS (SELECT DISTINCT
+         |  (CASE WHEN hh < 0 THEN CAST(hh AS HUGEINT) + $M ELSE CAST(hh AS HUGEINT) END) AS u
+         |  FROM ${tag}6),
+         |t$tag AS (SELECT u FROM u$tag ORDER BY u LIMIT 256)""".stripMargin
+    s"""WITH ${side("sa", "1997-01-01", "1997-07-01")},
+       |${side("sb", "1997-07-01", "1998-01-01")},
+       |tm AS (SELECT u FROM (SELECT u FROM tsa UNION SELECT u FROM tsb) z
+       |       ORDER BY u LIMIT 256),
+       |stats AS (SELECT
+       |  (SELECT count(*) FROM tsa) AS got_a, (SELECT max(u) FROM tsa) AS umax_a,
+       |  (SELECT count(*) FROM tsb) AS got_b, (SELECT max(u) FROM tsb) AS umax_b,
+       |  (SELECT count(*) FROM tm) AS got_u, (SELECT max(u) FROM tm) AS umax_u,
+       |  (SELECT count(*) FROM tm
+       |     WHERE u IN (SELECT u FROM tsa) AND u IN (SELECT u FROM tsb)) AS overlap_m,
+       |  (SELECT count(*) FROM vsa) AS exact_a,
+       |  (SELECT count(*) FROM vsb) AS exact_b,
+       |  (SELECT count(*) FROM (SELECT s FROM vsa UNION SELECT s FROM vsb) q) AS exact_u,
+       |  (SELECT count(*) FROM (SELECT s FROM vsa INTERSECT SELECT s FROM vsb) q) AS exact_i)
+       |SELECT CAST(256 AS INT) AS k,
+       |  CAST(got_a AS BIGINT) AS got_a,
+       |  CAST(${est("got_a", "umax_a")} AS BIGINT) AS est_a,
+       |  CAST(exact_a AS BIGINT) AS exact_a,
+       |  CAST(got_b AS BIGINT) AS got_b,
+       |  CAST(${est("got_b", "umax_b")} AS BIGINT) AS est_b,
+       |  CAST(exact_b AS BIGINT) AS exact_b,
+       |  CAST(got_u AS BIGINT) AS got_union,
+       |  CAST(${est("got_u", "umax_u")} AS BIGINT) AS est_union,
+       |  CAST(exact_u AS BIGINT) AS exact_union,
+       |  CAST(overlap_m AS BIGINT) AS overlap_m,
+       |  CAST((CAST(overlap_m AS HUGEINT) * ${est("got_u", "umax_u")}) // got_u
+       |    AS BIGINT) AS est_intersection,
+       |  CAST(exact_i AS BIGINT) AS exact_intersection
+       |FROM stats""".stripMargin
+  }
+
   /** Every dedup row is now oracle-checked: the winnow family end-to-end
     * (HUGEINT rolling-hash replay), the minhash/simhash SIGNATURES by a
     * full FNV-1a/splitmix64 replay in mod-2⁶⁴ HUGEINT arithmetic (r4 —
@@ -875,6 +994,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "a_kmv_distinct"     -> kmvReplay,
+    "a_kmv_setops"       -> kmvSetopsReplay,
     "dedup_minhash_sigs" -> minhashSigReplay,
     "dedup_simhash"      -> simhashReplay,
     "dedup_minhash_pairs" ->

@@ -222,4 +222,23 @@ class DedupSpec extends SparkSpec {
     // cache hygiene across both CC invocations + the pair persist
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("kmv set-ops: exact regime at small SF, merge bounded by side sketches") {
+    val r = Dedup.kmvSetops(spark, sf0001).collect().head
+    def l(name: String) = r.getLong(r.fieldIndex(name))
+    // below-k regime: every estimator degrades to the exact count
+    assert(l("got_a") < 256 && l("got_b") < 256)
+    assert(l("est_a") == l("exact_a"))
+    assert(l("est_b") == l("exact_b"))
+    assert(l("est_union") == l("exact_union"))
+    assert(l("est_intersection") == l("exact_intersection"))
+    // KMV merge structure: |A∪B| sketch is bounded by the side sketches
+    // and at least as large as either side (below k nothing is dropped)
+    assert(l("got_union") <= l("got_a") + l("got_b"))
+    assert(l("got_union") >= math.max(l("got_a"), l("got_b")))
+    // inclusion-exclusion sanity on the exact columns
+    assert(l("exact_union") == l("exact_a") + l("exact_b") - l("exact_intersection"))
+    // cache hygiene: both side persists released
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
