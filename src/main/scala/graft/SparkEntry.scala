@@ -28,7 +28,7 @@ object SparkEntry {
     Relational.queries ++ graft.queries.Advanced.queries ++ graft.queries.Matching.queries ++
       graft.queries.AsofJoin.queries ++ graft.queries.ZOrder.queries ++ graft.queries.Graph.queries ++ graft.queries.Cdc.queries ++ graft.queries.RuntimeFilter.queries ++
       ForecastJobs.queries ++ graft.forecast.SeriesAnalysis.queries ++ ZoloPipeline.queries ++
-      TextAnalysis.queries ++ graft.text.Chunking.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ graft.text.Chunking.queries ++ graft.text.Bpe.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ graft.streaming.StreamQueries.queries ++
       graft.sources.RestQueries.queries
 
@@ -38,7 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ graft.queries.Advanced.oracles ++ graft.queries.Matching.oracles ++
       graft.queries.AsofJoin.oracles ++ graft.queries.ZOrder.oracles ++ graft.queries.Graph.oracles ++ graft.queries.Cdc.oracles ++ graft.queries.RuntimeFilter.oracles ++ ForecastJobs.oracles ++ graft.forecast.SeriesAnalysis.oracles ++
-      ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++
+      ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++ graft.text.Bpe.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++
       graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles
 }
