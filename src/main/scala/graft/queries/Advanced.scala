@@ -428,6 +428,40 @@ object Advanced {
       .orderBy($"check_name")
   }
 
+  /** ANALYZE-style per-column optimizer statistics (row count, null
+    * count, NDV, min/max) — the stats a cost-based planner feeds on,
+    * emitted as a long-form stats table in ONE pass over the fact.
+    * Multiple exact `countDistinct`s in one aggregate plan through
+    * Catalyst's Expand (an N-way row multiplication partial-agg'd
+    * map-side before the single shuffle) — the documented cost of exact
+    * NDV, chosen here because exact is what an independent engine can
+    * replay; at 100 TB the sketch row (`a_approx_distinct` /
+    * `a_kmv_distinct`) is the same statistic at O(k) state. min/max are
+    * cast to DOUBLE so the stats table has one uniform schema (all five
+    * profiled columns are numeric; the values are exactly representable,
+    * so the cast is deterministic in both engines).
+    */
+  val qTableStats: Q = (s, d) => {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val measures = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max")
+    ))
+    val stack = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
+      .mkString(s"stack(${cols.length}, ", ", ", ")")
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"), measures: _*)
+      .select(
+        expr(s"$stack AS (column_name, n_nulls, ndv, min_val, max_val)"),
+        $"n_rows"
+      )
+      .select($"column_name", $"n_rows", $"n_nulls", $"ndv", $"min_val", $"max_val")
+      .orderBy($"column_name")
+  }
+
   /** Correlated scalar subqueries — orders beating their customer's
     * average — exercising Catalyst's subquery decorrelation (the rewrite
     * to an aggregated self-join; no per-row re-execution survives in the
@@ -633,6 +667,7 @@ object Advanced {
     "a_corr_matrix"     -> aCorrMatrix,
     "a_unpivot"         -> aUnpivot,
     "q_dq_checks"       -> qDqChecks,
+    "q_table_stats"     -> qTableStats,
     "j_scalar_subquery" -> jScalarSubquery,
     "a_quantile_sketch" -> aQuantileSketch,
     "a_quantile_sketch_grouped" -> aQuantileSketchGrouped,
@@ -752,6 +787,18 @@ object Advanced {
         |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
         |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM agg) u
         |ORDER BY l_returnflag, metric""".stripMargin,
+    "q_table_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val,
+           |  CAST(MAX($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "q_dq_checks" ->
       """SELECT check_name, violations,
         |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed

@@ -150,6 +150,67 @@ object StreamQueries {
       .orderBy($"user_id", $"view_id", $"purchase_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the semantics the inner
+    * join above cannot express: views with NO purchase in the following
+    * hour must still emit (with a NULL purchase side), which forces the
+    * engine to hold each view row in state until the watermark PROVES no
+    * match can still arrive. That proof is the crux at 100 TB: the
+    * null-side row for a view at t is emittable only once the global
+    * watermark (min over both sides of max-event-time − 2 h) passes
+    * t + 1 h (the join window's end), and state is evicted at the same
+    * point — so outer-join state is bounded by watermark + interval, not
+    * stream length.
+    *
+    * The oracle replays exactly that emission rule: matched rows are the
+    * plain batch join; unmatched views appear iff
+    * `v_ts + 1 h ≤ min(max(v_ts), max(p_ts)) − 2 h` — views inside the
+    * final watermark horizon stay in state when the bounded AvailableNow
+    * replay terminates and are legitimately absent (they would emit on
+    * the next trigger of a live stream). The inequality's boundary is
+    * pinned by StreamOuterJoinSpec on a planted corpus.
+    */
+  val streamJoinOuter: Q = (s, d) => {
+    val ck = java.nio.file.Files.createTempDirectory("graft-ssojoin-ck").toString
+    def side(tpe: String, prefix: String) = s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter($"event_type" === tpe)
+      .select(
+        $"user_id".as(s"${prefix}_user"),
+        $"event_id".as(s"${prefix}_id"),
+        $"ts".as(s"${prefix}_ts")
+      )
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("view", "v").join(
+      side("purchase", "p"),
+      expr("""v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""),
+      "leftOuter"
+    )
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("s_stream_join_outer_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val out = s.table("s_stream_join_outer_sink")
+      .select(
+        $"v_user".as("user_id"),
+        $"v_id".as("view_id"),
+        $"p_id".as("purchase_id"),
+        $"v_ts".as("view_ts"),
+        $"p_ts".as("purchase_ts")
+      )
+      .orderBy($"user_id", $"view_id", $"purchase_id")
+      .localCheckpoint()
+    s.catalog.dropTempView("s_stream_join_outer_sink")
+    out
+  }
+
   /** Streaming deduplication through the real engine: the corpus unioned
     * with a deterministic duplicate slice (every 10th event replayed — the
     * at-least-once redelivery a Kafka-fed pipeline must absorb), then
@@ -207,6 +268,7 @@ object StreamQueries {
     "s_stream_windows"  -> streamWindows,
     "s_stream_sessions" -> streamSessions,
     "s_stream_join"     -> streamJoin,
+    "s_stream_join_outer" -> streamJoinOuter,
     "s_stream_dedup"    -> streamDedup
   )
 
@@ -232,6 +294,36 @@ object StreamQueries {
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+    // Matched rows = the batch join. Unmatched views emit their NULL row
+    // only once the final global watermark (min of the two sides'
+    // max-event-time − 2 h) STRICTLY passes the join window's end
+    // (v_ts + 1 h) — the engine's state-eviction predicate, pinned on a
+    // planted boundary corpus by StreamOuterJoinSpec. Views inside the
+    // final horizon are still buffered when the AvailableNow replay
+    // terminates and are legitimately absent.
+    "s_stream_join_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+        |         - INTERVAL 2 HOUR AS w),
+        |m AS (
+        |  SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |    v.ts AS view_ts, p.ts AS purchase_ts
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR),
+        |um AS (
+        |  SELECT v.user_id, v.event_id AS view_id, NULL::BIGINT AS purchase_id,
+        |    v.ts AS view_ts, NULL::TIMESTAMP AS purchase_ts
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |      WHERE p.user_id = v.user_id
+        |        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |    AND v.ts + INTERVAL 1 HOUR < wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM um
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
     "s_stream_windows" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
         |  time_bucket(INTERVAL 30 MINUTE, ts) + INTERVAL 30 MINUTE AS window_end,
