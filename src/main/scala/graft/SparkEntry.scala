@@ -23,14 +23,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Every module's query map, kept as a Seq so SparkEntrySpec can assert
+    * global key uniqueness against the SAME list the merge uses (Map ++
+    * silently overwrites — a duplicate key would shadow a query and the
+    * driver would never run it).
+    */
+  private[graft] val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    Seq(
+      Relational.queries, graft.queries.Advanced.queries, graft.queries.Matching.queries,
+      graft.queries.AsofJoin.queries, graft.queries.ZOrder.queries, graft.queries.Graph.queries,
+      graft.queries.Cdc.queries, graft.queries.RuntimeFilter.queries,
+      ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries, ZoloPipeline.queries,
+      TextAnalysis.queries, graft.text.Chunking.queries, graft.text.Bpe.queries, Dedup.queries,
+      Similarity.queries, Multimodal.queries, graft.streaming.StreamQueries.queries,
+      graft.sources.RestQueries.queries
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ graft.queries.Advanced.queries ++ graft.queries.Matching.queries ++
-      graft.queries.AsofJoin.queries ++ graft.queries.ZOrder.queries ++ graft.queries.Graph.queries ++ graft.queries.Cdc.queries ++ graft.queries.RuntimeFilter.queries ++
-      ForecastJobs.queries ++ graft.forecast.SeriesAnalysis.queries ++ ZoloPipeline.queries ++
-      TextAnalysis.queries ++ graft.text.Chunking.queries ++ graft.text.Bpe.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ graft.streaming.StreamQueries.queries ++
-      graft.sources.RestQueries.queries
+    queryModules.reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -1,13 +1,6 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{Advanced, Relational}
-import graft.forecast.ForecastJobs
-import graft.etl.ZoloPipeline
-import graft.text.TextAnalysis
-import graft.dedup.Dedup
-import graft.sim.Similarity
-import graft.mm.Multimodal
 
 /** Driver-contract invariants: no module may silently shadow another's
   * query key (Map ++ overwrites), and every oracle refers to a real query.
@@ -15,19 +8,14 @@ import graft.mm.Multimodal
 class SparkEntrySpec extends AnyFunSuite {
 
   test("query keys are globally unique across modules") {
-    val maps = Seq(
-      Relational.queries, Advanced.queries, graft.queries.Matching.queries,
-      graft.queries.AsofJoin.queries,
-      graft.queries.ZOrder.queries, graft.queries.Graph.queries, graft.queries.Cdc.queries,
-      ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries,
-      ZoloPipeline.queries, TextAnalysis.queries, Dedup.queries,
-      Similarity.queries, Multimodal.queries,
-      graft.streaming.StreamQueries.queries, graft.text.Chunking.queries,
-      graft.sources.RestQueries.queries
-    )
-    val total = maps.map(_.size).sum
+    // same module list the merge uses — Map ++ overwrites, so a duplicate
+    // key shows up as merged-size < summed-size
+    val total = SparkEntry.queryModules.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"key collision: merged ${SparkEntry.queries.size} != sum $total")
+    val dups = SparkEntry.queryModules.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query keys: $dups")
   }
 
   test("every oracle key has a matching query") {
