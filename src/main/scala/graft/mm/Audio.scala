@@ -1,0 +1,302 @@
+package graft.mm
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Audio-column plumbing — the WAV/RIFF analog of [[Multimodal]]'s image
+  * family (builder brief: image/AUDIO/video as opaque binary columns).
+  *
+  * The codec is REAL: a spec-conformant RIFF/WAVE writer and a generic
+  * chunk-walking PCM16 reader (RIFF is a public container format; the
+  * JDK's own `javax.sound.sampled` reads the emitted bytes, which
+  * AudioSpec uses as an independent decoder cross-check). As with the
+  * image family the corpus ships no media bytes, so the blob table is
+  * generated: per document a deterministic PCM16 waveform whose sample
+  * rate, channel count, frame count and every interleaved sample are
+  * pure integer functions of `doc_id` ([[AudioSynth]]). One in five
+  * blobs carries a LIST metadata chunk BEFORE the data chunk — planted
+  * non-canonical-but-legal chunk layouts, so a decoder that assumes the
+  * 44-byte header instead of walking chunks hash-fails on the driver
+  * query itself, not just in a spec.
+  *
+  * The decode side sees only the encoded bytes; the DuckDB oracles
+  * re-derive sample-rate/channels/frame-count/peak/abs-sum from the
+  * `doc_id` arithmetic alone (no codec anywhere), so the entire
+  * encode→decode round trip is value-exact end to end. All derived
+  * stats stay in integer space (milli-units via *1000 floor division) —
+  * no float rounding discipline needed.
+  *
+  * 100 TB notes: same shape as the image family — blobs in their own
+  * column chunk, decode map-only in `mapPartitions`, per-task memory
+  * bounded by `maxPartitionBytes`; resample is decode→decimate→encode→
+  * decode in one map pass (no shuffle until the final presentation
+  * sort, which a real pipeline would drop).
+  */
+object Audio {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic synthetic waveform parameters — pure integer
+    * functions of `doc_id`, replayed verbatim by the DuckDB oracles.
+    * Samples are indexed in INTERLEAVED order (j = frame*channels + ch),
+    * exactly the order PCM16 lays them on the wire.
+    */
+  object AudioSynth {
+    def sampleRate(id: Long): Int = if (id % 2 == 0) 16000 else 8000
+    def channels(id: Long): Int   = if (id % 3 == 0) 2 else 1
+    def nFrames(id: Long): Int    = (256 + id % 191).toInt // 256..446
+    def hasListChunk(id: Long): Boolean = id % 5 == 0
+    def sample(id: Long, j: Int): Int =
+      (((id * 7919 + j.toLong * 104729) % 65536) - 32768).toInt
+
+    /** The real encoded RIFF/WAVE blob for one document. */
+    def blobFor(id: Long): Array[Byte] = {
+      val n  = nFrames(id) * channels(id)
+      val xs = Array.tabulate(n)(j => sample(id, j).toShort)
+      WavCodec.encode(sampleRate(id), channels(id), xs, withListChunk = hasListChunk(id))
+    }
+  }
+
+  /** RIFF/WAVE PCM16 little-endian codec. The writer emits canonical
+    * chunks (plus an optional LIST/INFO chunk before data); the reader
+    * walks the chunk sequence generically — fmt and data are found by
+    * their four-character tags, unknown chunks are skipped with RIFF's
+    * odd-size pad byte honored — never by byte offset.
+    */
+  object WavCodec {
+    private val listPayload: Array[Byte] =
+      "INFOISFT".getBytes("US-ASCII") ++ "graft!".getBytes("US-ASCII") // even length
+
+    def encode(
+        sampleRate: Int,
+        channels: Int,
+        samples: Array[Short],
+        withListChunk: Boolean = false
+    ): Array[Byte] = {
+      val dataLen  = samples.length * 2
+      val listLen  = if (withListChunk) 8 + listPayload.length else 0
+      val riffLen  = 4 + (8 + 16) + listLen + (8 + dataLen)
+      val bb       = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(t: String): Unit = bb.put(t.getBytes("US-ASCII"))
+      tag("RIFF"); bb.putInt(riffLen); tag("WAVE")
+      tag("fmt "); bb.putInt(16)
+      bb.putShort(1)                                  // PCM
+      bb.putShort(channels.toShort)
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2)            // byte rate
+      bb.putShort((channels * 2).toShort)             // block align
+      bb.putShort(16)                                 // bits per sample
+      if (withListChunk) { tag("LIST"); bb.putInt(listPayload.length); bb.put(listPayload) }
+      tag("data"); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** bytes → (sampleRate, channels, interleaved samples). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(tag() == "RIFF", "not a RIFF container")
+      bb.getInt // riff payload length
+      require(tag() == "WAVE", "not a WAVE form")
+      var sr      = -1
+      var ch      = -1
+      var samples = null: Array[Short]
+      while (bb.remaining() >= 8) {
+        val id = tag()
+        val sz = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmtCode = bb.getShort
+            require(fmtCode == 1, s"not PCM (fmt=$fmtCode)")
+            ch = bb.getShort.toInt
+            sr = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            val bits = bb.getShort
+            require(bits == 16, s"not 16-bit ($bits)")
+            bb.position(bb.position() + (sz - 16)) // cbSize extension, if any
+          case "data" =>
+            samples = Array.fill(sz / 2)(bb.getShort)
+          case _ =>
+            bb.position(bb.position() + sz)
+        }
+        if (sz % 2 == 1 && bb.remaining() > 0) bb.get // RIFF word-align pad
+      }
+      require(sr > 0 && ch > 0 && samples != null, "missing fmt or data chunk")
+      (sr, ch, samples)
+    }
+  }
+
+  private val blobSchema = StructType(
+    Seq(StructField("doc_id", LongType), StructField("blob", BinaryType))
+  )
+
+  /** The generated audio table: one REAL encoded WAV blob per document
+    * (partition-parallel synth+encode; map-only).
+    */
+  def audioBlobs(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(blobSchema)
+    Tables
+      .documents(s, d)
+      .select($"doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, AudioSynth.blobFor(id))
+        }
+      }(enc)
+  }
+
+  val decodedSchema: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("peak_abs", IntegerType),
+      StructField("sum_abs", LongType),
+      StructField("mean_abs_milli", LongType)
+    )
+  )
+
+  private def absStats(xs: Array[Short]): (Int, Long) = {
+    var peak = 0
+    var sum  = 0L
+    var i    = 0
+    while (i < xs.length) {
+      val a = math.abs(xs(i).toInt)
+      if (a > peak) peak = a
+      sum += a
+      i += 1
+    }
+    (peak, sum)
+  }
+
+  /** REAL batch decode: the chunk-walking reader parses the actual WAV
+    * bytes; every output column comes from the decoder. duration_ms and
+    * mean_abs_milli are floor divisions of exact integers (all operands
+    * non-negative, so Spark's truncating long division and DuckDB's //
+    * agree).
+    */
+  val mmAudioDecode: Q = (s, d) => {
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    audioBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id            = r.getLong(0)
+          val (sr, ch, xs)  = WavCodec.decode(r.getAs[Array[Byte]](1))
+          val frames        = xs.length / ch
+          val (peak, sum)   = absStats(xs)
+          Row(
+            id, sr, ch, frames,
+            frames.toLong * 1000L / sr,
+            peak, sum,
+            sum * 1000L / xs.length
+          )
+        }
+      }(enc)
+      .orderBy($"doc_id")
+  }
+
+  /** Frame decimation factor for the resample query: keep every 4th
+    * frame (all channels of it) — the integer-exact stand-in for "16 kHz
+    * → 4 kHz" that a real pipeline's polyphase filter would do, chosen
+    * so the oracle stays pure integer arithmetic.
+    */
+  val decimation = 4
+
+  val resampledSchema: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("orig_frames", IntegerType),
+      StructField("out_rate", IntegerType),
+      StructField("out_frames", IntegerType),
+      StructField("out_peak_abs", IntegerType),
+      StructField("out_sum_abs", LongType)
+    )
+  )
+
+  /** REAL resample: decode, keep every [[decimation]]-th frame, RE-ENCODE
+    * to WAV at the decimated rate, decode the re-encoded bytes again and
+    * report stats from that second decode — the whole
+    * decode→decimate→encode→decode chain must be lossless for the
+    * arithmetic oracle to match (same discipline as mm_resize).
+    */
+  val mmAudioResample: Q = (s, d) => {
+    val enc = org.apache.spark.sql.Encoders.row(resampledSchema)
+    audioBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id           = r.getLong(0)
+          val (sr, ch, xs) = WavCodec.decode(r.getAs[Array[Byte]](1))
+          val frames       = xs.length / ch
+          val kept = Array.range(0, frames, decimation).flatMap { f =>
+            (0 until ch).map(c => xs(f * ch + c))
+          }
+          val rebytes        = WavCodec.encode(sr / decimation, ch, kept)
+          val (sr2, c2, ys)  = WavCodec.decode(rebytes)
+          val (peak, sum)    = absStats(ys)
+          Row(id, frames, sr2, ys.length / c2, peak, sum)
+        }
+      }(enc)
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_audio_decode"   -> mmAudioDecode,
+    "mm_audio_resample" -> mmAudioResample
+  )
+
+  /** Codec-free replays: the same `doc_id` integer arithmetic the synth
+    * uses, over a generated interleaved-sample index. `(x % 65536) -
+    * 32768` is the synth's sample; all stats fold in BIGINT.
+    */
+  val oracles: Map[String, String] = Map(
+    "mm_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS INT) AS sample_rate,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+        |    CAST(256 + doc_id % 191 AS INT) AS n_frames
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id,
+        |    CAST(MAX(abs((doc_id * 7919 + j * 104729) % 65536 - 32768)) AS INT) AS peak_abs,
+        |    CAST(SUM(abs((doc_id * 7919 + j * 104729) % 65536 - 32768)) AS BIGINT) AS sum_abs,
+        |    COUNT(*) AS ns
+        |  FROM (SELECT doc_id, unnest(range(0, n_frames * channels)) AS j FROM p) t
+        |  GROUP BY doc_id)
+        |SELECT p.doc_id, p.sample_rate, p.channels, p.n_frames,
+        |  CAST(p.n_frames * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
+        |  sm.peak_abs, sm.sum_abs,
+        |  CAST(sm.sum_abs * 1000 // sm.ns AS BIGINT) AS mean_abs_milli
+        |FROM p JOIN sm USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    "mm_audio_resample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS INT) AS sample_rate,
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+         |    CAST(256 + doc_id % 191 AS INT) AS n_frames
+         |  FROM documents),
+         |sm AS (
+         |  SELECT doc_id,
+         |    CAST(MAX(abs((doc_id * 7919 + j * 104729) % 65536 - 32768)) AS INT) AS out_peak_abs,
+         |    CAST(SUM(abs((doc_id * 7919 + j * 104729) % 65536 - 32768)) AS BIGINT) AS out_sum_abs,
+         |    COUNT(*) // MAX(channels) AS out_frames
+         |  FROM (SELECT doc_id, channels, unnest(range(0, n_frames * channels)) AS j FROM p) t
+         |  WHERE (j // channels) % $decimation = 0
+         |  GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_frames AS orig_frames,
+         |  CAST(p.sample_rate // $decimation AS INT) AS out_rate,
+         |  CAST(sm.out_frames AS INT) AS out_frames,
+         |  sm.out_peak_abs, sm.out_sum_abs
+         |FROM p JOIN sm USING (doc_id) ORDER BY p.doc_id""".stripMargin
+  )
+}
