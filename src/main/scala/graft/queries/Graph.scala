@@ -237,11 +237,73 @@ object Graph {
     } finally bi.unpersist()
   }
 
+  val ssspRounds = 6
+
+  /** Weighted single-source shortest paths, Bellman-Ford style: edge
+    * weight = the cheapest combined order quantity over the orders the
+    * two parts share (an integer — exact min/+ arithmetic, no float
+    * discipline), seeds = the BFS brand's parts at distance 0, then
+    * [[ssspRounds]] synchronous relaxation rounds. The result is the
+    * exact shortest distance among paths of ≤ 6 edges — the bounded-round
+    * determinism that lets the oracle unroll the relaxation as chained
+    * CTEs (true Bellman-Ford runs |V|-1 rounds; a fixed cutoff is the
+    * standard distributed trade, and the round count is the knob).
+    *
+    * Scale: identical discipline to PageRank/BFS/LPA above — the
+    * weighted edge list is the 100 TB side, built once, pre-partitioned
+    * on src and persisted so all 6 relaxation joins reuse one
+    * partitioning; the (node, dist) state is compact and
+    * localCheckpointed per round to cut lineage. Per round: one join +
+    * one min-aggregate, both keyed on src. (Delta-stepping would cut
+    * wasted relaxations by bucketing the frontier by distance; with
+    * min-combine partial aggregation the synchronous form ships only one
+    * row per (node, round) per mapper, which is already shuffle-minimal.)
+    */
+  val gSssp: Q = (s, d) => {
+    val ip = Tables
+      .lineitem(s, d)
+      .groupBy($"l_orderkey", $"l_partkey")
+      .agg(min($"l_quantity").as("q"))
+    // quantities are integer-valued (1..50, TESTDATA.md): the int cast of
+    // their double sum is exact on both engines
+    val we = ip.as("a")
+      .join(
+        ip.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey")
+      )
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(min((col("a.q") + col("b.q")).cast("int")).as("w"))
+    val bi = we
+      .select($"u".as("src"), $"v".as("dst"), $"w")
+      .unionAll(we.select($"v".as("src"), $"u".as("dst"), $"w"))
+      .repartition(s.sparkContext.defaultParallelism, $"src")
+      .persist()
+    try {
+      var dist = Tables
+        .part(s, d)
+        .filter($"p_brand" === hopSeedBrand)
+        .select($"p_partkey".as("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      for (_ <- 1 to ssspRounds) {
+        val relaxed = bi
+          .join(dist.withColumnRenamed("node", "src"), "src")
+          .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
+        dist = dist
+          .unionAll(relaxed)
+          .groupBy($"node")
+          .agg(min($"dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist.select($"node", $"dist").orderBy($"node")
+    } finally bi.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
     "g_pagerank"   -> gPagerank,
     "g_triangles"  -> gTriangles,
     "g_hops"       -> gHops,
-    "g_label_prop" -> gLabelProp
+    "g_label_prop" -> gLabelProp,
+    "g_sssp"       -> gSssp
   )
 
   /** Shared SQL for the co-purchase projection. */
@@ -338,6 +400,35 @@ object Graph {
          |SELECT node, label AS community,
          |  COUNT(*) OVER (PARTITION BY label) AS community_size
          |FROM l$lpRounds ORDER BY node""".stripMargin
+    },
+    // unrolled Bellman-Ford: each round keeps the running min of the
+    // previous round's distances and all one-edge relaxations of them
+    "g_sssp" -> {
+      def bfRound(i: Int): String =
+        s"""d$i AS (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT b.dst AS node, d.dist + b.w AS dist
+           |    FROM d${i - 1} d JOIN bi b ON b.src = d.node) t
+           |  GROUP BY node)""".stripMargin
+      s"""WITH ipq AS (
+         |  SELECT l_orderkey, l_partkey, MIN(l_quantity) AS q
+         |  FROM lineitem GROUP BY 1, 2),
+         |we AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |    CAST(MIN(a.q + b.q) AS INT) AS w
+         |  FROM ipq a JOIN ipq b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |bi AS (
+         |  SELECT u AS src, v AS dst, w FROM we
+         |  UNION ALL SELECT v AS src, u AS dst, w FROM we),
+         |d0 AS (
+         |  SELECT p_partkey AS node, 0 AS dist
+         |  FROM part WHERE p_brand = '$hopSeedBrand'),
+         |${(1 to ssspRounds).map(bfRound).mkString(",\n")}
+         |SELECT node, dist FROM d$ssspRounds ORDER BY node""".stripMargin
     }
   )
 }

@@ -68,4 +68,35 @@ class GraphSpec extends SparkSpec {
     assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
     out.foreach(r => assert(r.getLong(2) == 3L)) // both communities size 3
   }
+
+  test("g_sssp: cheap two-hop path beats the heavy direct edge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sssp").toString
+    // edges (min summed qty): 10-20 w=2, 20-30 w=2, 10-30 w=50 —
+    // weighted distance to 30 is 4 via 20, while BFS would stop at hop 1
+    Seq(
+      (1L, 10L, 1.0), (1L, 20L, 1.0),
+      (2L, 20L, 1.0), (2L, 30L, 1.0),
+      (3L, 10L, 25.0), (3L, 30L, 25.0)
+    ).toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, Graph.hopSeedBrand), (20L, "Brand#99"), (30L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val dist = Graph.gSssp(spark, dir).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == Map(10L -> 0, 20L -> 2, 30L -> 4))
+  }
+
+  test("g_sssp: duplicate lines collapse to the per-(order,part) min quantity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sssp2").toString
+    // the same (order, part) appears twice with different quantities —
+    // the edge weight must use the min (3 + 1 = 4), not either duplicate
+    Seq((1L, 10L, 7.0), (1L, 10L, 3.0), (1L, 20L, 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, Graph.hopSeedBrand), (20L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val dist = Graph.gSssp(spark, dir).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == Map(10L -> 0, 20L -> 4))
+  }
 }
