@@ -1082,7 +1082,71 @@ object TextAnalysis {
       .orderBy(col("split"))
   }
 
+  val pmiMinCount = 5
+  val pmiTopK     = 50
+
+  /** PMI collocation mining (Church–Hanks): the corpus' most associated
+    * adjacent word pairs. Association is reported as `lift_ppm` — the
+    * bigram-space lift `c(xy)·N / (c(x·)·c(·y))` in parts-per-million —
+    * because PMI = log₂(lift) is monotone in it, and the lift stays in
+    * EXACT integer arithmetic end to end (products then one floor
+    * division; positive longs, so Spark's truncating `/` and DuckDB's
+    * `//` agree) — no float rounding discipline anywhere. Marginals are
+    * positional (first-word / second-word), the standard bigram PMI.
+    *
+    * Scale: one tokenize+explode pass and one partial-agg shuffle build
+    * the bigram count table; the marginals and the N scalar are
+    * aggregations OF THAT TABLE (vocab²-bounded, orders smaller than the
+    * corpus) — persisted so its branches share one computation. The
+    * count floor prunes the long tail before the marginal joins, and the
+    * final top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    * heaps, k rows per mapper — no global sort). The ppm products peak
+    * at c·N·10⁶ ≈ 10¹⁷ here; past ~10 B bigrams move the two products to
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) before dividing.
+    */
+  val textPmiPairs: Q = (s, d) => {
+    val bigramsUdf = udf { (text: String) =>
+      val w = text.split(" ", -1)
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    }
+    val c = Tables
+      .documents(s, d)
+      .select(explode(bigramsUdf($"text")).as("bigram"))
+      .select(
+        element_at(split($"bigram", " ", -1), 1).as("w1"),
+        element_at(split($"bigram", " ", -1), 2).as("w2")
+      )
+      .groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("pair_count"))
+      .persist()
+    try {
+      val n2 = c.agg(sum($"pair_count").as("n2"))
+      val cf = c.groupBy($"w1").agg(sum($"pair_count").as("first_count"))
+      val cs = c.groupBy($"w2").agg(sum($"pair_count").as("second_count"))
+      c.filter($"pair_count" >= pmiMinCount)
+        .join(cf, "w1")
+        .join(cs, "w2")
+        .crossJoin(broadcast(n2))
+        .select(
+          $"w1",
+          $"w2",
+          $"pair_count",
+          $"first_count",
+          $"second_count",
+          // `div` (integral), NOT `/` (Spark's Divide is fractional and
+          // would round through double past 2^53)
+          expr("pair_count * n2 * 1000000 div (first_count * second_count)")
+            .as("lift_ppm")
+        )
+        .orderBy($"lift_ppm".desc, $"w1", $"w2")
+        .limit(pmiTopK)
+        .localCheckpoint()
+    } finally c.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_pmi_pairs"      -> textPmiPairs,
     "text_split_divergence" -> textSplitDivergence,
     "text_oov_rate"       -> textOovRate,
     "text_dup_spans"      -> textDupSpans,
@@ -1149,6 +1213,25 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // all-integer replay: HUGEINT sums cast to BIGINT to mirror the
+    // engine's long arithmetic; positive // == Spark's div
+    "text_pmi_pairs" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT w[CAST(i + 1 AS INT)] AS w1, w[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i FROM t) s),
+         |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+         |      FROM bg GROUP BY 1, 2),
+         |n2 AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS n2 FROM c),
+         |cf AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS first_count
+         |       FROM c GROUP BY 1),
+         |cs AS (SELECT w2, CAST(SUM(pair_count) AS BIGINT) AS second_count
+         |       FROM c GROUP BY 1)
+         |SELECT c.w1, c.w2, c.pair_count, cf.first_count, cs.second_count,
+         |  c.pair_count * n2.n2 * 1000000 // (cf.first_count * cs.second_count) AS lift_ppm
+         |FROM c JOIN cf USING (w1) JOIN cs USING (w2), n2
+         |WHERE c.pair_count >= $pmiMinCount
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT $pmiTopK""".stripMargin,
     "text_split_divergence" -> {
       // p/q expand inline per use — the fold must be a single ordered
       // list_reduce so its association matches the engine's token-order

@@ -220,4 +220,23 @@ class TextSpec extends SparkSpec {
       .collect()
     assert(got.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
   }
+
+  test("text_pmi_pairs: hand-computed lifts, count floor, deterministic tie order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // bigram counts: (a,b)=5, (c,d)=5, (d,c)=3, (b,a)=2, (b,c)=1, (d,a)=1
+    // → N=17; only the two count-5 pairs clear pmiMinCount=5.
+    // lift(a,b) = 5·17·10⁶ // (cf(a)=5 · cs(b)=5) = 3_400_000 = lift(c,d);
+    // the tie resolves by w1 asc.
+    Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c d a b"),
+      (3L, "c d c d c d c d")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textPmiPairs(spark, dir).collect().map(_.toSeq)
+    assert(rows.toSeq == Seq(
+      Seq("a", "b", 5L, 5L, 5L, 3400000L),
+      Seq("c", "d", 5L, 5L, 5L, 3400000L)
+    ))
+  }
 }
