@@ -404,6 +404,86 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Jaccard threshold for the exact prefix-filtered join, as a rational
+    * (integer arithmetic on both engines; 1/2 matches the MinHash
+    * family's verify threshold so the outputs are comparable).
+    */
+  val ppjoinTNum = 1
+  val ppjoinTDen = 2
+
+  /** EXACT set-similarity self-join with prefix filtering (the
+    * SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08) — the scale-safe exact complement to the approximate
+    * MinHash-LSH path. Guarantee: order every doc's shingle set by one
+    * global total order (df asc, token asc — rarest first) and keep only
+    * the first `n - ⌈t·n⌉ + 1` tokens; any two sets with Jaccard ≥ t
+    * MUST share a prefix token (if they shared none, the ≥⌈t·n⌉
+    * suffix-only overlap bound fails). So the candidate join runs on the
+    * PREFIX postings only — the inverted index of each doc's rarest
+    * tokens — plus the symmetric length filter `t·na ≤ nb ∧ t·nb ≤ na`
+    * (a pair that skews longer than 1/t can't reach t). Survivors are
+    * verified with the full exact intersection; nothing approximate
+    * anywhere, and the DuckDB oracle is the BRUTE-FORCE all-shared-token
+    * join — hash-equality proves the pruning lossless.
+    *
+    * Scale: candidate cost is Σ over prefix tokens of df²_prefix — the
+    * df-ascending order concentrates prefixes on rare tokens, which is
+    * what keeps the join subquadratic on Zipfian corpora (a degenerate
+    * all-docs-identical corpus defeats any exact algorithm; the LSH path
+    * is the documented fallback there). Verification joins the shingle
+    * arrays only for candidate pairs (a vanishing fraction), same
+    * discipline as the MinHash verify stage. All similarity math is
+    * integer (cross-multiplied threshold, pct via integral div).
+    */
+  val dedupPpjoinPairs: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .select($"doc_id", shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .persist()
+    try {
+      val post = docs.select($"doc_id", explode($"sh").as("tok"))
+      val dfreq = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      val prefix = post
+        .join(dfreq, "tok")
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("rn", row_number().over(byDoc.orderBy($"df".asc, $"tok".asc)))
+        .filter($"rn" <= expr(s"n - (n * $ppjoinTNum + ${ppjoinTDen - 1}) div $ppjoinTDen + 1"))
+        .select($"doc_id", $"tok", $"n")
+      val cand = prefix
+        .as("a")
+        .join(
+          prefix.as("b"),
+          $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.n" * ppjoinTNum <= $"b.n" * ppjoinTDen &&
+            $"b.n" * ppjoinTNum <= $"a.n" * ppjoinTDen
+        )
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .select(
+          $"doc_a",
+          $"doc_b",
+          size(array_intersect($"sh_a", $"sh_b")).as("n_shared"),
+          (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b")))
+            .as("n_union")
+        )
+        .filter($"n_shared" * ppjoinTDen >= $"n_union" * ppjoinTNum)
+        .select(
+          $"doc_a",
+          $"doc_b",
+          $"n_shared",
+          $"n_union",
+          expr("CAST(n_shared * 100 div n_union AS INT)").as("jaccard_pct")
+        )
+        .orderBy($"doc_a", $"doc_b")
+        .localCheckpoint()
+    } finally docs.unpersist()
+  }
+
   val dedupMinhashSignatures: Q = (s, d) =>
     minhashSignatures(Tables.documents(s, d)).orderBy($"doc_id")
 
@@ -680,6 +760,7 @@ object Dedup {
     "dedup_cc_incremental"  -> dedupCcIncremental,
     "dedup_exact"           -> dedupExact,
     "dedup_ngram_jaccard"   -> dedupNgramJaccard,
+    "dedup_ppjoin_pairs"    -> dedupPpjoinPairs,
     "dedup_minhash_sigs"    -> dedupMinhashSignatures,
     "dedup_minhash_pairs"   -> dedupMinhashPairs,
     "dedup_simhash"         -> dedupSimhash,
@@ -1090,6 +1171,32 @@ object Dedup {
         |WHERE len(list_intersect(a.toks, b.toks))
         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // BRUTE FORCE on purpose: every shared-shingle pair corpus-wide, no
+    // prefix/length pruning anywhere — hash-equality with the engine's
+    // prefix-filtered join proves the pruning lossless
+    "dedup_ppjoin_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)] || ' ' ||
+         |      w[CAST(i + 3 AS INT)] AS tok
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+         |        FROM t WHERE len(w) >= 3) s),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS INT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  na.n + nb.n - n_shared AS n_union,
+         |  CAST(n_shared * 100 // (na.n + nb.n - n_shared) AS INT) AS jaccard_pct
+         |FROM shared
+         |JOIN n na ON na.doc_id = doc_a
+         |JOIN n nb ON nb.doc_id = doc_b
+         |WHERE n_shared * $ppjoinTDen >= (na.n + nb.n - n_shared) * $ppjoinTNum
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cos" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

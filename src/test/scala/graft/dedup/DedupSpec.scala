@@ -241,4 +241,57 @@ class DedupSpec extends SparkSpec {
     // cache hygiene: both side persists released
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("ppjoin: planted near-dup kept with exact counts, near-miss pruned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppjoin").toString
+    // A/B: shingle sets {pqr,qrs,rst,stu} vs {pqr,qrs,rst,stv} →
+    // inter 3, union 5, J = 0.6 ≥ 1/2 → kept, jaccard_pct = 60.
+    // A/D: share only {pqr} → J = 1/7 → pruned. C: disjoint.
+    Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t v"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "p q r x y z")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.dedupPpjoinPairs(spark, dir).collect().map(_.toSeq)
+    assert(rows.toSeq == Seq(Seq(1L, 2L, 3, 5, 60)))
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("ppjoin prefix bound: every >=t pair shares a (df,tok)-ordered prefix token") {
+    // the lossless-pruning guarantee on real data: pairs from the exact
+    // brute-force join (threshold 1/2) must all survive prefix filtering —
+    // equality of the two result sets at sf0.001
+    import spark.implicits._
+    val docs = graft.tables.Tables
+      .documents(spark, sf0001)
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+    val brute = docs
+      .as("a")
+      .join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select(
+        $"a.doc_id".as("doc_a"),
+        $"b.doc_id".as("doc_b"),
+        org.apache.spark.sql.functions
+          .size(org.apache.spark.sql.functions.array_intersect($"a.sh", $"b.sh"))
+          .as("i"),
+        (org.apache.spark.sql.functions.size($"a.sh") +
+          org.apache.spark.sql.functions.size($"b.sh")).as("ns")
+      )
+      .filter($"i" * Dedup.ppjoinTDen >= ($"ns" - $"i") * Dedup.ppjoinTNum)
+      .select($"doc_a", $"doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val pruned = Dedup
+      .dedupPpjoinPairs(spark, sf0001)
+      .select($"doc_a", $"doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pruned == brute)
+    assert(brute.nonEmpty) // the corpus actually exercises the path
+  }
 }
