@@ -22,17 +22,43 @@ import org.apache.spark.sql.types._
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** events.parquet physical schema under nanosAsLong (TESTDATA.md): ts is
-    * TIMESTAMP(NANOS) surfaced as long.
+  /** events.parquet's `ts` encoding varies across driver testdata
+    * generations (the [[graft.tables.Tables.events]] batch precedent):
+    * TIMESTAMP(NANOS) lands as long under nanosAsLong; naive micros
+    * infers TIMESTAMP_NTZ. A file stream needs an EXPLICIT schema, so
+    * probe the footer once with a cheap batch read (schema only — no data
+    * scan) and declare `ts` at its physical type.
     */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
+  private def eventsSchema(s: SparkSession, d: String): StructType = {
+    val physicalTs = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", physicalTs),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)
+    ))
+  }
+
+  /** Shared events file-stream source: explicit physical-typed schema,
+    * then `ts` normalized to session-zone TimestampType exactly as the
+    * batch loader does (ns→µs truncation, or NTZ cast under the UTC
+    * session zone — both match the DuckDB oracle's naive-µs view).
+    */
+  private def eventsStream(
+      s: SparkSession, d: String, options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val reader = options.foldLeft(
+      s.readStream.schema(eventsSchema(s, d)).option("pathGlobFilter", "events.parquet")
+    ) { case (r, (k, v)) => r.option(k, v) }
+    val src = reader.parquet(d)
+    src.schema("ts").dataType match {
+      case LongType         => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => src
+    }
+  }
 
   /** Shared AvailableNow scaffold (r3 self-review — previously inlined
     * per query): events file stream (glob-filtered out of the corpus
@@ -50,11 +76,7 @@ object StreamQueries {
       agg: DataFrame => DataFrame
   ): DataFrame = {
     val ck = java.nio.file.Files.createTempDirectory(s"graft-$name-ck").toString
-    val src = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(s, d)
     val q = agg(src).writeStream
       .format("memory")
       .queryName(name)
@@ -114,11 +136,7 @@ object StreamQueries {
     */
   val streamJoin: Q = (s, d) => {
     val ck = java.nio.file.Files.createTempDirectory("graft-ssjoin-ck").toString
-    def side(tpe: String, prefix: String) = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(tpe: String, prefix: String) = eventsStream(s, d)
       .filter($"event_type" === tpe)
       .select(
         $"user_id".as(s"${prefix}_user"),
@@ -171,11 +189,7 @@ object StreamQueries {
     */
   val streamJoinOuter: Q = (s, d) => {
     val ck = java.nio.file.Files.createTempDirectory("graft-ssojoin-ck").toString
-    def side(tpe: String, prefix: String) = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(tpe: String, prefix: String) = eventsStream(s, d)
       .filter($"event_type" === tpe)
       .select(
         $"user_id".as(s"${prefix}_user"),
@@ -236,12 +250,7 @@ object StreamQueries {
     // batch SELECT. runAvailableNow doesn't fit here: it is
     // complete-mode aggregation scaffolding, while dedup emits append
     // rows.
-    def src = s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1000")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(s, d, Map("maxFilesPerTrigger" -> "1000"))
     val q = src
       .union(src.filter($"event_id" % 10 === 0))
       .withWatermark("ts", "1 hour")
