@@ -751,9 +751,107 @@ object Dedup {
     } finally { a.unpersist(); b.unpersist() }
   }
 
+  /** HyperLogLog distinct-count sketch with a FULL register-level oracle —
+    * the construction that makes even HLL hash-exact here (the black-box
+    * `approx_count_distinct` row `a_approx_distinct` can only ever be
+    * shape-checked). Everything stays in integer space:
+    *
+    *  - hash: the library's own FNV-1a/splitmix64 ([[Hashing.hash64]]),
+    *    already replayed mod-2⁶⁴ in DuckDB for the minhash/KMV oracles;
+    *  - register index = low p bits; rho = trailing zeros of the
+    *    remaining 56-bit word + 1 (the Flajolet ρ on the REVERSED bit
+    *    order — an equally uniform variant chosen because trailing zeros
+    *    are computable in portable integer SQL: `bit_count((w & -w) - 1)`,
+    *    identical two's-complement semantics in Spark and DuckDB, w = 0
+    *    saturating to the 57 cap via bit_count(-1) = 64);
+    *  - the harmonic-mean denominator Σ 2^(−M_j) is scaled by 2⁶⁴ into the
+    *    exact integer S = Σ 2^(64−M_j) + V·2⁶⁴ (DECIMAL(38,0) here,
+    *    HUGEINT there — 2^(64−M_j) ≤ 2⁶³ is double-exact through pow);
+    *  - α₂₅₆ = 0.7213/(1 + 1.079/256) is carried as the exact rational
+    *    7213·256000 / (10000·257079), so the estimate is ONE integral
+    *    divide: ⌊7213·256000·m²·2⁶⁴ / (10000·257079·S)⌋ (≈2.2e33 over
+    *    ≈1e31 — inside DECIMAL(38,0)/HUGEINT headroom).
+    *
+    * Mergeability is demonstrated, not claimed: the ALL row is the
+    * register-wise MAX of the three per-flag sketches — the O(m) merge
+    * that lets 1000 executors (or 1000 days) sketch independently and
+    * combine without rescanning, the whole point of HLL at 100 TB. The
+    * raw estimator needs no small-range (linear-counting) branch in its
+    * output: that branch activates at E ≤ 2.5m = 640, far below every
+    * scope here, and `n_zero_registers` (0 at these cardinalities) is
+    * emitted so the oracle would catch a regime change. Scale shape: one
+    * distinct shuffle, one (scope, idx) partial-agg'd groupBy — ≤ m rows
+    * per scope ever cross the second exchange.
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val p      = 8
+    val m      = 256
+    val maxRho = 64 - p + 1 // 57
+    val hashU  = udf { (v: String) => Hashing.hash64(v, 0L) }
+    val pairs = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("scope"), $"l_orderkey".cast("string").as("v"))
+      .distinct()
+      .persist()
+    try {
+      val w = shiftright($"h", p).bitwiseAND(lit((1L << (64 - p)) - 1))
+      val rho = least(
+        bit_count($"w".bitwiseAND(-$"w") - lit(1L)).cast("long") + lit(1L),
+        lit(maxRho.toLong)
+      )
+      val regs = pairs
+        .select($"scope", hashU($"v").as("h"))
+        .select($"scope", $"h".bitwiseAND(lit((m - 1).toLong)).as("idx"), w.as("w"))
+        .select($"scope", $"idx", rho.as("rho"))
+        .groupBy($"scope", $"idx")
+        .agg(max($"rho").as("reg"))
+        .persist()
+      try {
+        val mergedAll = regs
+          .groupBy($"idx")
+          .agg(max($"reg").as("reg"))
+          .select(lit("ALL").as("scope"), $"idx", $"reg")
+        val two64 = lit(new java.math.BigDecimal((BigInt(1) << 64).bigInteger))
+        val estNum = lit(new java.math.BigDecimal(
+          (BigInt(7213) * 256000 * m * m * (BigInt(1) << 64)).bigInteger))
+        val estDenK = lit(new java.math.BigDecimal((BigInt(10000) * 257079).bigInteger))
+        val sketch = regs
+          .unionByName(mergedAll)
+          .groupBy($"scope")
+          .agg(
+            count(lit(1)).as("n_regs"),
+            sum(pow(lit(2.0), lit(64) - $"reg").cast("decimal(38,0)")).as("sp"),
+            sum($"reg").as("reg_sum"),
+            sum(($"idx" + lit(1L)) * $"reg").as("reg_checksum")
+          )
+          .select(
+            $"scope",
+            (lit(m.toLong) - $"n_regs").as("n_zero_registers"),
+            ($"sp" + (lit(m.toLong) - $"n_regs").cast("decimal(38,0)") * two64).as("s_int"),
+            $"reg_sum", $"reg_checksum"
+          )
+          .withColumn("estnum", estNum)
+          .withColumn("estden", estDenK * $"s_int")
+          .withColumn("approx_distinct", expr("estnum div estden"))
+        val exact = pairs
+          .groupBy($"scope")
+          .agg(count(lit(1)).as("exact_distinct"))
+          .unionByName(
+            pairs.select($"v").distinct().agg(count(lit(1)).as("exact_distinct"))
+              .select(lit("ALL").as("scope"), $"exact_distinct"))
+        sketch
+          .join(exact, Seq("scope"))
+          .select($"scope", $"approx_distinct", $"exact_distinct",
+            $"n_zero_registers", $"reg_sum", $"reg_checksum")
+          .orderBy($"scope")
+          .localCheckpoint(eager = true)
+      } finally regs.unpersist()
+    } finally pairs.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
     "a_kmv_distinct"        -> (kmvDistinct(_, _)),
     "a_kmv_setops"          -> (kmvSetops(_, _)),
+    "a_hll_registers"       -> (hllDistinct(_, _)),
     "dedup_winnow_pairs"    -> dedupWinnowPairs,
     "dedup_winnow_clusters" -> dedupWinnowClusters,
     "dedup_winnow_keep"     -> dedupWinnowKeep,
@@ -1073,8 +1171,62 @@ object Dedup {
     * previously the one engine-internal stage), and the LSH stages
     * downstream of the dumped sig boundary.
     */
+  /** Full register-level replay of [[hllDistinct]]: the same FNV/splitmix
+    * chain over the distinct (flag, orderkey) pairs, the same portable
+    * trailing-zero rho (`bit_count((w & -w) - 1)`, two's-complement
+    * identical in both engines — verified semantics: `-1 >> 8` masked to
+    * 56 bits, `bit_count(-1) = 64`), register max per (scope, idx), the
+    * ALL merge as register-wise max, and the single HUGEINT integral
+    * divide for the α·m²·2⁶⁴/S estimate. Nothing leaves integer space.
+    */
+  private val hllReplay: String = {
+    val wMask = (1L << 56) - 1 // 72057594037927935
+    s"""WITH hlsrc AS (
+       |  SELECT g, s, 0::BIGINT AS sd, $bytesOf AS bs
+       |  FROM (SELECT DISTINCT l_returnflag AS g, CAST(l_orderkey AS VARCHAR) AS s
+       |        FROM lineitem) v),
+       |${hash64ReplaySql("hl", "hlsrc", "g, s")},
+       |hw AS (
+       |  SELECT g, CAST(hh & 255 AS BIGINT) AS idx,
+       |    ((hh >> 8) & $wMask) AS w
+       |  FROM hl6),
+       |hrho AS (
+       |  SELECT g, idx,
+       |    LEAST(CAST(bit_count((w & (-w)) - 1) AS BIGINT) + 1, 57) AS rho
+       |  FROM hw),
+       |hreg AS (SELECT g, idx, MAX(rho) AS reg FROM hrho GROUP BY g, idx),
+       |hall AS (
+       |  SELECT g, idx, reg FROM hreg
+       |  UNION ALL
+       |  SELECT 'ALL' AS g, idx, MAX(reg) AS reg FROM hreg GROUP BY idx),
+       |hagg AS (
+       |  SELECT g, COUNT(*) AS n_regs,
+       |    SUM(CAST(power(2, 64 - reg) AS HUGEINT)) AS sp,
+       |    CAST(SUM(reg) AS BIGINT) AS reg_sum,
+       |    CAST(SUM((idx + 1) * reg) AS BIGINT) AS reg_checksum
+       |  FROM hall GROUP BY g),
+       |hest AS (
+       |  SELECT g, 256 - n_regs AS n_zero_registers, reg_sum, reg_checksum,
+       |    sp + (256 - n_regs)::HUGEINT * 18446744073709551616::HUGEINT AS s_int
+       |  FROM hagg),
+       |hexact AS (
+       |  SELECT l_returnflag AS g, COUNT(DISTINCT l_orderkey) AS exact_distinct
+       |  FROM lineitem GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', COUNT(DISTINCT l_orderkey) FROM lineitem)
+       |SELECT e.g AS scope,
+       |  CAST((7213::HUGEINT * 256000::HUGEINT * 65536::HUGEINT
+       |        * 18446744073709551616::HUGEINT)
+       |    // (2570790000::HUGEINT * s_int) AS BIGINT) AS approx_distinct,
+       |  x.exact_distinct,
+       |  e.n_zero_registers, e.reg_sum, e.reg_checksum
+       |FROM hest e JOIN hexact x ON e.g = x.g
+       |ORDER BY scope""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "a_kmv_distinct"     -> kmvReplay,
+    "a_hll_registers"    -> hllReplay,
     "a_kmv_setops"       -> kmvSetopsReplay,
     "dedup_minhash_sigs" -> minhashSigReplay,
     "dedup_simhash"      -> simhashReplay,
