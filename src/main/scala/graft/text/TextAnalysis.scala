@@ -1145,8 +1145,77 @@ object TextAnalysis {
     } finally c.unpersist()
   }
 
+  /** Bigram language-model perplexity scoring — the KenLM-shaped quality
+    * filter of a pretraining pipeline (train an n-gram LM on the corpus,
+    * drop documents whose cross-entropy under it is an outlier). The LM
+    * is self-trained: P(w2|w1) = c(w1 w2)/c(w1 ·) over the whole corpus,
+    * so every scored bigram exists in the model and no smoothing branch
+    * is needed. Per-document score = mean log-conditional-probability
+    * (avg_logprob; perplexity = e^(−avg), monotone, so the filter flag
+    * thresholds avg directly and no second transcendental enters).
+    *
+    * Cross-engine exactness uses the established two-step discipline:
+    * each per-bigram ln(pair/first) — ONE libm call on an exact IEEE
+    * quotient of two BIGINTs, the `text_tfidf` idf precedent — is rounded
+    * ONCE at 9 dp and cast to DECIMAL(20,9), so the per-doc sum is
+    * associative (shuffle-order-free) and the final mean is a single
+    * per-row IEEE divide rounded at 6 dp.
+    *
+    * Scale shape: bigram explode (map-side), one (w1,w2) count shuffle,
+    * the count table joined back keyed by bigram — the model is
+    * corpus-sized, so it stays a shuffle join (a Zipfian head slice could
+    * be broadcast + salted, the `j_salted_dim` pattern, if the tail were
+    * pruned); per-doc aggregation partial-aggs map-side.
+    */
+  val textPerplexity: Q = (s, d) => {
+    val bigramsUdf = udf { (text: String) =>
+      val w = text.split(" ", -1)
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    }
+    val bg = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(bigramsUdf($"text")).as("bigram"))
+      .select(
+        $"doc_id",
+        element_at(split($"bigram", " ", -1), 1).as("w1"),
+        element_at(split($"bigram", " ", -1), 2).as("w2")
+      )
+      .persist()
+    try {
+      val c  = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("pair_count"))
+      val cf = c.groupBy($"w1").agg(sum($"pair_count").as("first_count"))
+      bg.join(c, Seq("w1", "w2"))
+        .join(cf, Seq("w1"))
+        .select(
+          $"doc_id",
+          round(log($"pair_count".cast("double") / $"first_count".cast("double")), 9)
+            .cast("decimal(20,9)").as("lp")
+        )
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"lp").as("slp"))
+        .select(
+          $"doc_id",
+          $"n_bigrams",
+          round($"slp".cast("double") / $"n_bigrams", 6).as("avg_logprob")
+        )
+        .withColumn("low_perplexity", ($"avg_logprob" >= lit(perplexityKeepAt)).cast("int"))
+        .orderBy($"doc_id")
+        .localCheckpoint(eager = true)
+    } finally bg.unpersist()
+  }
+
+  /** Keep-threshold on the once-rounded mean log-prob (≈ 31.5
+    * perplexity). The corpus scores in a tight band (sf0.01: mean −3.386,
+    * σ 0.038), so −3.45 (≈ mean − 1.7σ) flags the rarest-transition tail
+    * as high-perplexity — a live filter, not a degenerate all-pass.
+    * Interpolated into the oracle so the two sides can never desync.
+    */
+  val perplexityKeepAt: Double = -3.45
+
   val queries: Map[String, Q] = Map(
     "text_pmi_pairs"      -> textPmiPairs,
+    "text_perplexity"     -> textPerplexity,
     "text_split_divergence" -> textSplitDivergence,
     "text_oov_rate"       -> textOovRate,
     "text_dup_spans"      -> textDupSpans,
@@ -1232,6 +1301,31 @@ object TextAnalysis {
          |FROM c JOIN cf USING (w1) JOIN cs USING (w2), n2
          |WHERE c.pair_count >= $pmiMinCount
          |ORDER BY lift_ppm DESC, w1, w2 LIMIT $pmiTopK""".stripMargin,
+    // same bigram extraction as text_pmi_pairs; per-term ln rounded once
+    // at 9 dp into DECIMAL(20,9) (associative sum), final mean one IEEE
+    // divide rounded at 6 dp — the engine's exact arithmetic, replayed
+    "text_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, w[CAST(i + 1 AS INT)] AS w1, w[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i FROM t) s),
+         |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+         |      FROM bg GROUP BY 1, 2),
+         |cf AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS first_count
+         |       FROM c GROUP BY 1),
+         |term AS (
+         |  SELECT bg.doc_id,
+         |    CAST(round(ln(CAST(c.pair_count AS DOUBLE) / CAST(cf.first_count AS DOUBLE)), 9)
+         |      AS DECIMAL(20,9)) AS lp
+         |  FROM bg JOIN c USING (w1, w2) JOIN cf USING (w1)),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(lp) AS slp
+         |  FROM term GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  round(CAST(slp AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+         |  CAST(round(CAST(slp AS DOUBLE) / n_bigrams, 6) >= $perplexityKeepAt AS INT)
+         |    AS low_perplexity
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "text_split_divergence" -> {
       // p/q expand inline per use — the fold must be a single ordered
       // list_reduce so its association matches the engine's token-order
