@@ -484,6 +484,81 @@ object Dedup {
     } finally docs.unpersist()
   }
 
+  /** Containment threshold t = 4/5 as a rational — integer arithmetic on
+    * both engines, shared with the oracle by interpolation.
+    */
+  val containTNum = 4
+  val containTDen = 5
+
+  /** Directed shingle-CONTAINMENT self-join — the asymmetric relative of
+    * [[dedupPpjoinPairs]]: c(A→B) = |A∩B|/|A| ≥ t finds documents whose
+    * content is (near-)subsumed by another (quoted passages, boilerplate
+    * supersets, truncated re-crawls), which symmetric Jaccard
+    * structurally misses when |B| ≫ |A| (J ≤ |A|/|B| → 0 while
+    * containment stays 1). The standard curation companion to dedup:
+    * keep the superset, drop the contained copy.
+    *
+    * Pruning is the one-sided prefix filter (the ProbeCount/SSJoin
+    * argument, asymmetric form): order A's shingles by (df asc, tok asc)
+    * and keep the first n_a − ⌈t·n_a⌉ + 1; if B shares none of them, the
+    * overlap is bounded by A's remaining ⌈t·n_a⌉ − 1 suffix tokens —
+    * below threshold. So candidates = A-prefixes ⨝ B's FULL postings
+    * (the contained side concentrates on rare tokens; the containing
+    * side cannot be prefix-pruned), plus the one directional length
+    * filter n_b ≥ t·n_a (|A∩B| ≤ |B|). Survivors verify with the exact
+    * intersection; the pruning is lossless and the oracle is the
+    * brute-force all-shared-token join, so hash-equality proves it.
+    * Scale: candidate cost is Σ over A-prefix tokens of df_prefix·df —
+    * subquadratic on Zipfian corpora for the same reason as PPJoin; the
+    * LSH path is the documented fallback on adversarially uniform ones.
+    */
+  val dedupContainment: Q = (s, d) => containmentPairs(Tables.documents(s, d))
+
+  /** Core of [[dedupContainment]] over any (doc_id, text) frame. */
+  def containmentPairs(input: DataFrame): DataFrame = {
+    val docs = input
+      .select($"doc_id", shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .persist()
+    try {
+      val post  = docs.select($"doc_id", explode($"sh").as("tok"))
+      val dfreq = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      val ranked = post
+        .join(dfreq, "tok")
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("rn", row_number().over(byDoc.orderBy($"df".asc, $"tok".asc)))
+      val prefixA = ranked
+        .filter($"rn" <= expr(s"n - (n * $containTNum + ${containTDen - 1}) div $containTDen + 1"))
+        .select($"doc_id".as("doc_a"), $"tok", $"n".as("n_pref_a"))
+      val fullB = ranked.select($"doc_id".as("doc_b"), $"tok", $"n".as("n_full_b"))
+      val cand = prefixA
+        .join(
+          fullB,
+          prefixA("tok") === fullB("tok") && $"doc_a" =!= $"doc_b" &&
+            $"n_full_b" * containTDen >= $"n_pref_a" * containTNum
+        )
+        .select($"doc_a", $"doc_b")
+        .distinct()
+      cand
+        .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .select(
+          $"doc_a", $"doc_b",
+          size(array_intersect($"sh_a", $"sh_b")).as("n_shared"),
+          size($"sh_a").as("n_a"),
+          size($"sh_b").as("n_b")
+        )
+        .filter($"n_shared" * containTDen >= $"n_a" * containTNum)
+        .select(
+          $"doc_a", $"doc_b", $"n_shared", $"n_a", $"n_b",
+          expr("CAST(n_shared * 100 div n_a AS INT)").as("containment_pct")
+        )
+        .orderBy($"doc_a", $"doc_b")
+        .localCheckpoint()
+    } finally docs.unpersist()
+  }
+
   val dedupMinhashSignatures: Q = (s, d) =>
     minhashSignatures(Tables.documents(s, d)).orderBy($"doc_id")
 
@@ -859,6 +934,7 @@ object Dedup {
     "dedup_exact"           -> dedupExact,
     "dedup_ngram_jaccard"   -> dedupNgramJaccard,
     "dedup_ppjoin_pairs"    -> dedupPpjoinPairs,
+    "dedup_containment"     -> dedupContainment,
     "dedup_minhash_sigs"    -> dedupMinhashSignatures,
     "dedup_minhash_pairs"   -> dedupMinhashPairs,
     "dedup_simhash"         -> dedupSimhash,
@@ -1348,6 +1424,30 @@ object Dedup {
          |JOIN n na ON na.doc_id = doc_a
          |JOIN n nb ON nb.doc_id = doc_b
          |WHERE n_shared * $ppjoinTDen >= (na.n + nb.n - n_shared) * $ppjoinTNum
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // brute-force directed replay of the prefix-filtered containment
+    // join — hash-equality proves the asymmetric pruning lossless
+    "dedup_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)] || ' ' ||
+         |      w[CAST(i + 3 AS INT)] AS tok
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+         |        FROM t WHERE len(w) >= 3) s),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS INT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, na.n AS n_a, nb.n AS n_b,
+         |  CAST(n_shared * 100 // na.n AS INT) AS containment_pct
+         |FROM shared
+         |JOIN n na ON na.doc_id = doc_a
+         |JOIN n nb ON nb.doc_id = doc_b
+         |WHERE n_shared * $containTDen >= na.n * $containTNum
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cos" ->
       """WITH e AS (

@@ -222,6 +222,44 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** J1 on the bucketed co-located layout — the 100 TB form of the
+    * header⟕detail join made driver-visible: both fact tables are
+    * written `bucketBy(16, key).sortBy(key)` (Warehouse.writeBucketed,
+    * the layout BucketingSpec plan-pins), then the sort-merge join AND
+    * the per-key aggregate run with ZERO hash exchanges — bucket
+    * pruning-compatible scans feed a join that never shuffles either
+    * side, and the groupBy rides the same partitioning because its keys
+    * start with the bucket key. At 100 TB this is the difference between
+    * re-shuffling ~both tables on every analytical join and paying the
+    * shuffle once at write time. Broadcast is disabled for the scope of
+    * the query so the plan proves the co-location (not a broadcast
+    * escape hatch); results are layout-independent, so the oracle is the
+    * plain join.
+    */
+  val jBucketedColocated: Q = (s, d) => {
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.etl.Warehouse.writeBucketed(Tables.orders(s, d), "jb_orders", "o_orderkey", 16)
+      graft.etl.Warehouse.writeBucketed(Tables.lineitem(s, d), "jb_lineitem", "l_orderkey", 16)
+      try {
+        s.table("jb_orders")
+          .join(s.table("jb_lineitem"), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderkey", $"o_orderstatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            derivedSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+          .orderBy($"o_orderkey")
+          .localCheckpoint(eager = true)
+      } finally {
+        s.sql("DROP TABLE IF EXISTS jb_orders")
+        s.sql("DROP TABLE IF EXISTS jb_lineitem")
+      }
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---------------------------------------------------------------------
   // J2/J3 — detail ⟕ dimension, dimension ⨝ dimension with filter
   // (`arima_models.py:85-88`). Dimensions are broadcast — no shuffle of
@@ -570,6 +608,7 @@ object Relational {
     "f14_cast_join"    -> f14CastJoin,
     "t_datetime"       -> tDatetime,
     "j1_header_detail" -> j1HeaderDetail,
+    "j_bucketed_colocated" -> jBucketedColocated,
     "j2_dim_join"      -> j2DimJoin,
     "j3_inner_dim_filter" -> j3InnerDimFilter,
     "w1_window_min"    -> w1WindowMin,
@@ -729,6 +768,15 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin,
+    // layout-independent semantics: the bucketed write is a physical
+    // optimization, so the oracle is the plain inner join
+    "j_bucketed_colocated" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""".stripMargin,
     "j2_dim_join" ->
       """SELECT p_brand, s_name,
         |  SUM(l_quantity) AS sum_qty,

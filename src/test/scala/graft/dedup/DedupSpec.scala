@@ -32,6 +32,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a >= 3L || b >= 3L }) // no false pairs
   }
 
+  test("containment join finds a doc subsumed by its superset in both directions") {
+    // doc 10 ⊂ doc 11: 11 is 10 plus a long unrelated tail, so Jaccard is
+    // low but containment(10→11) = 100; 12 is unrelated
+    val tail =
+      "entirely new trailing material about distributed shuffle services and columnar execution kernels appended to make the superset much longer than the original passage"
+    val cdocs = Seq(
+      (10L, base),
+      (11L, base + " " + tail),
+      (12L, "nothing in common with the others at all in any shingle window whatsoever today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cdocs).collect()
+    val dirs = out.map(r => (r.getLong(0), r.getLong(1), r.getInt(5))).toList
+    assert(dirs.exists { case (a, b, pct) => a == 10L && b == 11L && pct == 100 })
+    // the reverse direction is below t = 4/5 and must NOT appear
+    assert(!dirs.exists { case (a, b, _) => a == 11L && b == 10L })
+    assert(!dirs.exists { case (a, b, _) => a == 12L || b == 12L })
+    // n_a/n_b carried for the keep-the-superset decision
+    val row = out.find(r => r.getLong(0) == 10L && r.getLong(1) == 11L).get
+    assert(row.getInt(3) < row.getInt(4))
+  }
+
   test("exact-dup pair has jaccard 1.0") {
     val m = Dedup
       .minhashPairs(planted, 0.5)

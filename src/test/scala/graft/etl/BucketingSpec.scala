@@ -47,4 +47,24 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("driver query j_bucketed_colocated equals the plain unbucketed join") {
+    import spark.implicits._
+    val got = graft.queries.Relational.jBucketedColocated(spark, sf0001)
+    val plain = Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderstatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+    assert(got.count() > 0)
+    assert(got.except(plain).count() == 0)
+    assert(plain.except(got).count() == 0)
+    // the bucketed tables must not leak into the session catalog
+    assert(!spark.catalog.tableExists("jb_orders"))
+    assert(!spark.catalog.tableExists("jb_lineitem"))
+  }
 }
