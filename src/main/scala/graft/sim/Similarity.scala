@@ -202,6 +202,68 @@ object Similarity {
     rankPerProbe(cellSims, k)
   }
 
+  /** sim_knn_graph tunables — shared between the query registration and
+    * the oracle replay so they can never desync (r5 ADVICE discipline).
+    */
+  private[sim] val knnK      = 3
+  private[sim] val knnCells  = 16
+  private[sim] val knnProbe  = 4
+
+  /** Cell-blocked k-NN GRAPH over the full corpus — every vector is a
+    * probe, which is the structure graph-based curation consumes
+    * (SemDeDup-style cluster pruning, label propagation over neighbors,
+    * kNN-LM style retrieval audits). Brute force would be O(n²) in both
+    * compute and shuffle; here candidates are bounded IVF-style: assign
+    * each vector to its nearest-centroid cell, explode each vector into
+    * its `nprobe` best cells, and join on cell_id — O(n · nprobe ·
+    * cellSize) pairs, with cellSize held constant at scale by growing
+    * nCells ∝ n. The join shuffles both sides by cell_id (co-partitioned
+    * by construction), and the bounded-heap [[graft.plans.TopK]] tail
+    * ships at most k rows per (vector, mapper) into the final exchange —
+    * no full-corpus window sort anywhere.
+    *
+    * Approximation is confined to candidate generation (as with
+    * `ann_ivf_topk`): the oracle replays assignment → probe-cell
+    * restriction → in-cell exact cosine → rank from the dumped centroids,
+    * so the emitted graph is hash-exact; recall vs the exact graph is the
+    * spec-measured contract.
+    */
+  def knnGraph(
+      s: SparkSession,
+      d: String,
+      k: Int,
+      nCells: Int,
+      nprobe: Int,
+      centsDump: Option[String] = None
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e     = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val cents = trainCentroids(s, e, nCells, iters = 3)
+    centsDump.foreach { p =>
+      import s.implicits._
+      cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p)
+    }
+    val bc            = s.sparkContext.broadcast(cents)
+    val assignCell    = udf { (v: Seq[Double]) => nearestCell(bc.value, v) }
+    val probeCellsUdf = udf { (v: Seq[Double]) => probeCells(bc.value, v, nprobe) }
+    val assigned      = e.withColumn("cell_id", assignCell($"v"))
+    val probes = e.select(
+      $"vec_id".as("probe_id"),
+      $"v".as("pv"),
+      explode(probeCellsUdf($"v")).as("cell_id")
+    )
+    val cellSims = assigned
+      .join(probes, Seq("cell_id"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"), round(cosine($"pv", $"v"), 6).as("cosine"))
+    rankPerProbe(cellSims, k)
+  }
+
   /** Same brute-force search, but ranked by the custom [[graft.plans.TopK]]
     * physical operator (bounded per-key heaps) instead of a window sort —
     * checked against the SAME DuckDB oracle as the window version, proving
@@ -847,7 +909,10 @@ object Similarity {
     "ann_pq_topk"         -> ((s, d) =>
       pqTopK(s, d, k = 5, booksDump = Some(s"${graft.OracleIo.dir(d)}/pq_codebooks"))),
     "ann_matryoshka_topk" -> ((s, d) => matryoshkaTopK(s, d, k = 5)),
-    "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3))
+    "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3)),
+    "sim_knn_graph"       -> ((s, d) =>
+      knnGraph(s, d, k = knnK, nCells = knnCells, nprobe = knnProbe,
+        centsDump = Some(s"${graft.OracleIo.dir(d)}/knn_centroids")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -937,6 +1002,46 @@ object Similarity {
          |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
          |  FROM sims) t
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // given-centroids replay of the cell-blocked k-NN GRAPH: identical to
+    // the ann_ivf_topk replay except EVERY vector probes its nprobe best
+    // cells — assignment, probe restriction, in-cell exact cosine and the
+    // k-rank all recomputed by DuckDB from the dumped centroid table; all
+    // tunables interpolated from the same Scala vals the engine uses
+    "sim_knn_graph" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT cell_id, centroid
+         |  FROM read_parquet('${graft.OracleIo.sqlDir}/knn_centroids/*.parquet')),
+         |asim AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |    list_dot_product(c.centroid, e.v)
+         |      / sqrt(list_dot_product(c.centroid, c.centroid) * list_dot_product(e.v, e.v)) AS sim
+         |  FROM e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM asim) t WHERE rn = 1),
+         |pcells AS (
+         |  SELECT vec_id AS probe_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM asim) t WHERE rn <= $knnProbe),
+         |sims AS (
+         |  SELECT p.probe_id, a.vec_id AS neighbor_id,
+         |    round(list_dot_product(pe.v, ae.v)
+         |      / sqrt(list_dot_product(pe.v, pe.v) * list_dot_product(ae.v, ae.v)), 6) AS cosine
+         |  FROM pcells p
+         |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.probe_id
+         |  JOIN e pe ON pe.vec_id = p.probe_id
+         |  JOIN e ae ON ae.vec_id = a.vec_id)
+         |SELECT probe_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM sims) t
+         |WHERE rank <= $knnK ORDER BY probe_id, rank""".stripMargin,
     // two-stage prefix cascade replay: coarse cut on the rounded 16-dim
     // cosine (shortlist 50, id tiebreak), exact rerank on the survivors
     "ann_matryoshka_topk" ->

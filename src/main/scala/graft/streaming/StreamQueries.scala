@@ -3,7 +3,7 @@ package graft.streaming
 import graft.syntax._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Driver-facing streaming queries — the §2.10 slice run through the REAL
@@ -273,15 +273,131 @@ object StreamQueries {
     out
   }
 
+  /** Cumulative-spend milestone level per user is the custom state — one
+    * Long of cents, folded across micro-batches by the state store.
+    */
+  final case class PurchaseEvt(user_id: Long, event_id: Long, ts_us: Long, vc: Long)
+  final case class MilestoneRow(
+      user_id: Long, event_id: Long, ts_us: Long, milestone: Long, cum_value: Double
+  )
+
+  /** Milestone grain in cents: an alert row fires each time a user's
+    * cumulative purchase spend crosses a 200-unit boundary. Interpolated
+    * into the oracle so engine and replay can never desync (r5 ADVICE
+    * precedent).
+    */
+  private[streaming] val milestoneCents = 20000L
+
+  /** Custom per-key state machine through the REAL streaming engine —
+    * the `flatMapGroupsWithState` leg of §2.10 that windows/sessions/
+    * joins/dedup don't exercise: per-user cumulative purchase spend with
+    * an alert row emitted at each 200-unit milestone crossing. This is
+    * genuinely custom state (a running fold with mid-stream emissions),
+    * not expressible as a tumbling/session window: the emission condition
+    * depends on the entire spend prefix, and the state carried between
+    * micro-batches is one Long of cents per user — bounded by the user
+    * universe, not the stream length, which is what makes the operator
+    * viable against an unbounded firehose.
+    *
+    * Money stays exact end-to-end: `value` is cast to DECIMAL(18,2)
+    * (the `s_stream_windows`-proven double→decimal agreement point) and
+    * scaled to integer cents BEFORE the typed fold, so the state machine
+    * is pure Long arithmetic and the crossing predicate has no float
+    * ambiguity. When one purchase jumps several milestones the row
+    * reports the LANDED level (integer division), matching the oracle's
+    * `cum // grain` replay.
+    */
+  val streamState: Q = (s, d) => {
+    // only the encoders — the full implicits bundle would make its bound
+    // `$` interpolator ambiguous with graft.syntax's session-free one
+    import s.implicits.{newLongEncoder, newProductEncoder}
+    val ck = java.nio.file.Files.createTempDirectory("graft-sstate-ck").toString
+    // SINGLE-BATCH ASSUMPTION (the streamDedup precedent, pinned): the
+    // fold sorts each group's rows by (ts, event_id) WITHIN a batch, so
+    // equality with the event-time-ordered oracle relies on the bounded
+    // corpus landing in one AvailableNow micro-batch. A live multi-batch
+    // deployment keeps the same bounded state but folds in arrival
+    // order — the standard at-least-once stream contract.
+    val purchases = eventsStream(s, d, Map("maxFilesPerTrigger" -> "1000"))
+      .filter($"event_type" === "purchase")
+      .select(
+        $"user_id", $"event_id",
+        unix_micros($"ts").as("ts_us"),
+        ($"value".cast("decimal(18,2)") * lit(100)).cast("long").as("vc")
+      )
+      .as[PurchaseEvt]
+    val alerts = purchases
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[PurchaseEvt], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var cum    = state.getOption.getOrElse(0L)
+          val out    = Array.newBuilder[MilestoneRow]
+          sorted.foreach { e =>
+            val prevLvl = cum / milestoneCents
+            cum += e.vc
+            val lvl = cum / milestoneCents
+            if (lvl > prevLvl)
+              out += MilestoneRow(user, e.event_id, e.ts_us, lvl, cum.toDouble / 100.0)
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+    val q = alerts.toDF().writeStream
+      .format("memory")
+      .queryName("s_stream_state_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val out = s.table("s_stream_state_sink")
+      .select(
+        $"user_id", $"event_id",
+        timestamp_micros($"ts_us").as("ts"),
+        $"milestone", $"cum_value"
+      )
+      .orderBy($"user_id", $"ts", $"event_id")
+      .localCheckpoint()
+    s.catalog.dropTempView("s_stream_state_sink")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "s_stream_windows"  -> streamWindows,
     "s_stream_sessions" -> streamSessions,
     "s_stream_join"     -> streamJoin,
     "s_stream_join_outer" -> streamJoinOuter,
-    "s_stream_dedup"    -> streamDedup
+    "s_stream_dedup"    -> streamDedup,
+    "s_stream_state"    -> streamState
   )
 
   val oracles: Map[String, String] = Map(
+    // Event-time-ordered replay of the milestone fold: exact integer
+    // cents (the same DECIMAL(18,2) cast as the engine), cumulative sum,
+    // integer-division level, emit where the level strictly rises. The
+    // grain constant is interpolated from the SAME Scala val the engine
+    // uses. lag(...,1,0) seeds the pre-stream level at 0 — a user's first
+    // purchase can itself cross milestone 1.
+    "s_stream_state" ->
+      s"""WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT *, SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM p),
+        |l AS (
+        |  SELECT *, cum // $milestoneCents AS lvl,
+        |    lag(cum // $milestoneCents, 1, 0) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lvl
+        |  FROM c)
+        |SELECT user_id, event_id, ts, CAST(lvl AS BIGINT) AS milestone,
+        |  CAST(cum AS DOUBLE) / 100.0 AS cum_value
+        |FROM l WHERE lvl > prev_lvl
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // duplicates are exact copies, so the converged dedup is the original
     // distinct row set; CAST(ts AS TIMESTAMP) pins microsecond grain
     "s_stream_dedup" ->
