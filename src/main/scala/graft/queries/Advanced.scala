@@ -44,6 +44,66 @@ object Advanced {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Daily peak concurrent sessions — the sweep-line interval-counting
+    * pattern (site-load / capacity metric): each session contributes a
+    * +1 transition at its start and a −1 at its end (last event + the
+    * 30-minute TTL), and "active sessions" is the running sum of
+    * transitions in time order. The reported peak is the maximum
+    * post-transition concurrency among the day's transition points.
+    *
+    * The global running sum is the scale trap here — a naive
+    * `Window.orderBy(t)` moves the whole transition stream to ONE
+    * partition. Instead it is decomposed as a two-level prefix sum, the
+    * distributed scan pattern: (1) per-day transition totals (bounded by
+    * the CALENDAR, ≤ a few thousand rows for a decade, so their running
+    * sum may ride a driver-sized window); (2) each day's offset — the
+    * cumulative total of all PRIOR days — broadcast-joined back; (3) a
+    * within-day running sum partitioned by day, parallel across days.
+    * Level 1's single-partition window sees day-grain rows only, never
+    * the transition stream; PlanSpec-style gating lives in AdvancedSpec.
+    */
+  val tPeakConcurrency: Q = (s, d) => {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Tables
+      .events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        ($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L).cast("int")
+      )
+      .withColumn("session_id", sum($"new_session").over(byUser))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("st"), (max($"ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+    val deltas = sess
+      .select($"st".as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select($"en".as("t"), lit(-1L).as("delta")))
+      .groupBy($"t")
+      .agg(sum($"delta").as("sd"))
+      .withColumn("dt", date_trunc("day", $"t").cast("date"))
+    val dayOffsets = deltas
+      .groupBy($"dt")
+      .agg(sum($"sd").as("day_sum"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum($"day_sum").over(
+            Window.orderBy($"dt").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select($"dt", $"off")
+    val withinDay =
+      Window.partitionBy($"dt").orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .join(broadcast(dayOffsets), Seq("dt"))
+      .withColumn("active", $"off" + sum($"sd").over(withinDay))
+      .groupBy($"dt")
+      .agg(max($"active").as("peak_active"))
+      .orderBy($"dt")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -681,6 +741,7 @@ object Advanced {
     "e_funnel"          -> eFunnel,
     "e_retention"       -> eRetention,
     "w_sessionize"      -> wSessionize,
+    "t_peak_concurrency" -> tPeakConcurrency,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -960,6 +1021,38 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // sweep-line replay: same sessionization as w_sessionize (>1800s gap,
+    // integer-microsecond compare), ±1 transitions at start / last+30min,
+    // one GLOBAL running sum (the oracle may do the naive thing the
+    // distributed plan decomposes), then the per-day max of the
+    // post-transition concurrency
+    "t_peak_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(ts) AS st,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS en
+        |  FROM sessions GROUP BY user_id, session_id),
+        |ev AS (
+        |  SELECT st AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT en, -1 FROM sess),
+        |byt AS (SELECT t, SUM(delta) AS sd FROM ev GROUP BY t),
+        |run AS (
+        |  SELECT t, SUM(sd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS active
+        |  FROM byt)
+        |SELECT CAST(date_trunc('day', t) AS DATE) AS dt,
+        |  CAST(MAX(active) AS BIGINT) AS peak_active
+        |FROM run GROUP BY 1 ORDER BY dt""".stripMargin,
     "w_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
