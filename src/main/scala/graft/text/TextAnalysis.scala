@@ -1213,9 +1213,87 @@ object TextAnalysis {
     */
   val perplexityKeepAt: Double = -3.45
 
+  /** TextRank power-iteration count — shared with the oracle's unrolled
+    * CTE chain.
+    */
+  private[text] val trIters = 10
+
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): weighted PageRank
+    * over the word co-occurrence graph — nodes are corpus words, an
+    * undirected edge weighted by adjacency count links each consecutive
+    * word pair (window 2, self-loops dropped), and the stationary score
+    * ranks "keywordness". The graph machinery is `g_pagerank`'s, with the
+    * same determinism discipline: per-edge contribution
+    * `rank / outw * w` is row-local IEEE (replayed verbatim by DuckDB),
+    * the per-node reduce sums in DECIMAL(38,18) (associative, so
+    * shuffle-order-free), 0.15 written literally (never 1 − 0.85), one
+    * localCheckpoint per round cuts the lineage. Scale: the vocabulary
+    * graph is aggregated corpus-wide (edges shuffle once on (src, dst)),
+    * then each round is one join + partial-agg'd reduce keyed by src —
+    * at 100 TB the vocab graph is tiny relative to the corpus, so rounds
+    * cost vocab-edge joins, not corpus scans.
+    */
+  val textTextrank: Q = (s, d) => {
+    val bigramsUdf = udf { (text: String) =>
+      val w = text.split(" ", -1)
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    }
+    val e0 = Tables
+      .documents(s, d)
+      .select(explode(bigramsUdf($"text")).as("bigram"))
+      .select(
+        element_at(split($"bigram", " ", -1), 1).as("p"),
+        element_at(split($"bigram", " ", -1), 2).as("q")
+      )
+      .filter($"p" =!= $"q")
+    val edges = e0
+      .unionAll(e0.select($"q".as("p"), $"p".as("q")))
+      .groupBy($"p".as("src"), $"q".as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .repartition(s.sparkContext.defaultParallelism, $"src")
+      .persist()
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw")).persist()
+    try {
+      val n    = outw.count()
+      val jump = 0.15 / n
+      var ranks = outw.select($"src".as("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+      for (_ <- 1 to trIters) {
+        val contribs = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outw, "src")
+          .select($"dst", ($"rank" / $"outw" * $"w").as("contrib"))
+        ranks = contribs
+          .groupBy($"dst".as("node"))
+          .agg(
+            (lit(jump) + lit(0.85) *
+              sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
+          )
+          .localCheckpoint()
+      }
+      ranks.select($"node".as("word"), round($"rank", 9).as("rank")).orderBy($"word")
+    } finally {
+      edges.unpersist()
+      outw.unpersist()
+    }
+  }
+
+  /** One unrolled TextRank round — the g_pagerank prRound shape with the
+    * weighted contribution.
+    */
+  private def trRound(i: Int): String =
+    s"""r$i AS (
+       |  SELECT e.dst AS node,
+       |    ((CAST(0.15 AS DOUBLE) / n) + 0.85 * CAST(SUM(CAST(r.rank / o.outw * e.w AS DECIMAL(38,18))) AS DOUBLE)) AS rank
+       |  FROM edges e
+       |  JOIN r${i - 1} r ON e.src = r.node
+       |  JOIN outw o ON e.src = o.src, n
+       |  GROUP BY e.dst, n.n)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_pmi_pairs"      -> textPmiPairs,
     "text_perplexity"     -> textPerplexity,
+    "text_textrank"       -> textTextrank,
     "text_split_divergence" -> textSplitDivergence,
     "text_oov_rate"       -> textOovRate,
     "text_dup_spans"      -> textDupSpans,
@@ -1301,6 +1379,27 @@ object TextAnalysis {
          |FROM c JOIN cf USING (w1) JOIN cs USING (w2), n2
          |WHERE c.pair_count >= $pmiMinCount
          |ORDER BY lift_ppm DESC, w1, w2 LIMIT $pmiTopK""".stripMargin,
+    // same bigram extraction as text_pmi_pairs; symmetrized weighted
+    // edges, then the g_pagerank unrolled-CTE replay with the weighted
+    // per-edge contribution (row-local IEEE) and DECIMAL(38,18) reduces
+    "text_textrank" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT p, q FROM (
+         |    SELECT w[CAST(i + 1 AS INT)] AS p, w[CAST(i + 2 AS INT)] AS q
+         |    FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i FROM t) s) b
+         |  WHERE p <> q),
+         |edges AS (
+         |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         |    SELECT p AS src, q AS dst FROM bg
+         |    UNION ALL SELECT q AS src, p AS dst FROM bg) u
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+         |n AS (SELECT COUNT(*) AS n FROM outw),
+         |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS rank FROM outw, n),
+         |${(1 to trIters).map(trRound).mkString(",\n")}
+         |SELECT node AS word, round(rank, 9) AS rank
+         |FROM r$trIters ORDER BY word""".stripMargin,
     // same bigram extraction as text_pmi_pairs; per-term ln rounded once
     // at 9 dp into DECIMAL(20,9) (associative sum), final mean one IEEE
     // divide rounded at 6 dp — the engine's exact arithmetic, replayed
