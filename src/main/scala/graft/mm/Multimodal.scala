@@ -369,12 +369,92 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Scene-cut synth + threshold (interpolated into the oracle): per-doc
+    * videos of `6 + id % 5` frames in scenes of `2 + id % 3`; frames in a
+    * scene share a base raster plus a per-frame jitter of +1 gray level,
+    * so consecutive within-scene frames sit at circular pixel distance
+    * exactly 1 (sum 64 over the 8×8 raster) while scene boundaries jump
+    * to a fresh pseudo-random base (mean circular distance ≈ 64/px,
+    * sum ≈ 4k) — the planted separation the threshold cuts.
+    */
+  val sceneCutThreshold = 1000L
+  def scNFrames(id: Long): Int  = 6 + (id % 5).toInt
+  def scSceneLen(id: Long): Int = 2 + (id % 3).toInt
+  def scPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val scene  = f / scSceneLen(id)
+    val jitter = f % scSceneLen(id)
+    (((id * 17 + scene.toLong * 97) * 31 + x * 7 + y * 13 + jitter) % 256).toInt
+  }
+
+  /** Scene-change detection over REAL decoded frames — the shot-boundary
+    * op of a video curation pipeline: render → PNG-encode → DECODE each
+    * frame through `javax.imageio` (the lossless gray-8 round trip the
+    * other mm ops pin), then compare consecutive frames by total CIRCULAR
+    * pixel distance (min(d, 256−d) — within-scene jitter is exactly 1 per
+    * pixel while a wrapped abs-diff would be 255, so the metric is
+    * immune to the wraparound tail). A cut fires where the distance sum
+    * crosses [[sceneCutThreshold]]; scene_id is the running cut count,
+    * folded sequentially inside the per-doc loop (frames per doc are
+    * bounded, docs are the parallel unit — same shape as mm_frame_dedup).
+    * The oracle carries NO codec: it re-derives every distance from the
+    * doc_id integer arithmetic, so a wrong stride/palette/roundtrip in
+    * the engine breaks the hash.
+    */
+  val mmSceneCut: Q = (s, d) => {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("diff_sum", LongType),
+      StructField("is_cut", IntegerType),
+      StructField("scene_id", IntegerType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    Tables
+      .documents(s, d)
+      .select($"doc_id")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val frames = (0 until scNFrames(id)).map { f =>
+            val (img, _) = ImageCodec.decode(
+              ImageCodec.encode(
+                ImageSynth.render(frameDimPx, frameDimPx, 1)((x, y) => scPixel(id, f, x, y)),
+                "png"
+              )
+            )
+            img
+          }
+          var scene = 0
+          (1 until frames.length).iterator.map { f =>
+            val a = frames(f - 1).getRaster
+            val b = frames(f).getRaster
+            var sum = 0L
+            var y   = 0
+            while (y < frameDimPx) {
+              var x = 0
+              while (x < frameDimPx) {
+                val dd = math.abs(a.getSample(x, y, 0) - b.getSample(x, y, 0))
+                sum += math.min(dd, 256 - dd)
+                x += 1
+              }
+              y += 1
+            }
+            val cut = sum > sceneCutThreshold
+            if (cut) scene += 1
+            Row(id, f, sum, if (cut) 1 else 0, scene)
+          }
+        }
+      }(enc)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata"     -> mmMetadata,
     "mm_decode"       -> mmDecode,
     "mm_frame_sample" -> mmFrameSample,
     "mm_frame_dedup"  -> mmFrameDedup,
-    "mm_resize"       -> mmResize
+    "mm_resize"       -> mmResize,
+    "mm_scene_cut"    -> mmSceneCut
   )
 
   /** mm_metadata / mm_frame_sample: the corpus is ASCII (spec-pinned),
@@ -384,6 +464,36 @@ object Multimodal {
     * must produce from the `doc_id` integer arithmetic alone.
     */
   val oracles: Map[String, String] = Map(
+    // codec-free replay: circular pixel distances between consecutive
+    // frames re-derived from the doc_id arithmetic (scene base + jitter),
+    // threshold + running scene counter identical; every tunable
+    // interpolated from the same Scala vals the engine renders with
+    "mm_scene_cut" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(6 + doc_id % 5 AS INT) AS nf,
+        |    CAST(2 + doc_id % 3 AS INT) AS slen
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, slen, CAST(f AS INT) AS f
+        |  FROM (SELECT doc_id, slen, unnest(range(1, nf)) AS f FROM p) t),
+        |dd AS (
+        |  SELECT doc_id, f, CAST(SUM(least(ad, 256 - ad)) AS BIGINT) AS diff_sum
+        |  FROM (
+        |    SELECT fr.doc_id, fr.f,
+        |      abs(((fr.doc_id * 17 + (fr.f // fr.slen) * 97) * 31
+        |             + (i % $frameDimPx) * 7 + (i // $frameDimPx) * 13
+        |             + (fr.f % fr.slen)) % 256
+        |        - ((fr.doc_id * 17 + ((fr.f - 1) // fr.slen) * 97) * 31
+        |             + (i % $frameDimPx) * 7 + (i // $frameDimPx) * 13
+        |             + ((fr.f - 1) % fr.slen)) % 256) AS ad
+        |    FROM fr, (SELECT unnest(range(0, ${frameDimPx * frameDimPx})) AS i) px) q
+        |  GROUP BY doc_id, f)
+        |SELECT doc_id, f AS frame_idx, diff_sum,
+        |  CAST(diff_sum > $sceneCutThreshold AS INT) AS is_cut,
+        |  CAST(SUM(CAST(diff_sum > $sceneCutThreshold AS INT)) OVER
+        |    (PARTITION BY doc_id ORDER BY f ROWS UNBOUNDED PRECEDING) AS INT) AS scene_id
+        |FROM dd ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
         |  md5(text) AS content_md5, source
