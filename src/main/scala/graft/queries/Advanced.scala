@@ -104,6 +104,72 @@ object Advanced {
       .orderBy($"dt")
   }
 
+  /** Multi-touch attribution — the marketing-analytics allocation of each
+    * purchase's value across the touchpoints (views/clicks) that preceded
+    * it within a 7-day lookback, under the three standard credit models
+    * at once: first-touch (all credit to the earliest touch), last-touch
+    * (the latest), and linear (value split evenly). Purchases with no
+    * touch in the window earn no attribution row (they have no channel to
+    * credit).
+    *
+    * Exactness: purchase value goes to integer cents through the proven
+    * DECIMAL(18,2) cast; linear shares are one per-row IEEE divide
+    * rounded ONCE at 6 dp into DECIMAL(18,6), so the per-channel sums
+    * are associative (shuffle-order-free) on both engines. Scale: the
+    * touch↔purchase range join is equi-keyed on user_id (per-user
+    * windows bound the pair fan-out exactly as the stream-stream join's
+    * watermark does), and first/last selection rides one row_number pair
+    * on the join's own (purchase) partitioning.
+    */
+  val eAttribution: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select(
+        $"user_id",
+        $"event_id".as("p_id"),
+        $"ts".as("pts"),
+        ($"value".cast("decimal(18,2)") * lit(100)).cast("long").as("vc")
+      )
+    val touches = ev
+      .filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("t_id"), $"ts".as("tts"), $"event_type".as("channel"))
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val joined = purchases
+      .join(touches, Seq("user_id"))
+      .filter(
+        unix_micros($"tts") < unix_micros($"pts") &&
+          unix_micros($"tts") >= unix_micros($"pts") - sevenDaysUs
+      )
+    val byPurchase = Window.partitionBy($"p_id")
+    val credited = joined
+      .withColumn("n_touch", count(lit(1)).over(byPurchase))
+      .withColumn(
+        "rn_first",
+        row_number().over(byPurchase.orderBy($"tts", $"t_id"))
+      )
+      .withColumn(
+        "rn_last",
+        row_number().over(byPurchase.orderBy($"tts".desc, $"t_id".desc))
+      )
+      .withColumn(
+        "linear_share",
+        round($"vc".cast("double") / 100.0 / $"n_touch", 6).cast(DecimalType(18, 6))
+      )
+    credited
+      .groupBy($"channel")
+      .agg(
+        (sum(when($"rn_first" === 1, $"vc").otherwise(0L)).cast("double") / 100.0)
+          .as("first_touch_value"),
+        (sum(when($"rn_last" === 1, $"vc").otherwise(0L)).cast("double") / 100.0)
+          .as("last_touch_value"),
+        sum($"linear_share").cast("double").as("linear_value"),
+        sum(when($"rn_first" === 1, 1L).otherwise(0L)).as("first_touch_convs"),
+        sum(when($"rn_last" === 1, 1L).otherwise(0L)).as("last_touch_convs")
+      )
+      .orderBy($"channel")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -742,6 +808,7 @@ object Advanced {
     "e_retention"       -> eRetention,
     "w_sessionize"      -> wSessionize,
     "t_peak_concurrency" -> tPeakConcurrency,
+    "e_attribution"     -> eAttribution,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1021,6 +1088,41 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // exact-cents credit with row_number first/last selection; linear
+    // shares are one IEEE divide rounded once at 6 dp into DECIMAL(18,6)
+    // so the channel sums are associative — same discipline both engines
+    "e_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS pts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_id AS t_id, CAST(ts AS TIMESTAMP) AS tts,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.*, t.t_id, t.tts, t.channel
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND epoch_us(t.tts) < epoch_us(p.pts)
+        |    AND epoch_us(t.tts) >= epoch_us(p.pts) - 604800000000),
+        |c AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY p_id) AS n_touch,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY tts, t_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY tts DESC, t_id DESC) AS rn_last
+        |  FROM j)
+        |SELECT channel,
+        |  CAST(SUM(CASE WHEN rn_first = 1 THEN vc ELSE 0 END) AS DOUBLE) / 100.0
+        |    AS first_touch_value,
+        |  CAST(SUM(CASE WHEN rn_last = 1 THEN vc ELSE 0 END) AS DOUBLE) / 100.0
+        |    AS last_touch_value,
+        |  CAST(SUM(CAST(round(CAST(vc AS DOUBLE) / 100.0 / n_touch, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS linear_value,
+        |  CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch_convs,
+        |  CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch_convs
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
     // sweep-line replay: same sessionization as w_sessionize (>1800s gap,
     // integer-microsecond compare), ±1 transitions at start / last+30min,
     // one GLOBAL running sum (the oracle may do the naive thing the
