@@ -293,6 +293,83 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  // ------------------------------------------------------------ Theta
+
+  final case class ThetaRow(
+      profile_name: String,
+      horizon: Int,
+      theta_level: Double,
+      trend_component: Double,
+      forecast: Double
+  )
+
+  /** Forecast horizon for the Theta method — shared with the oracle. */
+  private[forecast] val thetaHorizon = 5
+
+  /** Theta method (Assimakopoulos & Nikolopoulos 2000, the M3-competition
+    * winner): decompose the series into the θ=0 line (the OLS trend, pure
+    * long-run signal) and the θ=2 line (2·x − trend, doubled local
+    * curvature), forecast the θ=2 line with SES (α = 0.2, flat at the
+    * final level) and the θ=0 line by extrapolation, and average the two.
+    * Composes the two already-proven pieces: the trend comes from the
+    * SAME one-pass DECIMAL moment sums and 6-dp once-rounding as
+    * `m_trend_ols` (theta2 rows then use the rounded slope/intercept, so
+    * every downstream number derives from a cross-engine-identical
+    * anchor), and the SES recursion is the literal-α fold `m_croston`
+    * pins. Per-profile fold after one shuffle (M1 shape); the oracle
+    * replays OLS closed-form + the recursion + the horizon arithmetic.
+    */
+  def thetaJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{newProductEncoder, newStringEncoder}
+    val ord = Window.partitionBy($"profile_name").orderBy($"week_date")
+    val g = ForecastJobs
+      .gapfillJob(s, dir)
+      .withColumn("i", row_number().over(ord).cast("long"))
+    val ols = g
+      .groupBy($"profile_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"i").as("sx"),
+        sum($"i" * $"i").as("sxx"),
+        sum($"weight".cast(dec)).cast("double").as("sy"),
+        sum(($"i" * $"weight").cast(dec)).cast("double").as("sxy")
+      )
+      .select(
+        $"profile_name",
+        $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6)
+          .as("intercept")
+      )
+    g.join(ols, "profile_name")
+      .select(
+        $"profile_name", $"i", $"n", $"slope", $"intercept",
+        (lit(2.0) * $"weight" - ($"intercept" + $"slope" * $"i")).as("theta2")
+      )
+      .as[(String, Long, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (profile, rows) =>
+        val arr = rows.toArray.sortBy(_._2)
+        val (_, _, n, slope, intercept, _) = arr.head
+        var z = arr.head._6
+        var t = 1
+        while (t < arr.length) { z = 0.2 * arr(t)._6 + 0.8 * z; t += 1 }
+        (1 to thetaHorizon).iterator.map { h =>
+          val trendH = intercept + slope * (n + h)
+          ThetaRow(profile, h, z, trendH, 0.5 * (z + trendH))
+        }
+      }
+      .toDF()
+      .select(
+        $"profile_name",
+        $"horizon",
+        round($"theta_level", 6).as("theta_level"),
+        round($"trend_component", 6).as("trend_component"),
+        round($"forecast", 6).as("forecast")
+      )
+      .orderBy($"profile_name", $"horizon")
+  }
+
   // ------------------------------------------------------------ CUSUM
 
   /** CUSUM drift monitor: running sum of deviations from the profile mean,
@@ -428,7 +505,8 @@ object SeriesAnalysis {
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
     "m_trend_ols"       -> (trendOlsJob(_, _)),
     "m_inventory_sim"   -> (inventorySimJob(_, _)),
-    "m_cusum"           -> (cusumJob(_, _))
+    "m_cusum"           -> (cusumJob(_, _)),
+    "m_theta"           -> (thetaJob(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -543,6 +621,46 @@ object SeriesAnalysis {
         |  CAST(CAST(cusum_r AS DOUBLE) > 5.0 * sigma
         |    OR CAST(cusum_r AS DOUBLE) < -5.0 * sigma AS INT) AS drift_flag
         |FROM c ORDER BY profile_name, week_date""".stripMargin,
+    // OLS anchor (the m_trend_ols closed form, rounded once at 6 dp),
+    // theta2 rows from the rounded anchor, SES recursion with literal
+    // 0.2/0.8, horizon arithmetic — every stage the engine's exact twin
+    "m_theta" ->
+      s"""WITH RECURSIVE $gapCte,
+        |idx AS (
+        |  SELECT profile_name, weight,
+        |    row_number() OVER (PARTITION BY profile_name ORDER BY week_date) AS i
+        |  FROM gap),
+        |mo AS (
+        |  SELECT profile_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(i) AS BIGINT) AS sx,
+        |    CAST(SUM(i * i) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(weight AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(i * weight AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+        |  FROM idx GROUP BY profile_name),
+        |ab AS (
+        |  SELECT profile_name, n,
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |  FROM mo),
+        |th AS (
+        |  SELECT x.profile_name, x.i, ab.n, ab.slope, ab.intercept,
+        |    2.0 * x.weight - (ab.intercept + ab.slope * x.i) AS x
+        |  FROM idx x JOIN ab USING (profile_name)),
+        |ses AS (
+        |  SELECT profile_name, n, slope, intercept, i, x AS z
+        |  FROM th WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.profile_name, s.n, s.slope, s.intercept, t.i,
+        |    0.2 * t.x + 0.8 * s.z
+        |  FROM ses s JOIN th t
+        |    ON t.profile_name = s.profile_name AND t.i = s.i + 1)
+        |SELECT s.profile_name, CAST(h.range + 1 AS INT) AS horizon,
+        |  round(s.z, 6) AS theta_level,
+        |  round(s.intercept + s.slope * (s.n + h.range + 1), 6) AS trend_component,
+        |  round(0.5 * (s.z + (s.intercept + s.slope * (s.n + h.range + 1))), 6) AS forecast
+        |FROM ses s, range(0, $thetaHorizon) h WHERE s.i = s.n
+        |ORDER BY profile_name, horizon""".stripMargin,
     "m_inventory_sim" ->
       s"""WITH RECURSIVE $gapCte,
         |series AS (
