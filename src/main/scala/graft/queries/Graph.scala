@@ -298,12 +298,64 @@ object Graph {
     } finally bi.unpersist()
   }
 
+  /** k-core threshold and peel-round cap — shared with the oracle's
+    * unrolled CTE chain. On the sf0.01 co-purchase graph k = 80 peels
+    * ~140 nodes over 5 rounds to a 1857-node fixpoint, so 8 rounds hold
+    * a convergence margin; KCoreSpec proves the fixpoint was reached
+    * (every emitted core degree ≥ k — the peel condition itself).
+    */
+  val kCoreK      = 80
+  val kCoreRounds = 8
+
+  /** k-core decomposition by synchronous peeling — the graph-curation
+    * screen for "dense, mutually-supported" structure (spam/bot rings
+    * keep high degree only until their periphery is peeled; a k-core
+    * survives by definition). Each round drops nodes whose degree within
+    * the surviving subgraph is < k; the peel runs a FIXED number of
+    * rounds (idempotent after the fixpoint, so engine and oracle can
+    * never desync on a data-dependent round count) and emits the final
+    * core with per-node core degrees. Scale shape per round: two
+    * endpoint semi-joins against the (small, shrinking) alive set and one
+    * partial-agg'd degree count — the alive set broadcasts once it
+    * shrinks, and localCheckpoint cuts the 8-round lineage.
+    */
+  val gKCore: Q = (s, d) => {
+    val e = coEdges(s, d).persist()
+    try {
+      var alive = e
+        .select($"u".as("node"))
+        .union(e.select($"v".as("node")))
+        .distinct()
+        .localCheckpoint()
+      def liveEdges = e
+        .join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+      for (_ <- 1 to kCoreRounds) {
+        alive = liveEdges
+          .select($"u".as("node"))
+          .unionAll(liveEdges.select($"v".as("node")))
+          .groupBy($"node")
+          .agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= kCoreK)
+          .select($"node")
+          .localCheckpoint()
+      }
+      liveEdges
+        .select($"u".as("node"))
+        .unionAll(liveEdges.select($"v".as("node")))
+        .groupBy($"node")
+        .agg(count(lit(1)).as("core_degree"))
+        .orderBy($"node")
+    } finally e.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
     "g_pagerank"   -> gPagerank,
     "g_triangles"  -> gTriangles,
     "g_hops"       -> gHops,
     "g_label_prop" -> gLabelProp,
-    "g_sssp"       -> gSssp
+    "g_sssp"       -> gSssp,
+    "g_k_core"     -> gKCore
   )
 
   /** Shared SQL for the co-purchase projection. */
@@ -333,7 +385,42 @@ object Graph {
        |  JOIN outdeg o ON e.src = o.src, n
        |  GROUP BY e.dst, n.n)""".stripMargin
 
+  /** One unrolled peel round: degrees within the a(i−1)-induced subgraph,
+    * keep nodes at ≥ k.
+    */
+  private def kcRound(i: Int): String =
+    s"""a$i AS MATERIALIZED (
+       |  SELECT node FROM (
+       |    SELECT node, COUNT(*) AS dd FROM (
+       |      SELECT e.u AS node FROM e
+       |      JOIN a${i - 1} x ON e.u = x.node JOIN a${i - 1} y ON e.v = y.node
+       |      UNION ALL
+       |      SELECT e.v FROM e
+       |      JOIN a${i - 1} x ON e.u = x.node JOIN a${i - 1} y ON e.v = y.node) g
+       |    GROUP BY node) t
+       |  WHERE dd >= $kCoreK)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // fixed-round synchronous peel replay: a0 = every endpoint, each
+    // round an induced-subgraph degree filter at k, final core degrees
+    // recomputed on the surviving node set. The edge CTE is MATERIALIZED:
+    // ~34 inlined references would each re-open the lineitem parquet and
+    // blow the process fd limit
+    "g_k_core" ->
+      s"""WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM ip a JOIN ip b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+         |${(1 to kCoreRounds).map(kcRound).mkString(",\n")}
+         |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+         |  SELECT e.u AS node FROM e
+         |  JOIN a$kCoreRounds x ON e.u = x.node JOIN a$kCoreRounds y ON e.v = y.node
+         |  UNION ALL
+         |  SELECT e.v FROM e
+         |  JOIN a$kCoreRounds x ON e.u = x.node JOIN a$kCoreRounds y ON e.v = y.node) g
+         |GROUP BY node ORDER BY node""".stripMargin,
     "g_pagerank" ->
       s"""WITH $base,
          |${(1 to iterations).map(prRound).mkString(",\n")}
