@@ -103,6 +103,59 @@ object Cdc {
       .orderBy($"user_id", $"version")
   }
 
+  /** Daily snapshot reconstruction from the SCD2 dimension — "time
+    * travel" for warehouses that version rather than copy: for every
+    * midnight in each user's active range, the status version valid at
+    * that instant. The lookup is NOT a per-probe interval join: because
+    * SCD2 intervals are contiguous (each valid_to is the next
+    * valid_from), the as-of union trick applies — interval STARTS and
+    * probes merge into one per-user stream ordered by (t, is_probe,
+    * version), and `last(status ignoring nulls)` carries the governing
+    * version forward. One shuffle on user_id total; ties where a version
+    * begins exactly at midnight resolve to the new version on both
+    * engines (interval rows sort before the probe; the oracle's
+    * `valid_to > t` excludes the closed old version).
+    */
+  val eScd2Asof: Q = (s, d) => {
+    val iv = eScd2(s, d).select($"user_id", $"version", $"status", $"valid_from")
+    val spine = iv
+      .groupBy($"user_id")
+      .agg(min($"valid_from").as("vf0"), max($"valid_from").as("vfn"))
+      .select(
+        $"user_id",
+        explode(
+          expr("sequence(date_add(cast(vf0 as date), 1), cast(vfn as date), interval 1 day)")
+        ).as("snapshot_date")
+      )
+    val probes = spine.select(
+      $"user_id",
+      $"snapshot_date",
+      $"snapshot_date".cast("timestamp").as("t"),
+      lit(1).as("is_probe"),
+      lit(null).cast("string").as("status"),
+      lit(null).cast("long").as("version")
+    )
+    val starts = iv.select(
+      $"user_id",
+      lit(null).cast("date").as("snapshot_date"),
+      $"valid_from".as("t"),
+      lit(0).as("is_probe"),
+      $"status",
+      $"version"
+    )
+    val carry = Window
+      .partitionBy($"user_id")
+      .orderBy($"t", $"is_probe", $"version")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    probes
+      .unionByName(starts)
+      .withColumn("cur_status", last($"status", ignoreNulls = true).over(carry))
+      .withColumn("cur_version", last($"version", ignoreNulls = true).over(carry))
+      .filter($"is_probe" === 1 && $"cur_status".isNotNull)
+      .select($"user_id", $"snapshot_date", $"cur_version".as("version"), $"cur_status".as("status"))
+      .orderBy($"user_id", $"snapshot_date")
+  }
+
   /** Snapshot reconciliation — the audit face of the same CDC cutoff:
     * classify every customer key as added (delta only), removed (base
     * only), changed, or unchanged between the two last-order snapshots.
@@ -134,7 +187,8 @@ object Cdc {
   val queries: Map[String, Q] = Map(
     "w_merge_upsert"  -> wMergeUpsert,
     "w_snapshot_diff" -> wSnapshotDiff,
-    "e_scd2"          -> eScd2
+    "e_scd2"          -> eScd2,
+    "e_scd2_asof"     -> eScd2Asof
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +243,44 @@ object Cdc {
     // CAST(ts AS TIMESTAMP) pins microsecond grain (the s_stream_sessions
     // precedent) — interval bounds and same-µs ordering must match the
     // engine's `ts div 1000` truncation on a ns-native DuckDB
+    // SCD2 replay + per-user daily spine + the naive interval predicate
+    // (valid_from <= t < valid_to) — the oracle may pay the per-probe
+    // join the engine's as-of union avoids
+    "e_scd2_asof" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM flagged),
+        |grouped AS (
+        |  SELECT user_id, version, MAX(event_type) AS status,
+        |    MIN(ts) AS valid_from
+        |  FROM islands GROUP BY user_id, version),
+        |iv AS (
+        |  SELECT user_id, version, status, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+        |  FROM grouped),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(MIN(valid_from) AS DATE) + 1,
+        |      CAST(MAX(valid_from) AS DATE), INTERVAL 1 DAY)) AS DATE) AS snapshot_date
+        |  FROM iv GROUP BY user_id)
+        |SELECT s.user_id, s.snapshot_date, i.version, i.status
+        |FROM spine s JOIN iv i
+        |  ON i.user_id = s.user_id
+        |  AND i.valid_from <= CAST(s.snapshot_date AS TIMESTAMP)
+        |  AND (i.valid_to IS NULL OR i.valid_to > CAST(s.snapshot_date AS TIMESTAMP))
+        |ORDER BY s.user_id, s.snapshot_date""".stripMargin,
     "e_scd2" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
