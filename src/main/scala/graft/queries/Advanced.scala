@@ -170,6 +170,83 @@ object Advanced {
       .orderBy($"channel")
   }
 
+  /** RFM customer segmentation — the classic marketing triage: per
+    * customer, Recency (days since last order, against the corpus-max
+    * order date so the metric is reproducible), Frequency (order count)
+    * and Monetary (exact DECIMAL revenue), each cut into quintiles with
+    * quintile 1 = best (most recent / most orders / highest spend). The
+    * ntile cuts ride a total order (metric, then custkey) so bucket
+    * boundaries are deterministic cross-engine; the three ntiles share
+    * one single-partition window pass over the CUSTOMER DIMENSION —
+    * dimension-sized by definition (the a_abc_class precedent), never
+    * the fact table. The segment string concatenates the three digits.
+    */
+  val eRfm: Q = (s, d) => {
+    val byCust = Tables
+      .orders(s, d)
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(
+        max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("monetary_dec")
+      )
+      .withColumn("ref_date", max($"last_order").over(Window.partitionBy()))
+      .withColumn("recency_days", datediff($"ref_date", $"last_order").cast("long"))
+    byCust
+      .withColumn("r", ntile(5).over(Window.orderBy($"recency_days", $"c_custkey")))
+      .withColumn("f", ntile(5).over(Window.orderBy($"frequency".desc, $"c_custkey")))
+      .withColumn("m", ntile(5).over(Window.orderBy($"monetary_dec".desc, $"c_custkey")))
+      .select(
+        $"c_custkey",
+        $"recency_days",
+        $"frequency",
+        $"monetary_dec".cast("double").as("monetary"),
+        $"r", $"f", $"m",
+        concat($"r", $"f", $"m").as("rfm_segment")
+      )
+      .orderBy($"c_custkey")
+  }
+
+  /** Per-column Shannon entropy — the data-profiling complement of
+    * `q_table_stats`: low entropy flags near-constant columns (dead
+    * dimensions, broken feeds), high normalized entropy flags
+    * key-like columns. One stack (UNPIVOT) pass over the five audited
+    * lineitem columns, value counts in a single map-side-combinable
+    * groupBy, then per-column H = −Σ p·ln p with the established
+    * transcendental discipline: each term is one IEEE quotient of two
+    * BIGINTs through one libm ln (the `text_perplexity` parity
+    * precedent), rounded ONCE at 9 dp into DECIMAL(20,9) so the sum is
+    * associative; normalized entropy divides by ln(n_distinct) at the
+    * very end. Work is value-cardinality-sized after the count shuffle.
+    */
+  val aEntropy: Q = (s, d) => {
+    val auditCols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax")
+    val stackArgs = auditCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val counts = Tables
+      .lineitem(s, d)
+      .select(expr(s"stack(${auditCols.length}, $stackArgs) AS (col_name, val)"))
+      .groupBy($"col_name", $"val")
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_distinct"), sum($"c").as("n_rows"))
+      .join(counts, Seq("col_name"))
+      .select(
+        $"col_name", $"n_distinct", $"n_rows",
+        round(($"c" / $"n_rows") * log($"c" / $"n_rows"), 9)
+          .cast(DecimalType(20, 9)).as("term")
+      )
+      .groupBy($"col_name", $"n_distinct", $"n_rows")
+      .agg((-sum($"term")).cast("double").as("h"))
+      .select(
+        $"col_name", $"n_distinct", $"n_rows",
+        round($"h", 6).as("entropy"),
+        when($"n_distinct" > 1, round($"h" / log($"n_distinct".cast("double")), 6))
+          .otherwise(0.0).as("norm_entropy")
+      )
+      .orderBy($"col_name")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -809,6 +886,8 @@ object Advanced {
     "w_sessionize"      -> wSessionize,
     "t_peak_concurrency" -> tPeakConcurrency,
     "e_attribution"     -> eAttribution,
+    "e_rfm"             -> eRfm,
+    "a_entropy"         -> aEntropy,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1088,6 +1167,63 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // per-term (c/N)*ln(c/N) is row-local IEEE on two BIGINTs, rounded
+    // once at 9 dp into DECIMAL(20,9) — associative sums, ln parity per
+    // the perplexity precedent; stack replayed as UNION ALL
+    "a_entropy" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount", "l_tax")
+      val un = cols
+        .map(c => s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH st AS (
+        |  $un),
+        |cnt AS (
+        |  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM st GROUP BY col_name, val),
+        |tot AS (
+        |  SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows
+        |  FROM cnt GROUP BY col_name),
+        |terms AS (
+        |  SELECT cnt.col_name, tot.n_distinct, tot.n_rows,
+        |    CAST(round((CAST(c AS DOUBLE) / n_rows) * ln(CAST(c AS DOUBLE) / n_rows), 9)
+        |      AS DECIMAL(20,9)) AS term
+        |  FROM cnt JOIN tot USING (col_name)),
+        |hsum AS (
+        |  SELECT col_name, n_distinct, n_rows, CAST(-SUM(term) AS DOUBLE) AS h
+        |  FROM terms GROUP BY col_name, n_distinct, n_rows)
+        |SELECT col_name, n_distinct, n_rows,
+        |  round(h, 6) AS entropy,
+        |  CASE WHEN n_distinct > 1
+        |       THEN round(h / ln(CAST(n_distinct AS DOUBLE)), 6)
+        |       ELSE 0.0 END AS norm_entropy
+        |FROM hsum ORDER BY col_name""".stripMargin
+    },
+    // quintiles over the same (metric, custkey) total orders; ntile's
+    // equal-fill remainder rule is SQL-standard on both engines
+    "e_rfm" ->
+      """WITH byc AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    MAX(o_orderdate) AS last_order,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM orders GROUP BY o_custkey),
+        |rec AS (
+        |  SELECT *,
+        |    CAST(date_diff('day', CAST(last_order AS DATE),
+        |      CAST((SELECT MAX(last_order) FROM byc) AS DATE)) AS BIGINT) AS recency_days
+        |  FROM byc),
+        |sc AS (
+        |  SELECT *,
+        |    ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY monetary_dec DESC, c_custkey) AS m
+        |  FROM rec)
+        |SELECT c_custkey, recency_days, frequency,
+        |  CAST(monetary_dec AS DOUBLE) AS monetary,
+        |  CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm_segment
+        |FROM sc ORDER BY c_custkey""".stripMargin,
     // exact-cents credit with row_number first/last selection; linear
     // shares are one IEEE divide rounded once at 6 dp into DECIMAL(18,6)
     // so the channel sums are associative — same discipline both engines
