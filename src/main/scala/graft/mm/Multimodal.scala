@@ -448,13 +448,89 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** aHash near-dup threshold: with 4 pigeonhole bands the guarantee
+    * needs hamming < 4, so ≤ 2 keeps a margin; interpolated into the
+    * oracle.
+    */
+  val ahashMaxHamming = 2
+
+  /** Perceptual image near-dup via average-hash (aHash) — the cheap
+    * member of the pHash family: decode the REAL PNG/BMP bytes,
+    * NN-resample to an 8×8 gray grid, threshold each cell against the
+    * integer mean, pack 64 bits. Near-dup pairs come from the SimHash
+    * pigeonhole machinery — 4×16-bit bands, candidates share a band
+    * (guaranteed complete for hamming < 4), exact [[graft.functions
+    * .GraftFunctions.hamming64]] verify. Unlike `dedup_simhash_pairs`
+    * (whose xxhash signatures need a boundary dump), the aHash is
+    * re-derivable from the doc_id raster arithmetic, so the oracle
+    * replays decode→resample→threshold→bands→join→verify END-TO-END
+    * codec-free — the full perceptual pipeline is hash-gated. The
+    * signed-64 pack is rebuilt in SQL from two 32-bit halves with an
+    * explicit two's-complement fold (DuckDB refuses `1::BIGINT << 63`;
+    * the winnow HUGEINT precedent).
+    */
+  val mmAhash: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val hashSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("ahash", LongType))
+    )
+    val enc = org.apache.spark.sql.Encoders.row(hashSchema)
+    val hashes = imageBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id       = r.getLong(0)
+          val (img, _) = ImageCodec.decode(r.getAs[Array[Byte]](1))
+          val w        = img.getWidth
+          val h        = img.getHeight
+          val ras      = img.getRaster
+          val vals     = new Array[Int](64)
+          var i        = 0
+          var y8       = 0
+          while (y8 < 8) {
+            var x8 = 0
+            while (x8 < 8) {
+              vals(i) = ras.getSample(x8 * w / 8, y8 * h / 8, 0)
+              i += 1; x8 += 1
+            }
+            y8 += 1
+          }
+          var sum = 0L
+          vals.foreach(sum += _)
+          val mean = sum / 64
+          var bits = 0L
+          i = 0
+          while (i < 64) { if (vals(i) > mean) bits |= (1L << i); i += 1 }
+          Row(id, bits)
+        }
+      }(enc)
+    val segs = hashes.select(
+      $"doc_id",
+      $"ahash",
+      posexplode(
+        array((0 until 4).map(k => shiftright($"ahash", k * 16).bitwiseAND(lit(0xffffL))): _*)
+      ).as(Seq("seg_id", "seg"))
+    )
+    val hamming = graft.functions.GraftFunctions.hamming64($"a.ahash", $"b.ahash")
+    segs
+      .as("a")
+      .join(
+        segs.as("b"),
+        $"a.seg_id" === $"b.seg_id" && $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id"
+      )
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), hamming.as("hamming"))
+      .distinct()
+      .filter($"hamming" <= ahashMaxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata"     -> mmMetadata,
     "mm_decode"       -> mmDecode,
     "mm_frame_sample" -> mmFrameSample,
     "mm_frame_dedup"  -> mmFrameDedup,
     "mm_resize"       -> mmResize,
-    "mm_scene_cut"    -> mmSceneCut
+    "mm_scene_cut"    -> mmSceneCut,
+    "mm_ahash"        -> mmAhash
   )
 
   /** mm_metadata / mm_frame_sample: the corpus is ASCII (spec-pinned),
@@ -464,6 +540,47 @@ object Multimodal {
     * must produce from the `doc_id` integer arithmetic alone.
     */
   val oracles: Map[String, String] = Map(
+    // full perceptual-pipeline replay from doc_id arithmetic: 8×8 NN
+    // resample, integer-mean threshold, signed-64 pack via two 32-bit
+    // halves + explicit two's complement, pigeonhole bands, bit_count
+    // verify — a wrong codec/stride/mean anywhere breaks the hash
+    "mm_ahash" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(4 + (doc_id // 13) % 11 AS INT) AS h
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, CAST(i.range AS INT) AS i,
+        |    (doc_id * 31 + (((i.range % 8) * w) // 8) * 7
+        |       + (((i.range // 8) * h) // 8) * 13) % 256 AS v
+        |  FROM p, range(0, 64) i),
+        |m AS (SELECT doc_id, CAST(SUM(v) // 64 AS BIGINT) AS mean FROM v GROUP BY doc_id),
+        |halves AS (
+        |  SELECT v.doc_id,
+        |    CAST(SUM(CASE WHEN i < 32 AND v > mean
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN i >= 32 AND v > mean
+        |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM v JOIN m USING (doc_id) GROUP BY v.doc_id),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(hi AS HUGEINT) * 4294967296 + lo
+        |      - CASE WHEN hi >= 2147483648
+        |             THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END
+        |      AS BIGINT) AS ahash
+        |  FROM halves),
+        |segs AS (
+        |  SELECT doc_id, ahash, bi.range AS seg_id,
+        |    (ahash >> CAST(bi.range * 16 AS INT)) & 65535 AS seg
+        |  FROM hb, range(0, 4) bi),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |  FROM segs a JOIN segs b
+        |    ON a.seg_id = b.seg_id AND a.seg = b.seg AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= $ahashMaxHamming ORDER BY doc_a, doc_b""".stripMargin,
     // codec-free replay: circular pixel distances between consecutive
     // frames re-derived from the doc_id arithmetic (scene base + jitter),
     // threshold + running scene counter identical; every tunable
