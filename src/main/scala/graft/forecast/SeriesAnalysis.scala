@@ -293,6 +293,60 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  // ------------------------------------------------------------- TSB
+
+  final case class TsbRow(
+      profile_name: String,
+      prob_demand: Double,
+      demand_level: Double,
+      forecast: Double
+  )
+
+  /** TSB method (Teunter–Syntetos–Babai 2011) — the Croston variant that
+    * handles OBSOLESCENCE: Croston's interval estimate only updates when
+    * demand occurs, so a dead item keeps its stale forecast forever; TSB
+    * instead smooths a demand PROBABILITY every period (α=0.1, toward 1
+    * on demand, toward 0 on none) while the size level updates on demand
+    * periods only (β=0.2). Forecast = probability × size, decaying to
+    * zero as an item dies. Seeds mirror `m_croston`: size on the first
+    * demand, probability at 1/position. Same per-profile fold shape;
+    * same literal-coefficient discipline (0.1/0.2/0.8 written literally
+    * on both engines, never derived).
+    */
+  def tsbJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ForecastJobs
+      .gapfillJob(s, dir)
+      .as[GapRow]
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
+        val f  = xs.indexWhere(_ > 0)
+        if (f < 0) Iterator.empty
+        else {
+          var z = xs(f)
+          var p = 1.0 / (f + 1)
+          var i = f + 1
+          while (i < xs.length) {
+            if (xs(i) > 0) {
+              z = 0.2 * xs(i) + 0.8 * z
+              p = p + 0.1 * (1.0 - p)
+            } else p = p + 0.1 * (0.0 - p)
+            i += 1
+          }
+          Iterator.single(TsbRow(profile, p, z, p * z))
+        }
+      }
+      .toDF()
+      .select(
+        col("profile_name"),
+        round(col("prob_demand"), 6).as("prob_demand"),
+        round(col("demand_level"), 6).as("demand_level"),
+        round(col("forecast"), 6).as("forecast")
+      )
+      .orderBy(col("profile_name"))
+  }
+
   // ------------------------------------------------------------ Theta
 
   final case class ThetaRow(
@@ -506,7 +560,8 @@ object SeriesAnalysis {
     "m_trend_ols"       -> (trendOlsJob(_, _)),
     "m_inventory_sim"   -> (inventorySimJob(_, _)),
     "m_cusum"           -> (cusumJob(_, _)),
-    "m_theta"           -> (thetaJob(_, _))
+    "m_theta"           -> (thetaJob(_, _)),
+    "m_tsb"             -> (tsbJob(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -621,6 +676,34 @@ object SeriesAnalysis {
         |  CAST(CAST(cusum_r AS DOUBLE) > 5.0 * sigma
         |    OR CAST(cusum_r AS DOUBLE) < -5.0 * sigma AS INT) AS drift_flag
         |FROM c ORDER BY profile_name, week_date""".stripMargin,
+    // croston-shaped recursion with the TSB updates: probability smoothed
+    // EVERY period (p + 0.1*(occ - p) written with literal branches),
+    // size on demand periods only; seeds mirror m_croston
+    "m_tsb" ->
+      s"""WITH RECURSIVE $gapCte,
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM gap GROUP BY profile_name),
+        |init AS (
+        |  SELECT profile_name, xs, len(xs) AS n,
+        |    list_position([x > 0 for x in xs], true) AS f
+        |  FROM series
+        |  WHERE list_position([x > 0 for x in xs], true) > 0),
+        |tsb AS (
+        |  SELECT profile_name, xs, n, f AS i, xs[f] AS z,
+        |    1.0 / f AS p
+        |  FROM init
+        |  UNION ALL
+        |  SELECT profile_name, xs, n, i + 1,
+        |    CASE WHEN xs[i + 1] > 0 THEN 0.2 * xs[i + 1] + 0.8 * z ELSE z END,
+        |    CASE WHEN xs[i + 1] > 0 THEN p + 0.1 * (1.0 - p)
+        |         ELSE p + 0.1 * (0.0 - p) END
+        |  FROM tsb WHERE i < n)
+        |SELECT profile_name,
+        |  round(p, 6) AS prob_demand,
+        |  round(z, 6) AS demand_level,
+        |  round(p * z, 6) AS forecast
+        |FROM tsb WHERE i = n ORDER BY profile_name""".stripMargin,
     // OLS anchor (the m_trend_ols closed form, rounded once at 6 dp),
     // theta2 rows from the rounded anchor, SES recursion with literal
     // 0.2/0.8, horizon arithmetic — every stage the engine's exact twin
