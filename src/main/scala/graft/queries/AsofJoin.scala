@@ -148,10 +148,95 @@ object AsofJoin {
       .orderBy($"event_id")
   }
 
+  /** Nearest-in-time join — the feature-engineering variant (attach the
+    * closest sensor reading / price tick regardless of direction): run
+    * the SAME single-shuffle union+window pass in both directions, then
+    * pick whichever match is closer in integer microseconds; exact ties
+    * resolve to the backward (at-or-before) match, the causal side. Two
+    * passes of the proven shape beat a range join: each is one key
+    * shuffle + a running window, with no interval blow-up to refine.
+    */
+  val jAsofNearest: (SparkSession, String) => DataFrame = (s, d) => {
+    val e = Tables.events(s, d)
+    val purchases = e
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"event_id".as("purchase_id"))
+    val lefts = e
+      .filter($"event_type" =!= "purchase")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    def side(forward: Boolean, idAs: String, tsAs: String) =
+      asof(lefts, purchases, key = "user_id", leftTime = "ts", rightTime = "pts",
+        payload = Seq("purchase_id", "pts"), forward = forward)
+        .withColumnsRenamed(Map("purchase_id" -> idAs, "pts" -> tsAs))
+    val back = side(forward = false, "b_id", "b_ts")
+    val fwd  = side(forward = true, "f_id", "f_ts").select($"event_id", $"f_id", $"f_ts")
+    val pickBack = $"f_ts".isNull ||
+      ($"b_ts".isNotNull &&
+        (unix_micros($"ts") - unix_micros($"b_ts")) <= (unix_micros($"f_ts") - unix_micros($"ts")))
+    back
+      .join(fwd, Seq("event_id"))
+      .select(
+        $"event_id", $"user_id", $"ts", $"event_type",
+        when($"b_ts".isNull && $"f_ts".isNull, lit(null).cast("long"))
+          .when(pickBack, $"b_id").otherwise($"f_id").as("purchase_id"),
+        when($"b_ts".isNull && $"f_ts".isNull, lit(null).cast("timestamp"))
+          .when(pickBack, $"b_ts").otherwise($"f_ts").as("purchase_ts"),
+        when($"b_ts".isNull && $"f_ts".isNull, lit(null).cast("string"))
+          .when(pickBack, lit("before")).otherwise(lit("after")).as("direction"),
+        when($"b_ts".isNull && $"f_ts".isNull, lit(null).cast("long"))
+          .when(pickBack, unix_micros($"ts") - unix_micros($"b_ts"))
+          .otherwise(unix_micros($"f_ts") - unix_micros($"ts")).as("delta_us")
+      )
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("j_asof" -> jAsof, "j_asof_forward" -> jAsofForward)
+    Map("j_asof" -> jAsof, "j_asof_forward" -> jAsofForward,
+      "j_asof_nearest" -> jAsofNearest)
 
   val oracles: Map[String, String] = Map(
+    // both native ASOF directions, right side pre-reduced per (user, ts)
+    // as in j_asof; the nearer match wins, microsecond distances, exact
+    // tie -> the backward (causal) side
+    "j_asof_nearest" ->
+      """WITH p0 AS (
+        |  SELECT user_id, ts, event_id AS purchase_id
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (
+        |  SELECT user_id, ts, purchase_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, ts ORDER BY purchase_id DESC) AS rn
+        |    FROM p0) WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, ts, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |b AS (
+        |  SELECT l.event_id, p.purchase_id AS b_id, p.ts AS b_ts
+        |  FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts),
+        |f AS (
+        |  SELECT l.event_id, p.purchase_id AS f_id, p.ts AS f_ts
+        |  FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts <= p.ts)
+        |SELECT l.event_id, l.user_id, l.ts, l.event_type,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |       WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+        |         epoch_us(l.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(l.ts))
+        |       THEN b_id ELSE f_id END AS purchase_id,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |       WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+        |         epoch_us(l.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(l.ts))
+        |       THEN b_ts ELSE f_ts END AS purchase_ts,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |       WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+        |         epoch_us(l.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(l.ts))
+        |       THEN 'before' ELSE 'after' END AS direction,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |       WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+        |         epoch_us(l.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(l.ts))
+        |       THEN epoch_us(l.ts) - epoch_us(b_ts)
+        |       ELSE epoch_us(f_ts) - epoch_us(l.ts) END AS delta_us
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY l.event_id""".stripMargin,
     "j_asof" ->
       """WITH p0 AS (
         |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
