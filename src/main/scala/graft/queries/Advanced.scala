@@ -247,6 +247,45 @@ object Advanced {
       .orderBy($"col_name")
   }
 
+  /** Benford's-law first-digit audit — the classic fabricated-numbers
+    * screen: genuine transaction amounts follow P(d) = log10(1 + 1/d),
+    * uniform-ish synthetic or tampered figures don't. The leading digit
+    * comes from INTEGER cents via string head (integer→string is
+    * format-stable cross-engine; a double log10/power extraction would
+    * gamble on libm boundaries at exact powers of ten). Per digit:
+    * observed count/share, the Benford expectation (one ln quotient,
+    * rounded once at 9 dp), and the digit's χ² term n·(obs−exp)²/exp
+    * from the once-rounded expectation — so the reported statistic
+    * replays bit-for-bit. Work: one 9-bucket map-side-combinable count.
+    */
+  val aBenford: Q = (s, d) => {
+    val n = Window.partitionBy(lit(1))
+    Tables
+      .orders(s, d)
+      .select(
+        substring(
+          ($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long").cast("string"),
+          1, 1
+        ).cast("int").as("digit")
+      )
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("n_total", sum($"n_obs").over(n))
+      .select(
+        $"digit",
+        $"n_obs",
+        round($"n_obs" / $"n_total", 6).as("obs_share"),
+        round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9).as("benford_share"),
+        round(
+          ($"n_obs" - $"n_total" * round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9)) *
+            ($"n_obs" - $"n_total" * round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9)) /
+            ($"n_total" * round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9)),
+          6
+        ).as("chi2_term")
+      )
+      .orderBy($"digit")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -888,6 +927,7 @@ object Advanced {
     "e_attribution"     -> eAttribution,
     "e_rfm"             -> eRfm,
     "a_entropy"         -> aEntropy,
+    "a_benford"         -> aBenford,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1167,6 +1207,25 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // integer-cents leading digit via string head; Benford expectation =
+    // ln(1+1/d)/ln(10) rounded once at 9 dp, chi2 terms derive from the
+    // SAME rounded value on both engines
+    "a_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM dg GROUP BY digit),
+        |t AS (SELECT *, CAST((SELECT SUM(n_obs) FROM c) AS BIGINT) AS n_total FROM c),
+        |e AS (
+        |  SELECT *, round(ln(1.0 + 1.0 / digit) / ln(10.0), 9) AS benford_share
+        |  FROM t)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share,
+        |  benford_share,
+        |  round((n_obs - n_total * benford_share) * (n_obs - n_total * benford_share)
+        |    / (n_total * benford_share), 6) AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin,
     // per-term (c/N)*ln(c/N) is row-local IEEE on two BIGINTs, rounded
     // once at 9 dp into DECIMAL(20,9) — associative sums, ln parity per
     // the perplexity precedent; stack replayed as UNION ALL
