@@ -1278,6 +1278,51 @@ object TextAnalysis {
     }
   }
 
+  /** Zipf's-law fit — the one-number health check of a corpus's token
+    * distribution (natural text slopes ≈ −1; synthetic or
+    * template-heavy corpora flatten): OLS of ln(freq) on ln(rank) over
+    * the frequency-ranked vocabulary. Ranks ride a vocabulary-sized
+    * window (the rank itself is deterministic: freq desc, token asc);
+    * both logs are one libm call each, rounded ONCE at 9 dp, and the
+    * moment sums ride DECIMAL(38,18) casts of the per-row products —
+    * the m_trend_ols closed form on the rounded coordinates, so slope,
+    * intercept and R² replay exactly. Corpus-sized work is one token
+    * count shuffle; everything after is vocab-sized.
+    */
+  val textZipfFit: Q = (s, d) => {
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy($"freq".desc, $"token")
+    val dec   = org.apache.spark.sql.types.DecimalType(38, 18)
+    Tables
+      .documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(
+        round(log($"rank".cast("double")), 9).as("x"),
+        round(log($"freq".cast("double")), 9).as("y")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(dec)).cast("double").as("sx"),
+        sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
+        sum($"y".cast(dec)).cast("double").as("sy"),
+        sum(($"x" * $"y").cast(dec)).cast("double").as("sxy"),
+        sum(($"y" * $"y").cast(dec)).cast("double").as("syy")
+      )
+      .select(
+        $"n".as("n_vocab"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6)
+          .as("intercept"),
+        round(
+          (($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")) /
+            (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")),
+          6
+        ).as("r2")
+      )
+  }
+
   /** One unrolled TextRank round — the g_pagerank prRound shape with the
     * weighted contribution.
     */
@@ -1294,6 +1339,7 @@ object TextAnalysis {
     "text_pmi_pairs"      -> textPmiPairs,
     "text_perplexity"     -> textPerplexity,
     "text_textrank"       -> textTextrank,
+    "text_zipf_fit"       -> textZipfFit,
     "text_split_divergence" -> textSplitDivergence,
     "text_oov_rate"       -> textOovRate,
     "text_dup_spans"      -> textDupSpans,
@@ -1379,6 +1425,34 @@ object TextAnalysis {
          |FROM c JOIN cf USING (w1) JOIN cs USING (w2), n2
          |WHERE c.pair_count >= $pmiMinCount
          |ORDER BY lift_ppm DESC, w1, w2 LIMIT $pmiTopK""".stripMargin,
+    // rank over (freq desc, token), both logs rounded once at 9 dp,
+    // m_trend_ols closed form on DECIMAL(38,18) moment sums
+    "text_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY token),
+        |r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM f),
+        |xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(freq AS DOUBLE)), 9) AS y
+        |  FROM r),
+        |mo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        |  FROM xy)
+        |SELECT n AS n_vocab,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM mo""".stripMargin,
     // same bigram extraction as text_pmi_pairs; symmetrized weighted
     // edges, then the g_pagerank unrolled-CTE replay with the weighted
     // per-edge contribution (row-local IEEE) and DECIMAL(38,18) reduces
