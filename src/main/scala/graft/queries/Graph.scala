@@ -349,13 +349,69 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** Item-item collaborative filtering — the recommender primitive over
+    * the order↔part bipartite graph: similarity(a,b) = cooccur(a,b) /
+    * √(deg a · deg b) (cosine on binary purchase vectors), top-5
+    * recommendations per item. The wedge self-join is keyed on the
+    * ORDER (baskets are small, so Σ basket² stays linear-ish — the same
+    * bound that protects g_triangles), the similarity join against the
+    * degree table is dimension-sized, and the per-item cut runs on the
+    * native bounded-heap [[graft.plans.TopK]] operator — at most k rows
+    * per (item, mapper) cross the final exchange instead of the full
+    * scored pair list.
+    */
+  val cfK = 5
+  val gCfTopK: Q = (s, d) => {
+    val ip = Tables
+      .lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey")
+      .distinct()
+      .persist()
+    try {
+      val deg = ip.groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("deg"))
+      val co = ip
+        .as("a")
+        .join(
+          ip.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey")
+        )
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("cooc"))
+      val sym = co.unionAll(co.select($"v".as("u"), $"u".as("v"), $"cooc"))
+      val scored = sym
+        .join(deg.withColumnsRenamed(Map("p" -> "u", "deg" -> "du")), "u")
+        .join(deg.withColumnsRenamed(Map("p" -> "v", "deg" -> "dv")), "v")
+        .select(
+          $"u".as("item"),
+          $"v".as("rec"),
+          round($"cooc" / sqrt(($"du" * $"dv").cast("double")), 6).as("score")
+        )
+      val top = graft.plans.TopK.perKey(
+        scored,
+        keys = Seq($"item"),
+        ordering = Seq($"score".desc, $"rec".asc),
+        k = cfK
+      )
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"item")
+        .orderBy($"score".desc, $"rec")
+      top
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= cfK)
+        .orderBy($"item", $"rank")
+        .localCheckpoint()
+    } finally ip.unpersist()
+  }
+
   val queries: Map[String, Q] = Map(
     "g_pagerank"   -> gPagerank,
     "g_triangles"  -> gTriangles,
     "g_hops"       -> gHops,
     "g_label_prop" -> gLabelProp,
     "g_sssp"       -> gSssp,
-    "g_k_core"     -> gKCore
+    "g_k_core"     -> gKCore,
+    "g_cf_topk"    -> gCfTopK
   )
 
   /** Shared SQL for the co-purchase projection. */
@@ -401,6 +457,30 @@ object Graph {
        |  WHERE dd >= $kCoreK)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // basket wedge counts, cosine on binary purchase vectors (per-row
+    // IEEE, rounded 6), row_number cut at k with the (score desc, rec)
+    // tiebreak the native TopK uses
+    "g_cf_topk" ->
+      s"""WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |deg AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM ip GROUP BY l_partkey),
+         |co AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS cooc
+         |  FROM ip a JOIN ip b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT u, v, cooc FROM co UNION ALL SELECT v, u, cooc FROM co),
+         |sc AS (
+         |  SELECT sym.u AS item, sym.v AS rec,
+         |    round(cooc / sqrt(CAST(dua.deg * dvb.deg AS DOUBLE)), 6) AS score
+         |  FROM sym
+         |  JOIN deg dua ON dua.p = sym.u
+         |  JOIN deg dvb ON dvb.p = sym.v)
+         |SELECT item, rec, score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY item ORDER BY score DESC, rec) AS INT) AS rank
+         |  FROM sc) t
+         |WHERE rank <= $cfK ORDER BY item, rank""".stripMargin,
     // fixed-round synchronous peel replay: a0 = every endpoint, each
     // round an induced-subgraph degree filter at k, final core degrees
     // recomputed on the surviving node set. The edge CTE is MATERIALIZED:
