@@ -293,6 +293,66 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  // ---------------------------------------------------- damped Holt
+
+  final case class DampedRow(
+      profile_name: String,
+      horizon: Int,
+      level: Double,
+      trend: Double,
+      forecast: Double
+  )
+
+  /** Damped-trend Holt (Gardner & McKenzie 1985) — the linear-trend
+    * smoother with the φ damping that made it the M-competition's
+    * safe default: an undamped Holt extrapolates its last trend forever
+    * (wildly optimistic at long horizons), while φ=0.9 geometrically
+    * flattens the projection toward a finite asymptote. Same fold shape
+    * and literal-coefficient discipline as `m_holt_fixed` (α=0.3 β=0.1,
+    * every product written literally); the h-step trend multiplier
+    * Σφ^j is spelled out as explicit literal chains on both engines so
+    * no pow() enters. Emits horizons 1..3 per profile.
+    */
+  def holtDampedJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ForecastJobs
+      .gapfillJob(s, dir)
+      .as[GapRow]
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
+        if (xs.length < 2) Iterator.empty
+        else {
+          var l = xs(0)
+          var b = xs(1) - xs(0)
+          var i = 1
+          while (i < xs.length) {
+            val l2 = 0.3 * xs(i) + 0.7 * (l + 0.9 * b)
+            b = 0.1 * (l2 - l) + 0.9 * (0.9 * b)
+            l = l2
+            i += 1
+          }
+          val m1 = 0.9
+          val m2 = 0.9 + 0.9 * 0.9
+          val m3 = 0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9
+          Iterator(
+            DampedRow(profile, 1, l, b, l + m1 * b),
+            DampedRow(profile, 2, l, b, l + m2 * b),
+            DampedRow(profile, 3, l, b, l + m3 * b)
+          )
+        }
+      }
+      .toDF()
+      .select(
+        col("profile_name"),
+        col("horizon"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast")
+      )
+      .orderBy(col("profile_name"), col("horizon"))
+  }
+
   // ------------------------------------------------------------- TSB
 
   final case class TsbRow(
@@ -561,7 +621,8 @@ object SeriesAnalysis {
     "m_inventory_sim"   -> (inventorySimJob(_, _)),
     "m_cusum"           -> (cusumJob(_, _)),
     "m_theta"           -> (thetaJob(_, _)),
-    "m_tsb"             -> (tsbJob(_, _))
+    "m_tsb"             -> (tsbJob(_, _)),
+    "m_holt_damped"     -> (holtDampedJob(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -676,6 +737,28 @@ object SeriesAnalysis {
         |  CAST(CAST(cusum_r AS DOUBLE) > 5.0 * sigma
         |    OR CAST(cusum_r AS DOUBLE) < -5.0 * sigma AS INT) AS drift_flag
         |FROM c ORDER BY profile_name, week_date""".stripMargin,
+    // the m_holt_fixed recursion with the phi-damped trend; horizon
+    // multipliers are explicit literal chains (no pow on either engine)
+    "m_holt_damped" ->
+      s"""WITH RECURSIVE $gapCte,
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM gap GROUP BY profile_name),
+        |dh AS (
+        |  SELECT profile_name, xs, 1 AS i, xs[1] AS l, xs[2] - xs[1] AS b
+        |  FROM series WHERE len(xs) >= 2
+        |  UNION ALL
+        |  SELECT profile_name, xs, i + 1,
+        |    0.3 * xs[i + 1] + 0.7 * (l + 0.9 * b),
+        |    0.1 * ((0.3 * xs[i + 1] + 0.7 * (l + 0.9 * b)) - l) + 0.9 * (0.9 * b)
+        |  FROM dh WHERE i < len(xs)),
+        |fin AS (SELECT profile_name, l, b FROM dh WHERE i = len(xs))
+        |SELECT profile_name, CAST(h.range AS INT) AS horizon,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + CASE h.range WHEN 1 THEN 0.9 WHEN 2 THEN 0.9 + 0.9 * 0.9
+        |    ELSE 0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 END * b, 6) AS forecast
+        |FROM fin, range(1, 4) h
+        |ORDER BY profile_name, horizon""".stripMargin,
     // croston-shaped recursion with the TSB updates: probability smoothed
     // EVERY period (p + 0.1*(occ - p) written with literal branches),
     // size on demand periods only; seeds mirror m_croston
