@@ -286,6 +286,49 @@ object Advanced {
       .orderBy($"digit")
   }
 
+  /** Hierarchical subtree rollup — the BOM / org-chart aggregation a
+    * warehouse needs once dimensions nest: every node reports its own
+    * metric plus its whole subtree's. The hierarchy is the decimal-digit
+    * tree over partkeys (parent = p // 10 — four levels deep, the
+    * documented synthetic stand-in for a parent column the schema
+    * lacks). The scale-correct plan is NOT per-level iteration or a
+    * recursive join: because depth is BOUNDED, each part explodes into
+    * its ≤ 4 ancestors (itself included) map-side, and ONE
+    * partial-agg'd groupBy lands every subtree total — the transitive
+    * closure is enumerated per row, never joined. The oracle replays
+    * the same ancestor arithmetic.
+    */
+  val aTreeRollup: Q = (s, d) => {
+    val own = Tables
+      .lineitem(s, d)
+      .groupBy($"l_partkey".as("node"))
+      .agg(sum($"l_quantity".cast(DecimalType(18, 6))).as("own_qty"))
+    own
+      .select(
+        $"node".as("src"),
+        $"own_qty".as("src_qty"),
+        explode(
+          filter(
+            array($"node", expr("node div 10"), expr("node div 100"), expr("node div 1000")),
+            a => a > 0
+          )
+        ).as("node")
+      )
+      .groupBy($"node")
+      .agg(
+        sum($"src_qty").cast("double").as("subtree_qty"),
+        sum(when($"src" =!= $"node", 1L).otherwise(0L)).as("n_descendants")
+      )
+      .join(own, Seq("node"), "left")
+      .select(
+        $"node",
+        coalesce($"own_qty".cast("double"), lit(0.0)).as("own_qty"),
+        $"subtree_qty",
+        $"n_descendants"
+      )
+      .orderBy($"node")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -928,6 +971,7 @@ object Advanced {
     "e_rfm"             -> eRfm,
     "a_entropy"         -> aEntropy,
     "a_benford"         -> aBenford,
+    "a_tree_rollup"     -> aTreeRollup,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1207,6 +1251,28 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // same bounded ancestor-explode (node, node//10, node//100,
+    // node//1000 while > 0), DECIMAL own sums, one grouped rollup
+    "a_tree_rollup" ->
+      """WITH own AS (
+        |  SELECT l_partkey AS node,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS own_qty
+        |  FROM lineitem GROUP BY l_partkey),
+        |anc AS (
+        |  SELECT o.node AS src, o.own_qty AS src_qty, a.node
+        |  FROM own o, LATERAL (SELECT unnest([x for x in
+        |    [o.node, o.node // 10, o.node // 100, o.node // 1000]
+        |    if x > 0]) AS node) a),
+        |roll AS (
+        |  SELECT node,
+        |    CAST(SUM(src_qty) AS DOUBLE) AS subtree_qty,
+        |    CAST(SUM(CASE WHEN src <> node THEN 1 ELSE 0 END) AS BIGINT) AS n_descendants
+        |  FROM anc GROUP BY node)
+        |SELECT r.node,
+        |  CAST(coalesce(o.own_qty, 0) AS DOUBLE) AS own_qty,
+        |  r.subtree_qty, r.n_descendants
+        |FROM roll r LEFT JOIN own o ON o.node = r.node
+        |ORDER BY r.node""".stripMargin,
     // integer-cents leading digit via string head; Benford expectation =
     // ln(1+1/d)/ln(10) rounded once at 9 dp, chi2 terms derive from the
     // SAME rounded value on both engines
