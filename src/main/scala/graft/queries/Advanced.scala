@@ -329,6 +329,43 @@ object Advanced {
       .orderBy($"node")
   }
 
+  /** Gini coefficient of revenue concentration — the one-number
+    * inequality audit behind the ABC classes: G = (2·Σ i·xᵢ)/(n·Σ xᵢ)
+    * − (n+1)/n over revenues sorted ascending (rank-weighted form,
+    * exact, no trapezoid approximation). Revenues aggregate in
+    * DECIMAL(18,2); the rank weighting rides ONE window over the part
+    * DIMENSION (rank i by (revenue, partkey) — total order, so the
+    * weighted sum is deterministic), and i·xᵢ products stay DECIMAL so
+    * the two grand totals are associative. Emitted per returnflag plus
+    * the n and totals that pin the formula.
+    */
+  val aGini: Q = (s, d) => {
+    val dec18 = DecimalType(18, 2)
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val rankW  = Window.partitionBy($"l_returnflag").orderBy($"rev", $"l_partkey")
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_partkey")
+      .agg(sum($"l_extendedprice".cast(dec18)).as("rev"))
+      .withColumn("i", row_number().over(rankW).cast("long"))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .groupBy($"l_returnflag", $"n")
+      .agg(
+        sum($"rev").cast("double").as("total_rev"),
+        sum($"rev" * $"i").cast("double").as("weighted_rev")
+      )
+      .select(
+        $"l_returnflag",
+        $"n".as("n_parts"),
+        round($"total_rev", 2).as("total_rev"),
+        round(
+          lit(2.0) * $"weighted_rev" / ($"n" * $"total_rev") - ($"n" + lit(1)) / $"n",
+          6
+        ).as("gini")
+      )
+      .orderBy($"l_returnflag")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -972,6 +1009,7 @@ object Advanced {
     "a_entropy"         -> aEntropy,
     "a_benford"         -> aBenford,
     "a_tree_rollup"     -> aTreeRollup,
+    "a_gini"            -> aGini,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1251,6 +1289,29 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // rank-weighted exact Gini on DECIMAL revenue; (rev, partkey) total
+    // order pins the rank; integer / integer divides as true division on
+    // both engines
+    "a_gini" ->
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY rev, l_partkey) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM rev),
+        |ag AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(SUM(rev) AS DOUBLE) AS total_rev,
+        |    CAST(SUM(rev * i) AS DOUBLE) AS weighted_rev
+        |  FROM rk GROUP BY l_returnflag, n)
+        |SELECT l_returnflag, n AS n_parts,
+        |  round(total_rev, 2) AS total_rev,
+        |  round(2.0 * weighted_rev / (n * total_rev) - (n + 1) / n, 6) AS gini
+        |FROM ag ORDER BY l_returnflag""".stripMargin,
     // same bounded ancestor-explode (node, node//10, node//100,
     // node//1000 while > 0), DECIMAL own sums, one grouped rollup
     "a_tree_rollup" ->
