@@ -293,6 +293,107 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  // ------------------------------------------------ backtest scorecard
+
+  final case class FcRow(
+      profile_name: String,
+      method: String,
+      horizon: Int,
+      forecast: Double,
+      actual: Double
+  )
+
+  /** Holdout length for the scorecard — shared with the oracle. */
+  private[forecast] val backtestHoldout = 5
+
+  /** Model-selection scorecard — the reference's core loop (fit several
+    * models per profile, score on a holdout, pick a winner; SURVEY §2.8
+    * M1–M4) generalized across the smoothing family: SES (α=0.6, M7's
+    * coefficient), Holt (0.8/0.2), damped Holt (0.3/0.1/φ=0.9) and
+    * Croston (0.2/0.8) each train on all but the last five weeks and
+    * forecast the holdout; per-(profile, method) MSE ranks the methods.
+    * All four are pure sequential IEEE folds with literal coefficients
+    * (no decimal-moment models — Theta's OLS stage would drag the
+    * moment-sum discipline into Scala code, so it races elsewhere);
+    * squared errors are rounded ONCE at 9 dp into DECIMAL(20,9) so the
+    * per-method sums are associative, and the winner rank orders by
+    * (mse, method) — a total order. One shuffle; profiles are the
+    * parallel unit.
+    */
+  def backtestJob(s: SparkSession, dir: String): DataFrame = {
+    // encoders only — the full bundle's `$` clashes with graft.syntax's
+    import s.implicits.{newProductEncoder, newStringEncoder}
+    // damped-trend horizon multipliers as explicit literal chains — the
+    // SQL replay spells out the same products in the same order
+    val dampedMult = Array(
+      0.9,
+      0.9 + 0.9 * 0.9,
+      0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9,
+      0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9,
+      0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9 * 0.9
+    )
+    val fc = ForecastJobs
+      .gapfillJob(s, dir)
+      .as[GapRow]
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
+        val n  = xs.length
+        if (n < backtestHoldout + 2) Iterator.empty
+        else {
+          val tr   = xs.take(n - backtestHoldout)
+          val hold = xs.drop(n - backtestHoldout)
+          val out  = Array.newBuilder[FcRow]
+          var z = tr(0); var i = 1
+          while (i < tr.length) { z = 0.6 * tr(i) + 0.4 * z; i += 1 }
+          for (h <- 1 to backtestHoldout) out += FcRow(profile, "ses", h, z, hold(h - 1))
+          var l = tr(0); var b = tr(1) - tr(0); i = 1
+          while (i < tr.length) {
+            val l2 = 0.8 * tr(i) + 0.2 * (l + b)
+            b = 0.2 * (l2 - l) + 0.8 * b
+            l = l2; i += 1
+          }
+          for (h <- 1 to backtestHoldout) out += FcRow(profile, "holt", h, l + h * b, hold(h - 1))
+          var dl = tr(0); var db = tr(1) - tr(0); i = 1
+          while (i < tr.length) {
+            val l2 = 0.3 * tr(i) + 0.7 * (dl + 0.9 * db)
+            db = 0.1 * (l2 - dl) + 0.9 * (0.9 * db)
+            dl = l2; i += 1
+          }
+          for (h <- 1 to backtestHoldout)
+            out += FcRow(profile, "damped", h, dl + dampedMult(h - 1) * db, hold(h - 1))
+          val f = tr.indexWhere(_ > 0)
+          if (f >= 0) {
+            var cz = tr(f); var p = (f + 1).toDouble; var q = 1
+            i = f + 1
+            while (i < tr.length) {
+              if (tr(i) > 0) { cz = 0.2 * tr(i) + 0.8 * cz; p = 0.2 * q + 0.8 * p; q = 1 }
+              else q += 1
+              i += 1
+            }
+            for (h <- 1 to backtestHoldout)
+              out += FcRow(profile, "croston", h, cz / p, hold(h - 1))
+          }
+          out.result().iterator
+        }
+      }
+      .toDF()
+    val rankW = Window.partitionBy($"profile_name").orderBy($"mse", $"method")
+    fc.select(
+        $"profile_name",
+        $"method",
+        round(($"forecast" - $"actual") * ($"forecast" - $"actual"), 9)
+          .cast(dec209).as("se")
+      )
+      .groupBy($"profile_name", $"method")
+      .agg(count(lit(1)).as("n_h"), sum($"se").as("sse"))
+      .select($"profile_name", $"method", round($"sse".cast("double") / $"n_h", 6).as("mse"))
+      .withColumn("rank", row_number().over(rankW).cast("int"))
+      .orderBy($"profile_name", $"rank")
+  }
+
+  private val dec209 = DecimalType(20, 9)
+
   // ---------------------------------------------------- damped Holt
 
   final case class DampedRow(
@@ -622,7 +723,8 @@ object SeriesAnalysis {
     "m_cusum"           -> (cusumJob(_, _)),
     "m_theta"           -> (thetaJob(_, _)),
     "m_tsb"             -> (tsbJob(_, _)),
-    "m_holt_damped"     -> (holtDampedJob(_, _))
+    "m_holt_damped"     -> (holtDampedJob(_, _)),
+    "m_backtest"        -> (backtestJob(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,6 +839,88 @@ object SeriesAnalysis {
         |  CAST(CAST(cusum_r AS DOUBLE) > 5.0 * sigma
         |    OR CAST(cusum_r AS DOUBLE) < -5.0 * sigma AS INT) AS drift_flag
         |FROM c ORDER BY profile_name, week_date""".stripMargin,
+    // four recursion replays over the train prefix (ses/holt/damped/
+    // croston, all literal coefficients), holdout actuals by 1-based
+    // index, squared errors once-rounded into DECIMAL(20,9), rank on
+    // the rounded mse with the method tiebreak
+    "m_backtest" ->
+      s"""WITH RECURSIVE $gapCte,
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM gap GROUP BY profile_name),
+        |base AS (
+        |  SELECT profile_name, xs[1:len(xs) - $backtestHoldout] AS tr, xs, len(xs) AS n
+        |  FROM series WHERE len(xs) >= ${backtestHoldout + 2}),
+        |ses AS (
+        |  SELECT profile_name, tr, 1 AS i, tr[1] AS z FROM base
+        |  UNION ALL
+        |  SELECT profile_name, tr, i + 1, 0.6 * tr[i + 1] + 0.4 * z
+        |  FROM ses WHERE i < len(tr)),
+        |sesf AS (SELECT profile_name, z FROM ses WHERE i = len(tr)),
+        |holt AS (
+        |  SELECT profile_name, tr, 1 AS i, tr[1] AS l, tr[2] - tr[1] AS b FROM base
+        |  UNION ALL
+        |  SELECT profile_name, tr, i + 1,
+        |    0.8 * tr[i + 1] + 0.2 * (l + b),
+        |    0.2 * ((0.8 * tr[i + 1] + 0.2 * (l + b)) - l) + 0.8 * b
+        |  FROM holt WHERE i < len(tr)),
+        |holtf AS (SELECT profile_name, l, b FROM holt WHERE i = len(tr)),
+        |dmp AS (
+        |  SELECT profile_name, tr, 1 AS i, tr[1] AS l, tr[2] - tr[1] AS b FROM base
+        |  UNION ALL
+        |  SELECT profile_name, tr, i + 1,
+        |    0.3 * tr[i + 1] + 0.7 * (l + 0.9 * b),
+        |    0.1 * ((0.3 * tr[i + 1] + 0.7 * (l + 0.9 * b)) - l) + 0.9 * (0.9 * b)
+        |  FROM dmp WHERE i < len(tr)),
+        |dmpf AS (SELECT profile_name, l, b FROM dmp WHERE i = len(tr)),
+        |cri AS (
+        |  SELECT profile_name, tr, list_position([x > 0 for x in tr], true) AS f
+        |  FROM base WHERE list_position([x > 0 for x in tr], true) > 0),
+        |cro AS (
+        |  SELECT profile_name, tr, f AS i, tr[f] AS z, CAST(f AS DOUBLE) AS p, 1 AS q
+        |  FROM cri
+        |  UNION ALL
+        |  SELECT profile_name, tr, i + 1,
+        |    CASE WHEN tr[i + 1] > 0 THEN 0.2 * tr[i + 1] + 0.8 * z ELSE z END,
+        |    CASE WHEN tr[i + 1] > 0 THEN 0.2 * q + 0.8 * p ELSE p END,
+        |    CASE WHEN tr[i + 1] > 0 THEN 1 ELSE q + 1 END
+        |  FROM cro WHERE i < len(tr)),
+        |crof AS (SELECT profile_name, z, p FROM cro WHERE i = len(tr)),
+        |hz AS (SELECT CAST(range AS INT) AS h FROM range(1, ${backtestHoldout + 1})),
+        |fc AS (
+        |  SELECT b.profile_name, 'ses' AS method, hz.h, s.z AS forecast,
+        |    b.xs[b.n - $backtestHoldout + hz.h] AS actual
+        |  FROM base b JOIN sesf s USING (profile_name), hz
+        |  UNION ALL
+        |  SELECT b.profile_name, 'holt', hz.h, hf.l + hz.h * hf.b,
+        |    b.xs[b.n - $backtestHoldout + hz.h]
+        |  FROM base b JOIN holtf hf USING (profile_name), hz
+        |  UNION ALL
+        |  SELECT b.profile_name, 'damped', hz.h,
+        |    df.l + CASE hz.h WHEN 1 THEN 0.9 WHEN 2 THEN 0.9 + 0.9 * 0.9
+        |      WHEN 3 THEN 0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9
+        |      WHEN 4 THEN 0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9
+        |      ELSE 0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9
+        |        + 0.9 * 0.9 * 0.9 * 0.9 * 0.9 END * df.b,
+        |    b.xs[b.n - $backtestHoldout + hz.h]
+        |  FROM base b JOIN dmpf df USING (profile_name), hz
+        |  UNION ALL
+        |  SELECT b.profile_name, 'croston', hz.h, c.z / c.p,
+        |    b.xs[b.n - $backtestHoldout + hz.h]
+        |  FROM base b JOIN crof c USING (profile_name), hz),
+        |se AS (
+        |  SELECT profile_name, method,
+        |    CAST(round((forecast - actual) * (forecast - actual), 9)
+        |      AS DECIMAL(20,9)) AS sqe
+        |  FROM fc),
+        |ms AS (
+        |  SELECT profile_name, method, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    CAST(SUM(sqe) AS DOUBLE) AS ssed
+        |  FROM se GROUP BY 1, 2)
+        |SELECT profile_name, method, round(ssed / n_h, 6) AS mse,
+        |  CAST(row_number() OVER (PARTITION BY profile_name
+        |    ORDER BY round(ssed / n_h, 6), method) AS INT) AS rank
+        |FROM ms ORDER BY profile_name, rank""".stripMargin,
     // the m_holt_fixed recursion with the phi-damped trend; horizon
     // multipliers are explicit literal chains (no pow on either engine)
     "m_holt_damped" ->
