@@ -364,16 +364,89 @@ object StreamQueries {
     out
   }
 
+  /** Streaming anomaly monitor — the stream-STATIC join leg of §2.10:
+    * per-type historical statistics (mean/σ of 30-minute window totals,
+    * computed batch-side from exact DECIMAL moments and rounded once at
+    * 6 dp) are BROADCAST into the live stream below the windowed
+    * aggregation, so every arriving window is scored against history the
+    * moment it closes — the standard "baseline table ⋈ firehose" shape
+    * (the static side refreshes per micro-batch in a live deployment).
+    * The stats ride the grouping key (constants per type), the window
+    * total is the same order-free DECIMAL sum as `s_stream_windows`, and
+    * the 3σ flag compares deterministic doubles derived from the
+    * once-rounded stats on both engines.
+    */
+  val streamAnomaly: Q = (s, d) => {
+    val dec = "decimal(18,2)"
+    val batchWindows = graft.tables.Tables
+      .events(s, d)
+      .groupBy(window($"ts", "30 minutes").as("w"), $"event_type")
+      .agg(sum($"value".cast(dec)).as("wtot"))
+    val stats = batchWindows
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"wtot").cast("double").as("sw"),
+        sum(($"wtot" * $"wtot").cast("decimal(38,6)")).cast("double").as("sww")
+      )
+      .select(
+        $"event_type",
+        round($"sw" / $"n", 6).as("mean_total"),
+        round(sqrt(($"sww" - $"sw" * $"sw" / $"n") / ($"n" - 1)), 6).as("sigma_total")
+      )
+    runAvailableNow(s, d, "s_stream_anomaly_sink") { src =>
+      src
+        .join(broadcast(stats), Seq("event_type"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+          window($"ts", "30 minutes").as("w"),
+          $"event_type", $"mean_total", $"sigma_total"
+        )
+        .agg(sum($"value".cast(dec)).cast("double").as("total_value"))
+        .select(
+          $"w.start".as("window_start"), $"w.end".as("window_end"),
+          $"event_type", $"total_value", $"mean_total", $"sigma_total",
+          (abs($"total_value" - $"mean_total") > lit(3.0) * $"sigma_total")
+            .cast("int").as("is_anomaly")
+        )
+    }.orderBy($"window_start", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "s_stream_windows"  -> streamWindows,
     "s_stream_sessions" -> streamSessions,
     "s_stream_join"     -> streamJoin,
     "s_stream_join_outer" -> streamJoinOuter,
     "s_stream_dedup"    -> streamDedup,
-    "s_stream_state"    -> streamState
+    "s_stream_state"    -> streamState,
+    "s_stream_anomaly"  -> streamAnomaly
   )
 
   val oracles: Map[String, String] = Map(
+    // batch replay of the full monitor: DECIMAL window totals, per-type
+    // moments, once-rounded mean/σ, identical 3σ flag arithmetic
+    "s_stream_anomaly" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS wtot
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(wtot) AS DOUBLE) AS sw,
+        |    CAST(SUM(wtot * wtot) AS DOUBLE) AS sww
+        |  FROM w GROUP BY 1),
+        |sx AS (
+        |  SELECT event_type,
+        |    round(sw / n, 6) AS mean_total,
+        |    round(sqrt((sww - sw * sw / n) / (n - 1)), 6) AS sigma_total
+        |  FROM st)
+        |SELECT w.ws AS window_start, w.ws + INTERVAL 30 MINUTE AS window_end,
+        |  w.event_type, CAST(w.wtot AS DOUBLE) AS total_value,
+        |  sx.mean_total, sx.sigma_total,
+        |  CAST(abs(CAST(w.wtot AS DOUBLE) - mean_total) > 3.0 * sigma_total AS INT)
+        |    AS is_anomaly
+        |FROM w JOIN sx USING (event_type)
+        |ORDER BY window_start, event_type""".stripMargin,
     // Event-time-ordered replay of the milestone fold: exact integer
     // cents (the same DECIMAL(18,2) cast as the engine), cumulative sum,
     // integer-division level, emit where the level strictly rises. The
