@@ -196,7 +196,52 @@ object Chunking {
       .orderBy($"train_doc", $"eval_doc")
   }
 
+  /** Dataset release manifest — the datasheet a training-data release
+    * ships: per (split, source) stratum, document/token/char counts,
+    * the exact-dedup keep rate (what fraction survives the md5 keep
+    * rule), and an ORDER-FREE content digest so two releases can be
+    * compared without re-reading either corpus. The digest sums 48-bit
+    * md5 prefixes in DECIMAL(38,0) — associative, so partition order
+    * can't perturb it — and reduces mod 10¹⁸ at the very end (the mod
+    * is what keeps the emitted value a BIGINT at any corpus size).
+    * Splits reuse `text_split_assign`'s bucket rule and the keep rule
+    * is `pipe_curate`'s window min — one scan, one grouped pass.
+    */
+  val pipeManifest: Q = (s, d) => {
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text".cast("binary")))
+    Tables
+      .documents(s, d)
+      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
+      .withColumn(
+        "split",
+        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
+      )
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("keep", ($"doc_id" === min($"doc_id").over(byHash)).cast("long"))
+      .withColumn(
+        "dg",
+        conv(substring(md5($"text".cast("binary")), 1, 12), 16, 10).cast("decimal(38,0)")
+      )
+      .groupBy($"split", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_chars").as("total_chars"),
+        sum($"keep").as("kept_docs"),
+        sum($"dg").as("sdg")
+      )
+      .select(
+        $"split", $"source", $"n_docs", $"total_tokens", $"total_chars", $"kept_docs",
+        round($"kept_docs" / $"n_docs", 6).as("keep_rate"),
+        expr("CAST(sdg % CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT)")
+          .as("content_digest")
+      )
+      .orderBy($"split", $"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe_manifest"      -> pipeManifest,
     "text_chunk"        -> textChunk,
     "text_pack"         -> textPack,
     "text_redact"       -> textRedact,
@@ -205,6 +250,32 @@ object Chunking {
   )
 
   val oracles: Map[String, String] = Map(
+    // split bucket + window-min keep + the established hex-fold replay
+    // of conv(substr(md5,1,12),16,10); digest summed in DECIMAL(38,0)
+    // and reduced mod 1e18 exactly as the engine
+    "pipe_manifest" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, n_chars, md5(text) AS h,
+        |    CASE WHEN substr(md5(text), 1, 1) = 'e' THEN 'val'
+        |         WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
+        |         ELSE 'train' END AS split,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    list_reduce([instr('0123456789abcdef', md5(text)[i]) - 1
+        |      for i in range(1, 13)], (a, b) -> a * 16 + b) AS dg
+        |  FROM documents),
+        |k AS (
+        |  SELECT *, CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM docs)
+        |SELECT split, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(keep) AS BIGINT) AS kept_docs,
+        |  round(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+        |  CAST(CAST(SUM(CAST(dg AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    % CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT) AS content_digest
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, text,
