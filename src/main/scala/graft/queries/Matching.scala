@@ -231,15 +231,148 @@ object Matching {
       .orderBy($"event_type")
   }
 
+  /** Per-(event_type, value) group counts under the same A/B split as
+    * `e_ab_test` — the shared input of both nonparametric tests below.
+    */
+  private def abValueCounts(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .withColumn("grp", ($"event_id" % 2).cast("int"))
+      .groupBy($"event_type", $"value")
+      .agg(
+        sum(when($"grp" === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("cb")
+      )
+
+  /** Two-sample Kolmogorov–Smirnov test — the distribution-shape
+    * complement of `e_ab_test`'s mean comparison (Welch detects a
+    * shifted mean; KS detects ANY distributional change). The statistic
+    * stays INTEGER until the last step: with per-value cumulative counts
+    * Fa, Fb, the scaled gap |Fa·n_b − Fb·n_a| is exact long arithmetic,
+    * its max is the D numerator, and only the final normalization and
+    * the 1.358·√((n_a+n_b)/(n_a·n_b)) α=0.05 critical value touch
+    * doubles (once-rounded; the reject flag compares the two rounded
+    * values). One value-grain shuffle; cumulative windows ride the
+    * event_type partition.
+    */
+  val eKsTest: Q = (s, d) => {
+    val cum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy($"event_type")
+    abValueCounts(s, d)
+      .withColumn("fa", sum($"ca").over(cum))
+      .withColumn("fb", sum($"cb").over(cum))
+      .withColumn("na", sum($"ca").over(tot))
+      .withColumn("nb", sum($"cb").over(tot))
+      .withColumn("dsc", abs($"fa" * $"nb" - $"fb" * $"na"))
+      .groupBy($"event_type", $"na", $"nb")
+      .agg(max($"dsc").as("d_scaled"))
+      .select(
+        $"event_type",
+        $"na".as("n_a"),
+        $"nb".as("n_b"),
+        round($"d_scaled" / ($"na" * $"nb"), 6).as("d_stat"),
+        round(lit(1.358) * sqrt(($"na" + $"nb") / ($"na" * $"nb").cast("double")), 6)
+          .as("crit_05")
+      )
+      .withColumn("reject_05", ($"d_stat" > $"crit_05").cast("int"))
+      .orderBy($"event_type")
+  }
+
+  /** Mann–Whitney U — the rank-based location test that doesn't assume
+    * normality. Tie-bearing ranks are handled EXACTLY in integers: for a
+    * value with c = ca+cb occurrences after `less` smaller observations,
+    * the doubled average rank is 2·less + c + 1, so the doubled rank sum
+    * 2R_A = Σ ca·(2·less + c + 1) and the doubled statistic
+    * 2U_A = 2·n_a·n_b + n_a(n_a+1) − 2R_A are exact longs; only the
+    * final normal approximation z = (2U_A − n_a·n_b) / (2·σ_U) divides
+    * doubles (no tie-correction term — documented simplification, both
+    * engines identical).
+    */
+  val eMannWhitney: Q = (s, d) => {
+    val cum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    abValueCounts(s, d)
+      .withColumn("cumall", sum($"ca" + $"cb").over(cum))
+      .withColumn("less", $"cumall" - ($"ca" + $"cb"))
+      .withColumn("r2a", $"ca" * (lit(2L) * $"less" + $"ca" + $"cb" + lit(1L)))
+      .groupBy($"event_type")
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb"), sum($"r2a").as("sr2a"))
+      .select(
+        $"event_type",
+        $"na".as("n_a"),
+        $"nb".as("n_b"),
+        (($"na" * $"nb" * 2 + $"na" * ($"na" + 1) - $"sr2a") / lit(2.0)).as("u_a"),
+        round(
+          (($"na" * $"nb" * 2 + $"na" * ($"na" + 1) - $"sr2a") - $"na" * $"nb") /
+            (lit(2.0) * sqrt(($"na" * $"nb" * ($"na" + $"nb" + 1)) / lit(12.0))),
+          6
+        ).as("z_stat")
+      )
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "j_fuzzy_match"   -> jFuzzyMatch,
     "a_skyline"       -> aSkyline,
     "e_cohort_ltv"    -> eCohortLtv,
     "e_anomalies_mad" -> eAnomaliesMad,
-    "e_ab_test"       -> eAbTest
+    "e_ab_test"       -> eAbTest,
+    "e_ks_test"       -> eKsTest,
+    "e_mann_whitney"  -> eMannWhitney
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-exact scaled gap max, one double normalization, rounded
+    // critical value; flag compares the two rounded values
+    "e_ks_test" ->
+      """WITH c AS (
+        |  SELECT event_type, value,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *,
+        |    SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb,
+        |    SUM(ca) OVER t AS na, SUM(cb) OVER t AS nb
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |    ROWS UNBOUNDED PRECEDING),
+        |  t AS (PARTITION BY event_type)),
+        |d AS (
+        |  SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |    CAST(MAX(abs(fa * nb - fb * na)) AS BIGINT) AS d_scaled
+        |  FROM f GROUP BY event_type, na, nb),
+        |o AS (
+        |  SELECT event_type, na AS n_a, nb AS n_b,
+        |    round(CAST(d_scaled AS DOUBLE) / (na * nb), 6) AS d_stat,
+        |    round(1.358 * sqrt((na + nb) / CAST(na * nb AS DOUBLE)), 6) AS crit_05
+        |  FROM d)
+        |SELECT *, CAST(d_stat > crit_05 AS INT) AS reject_05
+        |FROM o ORDER BY event_type""".stripMargin,
+    // doubled tie-average ranks keep everything integer until the final
+    // z normalization — same arithmetic order as the engine
+    "e_mann_whitney" ->
+      """WITH c AS (
+        |  SELECT event_type, value,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) - (ca + cb) AS less
+        |  FROM c),
+        |ag AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(ca * (2 * less + ca + cb + 1)) AS BIGINT) AS sr2a
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, na AS n_a, nb AS n_b,
+        |  (na * nb * 2 + na * (na + 1) - sr2a) / 2.0 AS u_a,
+        |  round(((na * nb * 2 + na * (na + 1) - sr2a) - na * nb)
+        |    / (2.0 * sqrt((na * nb * (na + nb + 1)) / 12.0)), 6) AS z_stat
+        |FROM ag ORDER BY event_type""".stripMargin,
     "j_fuzzy_match" ->
       """WITH n AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name),
         |p AS (SELECT p_name, cnt, string_split(p_name, ' ')[-1] AS blk FROM n)
