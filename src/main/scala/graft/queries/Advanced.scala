@@ -366,6 +366,94 @@ object Advanced {
       .orderBy($"l_returnflag")
   }
 
+  /** Growth accounting — the weekly new/retained/resurrected/churned
+    * decomposition every product team tracks: per active (user, week),
+    * NEW if it is the user's first week, RETAINED if the user was active
+    * the previous week, RESURRECTED otherwise; CHURNED counts in week
+    * w+1 the users active in w but not w+1 (attributed via lead over the
+    * user's active weeks — a user churns the week after their last
+    * activity, including at corpus end where it lands on last+1). Pure
+    * integer counts from two windows over one (user, week) shuffle; the
+    * churn row can create weeks with no active users, which union in
+    * with zero actives.
+    */
+  val eGrowthAccounting: Q = (s, d) => {
+    val byUser = Window.partitionBy($"user_id").orderBy($"week")
+    val uw = Tables
+      .events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+      .distinct()
+      .withColumn("prev_w", lag($"week", 1).over(byUser))
+      .withColumn("next_w", lead($"week", 1).over(byUser))
+      .withColumn(
+        "status",
+        when($"prev_w".isNull, "new")
+          .when(datediff($"week", $"prev_w") === 7, "retained")
+          .otherwise("resurrected")
+      )
+    val active = uw
+      .groupBy($"week")
+      .agg(
+        sum(when($"status" === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"status" === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"status" === "resurrected", 1L).otherwise(0L)).as("n_resurrected")
+      )
+    val churn = uw
+      .filter($"next_w".isNull || datediff($"next_w", $"week") > 7)
+      .select(date_add($"week", 7).as("week"))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_churned"))
+    active
+      .join(churn, Seq("week"), "full_outer")
+      .select(
+        $"week",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned")
+      )
+      .orderBy($"week")
+  }
+
+  /** χ² test of independence between two categoricals (returnflag ×
+    * linestatus) — the contingency-table audit behind "does this
+    * dimension actually influence that one". Observed counts and both
+    * margins are exact integers off ONE cell-grain aggregate (margins
+    * via windows on the tiny cell table, no second scan); expected
+    * counts e = row·col/n and each cell's (o−e)²/e term are per-row IEEE
+    * on those integers, rounded once at 9 dp into DECIMAL(20,9) so the
+    * statistic's sum is associative. Degrees of freedom emitted
+    * alongside; cells with a zero margin can't occur (they'd have no
+    * observations).
+    */
+  val aChi2: Q = (s, d) => {
+    val byR = Window.partitionBy($"l_returnflag")
+    val byC = Window.partitionBy($"l_linestatus")
+    val all = Window.partitionBy(lit(1))
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rt", sum($"o").over(byR))
+      .withColumn("ct", sum($"o").over(byC))
+      .withColumn("n", sum($"o").over(all))
+      .withColumn(
+        "term",
+        round(
+          ($"o" - $"rt" * $"ct" / $"n") * ($"o" - $"rt" * $"ct" / $"n") /
+            ($"rt" * $"ct" / $"n"),
+          9
+        ).cast(DecimalType(20, 9))
+      )
+      .groupBy()
+      .agg(
+        sum($"term").cast("double").as("chi2_raw"),
+        ((countDistinct($"l_returnflag") - 1) * (countDistinct($"l_linestatus") - 1)).as("dof"),
+        max($"n").as("n_rows")
+      )
+      .select(round($"chi2_raw", 6).as("chi2"), $"dof", $"n_rows")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -1010,6 +1098,8 @@ object Advanced {
     "a_benford"         -> aBenford,
     "a_tree_rollup"     -> aTreeRollup,
     "a_gini"            -> aGini,
+    "e_growth_accounting" -> eGrowthAccounting,
+    "a_chi2"            -> aChi2,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1289,6 +1379,65 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // exact-integer margins off one cell aggregate, once-rounded
+    // (o-e)^2/e terms in DECIMAL(20,9), identical arithmetic order
+    "a_chi2" ->
+      """WITH cell AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    SUM(o) OVER (PARTITION BY l_returnflag) AS rt,
+        |    SUM(o) OVER (PARTITION BY l_linestatus) AS ct,
+        |    SUM(o) OVER () AS n
+        |  FROM cell),
+        |t AS (
+        |  SELECT CAST(round((o - rt * ct / n) * (o - rt * ct / n)
+        |      / (rt * ct / n), 9) AS DECIMAL(20,9)) AS term,
+        |    n, l_returnflag, l_linestatus
+        |  FROM m)
+        |SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+        |  CAST((COUNT(DISTINCT l_returnflag) - 1)
+        |    * (COUNT(DISTINCT l_linestatus) - 1) AS BIGINT) AS dof,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows
+        |FROM t""".stripMargin,
+    // distinct (user, week) actives, lag/lead status classification,
+    // churn attributed to week+7 (corpus-end churners included),
+    // full-outer union of the two count sets
+    "e_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, week,
+        |    lag(week) OVER w AS prev_w,
+        |    lead(week) OVER w AS next_w
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+        |cls AS (
+        |  SELECT week,
+        |    CASE WHEN prev_w IS NULL THEN 'new'
+        |         WHEN week - prev_w = 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS status,
+        |    next_w
+        |  FROM st),
+        |act AS (
+        |  SELECT week,
+        |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY week),
+        |ch AS (
+        |  SELECT week + 7 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM cls WHERE next_w IS NULL OR next_w - week > 7
+        |  GROUP BY week + 7)
+        |SELECT coalesce(a.week, c.week) AS week,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM act a FULL OUTER JOIN ch c ON a.week = c.week
+        |ORDER BY week""".stripMargin,
     // rank-weighted exact Gini on DECIMAL revenue; (rev, partkey) total
     // order pins the rank; integer / integer divides as true division on
     // both engines
