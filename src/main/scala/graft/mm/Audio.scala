@@ -249,9 +249,97 @@ object Audio {
       .orderBy($"doc_id")
   }
 
+  /** VAD synth + tunables (interpolated into the oracle): mono clips of
+    * 1024..2816 samples in 64-sample frames; 4-frame blocks alternate
+    * ACTIVE (full-range ±32768 pseudo-noise) and SILENT (±128 noise
+    * floor) by `(id + block) % 3` — a planted 2/3 speech duty cycle. A
+    * silent frame's |x| sum is ≤ 64·128 = 8 192 while an active frame's
+    * is ≈ 1M, so the 100 000 threshold splits them with a ~12× margin
+    * on both sides.
+    */
+  val vadFrameLen   = 64
+  val vadThreshold  = 100000L
+  def vadNSamples(id: Long): Int = (1024 + (id % 8) * 256).toInt
+  def vadActiveBlock(id: Long, frame: Int): Boolean = (id + frame / 4) % 3 != 0
+  def vadSample(id: Long, j: Int): Int = {
+    val f = j / vadFrameLen
+    if (vadActiveBlock(id, f)) (((id * 7919 + j.toLong * 104729) % 65536) - 32768).toInt
+    else (((id * 7919 + j.toLong * 104729) % 257) - 128).toInt
+  }
+
+  private val vadSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("segment_id", IntegerType),
+      StructField("is_active", IntegerType),
+      StructField("start_frame", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("sum_abs", LongType)
+    )
+  )
+
+  /** Energy-based voice-activity detection over REAL decoded audio — the
+    * segmentation step of a speech-data pipeline (strip silence before
+    * transcription/training): synth → RIFF/WAVE encode → DECODE through
+    * the chunk-walking reader, frame into 64-sample windows, threshold
+    * each frame's integer |x| sum, and collapse consecutive same-state
+    * frames into segments (the gaps-and-islands fold, run sequentially
+    * inside the per-doc loop — frames per doc are bounded, docs are the
+    * parallel unit). Everything is integer, and the oracle re-derives
+    * every frame energy from the doc_id arithmetic codec-free, so a
+    * wrong decode anywhere breaks the hash.
+    */
+  val mmAudioVad: Q = (s, d) => {
+    val enc = org.apache.spark.sql.Encoders.row(vadSchema)
+    Tables
+      .documents(s, d)
+      .select($"doc_id")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val n  = vadNSamples(id)
+          val xs = Array.tabulate(n)(j => vadSample(id, j).toShort)
+          val (_, _, decoded) = WavCodec.decode(WavCodec.encode(16000, 1, xs, withListChunk = false))
+          val nF = decoded.length / vadFrameLen
+          val energies = Array.tabulate(nF) { f =>
+            var sum = 0L
+            var i   = 0
+            while (i < vadFrameLen) { sum += math.abs(decoded(f * vadFrameLen + i).toInt); i += 1 }
+            sum
+          }
+          val out   = Array.newBuilder[Row]
+          var seg   = 0
+          var segStart = 0
+          var segSum   = 0L
+          var prev: Option[Boolean] = None
+          var f = 0
+          while (f < nF) {
+            val act = energies(f) > vadThreshold
+            if (prev.contains(act)) segSum += energies(f)
+            else {
+              prev.foreach { p =>
+                out += Row(id, seg, if (p) 1 else 0, segStart, (f - segStart).toLong, segSum)
+              }
+              seg = if (prev.isEmpty) 1 else seg + 1
+              segStart = f
+              segSum = energies(f)
+              prev = Some(act)
+            }
+            f += 1
+          }
+          prev.foreach { p =>
+            out += Row(id, seg, if (p) 1 else 0, segStart, (nF - segStart).toLong, segSum)
+          }
+          out.result().iterator
+        }
+      }(enc)
+      .orderBy($"doc_id", $"segment_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_audio_decode"   -> mmAudioDecode,
-    "mm_audio_resample" -> mmAudioResample
+    "mm_audio_resample" -> mmAudioResample,
+    "mm_audio_vad"      -> mmAudioVad
   )
 
   /** Codec-free replays: the same `doc_id` integer arithmetic the synth
@@ -259,6 +347,40 @@ object Audio {
     * 32768` is the synth's sample; all stats fold in BIGINT.
     */
   val oracles: Map[String, String] = Map(
+    // codec-free VAD replay: frame energies from the branch formula,
+    // threshold, gaps-and-islands segmentation — every tunable
+    // interpolated from the engine's vals
+    "mm_audio_vad" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((1024 + (doc_id % 8) * 256) // $vadFrameLen AS INT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(f AS INT) AS f
+        |  FROM (SELECT doc_id, unnest(range(0, nf)) AS f FROM p) t),
+        |fe AS (
+        |  SELECT fr.doc_id, fr.f,
+        |    CAST(SUM(CASE WHEN (fr.doc_id + (fr.f // 4)) % 3 <> 0
+        |      THEN abs((fr.doc_id * 7919 + (fr.f * $vadFrameLen + i.range) * 104729)
+        |        % 65536 - 32768)
+        |      ELSE abs((fr.doc_id * 7919 + (fr.f * $vadFrameLen + i.range) * 104729)
+        |        % 257 - 128) END) AS BIGINT) AS e
+        |  FROM fr, range(0, $vadFrameLen) i
+        |  GROUP BY fr.doc_id, fr.f),
+        |va AS (SELECT doc_id, f, e, CAST(e > $vadThreshold AS INT) AS act FROM fe),
+        |isl AS (
+        |  SELECT *, CASE WHEN lag(act) OVER w IS NULL OR lag(act) OVER w <> act
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM va WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        |g AS (
+        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY doc_id ORDER BY f
+        |    ROWS UNBOUNDED PRECEDING) AS INT) AS seg
+        |  FROM isl)
+        |SELECT doc_id, seg AS segment_id, CAST(MAX(act) AS INT) AS is_active,
+        |  CAST(MIN(f) AS INT) AS start_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(e) AS BIGINT) AS sum_abs
+        |FROM g GROUP BY doc_id, seg ORDER BY doc_id, segment_id""".stripMargin,
     "mm_audio_decode" ->
       """WITH p AS (
         |  SELECT doc_id,
