@@ -63,22 +63,8 @@ object SeriesAnalysis {
       .groupByKey(_.profile_name)
       .flatMapGroups { (profile, rows) =>
         val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
-        val f  = xs.indexWhere(_ > 0)
-        if (f < 0) Iterator.empty
-        else {
-          var z = xs(f)             // demand-size level, seeded on first demand
-          var p = (f + 1).toDouble  // interval level, seeded on its position
-          var q = 1                 // periods since last demand
-          var i = f + 1
-          while (i < xs.length) {
-            if (xs(i) > 0) {
-              z = 0.2 * xs(i) + 0.8 * z
-              p = 0.2 * q + 0.8 * p
-              q = 1
-            } else q += 1
-            i += 1
-          }
-          Iterator.single(CrostonRow(profile, z, p, z / p, 0.9 * z / p))
+        crostonFold(xs).iterator.map { case (z, p) =>
+          CrostonRow(profile, z, p, z / p, 0.9 * z / p)
         }
       }
       .toDF()
@@ -293,6 +279,55 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  // ----------------------------------------- shared smoothing folds
+  // ONE Scala definition per recursion (r6 self-review): m_croston,
+  // m_holt_damped and the backtest scorecard must race the IDENTICAL
+  // arithmetic, or a coefficient tweak in one site silently desyncs the
+  // others from their oracles — the same hazard the shared oracle vals
+  // (trIters, kCoreK, milestoneCents) guard against on the SQL side.
+
+  /** Damped-Holt (α=0.3, β=0.1, φ=0.9) fold over a full series: final
+    * (level, trend). Requires xs.length ≥ 2.
+    */
+  private[forecast] def dampedFold(xs: Array[Double]): (Double, Double) = {
+    var l = xs(0); var b = xs(1) - xs(0); var i = 1
+    while (i < xs.length) {
+      val l2 = 0.3 * xs(i) + 0.7 * (l + 0.9 * b)
+      b = 0.1 * (l2 - l) + 0.9 * (0.9 * b)
+      l = l2; i += 1
+    }
+    (l, b)
+  }
+
+  /** Σ_{j=1..h} φ^j for h = 1..5 as explicit literal chains — written
+    * out (never pow()) so the oracle CASE arms replay the same IEEE
+    * product/addition order.
+    */
+  private[forecast] val dampedMult: Array[Double] = Array(
+    0.9,
+    0.9 + 0.9 * 0.9,
+    0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9,
+    0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9,
+    0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9 * 0.9
+  )
+
+  /** Croston (α=0.2) fold: final (size level, interval level), or None
+    * for an all-zero series.
+    */
+  private[forecast] def crostonFold(xs: Array[Double]): Option[(Double, Double)] = {
+    val f = xs.indexWhere(_ > 0)
+    if (f < 0) None
+    else {
+      var z = xs(f); var p = (f + 1).toDouble; var q = 1; var i = f + 1
+      while (i < xs.length) {
+        if (xs(i) > 0) { z = 0.2 * xs(i) + 0.8 * z; p = 0.2 * q + 0.8 * p; q = 1 }
+        else q += 1
+        i += 1
+      }
+      Some((z, p))
+    }
+  }
+
   // ------------------------------------------------ backtest scorecard
 
   final case class FcRow(
@@ -323,15 +358,6 @@ object SeriesAnalysis {
   def backtestJob(s: SparkSession, dir: String): DataFrame = {
     // encoders only — the full bundle's `$` clashes with graft.syntax's
     import s.implicits.{newProductEncoder, newStringEncoder}
-    // damped-trend horizon multipliers as explicit literal chains — the
-    // SQL replay spells out the same products in the same order
-    val dampedMult = Array(
-      0.9,
-      0.9 + 0.9 * 0.9,
-      0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9,
-      0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9,
-      0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9 + 0.9 * 0.9 * 0.9 * 0.9 * 0.9
-    )
     val fc = ForecastJobs
       .gapfillJob(s, dir)
       .as[GapRow]
@@ -354,23 +380,10 @@ object SeriesAnalysis {
             l = l2; i += 1
           }
           for (h <- 1 to backtestHoldout) out += FcRow(profile, "holt", h, l + h * b, hold(h - 1))
-          var dl = tr(0); var db = tr(1) - tr(0); i = 1
-          while (i < tr.length) {
-            val l2 = 0.3 * tr(i) + 0.7 * (dl + 0.9 * db)
-            db = 0.1 * (l2 - dl) + 0.9 * (0.9 * db)
-            dl = l2; i += 1
-          }
+          val (dl, db) = dampedFold(tr)
           for (h <- 1 to backtestHoldout)
             out += FcRow(profile, "damped", h, dl + dampedMult(h - 1) * db, hold(h - 1))
-          val f = tr.indexWhere(_ > 0)
-          if (f >= 0) {
-            var cz = tr(f); var p = (f + 1).toDouble; var q = 1
-            i = f + 1
-            while (i < tr.length) {
-              if (tr(i) > 0) { cz = 0.2 * tr(i) + 0.8 * cz; p = 0.2 * q + 0.8 * p; q = 1 }
-              else q += 1
-              i += 1
-            }
+          crostonFold(tr).foreach { case (cz, p) =>
             for (h <- 1 to backtestHoldout)
               out += FcRow(profile, "croston", h, cz / p, hold(h - 1))
           }
@@ -424,23 +437,8 @@ object SeriesAnalysis {
         val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
         if (xs.length < 2) Iterator.empty
         else {
-          var l = xs(0)
-          var b = xs(1) - xs(0)
-          var i = 1
-          while (i < xs.length) {
-            val l2 = 0.3 * xs(i) + 0.7 * (l + 0.9 * b)
-            b = 0.1 * (l2 - l) + 0.9 * (0.9 * b)
-            l = l2
-            i += 1
-          }
-          val m1 = 0.9
-          val m2 = 0.9 + 0.9 * 0.9
-          val m3 = 0.9 + 0.9 * 0.9 + 0.9 * 0.9 * 0.9
-          Iterator(
-            DampedRow(profile, 1, l, b, l + m1 * b),
-            DampedRow(profile, 2, l, b, l + m2 * b),
-            DampedRow(profile, 3, l, b, l + m3 * b)
-          )
+          val (l, b) = dampedFold(xs)
+          (1 to 3).iterator.map(h => DampedRow(profile, h, l, b, l + dampedMult(h - 1) * b))
         }
       }
       .toDF()

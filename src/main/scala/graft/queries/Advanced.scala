@@ -75,12 +75,16 @@ object Advanced {
       .withColumn("session_id", sum($"new_session").over(byUser))
       .groupBy($"user_id", $"session_id")
       .agg(min($"ts").as("st"), (max($"ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+    // checkpointed: deltas feeds both the day-offset aggregate and the
+    // probe side of the join, and each evaluation would union two full
+    // sessionization passes (r6 self-review)
     val deltas = sess
       .select($"st".as("t"), lit(1L).as("delta"))
       .unionAll(sess.select($"en".as("t"), lit(-1L).as("delta")))
       .groupBy($"t")
       .agg(sum($"delta").as("sd"))
       .withColumn("dt", date_trunc("day", $"t").cast("date"))
+      .localCheckpoint()
     val dayOffsets = deltas
       .groupBy($"dt")
       .agg(sum($"sd").as("day_sum"))
@@ -148,10 +152,10 @@ object Advanced {
         "rn_first",
         row_number().over(byPurchase.orderBy($"tts", $"t_id"))
       )
-      .withColumn(
-        "rn_last",
-        row_number().over(byPurchase.orderBy($"tts".desc, $"t_id".desc))
-      )
+      // (tts, t_id) is a total order, so the last touch is just the
+      // mirror index — deriving it arithmetically saves the second full
+      // sort of the widest intermediate (r6 self-review)
+      .withColumn("rn_last", $"n_touch" - $"rn_first" + 1)
       .withColumn(
         "linear_share",
         round($"vc".cast("double") / 100.0 / $"n_touch", 6).cast(DecimalType(18, 6))
@@ -271,15 +275,21 @@ object Advanced {
       .groupBy($"digit")
       .agg(count(lit(1)).as("n_obs"))
       .withColumn("n_total", sum($"n_obs").over(n))
+      // expectation computed ONCE and reused (mirrors the oracle's `e`
+      // CTE) so every chi2 term provably derives from the emitted share
+      .withColumn(
+        "benford_share",
+        round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9)
+      )
       .select(
         $"digit",
         $"n_obs",
         round($"n_obs" / $"n_total", 6).as("obs_share"),
-        round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9).as("benford_share"),
+        $"benford_share",
         round(
-          ($"n_obs" - $"n_total" * round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9)) *
-            ($"n_obs" - $"n_total" * round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9)) /
-            ($"n_total" * round(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)), 9)),
+          ($"n_obs" - $"n_total" * $"benford_share") *
+            ($"n_obs" - $"n_total" * $"benford_share") /
+            ($"n_total" * $"benford_share"),
           6
         ).as("chi2_term")
       )
@@ -307,10 +317,17 @@ object Advanced {
       .select(
         $"node".as("src"),
         $"own_qty".as("src_qty"),
+        // five levels (partkeys reach 5 digits at sf0.1 — r6 self-review:
+        // the 4-level array silently dropped the 10000s from their root),
+        // keeping the node itself even when it is 0 (partkey 0 exists;
+        // its ancestor chain collapses to [0] after the distinct)
         explode(
-          filter(
-            array($"node", expr("node div 10"), expr("node div 100"), expr("node div 1000")),
-            a => a > 0
+          array_distinct(
+            filter(
+              array($"node", expr("node div 10"), expr("node div 100"),
+                expr("node div 1000"), expr("node div 10000")),
+              a => a > 0 || a === $"node"
+            )
           )
         ).as("node")
       )
@@ -1470,9 +1487,9 @@ object Advanced {
         |  FROM lineitem GROUP BY l_partkey),
         |anc AS (
         |  SELECT o.node AS src, o.own_qty AS src_qty, a.node
-        |  FROM own o, LATERAL (SELECT unnest([x for x in
-        |    [o.node, o.node // 10, o.node // 100, o.node // 1000]
-        |    if x > 0]) AS node) a),
+        |  FROM own o, LATERAL (SELECT unnest(list_distinct([x for x in
+        |    [o.node, o.node // 10, o.node // 100, o.node // 1000, o.node // 10000]
+        |    if x > 0 or x = o.node])) AS node) a),
         |roll AS (
         |  SELECT node,
         |    CAST(SUM(src_qty) AS DOUBLE) AS subtree_qty,

@@ -123,8 +123,15 @@ object Cdc {
       .agg(min($"valid_from").as("vf0"), max($"valid_from").as("vfn"))
       .select(
         $"user_id",
+        // guarded: Spark's sequence() THROWS on start > stop while the
+        // oracle's generate_series returns empty — a user whose versions
+        // all begin on one calendar day must yield zero probes, not
+        // abort the job (r6 self-review)
         explode(
-          expr("sequence(date_add(cast(vf0 as date), 1), cast(vfn as date), interval 1 day)")
+          when(
+            expr("date_add(cast(vf0 as date), 1) <= cast(vfn as date)"),
+            expr("sequence(date_add(cast(vf0 as date), 1), cast(vfn as date), interval 1 day)")
+          ).otherwise(array().cast("array<date>"))
         ).as("snapshot_date")
       )
     val probes = spine.select(

@@ -237,6 +237,11 @@ object Matching {
   private def abValueCounts(s: SparkSession, d: String): DataFrame =
     Tables
       .events(s, d)
+      // null values carry no rank/CDF information, and the engines sort
+      // them to OPPOSITE ends of the cumulative window (Spark nulls
+      // first, DuckDB nulls last) — excluded explicitly on both sides
+      // (r6 self-review)
+      .filter($"value".isNotNull)
       .withColumn("grp", ($"event_id" % 2).cast("int"))
       .groupBy($"event_type", $"value")
       .agg(
@@ -330,7 +335,7 @@ object Matching {
         |  SELECT event_type, value,
         |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
         |    CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |f AS (
         |  SELECT *,
         |    SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb,
@@ -357,7 +362,7 @@ object Matching {
         |  SELECT event_type, value,
         |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
         |    CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |r AS (
         |  SELECT *,
         |    SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY value
