@@ -317,7 +317,61 @@ object Matching {
       .orderBy($"event_type")
   }
 
+  /** Kaplan–Meier survival curve of time-to-first-purchase — the
+    * censoring-aware answer to "how long until a user converts" (a plain
+    * average of observed conversion times is biased: users who never
+    * converted are information, not missing data). Durations: days from
+    * a user's first event to their first purchase (event) or last event
+    * (right-censored). The estimator's risk set n_t = #(T ≥ t) is a
+    * REVERSE cumulative sum over the day-grain duration table (bounded
+    * by the calendar, the t_peak_concurrency precedent), and the product
+    * Π(1 − d/n) is carried in LOG space with the established
+    * transcendental discipline — each ln(1 − d/n) is one libm call on an
+    * IEEE quotient of two BIGINTs, rounded once at 9 dp into
+    * DECIMAL(20,9), so the cumulative sum is associative and the final
+    * exp is a single per-row libm call on a deterministic double. A step
+    * where every at-risk user events (d = n) pins survival at exactly 0
+    * without touching ln(0) — both engines branch identically.
+    */
+  val eSurvivalKm: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val perUser = ev
+      .groupBy($"user_id")
+      .agg(
+        min($"ts").as("first_ts"),
+        max($"ts").as("last_ts"),
+        min(when($"event_type" === "purchase", $"ts")).as("first_purchase")
+      )
+      .select(
+        when($"first_purchase".isNotNull, datediff($"first_purchase", $"first_ts"))
+          .otherwise(datediff($"last_ts", $"first_ts")).cast("long").as("t"),
+        $"first_purchase".isNotNull.cast("long").as("event")
+      )
+    val byT = perUser
+      .groupBy($"t")
+      .agg(sum($"event").as("d"), count(lit(1)).as("c"))
+    val riskW = Window.orderBy($"t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cumW  = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk", sum($"c").over(riskW))
+      .filter($"d" > 0)
+      .withColumn(
+        "lf",
+        when($"d" < $"n_risk", round(log(lit(1.0) - $"d" / $"n_risk"), 9).cast(DecimalType(20, 9)))
+      )
+      .withColumn("cum_lf", sum($"lf").over(cumW))
+      .select(
+        $"t".as("t_days"),
+        $"n_risk",
+        $"d".as("n_events"),
+        when($"d" === $"n_risk", 0.0)
+          .otherwise(round(exp($"cum_lf".cast("double")), 6)).as("survival")
+      )
+      .orderBy($"t_days")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_survival_km"   -> eSurvivalKm,
     "j_fuzzy_match"   -> jFuzzyMatch,
     "a_skyline"       -> aSkyline,
     "e_cohort_ltv"    -> eCohortLtv,
@@ -328,6 +382,43 @@ object Matching {
   )
 
   val oracles: Map[String, String] = Map(
+    // duration table, reverse-cumulative risk set, once-rounded
+    // ln(1-d/n) terms summed in DECIMAL, exp at the very end; the d=n
+    // step pins survival 0 without evaluating ln(0)
+    "e_survival_km" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM events GROUP BY user_id),
+        |dur AS (
+        |  SELECT
+        |    CAST(CASE WHEN fp IS NOT NULL
+        |      THEN date_diff('day', CAST(first_ts AS DATE), CAST(fp AS DATE))
+        |      ELSE date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+        |    END AS BIGINT) AS t,
+        |    CAST(fp IS NOT NULL AS BIGINT) AS event
+        |  FROM u),
+        |byt AS (
+        |  SELECT t, CAST(SUM(event) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dur GROUP BY t),
+        |rk AS (
+        |  SELECT *, CAST(SUM(c) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM byt),
+        |ev AS (
+        |  SELECT *,
+        |    CASE WHEN d < n_risk
+        |      THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9) AS DECIMAL(20,9))
+        |    END AS lf
+        |  FROM rk WHERE d > 0),
+        |cm AS (
+        |  SELECT *, SUM(lf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_lf
+        |  FROM ev)
+        |SELECT t AS t_days, n_risk, d AS n_events,
+        |  CASE WHEN d = n_risk THEN 0.0
+        |       ELSE round(exp(CAST(cum_lf AS DOUBLE)), 6) END AS survival
+        |FROM cm ORDER BY t_days""".stripMargin,
     // integer-exact scaled gap max, one double normalization, rounded
     // critical value; flag compares the two rounded values
     "e_ks_test" ->
