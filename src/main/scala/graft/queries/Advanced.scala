@@ -471,6 +471,52 @@ object Advanced {
       .select(round($"chi2_raw", 6).as("chi2"), $"dof", $"n_rows")
   }
 
+  /** Business-day arithmetic — the SLA metric calendars force on every
+    * warehouse: weekend-skipping day counts between order placement and
+    * first shipment. The count is CLOSED-FORM integer arithmetic (full
+    * weeks × 5 plus a ≤6-day remainder scanned via a tiny sequence), so
+    * no calendar table join enters; `weekday()` parity is the documented
+    * cross-engine gotcha (Spark Mon=0 ↔ DuckDB isodow()−1, pinned in
+    * the verify recipe). The synthetic dates are not ordered
+    * (order-after-ship occurs), so the interval is normalized by
+    * least/greatest with the direction kept as a flag.
+    */
+  val tBusinessDays: Q = (s, d) => {
+    val firstShip = Tables
+      .lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(min($"l_shipdate").cast("date").as("ship"))
+    Tables
+      .orders(s, d)
+      .select($"o_orderkey", $"o_orderdate".cast("date").as("od"))
+      .join(firstShip, $"o_orderkey" === $"l_orderkey")
+      .select(
+        $"o_orderkey",
+        $"od".as("order_date"),
+        $"ship".as("first_ship"),
+        least($"od", $"ship").as("d1"),
+        greatest($"od", $"ship").as("d2"),
+        ($"ship" < $"od").cast("int").as("inverted")
+      )
+      .withColumn("cal_days", datediff($"d2", $"d1").cast("long"))
+      .withColumn(
+        "business_days",
+        expr("cal_days div 7") * 5 +
+          // rem = 0 must not build sequence(0, -1) — Spark throws on
+          // inverted bounds (the e_scd2_asof lesson)
+          when(
+            $"cal_days" % 7 > 0,
+            aggregate(
+              sequence(lit(0), ($"cal_days" % 7).cast("int") - 1),
+              lit(0L),
+              (acc, i) => acc + ((weekday($"d1") + i) % 7 < 5).cast("long")
+            )
+          ).otherwise(0L)
+      )
+      .select($"o_orderkey", $"order_date", $"first_ship", $"cal_days", $"business_days", $"inverted")
+      .orderBy($"o_orderkey")
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -1117,6 +1163,7 @@ object Advanced {
     "a_gini"            -> aGini,
     "e_growth_accounting" -> eGrowthAccounting,
     "a_chi2"            -> aChi2,
+    "t_business_days"   -> tBusinessDays,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1396,6 +1443,29 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // closed-form weekday arithmetic; DuckDB isodow()-1 = Spark weekday()
+    // (Mon=0); the <=6-day remainder scans a tiny range
+    "t_business_days" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey, CAST(MIN(l_shipdate) AS DATE) AS ship
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, ship
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey),
+        |b AS (
+        |  SELECT o_orderkey, od AS order_date, ship AS first_ship,
+        |    least(od, ship) AS d1, greatest(od, ship) AS d2,
+        |    CAST(ship < od AS INT) AS inverted
+        |  FROM j),
+        |c AS (
+        |  SELECT *, CAST(d2 - d1 AS BIGINT) AS cal_days FROM b)
+        |SELECT o_orderkey, order_date, first_ship, cal_days,
+        |  (cal_days // 7) * 5 +
+        |    CAST(len([x for x in range(0, 7)
+        |      if x < cal_days % 7 and (isodow(d1) - 1 + x) % 7 < 5]) AS BIGINT)
+        |    AS business_days,
+        |  inverted
+        |FROM c ORDER BY o_orderkey""".stripMargin,
     // exact-integer margins off one cell aggregate, once-rounded
     // (o-e)^2/e terms in DECIMAL(20,9), identical arithmetic order
     "a_chi2" ->
