@@ -517,6 +517,73 @@ object Advanced {
       .orderBy($"o_orderkey")
   }
 
+  /** Poisson-bootstrap resample count and the Poisson(1) CDF thresholds
+    * scaled to 2⁴⁸ — integer literals, so the multiplicity decision is a
+    * pure integer compare on the 48-bit md5 hash (no float, no exp() at
+    * runtime); shared with the oracle. Multiplicity caps at 6
+    * (P ≈ 6·10⁻⁴ of the tail folds into the cap, identically on both
+    * engines).
+    */
+  val bootB = 40
+  val bootThresholds: Seq[Long] = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L,
+    276130285696162L, 280444821410164L, 281307728552965L
+  )
+
+  /** Bootstrap confidence interval for the mean — by the POISSON
+    * bootstrap, the scale-correct formulation (classic resampling needs
+    * dense global row indices and B shuffles of the corpus; the Poisson
+    * variant gives each row an independent Poisson(1) multiplicity per
+    * resample, so the whole simulation is one map-side explode over
+    * row × resample and one grouped DECIMAL aggregate — how production
+    * A/B systems bootstrap at fleet scale). Randomness is a deterministic
+    * 48-bit md5 hash of (resample, row-key) compared against integer CDF
+    * thresholds; resample means use exact DECIMAL sums, and the
+    * 2.5/97.5 percentile order statistics are picked by rank over the
+    * B-row mean table. Emits one row: point mean and the CI.
+    */
+  val aBootstrapCi: Q = (s, d) => {
+    val rows = Tables
+      .lineitem(s, d)
+      .select(
+        ($"l_orderkey" * 8 + $"l_linenumber").as("lid"),
+        $"l_quantity".cast(DecimalType(18, 6)).as("x")
+      )
+    val thrArr = array(bootThresholds.map(lit): _*)
+    val means = rows
+      .select($"lid", $"x", explode(sequence(lit(0), lit(bootB - 1))).as("b"))
+      .withColumn(
+        "h",
+        conv(substring(md5(concat_ws("|", $"b", $"lid").cast("binary")), 1, 12), 16, 10)
+          .cast("long")
+      )
+      // multiplicity = #{thresholds ≤ h}: the inverse-CDF lookup as a
+      // pure integer indicator sum over the 6 literal thresholds
+      .withColumn(
+        "m",
+        aggregate(thrArr, lit(0L), (acc, t) => acc + ($"h" >= t).cast("long"))
+      )
+      .groupBy($"b")
+      .agg(sum($"x" * $"m").as("sx"), sum($"m").as("sm"))
+      .select(
+        $"b",
+        // per-resample mean: one IEEE divide of two exact values,
+        // rounded once so the cross-resample average sums in DECIMAL
+        round($"sx".cast("double") / $"sm", 9).cast(DecimalType(20, 9)).as("mean_b")
+      )
+    means
+      .withColumn("rk", row_number().over(Window.orderBy($"mean_b", $"b")))
+      .groupBy()
+      .agg(
+        // explicit sum/count (not avg): the two engines' AVG-over-DECIMAL
+        // return types differ; an exact DECIMAL sum cast to double then
+        // one IEEE divide is identical on both
+        round(sum($"mean_b").cast("double") / count(lit(1)), 6).as("boot_mean"),
+        round(min(when($"rk" === 1, $"mean_b")).cast("double"), 6).as("ci_lo"),
+        round(min(when($"rk" === bootB - 1, $"mean_b")).cast("double"), 6).as("ci_hi")
+      )
+  }
+
   /** Pivot: quantity by returnflag × linestatus, expressed with an
     * explicit value list so the output schema is static (and the oracle
     * is plain conditional aggregation).
@@ -1164,6 +1231,7 @@ object Advanced {
     "e_growth_accounting" -> eGrowthAccounting,
     "a_chi2"            -> aChi2,
     "t_business_days"   -> tBusinessDays,
+    "a_bootstrap_ci"    -> aBootstrapCi,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_percentiles"     -> aPercentiles
@@ -1443,6 +1511,43 @@ object Advanced {
         |FROM (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) e
         |JOIN fw USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // hex-fold hash replay (the a_cms_heavy precedent, 12 hex chars),
+    // integer threshold indicators, DECIMAL resample sums, once-rounded
+    // per-resample means, rank-picked order statistics
+    "a_bootstrap_ci" -> {
+      val thrList = bootThresholds.mkString("[", ", ", "]")
+      s"""WITH rows_ AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS lid,
+        |    CAST(l_quantity AS DECIMAL(18,6)) AS x
+        |  FROM lineitem),
+        |rs AS (
+        |  SELECT lid, x, CAST(b.range AS INT) AS b
+        |  FROM rows_, range(0, $bootB) b),
+        |hm AS (
+        |  SELECT b, x,
+        |    list_reduce([instr('0123456789abcdef',
+        |        md5(concat_ws('|', b, lid))[i]) - 1
+        |      for i in range(1, 13)], (a, c) -> a * 16 + c) AS h
+        |  FROM rs),
+        |mu AS (
+        |  SELECT b, x,
+        |    len([t for t in $thrList if h >= t]) AS m
+        |  FROM hm),
+        |ms AS (
+        |  SELECT b, SUM(x * m) AS sx, CAST(SUM(m) AS BIGINT) AS sm
+        |  FROM mu GROUP BY b),
+        |mb AS (
+        |  SELECT b,
+        |    CAST(round(CAST(sx AS DOUBLE) / sm, 9) AS DECIMAL(20,9)) AS mean_b
+        |  FROM ms),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY mean_b, b) AS r FROM mb)
+        |SELECT
+        |  round(CAST(SUM(mean_b) AS DOUBLE) / COUNT(*), 6) AS boot_mean,
+        |  round(CAST(MIN(CASE WHEN r = 1 THEN mean_b END) AS DOUBLE), 6) AS ci_lo,
+        |  round(CAST(MIN(CASE WHEN r = ${bootB - 1} THEN mean_b END) AS DOUBLE), 6) AS ci_hi
+        |FROM rk""".stripMargin
+    },
     // closed-form weekday arithmetic; DuckDB isodow()-1 = Spark weekday()
     // (Mon=0); the <=6-day remainder scans a tiny range
     "t_business_days" ->
