@@ -404,7 +404,43 @@ object Graph {
     } finally ip.unpersist()
   }
 
+  /** Degree assortativity — the one-number "do hubs link to hubs"
+    * diagnostic (Newman 2002): Pearson correlation of endpoint degrees
+    * over the directed edge list (both orientations of each undirected
+    * edge, the standard symmetrization). Pure closed form over five
+    * DECIMAL moment sums of integer degrees — the m_trend_ols shape on
+    * graph data — after one degree aggregate joined back to the edges;
+    * positive values mean popular parts co-sell with popular parts,
+    * negative means hub-and-spoke.
+    */
+  val gAssortativity: Q = (s, d) => {
+    val e   = coEdges(s, d)
+    val bi  = e.unionAll(e.select($"v".as("u"), $"u".as("v")))
+    val deg = bi.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    bi
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .agg(
+        count(lit(1)).as("m2"),
+        sum($"du".cast(dec)).cast("double").as("sx"),
+        sum(($"du" * $"du").cast(dec)).cast("double").as("sxx"),
+        sum($"dv".cast(dec)).cast("double").as("sy"),
+        sum(($"dv" * $"dv").cast(dec)).cast("double").as("syy"),
+        sum(($"du" * $"dv").cast(dec)).cast("double").as("sxy")
+      )
+      .select(
+        $"m2".as("n_directed_edges"),
+        round(
+          ($"m2" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"m2" * $"sxx" - $"sx" * $"sx") * ($"m2" * $"syy" - $"sy" * $"sy")),
+          6
+        ).as("assortativity")
+      )
+  }
+
   val queries: Map[String, Q] = Map(
+    "g_assortativity" -> gAssortativity,
     "g_pagerank"   -> gPagerank,
     "g_triangles"  -> gTriangles,
     "g_hops"       -> gHops,
@@ -457,6 +493,27 @@ object Graph {
        |  WHERE dd >= $kCoreK)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // symmetrized edges, integer-degree DECIMAL moments, one closed form
+    "g_assortativity" ->
+      s"""WITH $coBase,
+         |bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM bi GROUP BY u),
+         |j AS (
+         |  SELECT du.deg AS du, dv.deg AS dv
+         |  FROM bi JOIN deg du ON du.node = bi.u JOIN deg dv ON dv.node = bi.v),
+         |mo AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         |    CAST(SUM(CAST(du AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+         |  FROM j)
+         |SELECT m2 AS n_directed_edges,
+         |  round((m2 * sxy - sx * sy)
+         |    / sqrt((m2 * sxx - sx * sx) * (m2 * syy - sy * sy)), 6) AS assortativity
+         |FROM mo""".stripMargin,
     // basket wedge counts, cosine on binary purchase vectors (per-row
     // IEEE, rounded 6), row_number cut at k with the (score desc, rec)
     // tiebreak the native TopK uses
