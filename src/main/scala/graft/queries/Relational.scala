@@ -394,6 +394,46 @@ object Relational {
       )
       .orderBy($"l_returnflag", $"l_linestatus")
 
+  /** TPC-H Q5 shape — the classic five-table star: revenue by nation for
+    * orders where the CUSTOMER's and SUPPLIER's nations coincide, one
+    * region, one order-date year. The plan is the canonical warehouse
+    * star strategy: region→nation→supplier/customer are all broadcast
+    * (the fact side never shuffles for a dimension), the only exchange
+    * is lineitem⋈orders on orderkey, and the date window pushes into
+    * the orders scan. Revenue follows Q1's derivedSum discipline
+    * (per-row IEEE product, DECIMAL(18,6) associative sum).
+    */
+  val q5LocalVolume: Q = (s, d) => {
+    val asia = Tables.region(s, d).filter($"r_name" === "ASIA").select($"r_regionkey")
+    val nat = Tables
+      .nation(s, d)
+      .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables
+      .supplier(s, d)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    val ord = Tables
+      .orders(s, d)
+      .filter(
+        $"o_orderdate" >= lit("1997-01-01").cast("date") &&
+          $"o_orderdate" < lit("1998-01-01").cast("date")
+      )
+      .select($"o_orderkey", $"o_custkey")
+    Tables
+      .lineitem(s, d)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(derivedSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .select($"n_name", round($"revenue", 6).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   // ---------------------------------------------------------------------
   // S10 — incremental watermark scan (`square_ETL.py:20-22`): batch form,
   // WHERE ts > last high-water mark.
@@ -618,6 +658,7 @@ object Relational {
     "u1_union_all"     -> u1UnionAll,
     "o1_sort"          -> o1Sort,
     "q1_pricing_summary" -> q1PricingSummary,
+    "q5_local_volume"    -> q5LocalVolume,
     "s10_watermark_scan" -> s10WatermarkScan
   )
 
@@ -826,6 +867,23 @@ object Relational {
       """SELECT l_returnflag, CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
         |  SUM(l_quantity) AS weight
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, week_date""".stripMargin,
+    // the classic five-table star; revenue per Q1's DECIMAL discipline
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= DATE '1997-01-01'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
