@@ -711,9 +711,88 @@ object SeriesAnalysis {
       |  SELECT s.profile_name, s.week_date, coalesce(w.weight, 0.0) AS weight
       |  FROM spine s LEFT JOIN weekly w USING (profile_name, week_date))""".stripMargin
 
+  /** The m_seasonal_decomp replay, extracted so m_seasonality_strength
+    * can wrap it as a subquery — one definition, two consumers.
+    */
+  private val seasonalDecompSql: String =
+    s"""WITH $gapCte,
+      |base AS (
+      |  SELECT profile_name, week_date, weight,
+      |    row_number() OVER w AS idx,
+      |    CASE WHEN COUNT(*) OVER ma = 13
+      |         THEN CAST(SUM(CAST(weight AS DECIMAL(38,18))) OVER ma AS DOUBLE) / 13.0
+      |    END AS trend
+      |  FROM gap
+      |  WINDOW w AS (PARTITION BY profile_name ORDER BY week_date),
+      |    ma AS (PARTITION BY profile_name ORDER BY week_date
+      |           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+      |detr AS (
+      |  SELECT *, weight - trend AS detr, (idx - 1) % 13 AS phase FROM base),
+      |sea AS (
+      |  SELECT profile_name, phase,
+      |    CAST(SUM(CAST(detr AS DECIMAL(38,18))) AS DOUBLE) / COUNT(detr) AS s_raw
+      |  FROM detr GROUP BY profile_name, phase),
+      |sea_adj AS (
+      |  SELECT profile_name, phase,
+      |    s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(38,18))) OVER p AS DOUBLE)
+      |            / COUNT(s_raw) OVER p AS seasonal
+      |  FROM sea WINDOW p AS (PARTITION BY profile_name))
+      |SELECT d.profile_name, d.week_date, d.weight,
+      |  round(d.trend, 6) AS trend,
+      |  round(a.seasonal, 6) AS seasonal,
+      |  round(d.weight - d.trend - a.seasonal, 6) AS resid
+      |FROM detr d JOIN sea_adj a USING (profile_name, phase)
+      |ORDER BY profile_name, week_date""".stripMargin
+
+  /** Seasonality / trend strength (Hyndman's STL-feature form): per
+    * profile, 1 − Var(resid)/Var(seasonal + resid) and
+    * 1 − Var(resid)/Var(trend + resid), floored at 0 — the "which
+    * profiles actually carry seasonal structure" triage that decides
+    * whether m_hw_fixed's seasonal machinery is worth running. Inputs
+    * are m_seasonal_decomp's ALREADY-ROUNDED components (deterministic
+    * anchors), component sums are per-row IEEE, variances come from
+    * DECIMAL moment sums with the population-n denominator, and the
+    * final ratios round once at 6 dp.
+    */
+  def seasonalityStrengthJob(s: SparkSession, dir: String): DataFrame =
+    seasonalDecompJob(s, dir)
+      .filter($"trend".isNotNull)
+      .withColumn("sr", $"seasonal" + $"resid")
+      .withColumn("tr", $"trend" + $"resid")
+      .groupBy($"profile_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"resid".cast(dec)).cast("double").as("s_r"),
+        sum(($"resid" * $"resid").cast(dec)).cast("double").as("s_rr"),
+        sum($"sr".cast(dec)).cast("double").as("s_sr"),
+        sum(($"sr" * $"sr").cast(dec)).cast("double").as("s_srr"),
+        sum($"tr".cast(dec)).cast("double").as("s_tr"),
+        sum(($"tr" * $"tr").cast(dec)).cast("double").as("s_trr")
+      )
+      .select(
+        $"profile_name",
+        $"n",
+        round(
+          greatest(
+            lit(0.0),
+            lit(1.0) - (($"s_rr" - $"s_r" * $"s_r" / $"n") / ($"s_srr" - $"s_sr" * $"s_sr" / $"n"))
+          ),
+          6
+        ).as("seasonal_strength"),
+        round(
+          greatest(
+            lit(0.0),
+            lit(1.0) - (($"s_rr" - $"s_r" * $"s_r" / $"n") / ($"s_trr" - $"s_tr" * $"s_tr" / $"n"))
+          ),
+          6
+        ).as("trend_strength")
+      )
+      .orderBy($"profile_name")
+
   val queries: Map[String, Q] = Map(
     "m_croston"         -> (crostonJob(_, _)),
     "m_seasonal_decomp" -> (seasonalDecompJob(_, _)),
+    "m_seasonality_strength" -> (seasonalityStrengthJob(_, _)),
     "m_acf"             -> (acfJob(_, _)),
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
     "m_trend_ols"       -> (trendOlsJob(_, _)),
@@ -754,35 +833,29 @@ object SeriesAnalysis {
         |  round(z / p, 6) AS forecast,
         |  round(0.9 * z / p, 6) AS sba_forecast
         |FROM cro WHERE i = n ORDER BY profile_name""".stripMargin,
-    "m_seasonal_decomp" ->
-      s"""WITH $gapCte,
-        |base AS (
-        |  SELECT profile_name, week_date, weight,
-        |    row_number() OVER w AS idx,
-        |    CASE WHEN COUNT(*) OVER ma = 13
-        |         THEN CAST(SUM(CAST(weight AS DECIMAL(38,18))) OVER ma AS DOUBLE) / 13.0
-        |    END AS trend
-        |  FROM gap
-        |  WINDOW w AS (PARTITION BY profile_name ORDER BY week_date),
-        |    ma AS (PARTITION BY profile_name ORDER BY week_date
-        |           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
-        |detr AS (
-        |  SELECT *, weight - trend AS detr, (idx - 1) % 13 AS phase FROM base),
-        |sea AS (
-        |  SELECT profile_name, phase,
-        |    CAST(SUM(CAST(detr AS DECIMAL(38,18))) AS DOUBLE) / COUNT(detr) AS s_raw
-        |  FROM detr GROUP BY profile_name, phase),
-        |sea_adj AS (
-        |  SELECT profile_name, phase,
-        |    s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(38,18))) OVER p AS DOUBLE)
-        |            / COUNT(s_raw) OVER p AS seasonal
-        |  FROM sea WINDOW p AS (PARTITION BY profile_name))
-        |SELECT d.profile_name, d.week_date, d.weight,
-        |  round(d.trend, 6) AS trend,
-        |  round(a.seasonal, 6) AS seasonal,
-        |  round(d.weight - d.trend - a.seasonal, 6) AS resid
-        |FROM detr d JOIN sea_adj a USING (profile_name, phase)
-        |ORDER BY profile_name, week_date""".stripMargin,
+    "m_seasonal_decomp" -> seasonalDecompSql,
+    // the decomp replay as a subquery, then the same DECIMAL variance
+    // moments and once-rounded strength ratios
+    "m_seasonality_strength" ->
+      s"""WITH comp AS (
+        |  SELECT * FROM ($seasonalDecompSql) q WHERE trend IS NOT NULL),
+        |mo AS (
+        |  SELECT profile_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(resid AS DECIMAL(38,18))) AS DOUBLE) AS s_r,
+        |    CAST(SUM(CAST(resid * resid AS DECIMAL(38,18))) AS DOUBLE) AS s_rr,
+        |    CAST(SUM(CAST((seasonal + resid) AS DECIMAL(38,18))) AS DOUBLE) AS s_sr,
+        |    CAST(SUM(CAST((seasonal + resid) * (seasonal + resid) AS DECIMAL(38,18))) AS DOUBLE) AS s_srr,
+        |    CAST(SUM(CAST((trend + resid) AS DECIMAL(38,18))) AS DOUBLE) AS s_tr,
+        |    CAST(SUM(CAST((trend + resid) * (trend + resid) AS DECIMAL(38,18))) AS DOUBLE) AS s_trr
+        |  FROM comp GROUP BY profile_name)
+        |SELECT profile_name, n,
+        |  round(greatest(0.0,
+        |    1.0 - ((s_rr - s_r * s_r / n) / (s_srr - s_sr * s_sr / n))), 6)
+        |    AS seasonal_strength,
+        |  round(greatest(0.0,
+        |    1.0 - ((s_rr - s_r * s_r / n) / (s_trr - s_tr * s_tr / n))), 6)
+        |    AS trend_strength
+        |FROM mo ORDER BY profile_name""".stripMargin,
     "m_hw_fixed" ->
       s"""WITH RECURSIVE $gapCte,
         |series AS (

@@ -394,6 +394,24 @@ object Relational {
       )
       .orderBy($"l_returnflag", $"l_linestatus")
 
+  /** TPC-H Q6 shape — the forecasting-revenue predicate scan: one table,
+    * three pushed filters, one DECIMAL product sum. The benchmark's
+    * purest test that filters reach the scan (PushedFilters carries all
+    * three ranges) and that a full-scan aggregate stays map-side until
+    * the single final reduce.
+    */
+  val q6ForecastRevenue: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .filter(
+        $"l_shipdate" >= lit("1997-01-01").cast("date") &&
+          $"l_shipdate" < lit("1998-01-01").cast("date") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24
+      )
+      .agg(derivedSum($"l_extendedprice" * $"l_discount").as("revenue"))
+      .select(round($"revenue", 6).as("revenue"))
+
   /** TPC-H Q5 shape — the classic five-table star: revenue by nation for
     * orders where the CUSTOMER's and SUPPLIER's nations coincide, one
     * region, one order-date year. The plan is the canonical warehouse
@@ -659,6 +677,7 @@ object Relational {
     "o1_sort"          -> o1Sort,
     "q1_pricing_summary" -> q1PricingSummary,
     "q5_local_volume"    -> q5LocalVolume,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
     "s10_watermark_scan" -> s10WatermarkScan
   )
 
@@ -867,6 +886,13 @@ object Relational {
       """SELECT l_returnflag, CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
         |  SUM(l_quantity) AS weight
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, week_date""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // the classic five-table star; revenue per Q1's DECIMAL discipline
     "q5_local_volume" ->
       """SELECT n_name,
