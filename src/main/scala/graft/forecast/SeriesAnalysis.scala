@@ -789,10 +789,40 @@ object SeriesAnalysis {
       )
       .orderBy($"profile_name")
 
+  /** Seasonally-adjusted anomalies — z-scores on the DECOMPOSITION
+    * RESIDUALS rather than raw values: a pointwise screen over raw
+    * demand (e_anomalies) flags every holiday season; scoring what's
+    * left after trend and seasonality are removed flags only what the
+    * profile's own structure cannot explain. Moments of the rounded
+    * residuals ride DECIMAL sums (sample σ, the e_anomalies convention);
+    * emits the |z| > 3 rows with the once-rounded score.
+    */
+  def seasonalAnomaliesJob(s: SparkSession, dir: String): DataFrame = {
+    val byProf = Window.partitionBy($"profile_name")
+    seasonalDecompJob(s, dir)
+      .filter($"trend".isNotNull)
+      .withColumn("n", count(lit(1)).over(byProf))
+      .withColumn("s_r", sum($"resid".cast(dec)).over(byProf).cast("double"))
+      .withColumn("s_rr", sum(($"resid" * $"resid").cast(dec)).over(byProf).cast("double"))
+      .withColumn("mu", $"s_r" / $"n")
+      .withColumn("sigma", sqrt(($"s_rr" - $"s_r" * $"s_r" / $"n") / ($"n" - 1)))
+      .withColumn("z", ($"resid" - $"mu") / $"sigma")
+      .filter(abs($"z") > 3.0)
+      .select(
+        $"profile_name",
+        $"week_date",
+        $"weight",
+        $"resid",
+        round($"z", 6).as("z_score")
+      )
+      .orderBy($"profile_name", $"week_date")
+  }
+
   val queries: Map[String, Q] = Map(
     "m_croston"         -> (crostonJob(_, _)),
     "m_seasonal_decomp" -> (seasonalDecompJob(_, _)),
     "m_seasonality_strength" -> (seasonalityStrengthJob(_, _)),
+    "e_anomalies_seasonal" -> (seasonalAnomaliesJob(_, _)),
     "m_acf"             -> (acfJob(_, _)),
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
     "m_trend_ols"       -> (trendOlsJob(_, _)),
@@ -834,6 +864,23 @@ object SeriesAnalysis {
         |  round(0.9 * z / p, 6) AS sba_forecast
         |FROM cro WHERE i = n ORDER BY profile_name""".stripMargin,
     "m_seasonal_decomp" -> seasonalDecompSql,
+    // decomp subquery + DECIMAL residual moments + sample-sigma z filter
+    "e_anomalies_seasonal" ->
+      s"""WITH comp AS (
+        |  SELECT * FROM ($seasonalDecompSql) q WHERE trend IS NOT NULL),
+        |m AS (
+        |  SELECT *,
+        |    COUNT(*) OVER p AS n,
+        |    CAST(SUM(CAST(resid AS DECIMAL(38,18))) OVER p AS DOUBLE) AS s_r,
+        |    CAST(SUM(CAST(resid * resid AS DECIMAL(38,18))) OVER p AS DOUBLE) AS s_rr
+        |  FROM comp WINDOW p AS (PARTITION BY profile_name)),
+        |z AS (
+        |  SELECT *,
+        |    (resid - s_r / n) / sqrt((s_rr - s_r * s_r / n) / (n - 1)) AS zz
+        |  FROM m)
+        |SELECT profile_name, week_date, weight, resid, round(zz, 6) AS z_score
+        |FROM z WHERE abs(zz) > 3.0
+        |ORDER BY profile_name, week_date""".stripMargin,
     // the decomp replay as a subquery, then the same DECIMAL variance
     // moments and once-rounded strength ratios
     "m_seasonality_strength" ->

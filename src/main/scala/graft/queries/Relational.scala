@@ -394,6 +394,40 @@ object Relational {
       )
       .orderBy($"l_returnflag", $"l_linestatus")
 
+  /** TPC-H Q3 shape — shipping priority: top-10 undelivered orders by
+    * revenue for one market segment. Customer broadcasts, the fact pair
+    * shuffles once on orderkey, and the top-10 rides TakeOrdered (no
+    * global sort materializes the full order list). The cut orders by
+    * the ROUNDED revenue with the orderkey tiebreak so the boundary is
+    * deterministic cross-engine.
+    */
+  val q3ShippingPriority: Q = (s, d) => {
+    val cust = Tables
+      .customer(s, d)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables
+      .orders(s, d)
+      .filter($"o_orderdate" < lit("1998-03-15").cast("date"))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    Tables
+      .lineitem(s, d)
+      .filter($"l_shipdate" > lit("1998-03-15").cast("date"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(derivedSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .select(
+        $"o_orderkey",
+        round($"revenue", 6).as("revenue"),
+        $"o_orderdate".cast("date").as("o_orderdate"),
+        $"o_orderpriority"
+      )
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
   /** TPC-H Q6 shape — the forecasting-revenue predicate scan: one table,
     * three pushed filters, one DECIMAL product sum. The benchmark's
     * purest test that filters reach the scan (PushedFilters carries all
@@ -678,6 +712,7 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummary,
     "q5_local_volume"    -> q5LocalVolume,
     "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q3_shipping_priority" -> q3ShippingPriority,
     "s10_watermark_scan" -> s10WatermarkScan
   )
 
@@ -886,6 +921,19 @@ object Relational {
       """SELECT l_returnflag, CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
         |  SUM(l_quantity) AS weight
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, week_date""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-03-15'
+        |  AND l_shipdate > DATE '1998-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount
         |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
