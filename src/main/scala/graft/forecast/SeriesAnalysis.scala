@@ -171,6 +171,50 @@ object SeriesAnalysis {
       .orderBy($"profile_name", $"lag")
   }
 
+  final case class PacfRow(profile_name: String, lag: Int, pacf: Double)
+
+  /** Partial autocorrelations via Durbin–Levinson — the other half of
+    * the Box–Jenkins identification pair (ACF tails ⇒ MA order, PACF
+    * cuts ⇒ AR order; together they justify the `m_arima_grid` search
+    * space). Inputs are m_acf's ALREADY-ROUNDED autocorrelations — a
+    * deterministic cross-engine anchor — and the recursion is a pure
+    * sequential double fold per profile (the inner Σ φ_{k−1,j}·r_{k−j}
+    * subtracts in ascending j, which the oracle replays as an ordered
+    * list fold with the prepended-init trick). Six lags ⇒ depth-5
+    * recursion; work after the ACF aggregate is lag-table-sized.
+    */
+  def pacfJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{newProductEncoder, newStringEncoder}
+    acfJob(s, dir)
+      .as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (profile, rows) =>
+        val r = rows.toArray.sortBy(_._2).map(_._3)
+        val m = r.length
+        val phi  = Array.ofDim[Double](m + 1, m + 1)
+        val pacf = new Array[Double](m + 1)
+        phi(1)(1) = r(0); pacf(1) = r(0)
+        var v = 1.0 - r(0) * r(0)
+        var k = 2
+        while (k <= m) {
+          var num = r(k - 1)
+          var j   = 1
+          while (j < k) { num = num - phi(k - 1)(j) * r(k - j - 1); j += 1 }
+          val a = num / v
+          pacf(k) = a
+          phi(k)(k) = a
+          j = 1
+          while (j < k) { phi(k)(j) = phi(k - 1)(j) - a * phi(k - 1)(k - j); j += 1 }
+          v = v * (1.0 - a * a)
+          k += 1
+        }
+        (1 to m).iterator.map(l => PacfRow(profile, l, pacf(l)))
+      }
+      .toDF()
+      .select(col("profile_name"), col("lag"), round(col("pacf"), 6).as("pacf"))
+      .orderBy(col("profile_name"), col("lag"))
+  }
+
   // ------------------------------------------------------- Holt-Winters
 
   final case class HwRow(
@@ -823,6 +867,7 @@ object SeriesAnalysis {
     "m_seasonal_decomp" -> (seasonalDecompJob(_, _)),
     "m_seasonality_strength" -> (seasonalityStrengthJob(_, _)),
     "e_anomalies_seasonal" -> (seasonalAnomaliesJob(_, _)),
+    "m_pacf"            -> (pacfJob(_, _)),
     "m_acf"             -> (acfJob(_, _)),
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
     "m_trend_ols"       -> (trendOlsJob(_, _)),
@@ -1179,34 +1224,69 @@ object SeriesAnalysis {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM mo ORDER BY profile_name""".stripMargin,
-    "m_acf" -> {
-      val leads = (1 to acfMaxLag)
-        .map(k => s"lead(dev, $k) OVER w AS d$k")
-        .mkString(",\n        |    ")
-      val csums = (1 to acfMaxLag)
-        .map(k => s"CAST(SUM(CAST(dev * d$k AS DECIMAL(38,18))) AS DOUBLE) AS c$k")
-        .mkString(",\n        |    ")
-      val branches = (1 to acfMaxLag)
-        .map(k => s"SELECT profile_name, $k AS lag, round(c$k / c0, 6) AS acf FROM c")
-        .mkString("\n        |  UNION ALL ")
-      s"""WITH $gapCte,
-        |m AS (
-        |  SELECT profile_name, week_date, weight,
-        |    weight - CAST(SUM(CAST(weight AS DECIMAL(38,18))) OVER p AS DOUBLE)
-        |             / COUNT(*) OVER p AS dev
-        |  FROM gap WINDOW p AS (PARTITION BY profile_name)),
-        |l AS (
-        |  SELECT profile_name, dev,
-        |    $leads
-        |  FROM m WINDOW w AS (PARTITION BY profile_name ORDER BY week_date)),
-        |c AS (
-        |  SELECT profile_name,
-        |    CAST(SUM(CAST(dev * dev AS DECIMAL(38,18))) AS DOUBLE) AS c0,
-        |    $csums
-        |  FROM l GROUP BY profile_name)
-        |SELECT * FROM (
-        |  $branches)
+    "m_acf" -> acfSql,
+    // Durbin–Levinson replay over the ACF subquery: the recursion
+    // carries the φ row as a LIST (the Holt-Winters seasonal-state
+    // precedent); α's inner Σ subtracts in ascending j via the
+    // prepended-init ordered fold, exactly the engine's loop order
+    "m_pacf" -> {
+      // α at state k (producing lag k+1) — repeated verbatim wherever
+      // the step needs it, so every occurrence is the same expression
+      val alpha =
+        "(list_reduce(list_prepend(r[k + 1], [CAST(x AS DOUBLE) for x in range(1, k + 1)]), " +
+          "(acc, t) -> acc - phl[CAST(t AS INT)] * r[k + 1 - CAST(t AS INT)]) / v)"
+      s"""WITH RECURSIVE rl AS (
+        |  SELECT profile_name, list(acf ORDER BY lag) AS r
+        |  FROM ($acfSql) a GROUP BY profile_name),
+        |dl AS (
+        |  SELECT profile_name, r, 1 AS k,
+        |    [r[1]] AS phl,
+        |    1.0 - r[1] * r[1] AS v,
+        |    [r[1]] AS pac
+        |  FROM rl
+        |  UNION ALL
+        |  SELECT profile_name, r, k + 1,
+        |    [phl[CAST(j AS INT)] - $alpha * phl[k + 1 - CAST(j AS INT)]
+        |       for j in range(1, k + 1)] || [$alpha],
+        |    v * (1.0 - $alpha * $alpha),
+        |    pac || [$alpha]
+        |  FROM dl WHERE k < len(r))
+        |SELECT profile_name, CAST(o AS INT) AS lag, round(p, 6) AS pacf
+        |FROM (
+        |  SELECT profile_name, unnest(pac) AS p, generate_subscripts(pac, 1) AS o
+        |  FROM dl WHERE k = len(r)) t
         |ORDER BY profile_name, lag""".stripMargin
     }
   )
+
+  /** The m_acf replay, extracted so m_pacf can wrap it as a subquery. */
+  private lazy val acfSql: String = {
+    val leads = (1 to acfMaxLag)
+      .map(k => s"lead(dev, $k) OVER w AS d$k")
+      .mkString(",\n        |    ")
+    val csums = (1 to acfMaxLag)
+      .map(k => s"CAST(SUM(CAST(dev * d$k AS DECIMAL(38,18))) AS DOUBLE) AS c$k")
+      .mkString(",\n        |    ")
+    val branches = (1 to acfMaxLag)
+      .map(k => s"SELECT profile_name, $k AS lag, round(c$k / c0, 6) AS acf FROM c")
+      .mkString("\n        |  UNION ALL ")
+    s"""WITH $gapCte,
+      |m AS (
+      |  SELECT profile_name, week_date, weight,
+      |    weight - CAST(SUM(CAST(weight AS DECIMAL(38,18))) OVER p AS DOUBLE)
+      |             / COUNT(*) OVER p AS dev
+      |  FROM gap WINDOW p AS (PARTITION BY profile_name)),
+      |l AS (
+      |  SELECT profile_name, dev,
+      |    $leads
+      |  FROM m WINDOW w AS (PARTITION BY profile_name ORDER BY week_date)),
+      |c AS (
+      |  SELECT profile_name,
+      |    CAST(SUM(CAST(dev * dev AS DECIMAL(38,18))) AS DOUBLE) AS c0,
+      |    $csums
+      |  FROM l GROUP BY profile_name)
+      |SELECT * FROM (
+      |  $branches)
+      |ORDER BY profile_name, lag""".stripMargin
+  }
 }
