@@ -30,7 +30,7 @@ object SparkEntry {
     */
   private[graft] val queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     Seq(
-      Relational.queries, graft.queries.Advanced.queries, graft.queries.Matching.queries,
+      Relational.queries, graft.queries.Tpch.queries, graft.queries.Advanced.queries, graft.queries.Matching.queries,
       graft.queries.AsofJoin.queries, graft.queries.ZOrder.queries, graft.queries.Graph.queries,
       graft.queries.Cdc.queries, graft.queries.RuntimeFilter.queries,
       ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries, ZoloPipeline.queries,
@@ -48,7 +48,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ graft.queries.Advanced.oracles ++ graft.queries.Matching.oracles ++
+    Relational.oracles ++ graft.queries.Tpch.oracles ++ graft.queries.Advanced.oracles ++ graft.queries.Matching.oracles ++
       graft.queries.AsofJoin.oracles ++ graft.queries.ZOrder.oracles ++ graft.queries.Graph.oracles ++ graft.queries.Cdc.oracles ++ graft.queries.RuntimeFilter.oracles ++ ForecastJobs.oracles ++ graft.forecast.SeriesAnalysis.oracles ++
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++ graft.text.Bpe.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++
