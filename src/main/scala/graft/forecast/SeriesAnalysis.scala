@@ -215,6 +215,37 @@ object SeriesAnalysis {
       .orderBy(col("profile_name"), col("lag"))
   }
 
+  /** Ljung–Box portmanteau test per profile — "is this series white
+    * noise?", the diagnostic run on residuals before trusting a model
+    * and the natural consumer of m_acf's output:
+    * Q = n(n+2) Σ_{k=1..6} ρ̂_k² / (n−k), rejected against the
+    * χ²₀.₀₅(6) critical value. Inputs are the ALREADY-ROUNDED
+    * autocorrelations (the m_pacf anchor discipline); the six per-lag
+    * terms sum in DECIMAL so the reduction is order-free, and the
+    * reject flag derives from the ONCE-ROUNDED Q (the m_cusum lesson:
+    * never compare an unrounded double against a boundary the oracle
+    * rounds).
+    */
+  def ljungBoxJob(s: SparkSession, dir: String): DataFrame = {
+    val n = ForecastJobs
+      .gapfillJob(s, dir)
+      .groupBy($"profile_name")
+      .agg(count(lit(1)).as("n"))
+    val q = acfJob(s, dir)
+      .join(n, Seq("profile_name"))
+      .withColumn("term", ($"acf" * $"acf" / ($"n" - $"lag")).cast(dec))
+      .groupBy($"profile_name", $"n")
+      .agg(sum($"term").cast("double").as("ssum"))
+      .withColumn("q_stat", round(($"n" * ($"n" + lit(2L))).cast("double") * $"ssum", 6))
+    q.select(
+      $"profile_name",
+      $"n",
+      $"q_stat",
+      // χ²₀.₀₅(df=6) = 12.591587…, written to the same 6 dp as q_stat
+      ($"q_stat" > lit(12.591587)).as("lb_reject")
+    ).orderBy($"profile_name")
+  }
+
   // ------------------------------------------------------- Holt-Winters
 
   final case class HwRow(
@@ -868,6 +899,7 @@ object SeriesAnalysis {
     "m_seasonality_strength" -> (seasonalityStrengthJob(_, _)),
     "e_anomalies_seasonal" -> (seasonalAnomaliesJob(_, _)),
     "m_pacf"            -> (pacfJob(_, _)),
+    "m_ljung_box"       -> (ljungBoxJob(_, _)),
     "m_acf"             -> (acfJob(_, _)),
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
     "m_trend_ols"       -> (trendOlsJob(_, _)),
@@ -1225,6 +1257,24 @@ object SeriesAnalysis {
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM mo ORDER BY profile_name""".stripMargin,
     "m_acf" -> acfSql,
+    // the Q assembly over the ACF subquery: rounded ρ̂ in, DECIMAL term
+    // sum, once-rounded Q, flag off the rounded value (m_cusum rule)
+    "m_ljung_box" ->
+      s"""WITH $gapCte,
+        |cnt AS (SELECT profile_name, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM gap GROUP BY profile_name),
+        |a AS (SELECT * FROM ($acfSql) x),
+        |t AS (
+        |  SELECT a.profile_name, n,
+        |    CAST(SUM(CAST(acf * acf / (n - lag) AS DECIMAL(38,18))) AS DOUBLE) AS ssum
+        |  FROM a JOIN cnt ON a.profile_name = cnt.profile_name
+        |  GROUP BY a.profile_name, n),
+        |q AS (
+        |  SELECT profile_name, n,
+        |    round(CAST(n * (n + 2) AS DOUBLE) * ssum, 6) AS q_stat
+        |  FROM t)
+        |SELECT profile_name, n, q_stat, q_stat > 12.591587 AS lb_reject
+        |FROM q ORDER BY profile_name""".stripMargin,
     // Durbin–Levinson replay over the ACF subquery: the recursion
     // carries the φ row as a LIST (the Holt-Winters seasonal-state
     // precedent); α's inner Σ subtracts in ascending j via the

@@ -1198,7 +1198,55 @@ object Advanced {
       .orderBy($"from_state", $"to_state")
   }
 
+  /** Theil index of customer-revenue inequality, decomposed by nation —
+    * the entropy-based complement to [[aGini]] whose within/between
+    * split Gini cannot provide: T = T_between + Σ_g share_g·T_g. Per
+    * nation g this emits n_cust, the revenue share, the within-group
+    * index T_g = (1/n_g)·Σ_i (x_i/μ_g)·ln(x_i/μ_g), and the
+    * between-group term share_g·ln(μ_g/μ). Customer spend and all group
+    * totals are exact DECIMAL sums cast to double once; each per-customer
+    * entropy term is a fixed double expression (ln parity with DuckDB is
+    * the established tfidf/KL precedent) summed through DECIMAL(38,18)
+    * so the reduction is order-free. Two shuffles total: custkey rollup,
+    * nation rollup; the nation-level stats broadcast back for the
+    * per-customer terms. Customers with no orders have x=0 and ln
+    * undefined — the decomposition is over purchasing customers only.
+    */
+  val aTheilIndex: Q = (s, d) => {
+    val dec18 = DecimalType(18, 2)
+    val spend = Tables
+      .orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_nationkey")
+      .agg(sum($"o_totalprice".cast(dec18)).as("x_dec"))
+      .select($"c_custkey", $"c_nationkey", $"x_dec".cast(DoubleType).as("x"), $"x_dec")
+    val grp = spend
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum($"x_dec").cast(DoubleType).as("x_g"))
+      .withColumn("mu_g", $"x_g" / $"n_cust")
+    val tot = spend.agg(
+      sum($"x_dec").cast(DoubleType).as("x_tot"),
+      count(lit(1)).as("n_tot")
+    )
+    spend
+      .join(broadcast(grp), Seq("c_nationkey"))
+      .withColumn("term", (($"x" / $"mu_g") * log($"x" / $"mu_g")).cast(DecimalType(38, 18)))
+      .groupBy($"c_nationkey", $"n_cust", $"x_g", $"mu_g")
+      .agg(sum($"term").cast(DoubleType).as("term_sum"))
+      .crossJoin(broadcast(tot))
+      .select(
+        $"c_nationkey",
+        $"n_cust",
+        round($"x_g" / $"x_tot", 6).as("rev_share"),
+        round($"term_sum" / $"n_cust", 6).as("theil_within"),
+        round(($"x_g" / $"x_tot") * log($"mu_g" / ($"x_tot" / $"n_tot")), 6).as("between_term")
+      )
+      .orderBy($"c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a_theil_index"     -> aTheilIndex,
     "e_user_paths"      -> eUserPaths,
     "a_weighted_median" -> aWeightedMedian,
     "w_range_frame"     -> wRangeFrame,
@@ -1238,6 +1286,35 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-customer entropy terms mirror the engine's expression tree
+    // verbatim (ratio recomputed inside ln — pure IEEE, bit-equal);
+    // DECIMAL(38,18) makes the term sum order-free
+    "a_theil_index" ->
+      """WITH spend AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x_dec,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_nationkey),
+        |grp AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(x_dec) AS DOUBLE) AS x_g
+        |  FROM spend GROUP BY c_nationkey),
+        |tot AS (
+        |  SELECT CAST(SUM(x_dec) AS DOUBLE) AS x_tot,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tot
+        |  FROM spend),
+        |terms AS (
+        |  SELECT s.c_nationkey, g.n_cust, g.x_g,
+        |    CAST(SUM(CAST((s.x / (g.x_g / g.n_cust)) * ln(s.x / (g.x_g / g.n_cust))
+        |      AS DECIMAL(38,18))) AS DOUBLE) AS term_sum
+        |  FROM spend s JOIN grp g ON s.c_nationkey = g.c_nationkey
+        |  GROUP BY s.c_nationkey, g.n_cust, g.x_g)
+        |SELECT t.c_nationkey, t.n_cust,
+        |  round(t.x_g / x_tot, 6) AS rev_share,
+        |  round(t.term_sum / t.n_cust, 6) AS theil_within,
+        |  round((t.x_g / x_tot) * ln((t.x_g / t.n_cust) / (x_tot / n_tot)), 6) AS between_term
+        |FROM terms t, tot ORDER BY t.c_nationkey""".stripMargin,
     "e_user_paths" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
