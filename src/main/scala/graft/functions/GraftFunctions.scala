@@ -47,6 +47,7 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, b, "built-in")
     once("hamming64", binary("hamming64", Hamming64.apply) _)
     once("cosine64", binary("cosine64", Cosine64.apply) _)
+    once("dot64", binary("dot64", Dot64.apply) _)
   }
 
   /** Column surface (requires [[register]] on the session first). */
@@ -54,6 +55,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("hamming64", a, b)
   def cosine64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("cosine64", a, b)
+  def dot64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot64", a, b)
 }
 
 /** Hamming distance between two 64-bit signatures. ExpectsInputTypes so a
@@ -118,6 +121,44 @@ case class Cosine64(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Cosine64$$.MODULE$$.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object Dot64 {
+  /** Raw inner product, same left-to-right fold as [[Cosine64.compute]]
+    * (bit-compatible with DuckDB's sequential `list_dot_product`).
+    */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i   = 0
+    while (i < n) {
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+}
+
+/** Inner product of two ArrayType(DoubleType) columns — the MIPS scoring
+  * kernel ([[graft.sim.Similarity.mipsTopK]]). Same contracts as
+  * [[Cosine64]]: analysis-time typing, primitive element reads, fully
+  * codegen'd single loop.
+  */
+case class Dot64(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Dot64.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Dot64$$.MODULE$$.compute($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

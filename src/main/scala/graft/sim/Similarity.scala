@@ -280,6 +280,74 @@ object Similarity {
     rankPerProbe(sims, k)
   }
 
+  /** Maximum-inner-product search (MIPS) — retrieval where scores are
+    * raw dot products (recommender/reranker serving), which no cosine
+    * index answers directly because the corpus norms matter. The engine
+    * runs the published norm-augmentation reduction (Shrivastava & Li,
+    * asymmetric LSH for MIPS): with M = max corpus norm, map
+    * x → [x/M ; √(1 − ‖x‖²/M²)] (unit norm) and q → [q ; 0] — then
+    * augmented COSINE order equals dot-product order, so any cosine ANN
+    * structure (IVF cells, SRP buckets) serves MIPS. Here the reduction
+    * feeds the bounded-heap TopK shortlist (standing in for the index
+    * probe at scale), and survivors are re-scored by the EXACT dot64
+    * kernel with the final cut on (rounded dot, id) — the oracle is pure
+    * exact-MIPS ranking, independent of the reduction. The corpus-max
+    * norm is one scalar aggregate broadcast back (no collect).
+    *
+    * The parquet embeddings are unit-normalized, where MIPS degenerates
+    * to cosine — so the corpus side carries a deterministic per-item
+    * magnitude (1 + (vec_id mod 7)/4, the popularity-weighted item
+    * matrix of recommender serving, where norm encodes prior
+    * popularity); MipsSpec asserts the resulting ranking genuinely
+    * differs from cosine's.
+    */
+  def mipsTopK(s: SparkSession, d: String, k: Int, shortlist: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dot = graft.functions.GraftFunctions.dot64 _
+    val raw = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("u"))
+    val e = raw.select(
+      $"vec_id",
+      transform($"u", x => x * (lit(1.0) + ($"vec_id" % 7).cast("double") / lit(4.0))).as("v")
+    )
+    val withN2 = e.withColumn("n2", dot($"v", $"v"))
+    val m2 = withN2.agg(max($"n2").as("m2"))
+    val aug = withN2
+      .crossJoin(broadcast(m2))
+      .select(
+        $"vec_id",
+        $"v",
+        concat(transform($"v", x => x / sqrt($"m2")), array(sqrt(lit(1.0) - $"n2" / $"m2")))
+          .as("va")
+      )
+    // probes are the RAW unit query vectors — only the item side carries
+    // the popularity magnitude
+    val probes = raw
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"u".as("pv"), concat($"u", array(lit(0.0))).as("pva"))
+    val cand = aug
+      .join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"pv", $"v",
+        cosine($"pva", $"va").as("aug_cos"))
+    val short = graft.plans.TopK.perKey(
+      cand,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"aug_cos".desc, $"neighbor_id".asc),
+      k = shortlist
+    )
+    val rescored = short
+      .select($"probe_id", $"neighbor_id", round(dot($"pv", $"v"), 6).as("dot"))
+    val top = graft.plans.TopK.perKey(
+      rescored,
+      keys = Seq($"probe_id"),
+      ordering = Seq($"dot".desc, $"neighbor_id".asc),
+      k = k
+    )
+    val w = Window.partitionBy($"probe_id").orderBy($"dot".desc, $"neighbor_id")
+    top
+      .withColumn("rank", row_number().over(w))
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** int8 scalar quantization of embeddings (per-vector min/max) — the
     * 4× storage-compression path for vector corpora. Integer codes +
     * per-vector (min, scale) metadata; dequantization error is bounded by
@@ -909,6 +977,7 @@ object Similarity {
     "ann_pq_topk"         -> ((s, d) =>
       pqTopK(s, d, k = 5, booksDump = Some(s"${graft.OracleIo.dir(d)}/pq_codebooks"))),
     "ann_matryoshka_topk" -> ((s, d) => matryoshkaTopK(s, d, k = 5)),
+    "ann_mips_topk"       -> ((s, d) => mipsTopK(s, d, k = 5, shortlist = 50)),
     "ann_range_search"    -> ((s, d) => rangeSearch(s, d, tau = 0.3)),
     "sim_knn_graph"       -> ((s, d) =>
       knnGraph(s, d, k = knnK, nCells = knnCells, nprobe = knnProbe,
@@ -1113,6 +1182,27 @@ object Similarity {
          |    (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS INT) AS rank
          |  FROM tot) t
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // pure exact-MIPS ranking — deliberately independent of the engine's
+    // norm-augmentation reduction, so the oracle also proves the
+    // reduction preserved the dot-product order end-to-end
+    "ann_mips_topk" ->
+      """WITH u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(u, x -> x * (1.0 + CAST(vec_id % 7 AS DOUBLE) / 4.0)) AS v
+        |  FROM u),
+        |p AS (SELECT vec_id AS probe_id, u AS pv FROM u WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT probe_id, e.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, v), 6) AS dot
+        |  FROM e JOIN p ON e.vec_id <> p.probe_id)
+        |SELECT probe_id, neighbor_id, dot, rank FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+        |  FROM sims) t
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -258,3 +258,50 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 }
+
+/** MIPS reduction contract: the norm-augmented shortlist must contain the
+  * exact dot-product top-k (the reduction is order-preserving, so recall
+  * is 1.0 by math — this pins the implementation to the math), and raw
+  * dot order must genuinely differ from cosine order on this corpus
+  * (otherwise the query wouldn't be testing MIPS at all).
+  */
+class MipsSpec extends SparkSpec {
+  import graft.syntax._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private lazy val mips = Similarity.mipsTopK(spark, sf0001, k = 5, shortlist = 50).collect()
+
+  private lazy val exact = {
+    graft.functions.GraftFunctions.register(spark)
+    val raw = graft.tables.Tables
+      .embeddings(spark, sf0001)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("u"))
+    // same popularity scaling as mipsTopK's corpus side
+    val e = raw.select(
+      $"vec_id",
+      transform($"u", x => x * (lit(1.0) + ($"vec_id" % 7).cast("double") / lit(4.0))).as("v")
+    )
+    val probes = raw.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"u".as("pv"))
+    val w = Window.partitionBy($"probe_id").orderBy($"dot".desc, $"neighbor_id")
+    e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"),
+        round(graft.functions.GraftFunctions.dot64($"pv", $"v"), 6).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .collect()
+  }
+
+  test("augmented-cosine shortlist has recall 1.0 vs exact MIPS top-5") {
+    val got = mips.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = exact.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
+  test("MIPS order differs from cosine order (norms matter on this corpus)") {
+    val cosTop = Similarity.bruteForceTopK(spark, sf0001, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mipsTop = mips.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mipsTop != cosTop, "dot-product and cosine rankings coincide; MIPS query is vacuous")
+  }
+}
