@@ -35,7 +35,7 @@ object SparkEntry {
       graft.queries.Cdc.queries, graft.queries.RuntimeFilter.queries,
       ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries, ZoloPipeline.queries,
       TextAnalysis.queries, graft.text.Chunking.queries, graft.text.Bpe.queries, Dedup.queries,
-      Similarity.queries, Multimodal.queries, graft.mm.Audio.queries,
+      Similarity.queries, graft.sim.Pca.queries, Multimodal.queries, graft.mm.Audio.queries,
       graft.streaming.StreamQueries.queries,
       graft.sources.RestQueries.queries
     )
@@ -51,7 +51,7 @@ object SparkEntry {
     Relational.oracles ++ graft.queries.Tpch.oracles ++ graft.queries.Advanced.oracles ++ graft.queries.Matching.oracles ++
       graft.queries.AsofJoin.oracles ++ graft.queries.ZOrder.oracles ++ graft.queries.Graph.oracles ++ graft.queries.Cdc.oracles ++ graft.queries.RuntimeFilter.oracles ++ ForecastJobs.oracles ++ graft.forecast.SeriesAnalysis.oracles ++
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++ graft.text.Bpe.oracles ++
-      Dedup.oracles ++ Similarity.oraclesWithNative ++ Multimodal.oracles ++
+      Dedup.oracles ++ Similarity.oraclesWithNative ++ graft.sim.Pca.oracles ++ Multimodal.oracles ++
       graft.mm.Audio.oracles ++
       graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles
 }

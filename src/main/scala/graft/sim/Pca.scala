@@ -1,0 +1,191 @@
+package graft.sim
+
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Distributed PCA over the embedding corpus — the dimensionality
+  * reduction step of embedding-based curation (whitening before
+  * clustering, variance-based compression, drift monitoring of an
+  * embedding space).
+  *
+  * The algorithm is the classic two-stage split between cluster and
+  * driver state:
+  *
+  *  1. '''Covariance on the cluster''' — per-dimension means, then the
+  *     d(d+1)/2 upper-triangle second moments, as ONE grouped aggregate
+  *     over the (row × dim-pair) expansion. The expansion looks large
+  *     but the shuffle is not: partial aggregation folds every partition
+  *     down to ≤ 2080 groups map-side, so only d²-sized state crosses
+  *     the wire — the same arithmetic a hand-rolled
+  *     mapPartitions/treeAggregate would do, but expressed
+  *     declaratively, which is what keeps every addend a DECIMAL(38,18)
+  *     (order-free sums — a treeReduce of raw doubles is
+  *     partitioning-dependent and could never hash-match an oracle).
+  *  2. '''Eigenvector on the driver''' — the d×d matrix is matrix-sized
+  *     state (the k-centroids precedent): 10 fixed rounds of power
+  *     iteration from the exact-binary start 1/8, every fold in
+  *     ascending-index order, sign fixed by the first
+  *     largest-|coordinate| rule, final vector rounded ONCE at 9 dp.
+  *  3. '''Projection map-side''' — pc1 = ⟨x−μ, v⟩ via the codegen'd
+  *     [[graft.functions.Dot64]] kernel against the broadcast literal
+  *     eigenvector; no shuffle at all.
+  *
+  * The DuckDB oracle replays all three stages — DECIMAL moment sums,
+  * the 10-round recursion with the same ascending prepended-init folds
+  * (the m_pacf discipline), sign rule, rounding — so the entire
+  * cascade is hash-anchored.
+  */
+object Pca {
+  type Q = (SparkSession, String) => DataFrame
+
+  val dims   = 64
+  val rounds = 10
+
+  private val dec = DecimalType(38, 18)
+
+  private def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+
+  /** Per-dimension means (rounded 9 dp) and the power-iterated,
+    * sign-fixed, rounded leading eigenvector of the covariance matrix.
+    */
+  def pcaComponents(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+
+    val muRows = e
+      .select(posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg(round(sum($"x".cast(dec)).cast(DoubleType) / count(lit(1)), 9).as("m"))
+      .collect()
+    val mu = new Array[Double](dims)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+
+    val muLit = array(mu.map(lit): _*)
+    val cent  = e.select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
+    val ci    = cent.select($"vec_id", posexplode($"c").as(Seq("i", "xi")))
+    val cj    = cent.select($"vec_id".as("vid2"), posexplode($"c").as(Seq("j", "xj")))
+    val covRows = ci
+      .join(cj, $"vec_id" === $"vid2" && $"i" <= $"j")
+      .groupBy($"i", $"j")
+      .agg(round(sum(($"xi" * $"xj").cast(dec)).cast(DoubleType), 9).as("cv"))
+      .collect()
+
+    val cov = Array.ofDim[Double](dims, dims)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+
+    // power iteration: exact-binary start, ascending folds, fixed rounds
+    var v = Array.fill(dims)(0.125)
+    for (_ <- 1 to rounds) {
+      val w = new Array[Double](dims)
+      var i = 0
+      while (i < dims) {
+        var acc = 0.0
+        var j   = 0
+        while (j < dims) { acc += cov(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      var n2 = 0.0
+      i = 0
+      while (i < dims) { n2 += w(i) * w(i); i += 1 }
+      val n = math.sqrt(n2)
+      i = 0
+      while (i < dims) { v(i) = w(i) / n; i += 1 }
+    }
+    // deterministic sign: the FIRST largest-|coordinate| must be positive
+    var best = 0
+    var i    = 1
+    while (i < dims) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+    if (v(best) < 0) v = v.map(x => -x)
+    // BigDecimal.valueOf + HALF_UP is exactly Spark's Round-on-double
+    // semantics, which 200+ gated queries have shown agrees with
+    // DuckDB's round(double, n)
+    val r9 = v.map(x =>
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+    (mu, r9)
+  }
+
+  /** pc1 score per vector — the driver query. */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (mu, ev) = pcaComponents(s, d)
+    val muLit    = array(mu.map(lit): _*)
+    val evLit    = array(ev.map(lit): _*)
+    Tables
+      .embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select(
+        $"vec_id",
+        round(
+          graft.functions.GraftFunctions.dot64(zip_with($"v", muLit, (x, m) => x - m), evLit),
+          6
+        ).as("pc1")
+      )
+      .orderBy($"vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_pca_project" -> (pcaProject(_, _))
+  )
+
+  // DuckDB replay of the full cascade. The unnormalized-iterate list W
+  // appears three times inside the recursive step (the m_pacf
+  // "repeated verbatim" discipline) because SQL cannot bind it locally.
+  private val wList =
+    "[list_reduce(list_prepend(0.0, " +
+      "[m[CAST(i AS INT)][CAST(j AS INT)] * v[CAST(j AS INT)] for j in range(1, 65)]), " +
+      "(a, b) -> a + b) for i in range(1, 65)]"
+
+  private val wNorm =
+    s"sqrt(list_reduce(list_prepend(0.0, [x * x for x in $wList]), (a, b) -> a + b))"
+
+  val oracles: Map[String, String] = Map(
+    "sim_pca_project" ->
+      s"""WITH RECURSIVE u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mu0 AS (
+        |  SELECT i, round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS m
+        |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM u)
+        |  GROUP BY i),
+        |mul AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+        |cent AS (
+        |  SELECT vec_id,
+        |    [v[CAST(k AS INT)] - mu[CAST(k AS INT)] for k in range(1, 65)] AS c
+        |  FROM u, mul),
+        |cov0 AS (
+        |  SELECT i, j,
+        |    round(CAST(SUM(CAST(c[CAST(i AS INT)] * c[CAST(j AS INT)]
+        |      AS DECIMAL(38,18))) AS DOUBLE), 9) AS cv
+        |  FROM cent, range(1, 65) t1(i), range(1, 65) t2(j)
+        |  WHERE i <= j GROUP BY i, j),
+        |covm AS (
+        |  SELECT i, j, cv FROM cov0
+        |  UNION ALL SELECT j, i, cv FROM cov0 WHERE i <> j),
+        |cr AS (SELECT i, list(cv ORDER BY j) AS row FROM covm GROUP BY i),
+        |cl AS (SELECT list(row ORDER BY i) AS m FROM cr),
+        |it AS (
+        |  SELECT 0 AS r, [CAST(0.125 AS DOUBLE) for k in range(1, 65)] AS v, m FROM cl
+        |  UNION ALL
+        |  SELECT r + 1, [x / $wNorm for x in $wList], m
+        |  FROM it WHERE r < 10),
+        |fin AS (SELECT v FROM it WHERE r = 10),
+        |sgn AS (
+        |  SELECT CASE WHEN v[list_position([abs(x) for x in v],
+        |                                   list_max([abs(x) for x in v]))] < 0
+        |    THEN [-x for x in v] ELSE v END AS v
+        |  FROM fin),
+        |ev AS (SELECT [round(x, 9) for x in v] AS ev FROM sgn)
+        |SELECT vec_id,
+        |  round(list_reduce(list_prepend(0.0,
+        |    [c[CAST(k AS INT)] * ev[CAST(k AS INT)] for k in range(1, 65)]),
+        |    (a, b) -> a + b), 6) AS pc1
+        |FROM cent, ev ORDER BY vec_id""".stripMargin
+  )
+}

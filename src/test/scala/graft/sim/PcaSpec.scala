@@ -1,0 +1,45 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the PCA cascade that the differential gate
+  * cannot express: the eigenvector is unit-norm, the projections are
+  * centered, and — the point of PCA — the leading component captures at
+  * least as much variance as ANY single original dimension.
+  */
+class PcaSpec extends SparkSpec {
+
+  private lazy val (mu, ev) = Pca.pcaComponents(spark, sf0001)
+  private lazy val proj = Pca.pcaProject(spark, sf0001).collect().map(_.getDouble(1))
+
+  test("eigenvector is unit norm, sign-fixed, 64-dimensional") {
+    assert(ev.length == 64)
+    val n2 = ev.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"norm² = $n2")
+    val best = ev.indices.maxBy(i => math.abs(ev(i)))
+    assert(ev(best) > 0, "largest-|coordinate| sign rule violated")
+  }
+
+  test("projections are mean-centered") {
+    val mean = proj.sum / proj.length
+    assert(math.abs(mean) < 1e-4, s"pc1 mean = $mean")
+  }
+
+  test("pc1 variance dominates every single original dimension's variance") {
+    val n      = proj.length
+    val pc1Var = proj.map(x => x * x).sum / n
+    val dimVar = graft.tables.Tables
+      .embeddings(spark, sf0001)
+      .select(posexplode(transform($"embedding", _.cast("double"))).as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg((sum($"x" * $"x") / count(lit(1)) -
+        (sum($"x") / count(lit(1))) * (sum($"x") / count(lit(1)))).as("v"))
+      .agg(max($"v"))
+      .collect()(0)
+      .getDouble(0)
+    // small slack: projections use the 9dp-rounded eigenvector
+    assert(pc1Var >= dimVar - 1e-6, s"pc1 var $pc1Var < max dim var $dimVar")
+  }
+}
