@@ -354,6 +354,99 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
+  final case class OlsSums(
+      profile_name: String,
+      xtx: Seq[Double], // 15 upper-triangle entries, row-major (k ≤ l)
+      xty: Seq[Double], // 5 cross sums
+      syy: Double
+  )
+  final case class OlsBeta(
+      profile_name: String,
+      b_intercept: Double,
+      b_trend: Double,
+      b_phase1: Double,
+      b_phase2: Double,
+      b_phase3: Double,
+      r2: Double
+  )
+
+  /** Multivariate OLS per profile — demand regressed on trend + period-4
+    * phase dummies, fit by DISTRIBUTED NORMAL EQUATIONS: the only
+    * cluster-side work is one grouped aggregate producing the p(p+1)/2
+    * X'X moments and p X'y cross moments per profile (DECIMAL addends,
+    * order-free — the same "ship p²-sized state, not rows" shape as
+    * [[graft.sim.Pca]]'s covariance); the 5×5 solve then runs INSIDE the
+    * same typed pipeline via mapGroups-style Dataset.map (the M1
+    * per-group-model precedent — no driver collect, profiles solve in
+    * parallel). Elimination is fixed-order Gaussian (no pivoting — the
+    * normal matrix is SPD), every loop ascending, back-substitution
+    * subtracting ascending-j; the DuckDB oracle replays the elimination
+    * as a 4-round recursive CTE over the augmented matrix and unrolls
+    * the back-substitution with the identical fold order. R² comes from
+    * the same moments (SSE = y'y − β'X'y), no second data pass.
+    */
+  def olsMultiJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{newProductEncoder, newStringEncoder}
+    val ord = Window.partitionBy($"profile_name").orderBy($"week_date")
+    val base = ForecastJobs
+      .gapfillJob(s, dir)
+      .withColumn("t", row_number().over(ord).cast("double"))
+      .withColumn("ph", (($"t" - 1).cast("long") % 4))
+      .withColumn("d1", ($"ph" === 1).cast("double"))
+      .withColumn("d2", ($"ph" === 2).cast("double"))
+      .withColumn("d3", ($"ph" === 3).cast("double"))
+      .withColumn("y", $"weight")
+    val xs = Seq(lit(1.0), $"t", $"d1", $"d2", $"d3")
+    val xtxCols = for { k <- 0 until 5; l <- k until 5 } yield
+      sum((xs(k) * xs(l)).cast(dec)).cast("double")
+    val xtyCols = xs.map(x => sum((x * $"y").cast(dec)).cast("double"))
+    base
+      .groupBy($"profile_name")
+      .agg(
+        array(xtxCols: _*).as("xtx"),
+        array(xtyCols: _*).as("xty"),
+        sum(($"y" * $"y").cast(dec)).cast("double").as("syy")
+      )
+      .as[OlsSums]
+      .map { su =>
+        val p = 5
+        // full augmented matrix from the packed upper triangle
+        val a = Array.ofDim[Double](p, p + 1)
+        var idx = 0
+        for (k <- 0 until p; l <- k until p) {
+          a(k)(l) = su.xtx(idx); a(l)(k) = su.xtx(idx); idx += 1
+        }
+        for (k <- 0 until p) a(k)(p) = su.xty(k)
+        // forward elimination, fixed order, full-row update (mirrors SQL)
+        for (k <- 0 until p - 1; i <- k + 1 until p) {
+          val f = a(i)(k) / a(k)(k)
+          for (j <- 0 to p) a(i)(j) = a(i)(j) - f * a(k)(j)
+        }
+        // back substitution, ascending-j subtraction
+        val b = new Array[Double](p)
+        var i = p - 1
+        while (i >= 0) {
+          var acc = a(i)(p)
+          var j   = i + 1
+          while (j < p) { acc -= a(i)(j) * b(j); j += 1 }
+          b(i) = acc / a(i)(i)
+          i -= 1
+        }
+        var bxy = 0.0
+        for (k <- 0 until p) bxy += b(k) * su.xty(k)
+        val n   = su.xtx(0)
+        val sy  = su.xty(0)
+        val sse = su.syy - bxy
+        val sst = su.syy - sy * sy / n
+        def r6(x: Double) =
+          java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        OlsBeta(su.profile_name, r6(b(0)), r6(b(1)), r6(b(2)), r6(b(3)), r6(b(4)),
+          r6(1.0 - sse / sst))
+      }
+      .toDF()
+      .orderBy($"profile_name")
+  }
+
   // ----------------------------------------- shared smoothing folds
   // ONE Scala definition per recursion (r6 self-review): m_croston,
   // m_holt_damped and the backtest scorecard must race the IDENTICAL
@@ -900,6 +993,7 @@ object SeriesAnalysis {
     "e_anomalies_seasonal" -> (seasonalAnomaliesJob(_, _)),
     "m_pacf"            -> (pacfJob(_, _)),
     "m_ljung_box"       -> (ljungBoxJob(_, _)),
+    "m_ols_multi"       -> (olsMultiJob(_, _)),
     "m_acf"             -> (acfJob(_, _)),
     "m_hw_fixed"        -> (holtWintersJob(_, _)),
     "m_trend_ols"       -> (trendOlsJob(_, _)),
@@ -1257,6 +1351,11 @@ object SeriesAnalysis {
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM mo ORDER BY profile_name""".stripMargin,
     "m_acf" -> acfSql,
+    // normal-equation replay: the 20 DECIMAL moments, a 4-round
+    // recursive-CTE Gaussian elimination over the augmented matrix
+    // (full-row updates, no pivoting — mirrors the engine loop), then
+    // unrolled ascending-j back-substitution via lateral aliases
+    "m_ols_multi" -> olsMultiSql,
     // the Q assembly over the ACF subquery: rounded ρ̂ in, DECIMAL term
     // sum, once-rounded Q, flag off the rounded value (m_cusum rule)
     "m_ljung_box" ->
@@ -1308,6 +1407,72 @@ object SeriesAnalysis {
         |ORDER BY profile_name, lag""".stripMargin
     }
   )
+
+  /** The m_ols_multi replay (generated, like [[acfSql]], so the 20
+    * moment sums stay typo-free).
+    */
+  private lazy val olsMultiSql: String = {
+    val fx = Seq("1.0", "t", "d1", "d2", "d3")
+    val xtxSums = (for { k <- 0 until 5; l <- k until 5 } yield
+      s"CAST(SUM(CAST(${fx(k)} * ${fx(l)} AS DECIMAL(38,18))) AS DOUBLE) AS s$k$l").mkString(",\n        |    ")
+    val xtySums = (0 until 5)
+      .map(k => s"CAST(SUM(CAST(${fx(k)} * y AS DECIMAL(38,18))) AS DOUBLE) AS sy$k")
+      .mkString(",\n        |    ")
+    // symmetric augmented 5×6 matrix from the upper-triangle names
+    def m(i: Int, j: Int) = if (j == 5) s"sy$i" else if (i <= j) s"s$i$j" else s"s$j$i"
+    val aug = (0 until 5)
+      .map(i => "[" + (0 to 5).map(j => m(i, j)).mkString(", ") + "]")
+      .mkString("[", ", ", "]")
+    val elimRow =
+      "[mm[CAST(i AS INT)][CAST(j AS INT)] - " +
+        "(mm[CAST(i AS INT)][k + 1] / mm[k + 1][k + 1]) * mm[k + 1][CAST(j AS INT)] " +
+        "for j in range(1, 7)]"
+    val backSub = Seq(
+      "mm[5][6] / mm[5][5] AS b5",
+      "(mm[4][6] - mm[4][5] * b5) / mm[4][4] AS b4",
+      "(mm[3][6] - mm[3][4] * b4 - mm[3][5] * b5) / mm[3][3] AS b3",
+      "(mm[2][6] - mm[2][3] * b3 - mm[2][4] * b4 - mm[2][5] * b5) / mm[2][2] AS b2",
+      "(mm[1][6] - mm[1][2] * b2 - mm[1][3] * b3 - mm[1][4] * b4 - mm[1][5] * b5) / mm[1][1] AS b1"
+    ).mkString(",\n        |    ")
+    s"""WITH RECURSIVE $gapCte,
+      |f AS (
+      |  SELECT profile_name, weight AS y,
+      |    CAST(row_number() OVER (PARTITION BY profile_name ORDER BY week_date) AS DOUBLE) AS t
+      |  FROM gap),
+      |f2 AS (
+      |  SELECT profile_name, y, t,
+      |    CASE WHEN CAST(t - 1 AS BIGINT) % 4 = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS d1,
+      |    CASE WHEN CAST(t - 1 AS BIGINT) % 4 = 2 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS d2,
+      |    CASE WHEN CAST(t - 1 AS BIGINT) % 4 = 3 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS d3
+      |  FROM f),
+      |su AS (
+      |  SELECT profile_name,
+      |    $xtxSums,
+      |    $xtySums,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+      |  FROM f2 GROUP BY profile_name),
+      |el AS (
+      |  SELECT profile_name, 0 AS k, $aug AS mm FROM su
+      |  UNION ALL
+      |  SELECT profile_name, k + 1,
+      |    [CASE WHEN i <= k + 1 THEN mm[CAST(i AS INT)] ELSE $elimRow END
+      |       for i in range(1, 6)]
+      |  FROM el WHERE k < 4),
+      |bt AS (
+      |  SELECT profile_name,
+      |    $backSub
+      |  FROM el WHERE k = 4)
+      |SELECT b.profile_name,
+      |  round(b1, 6) AS b_intercept,
+      |  round(b2, 6) AS b_trend,
+      |  round(b3, 6) AS b_phase1,
+      |  round(b4, 6) AS b_phase2,
+      |  round(b5, 6) AS b_phase3,
+      |  round(1.0 - (syy - (b1 * sy0 + b2 * sy1 + b3 * sy2 + b4 * sy3 + b5 * sy4))
+      |    / (syy - sy0 * sy0 / s00), 6) AS r2
+      |FROM bt b JOIN su USING (profile_name)
+      |ORDER BY profile_name""".stripMargin
+  }
 
   /** The m_acf replay, extracted so m_pacf can wrap it as a subquery. */
   private lazy val acfSql: String = {
