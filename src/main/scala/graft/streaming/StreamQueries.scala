@@ -412,7 +412,35 @@ object StreamQueries {
     }.orderBy($"window_start", $"event_type")
   }
 
+  /** Windowed top-k through the real engine — the "trending now" board:
+    * the STREAMING layer maintains only the windowed per-type counts
+    * (watermarked tumbling aggregate — bounded state, the part that must
+    * survive a firehose); the rank is a batch post-pass over the
+    * converged sink table, because a per-window row_number is not
+    * incrementally maintainable in append/complete semantics — exactly
+    * the split a production top-k dashboard runs (aggregate in the
+    * stream, rank at read time). Counts are integers and the cut is
+    * (count desc, type) — fully deterministic.
+    */
+  val streamTopK: Q = (s, d) => {
+    val agg = runAvailableNow(s, d, "s_stream_topk_sink") { src =>
+      src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"w.start".as("window_start"), $"event_type", $"n_events")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start")
+      .orderBy($"n_events".desc, $"event_type")
+    agg
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"window_start", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s_stream_topk"     -> streamTopK,
     "s_stream_windows"  -> streamWindows,
     "s_stream_sessions" -> streamSessions,
     "s_stream_join"     -> streamJoin,
@@ -522,6 +550,16 @@ object StreamQueries {
         |    AND v.ts + INTERVAL 1 HOUR < wm.w)
         |SELECT * FROM m UNION ALL SELECT * FROM um
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+    "s_stream_topk" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, rank FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS INT) AS rank
+        |  FROM c) t
+        |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
     "s_stream_windows" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
         |  time_bucket(INTERVAL 30 MINUTE, ts) + INTERVAL 30 MINUTE AS window_end,
