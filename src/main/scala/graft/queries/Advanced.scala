@@ -857,6 +857,64 @@ object Advanced {
       .orderBy($"l_returnflag", $"q")
   }
 
+  /** DDSketch relative-error quantiles (Masson et al., VLDB'19): bucket
+    * k = ⌈ln(v)/ln(γ)⌉ with γ = (1+α)/(1−α), so every value in bucket k
+    * is within α relative error of the bucket's midpoint estimate
+    * 2γᵏ/(γ+1). The sketch is the per-group bucket histogram — a
+    * map-side-combinable groupBy of FIXED size (≤ ~⌈ln(max/min)/ln γ⌉
+    * buckets ≈ 1 400 for a 10⁶ dynamic range at α = 1%), the mergeable
+    * state a 100 TB scan ships instead of the KMV sample's k rows;
+    * merging shards is elementwise counter addition, and unlike KMV the
+    * guarantee is RELATIVE error, which is the one you want for
+    * long-tailed latency/price distributions. Quantile q reads the first
+    * bucket whose cumulative count reaches ⌊q·(n−1)⌋+1.
+    *
+    * Determinism discipline: the only libm calls are ln(v) (bucketing)
+    * and the final γᵏ (estimate). The bucket ratio is once-rounded at
+    * 9 dp before ⌈·⌉ and the estimate once-rounded at 6 dp, so a
+    * last-ULP libm disagreement between JVM and the oracle's engine
+    * would have to land within one ulp of a rounding boundary to flip
+    * anything; ln γ is a shared 17-significant-digit literal, parsed to
+    * the identical double by both engines.
+    */
+  val ddAlpha = 0.01
+  val ddGamma: Double = (1 + ddAlpha) / (1 - ddAlpha)
+  /** %.17g: round-trips the exact double into both engines' parsers. */
+  val ddLnGammaLit: String = "%.17g".formatLocal(java.util.Locale.ROOT, math.log(ddGamma))
+  val ddGammaLit: String   = "%.17g".formatLocal(java.util.Locale.ROOT, ddGamma)
+  val ddQs = Array(0.5, 0.9, 0.95, 0.99)
+
+  val aDdsketch: Q = (s, d) => {
+    val buckets = Tables
+      .lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice".cast(DoubleType).as("v"))
+      .withColumn("k", ceil(round(log($"v") / expr(ddLnGammaLit), 9)).cast("long"))
+      .groupBy($"l_returnflag", $"k")
+      .agg(count(lit(1)).as("c"))
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val cum = buckets
+      .withColumn("n", sum($"c").over(byFlag))
+      .withColumn("cum", sum($"c").over(byFlag.orderBy($"k")))
+    s.range(1)
+      .select(explode(lit(ddQs)).as("q"))
+      .crossJoin(cum)
+      // first bucket whose cumulative count covers the target rank; the
+      // min-over-candidates formulation keeps it one aggregate instead
+      // of a per-(flag,q) sort
+      .filter($"cum" >= floor($"q" * ($"n" - 1)) + 1)
+      .groupBy($"l_returnflag", $"q")
+      .agg(min($"k").as("bucket"), max($"n").as("n"))
+      .select(
+        $"l_returnflag",
+        $"q",
+        $"bucket",
+        round(lit(2.0) * exp($"bucket" * expr(ddLnGammaLit)) / (expr(ddGammaLit) + lit(1.0)), 6)
+          .as("est_v"),
+        $"n".cast("long").as("n")
+      )
+      .orderBy($"l_returnflag", $"q")
+  }
+
   /** Count-min sketch heavy hitters: depth×width counter matrix
     * (4 × 512), bucket_j(key) = first-8-hex of md5(j|key) mod width. The
     * counter build is ONE map-side-combinable groupBy whose output is ≤
@@ -1282,6 +1340,7 @@ object Advanced {
     "a_bootstrap_ci"    -> aBootstrapCi,
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
+    "a_ddsketch_quantiles" -> aDdsketch,
     "a_percentiles"     -> aPercentiles
   )
 
@@ -1936,6 +1995,28 @@ object Advanced {
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS approx_orders,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // full sketch replay: same ln-γ literal, same once-rounded bucket
+    // ratio and estimate, same ⌊q(n−1)⌋+1 rank rule
+    "a_ddsketch_quantiles" ->
+      s"""WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(ceil(round(ln(CAST(l_extendedprice AS DOUBLE)) / $ddLnGammaLit, 9)) AS BIGINT) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS n,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY k) AS cum
+        |  FROM b),
+        |qs AS (SELECT unnest([${ddQs.mkString(", ")}]) AS q)
+        |SELECT l_returnflag, q,
+        |  MIN(k) AS bucket,
+        |  round(2.0 * exp(MIN(k) * $ddLnGammaLit) / ($ddGammaLit + 1.0), 6) AS est_v,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM qs CROSS JOIN cum
+        |WHERE cum >= floor(q * (n - 1)) + 1
+        |GROUP BY l_returnflag, q
+        |ORDER BY l_returnflag, q""".stripMargin
   )
 }

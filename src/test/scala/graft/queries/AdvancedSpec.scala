@@ -139,4 +139,20 @@ class AdvancedSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == expected)
   }
+
+  test("a_ddsketch_quantiles: every estimate within α relative error of the exact quantile") {
+    import org.apache.spark.sql.functions._
+    val est = Advanced.aDdsketch(spark, sf0001).collect()
+    assert(est.nonEmpty)
+    val li = graft.tables.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+    est.foreach { r =>
+      val flag = r.getString(0); val q = r.getDouble(1); val e = r.getDouble(3)
+      // exact type-1 quantile at the same ⌊q(n−1)⌋+1 rank rule
+      val vs = li.filter(col("l_returnflag") === flag).collect().map(_.getDouble(1)).sorted
+      val exact = vs((q * (vs.length - 1)).floor.toInt)
+      val rel = math.abs(e - exact) / exact
+      assert(rel <= Advanced.ddAlpha + 1e-9, s"$flag q=$q est=$e exact=$exact rel=$rel")
+    }
+  }
 }
