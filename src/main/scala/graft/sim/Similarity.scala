@@ -960,10 +960,79 @@ object Similarity {
     rankPerProbe(rer, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data step: for each
+    * anchor, the k nearest neighbors whose LABEL DIFFERS (the negatives a
+    * triplet/InfoNCE loss learns most from; easy random negatives carry
+    * no gradient). Same map-only broadcast-probe scan + rounded-cosine
+    * rank as `ann_bruteforce_topk` with the label-mismatch predicate
+    * pushed into the join condition, so mismatched pairs never reach the
+    * rank; at corpus scale the probe side IS the corpus and this rides
+    * the IVF cell route (`sim_knn_graph`) instead — the mining semantics
+    * (filter ≠ label, rank rounded cosine) are unchanged.
+    */
+  def hardNegatives(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+    val anchors = e.filter($"vec_id" < annProbeCut)
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"), $"v".as("av"))
+    val cands = e
+      .join(broadcast(anchors), $"label" =!= $"anchor_label")
+      .select(
+        $"anchor_id",
+        $"anchor_label",
+        $"vec_id".as("negative_id"),
+        $"label".as("negative_label"),
+        round(cosine($"av", $"v"), 6).as("cosine")
+      )
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"anchor_id").orderBy($"cosine".desc, $"negative_id")).cast("int"))
+      .filter($"rank" <= k)
+      .orderBy($"anchor_id", $"rank")
+  }
+
+  /** Nearest-class-mean classifier + confusion matrix — the embedding-
+    * space label-quality audit (a vector whose nearest class centroid is
+    * not its own label is a candidate mislabel; NCM is also the standard
+    * cheap baseline a learned classifier must beat). Class centroids are
+    * exact: per-(label, dim) DECIMAL(38,18) sums via one posexplode
+    * groupBy (order-free, partitioning-invariant), divided once in
+    * double; every vector then scores against the broadcast L×dim
+    * centroid table (map-only — the corpus never shuffles) and the
+    * confusion matrix is one (true, pred) count aggregate.
+    */
+  val ncmConfusion: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+    val cents = e
+      .select($"label", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(
+        sum($"x".cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("sx"),
+        count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", ($"sx".cast("double") / $"n").as("m")))).as("pm"))
+      .select($"label".as("c_label"), transform($"pm", p => p("m")).as("cv"))
+    val pred = e
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"label", $"c_label", round(cosine($"v", $"cv"), 6).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"c_label")))
+      .filter($"rn" === 1)
+    pred
+      .groupBy($"label".as("true_label"), $"c_label".as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"true_label", $"pred_label")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_semdedup_keep" -> ((s, d) =>
       semDeDupKeep(s, d, nCells = 16, tau = 0.4,
         centsDump = Some(s"${graft.OracleIo.dir(d)}/semdedup_centroids"))),
+    "sim_hard_negatives"  -> ((s, d) => hardNegatives(s, d, k = 5)),
+    "sim_ncm_confusion"   -> ncmConfusion,
     "sim_quantize_int8"   -> quantizeInt8,
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d, k = 5)),
     "ann_topk_native"     -> ((s, d) => bruteForceTopKNative(s, d, k = 5)),
@@ -985,6 +1054,54 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // label-mismatch predicate inside the join, rounded cosine, id
+    // tiebreak — the bruteforce oracle with ≠-label pushed down
+    "sim_hard_negatives" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+        |      FROM e WHERE vec_id < $annProbeCut),
+        |sims AS (
+        |  SELECT anchor_id, anchor_label, e.vec_id AS negative_id,
+        |    e.label AS negative_label,
+        |    round(list_dot_product(av, v)
+        |      / sqrt(list_dot_product(av, av) * list_dot_product(v, v)), 6) AS cosine
+        |  FROM e JOIN a ON e.label <> a.anchor_label)
+        |SELECT anchor_id, anchor_label, negative_id, negative_label, cosine, rank
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS INT) AS rank
+        |  FROM sims) t
+        |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // exact-DECIMAL per-(label,dim) centroid sums, one double divide,
+    // rounded-cosine argmax with the label tiebreak, (true, pred) counts
+    "sim_ncm_confusion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        |cs AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY label, pos),
+        |cents AS (
+        |  SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cs GROUP BY label),
+        |scored AS (
+        |  SELECT vec_id, label, c_label,
+        |    round(list_dot_product(v, cv)
+        |      / sqrt(list_dot_product(v, v) * list_dot_product(cv, cv)), 6) AS sim
+        |  FROM e CROSS JOIN cents),
+        |pred AS (
+        |  SELECT vec_id, label, c_label FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+        |    FROM scored) t
+        |  WHERE rn = 1)
+        |SELECT label AS true_label, c_label AS pred_label,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
     // given-centroids SemDeDup replay: assignment (first-max argmax),
     // within-cell pair graph at tau, recursive-CTE transitive closure
     // (min-label = the engine's converged CC), then the paper's

@@ -304,4 +304,28 @@ class MipsSpec extends SparkSpec {
     val mipsTop = mips.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mipsTop != cosTop, "dot-product and cosine rankings coincide; MIPS query is vacuous")
   }
+
+  test("hard negatives: labels always differ from the anchor, ranks contiguous, cosines descend") {
+    val rows = Similarity.hardNegatives(spark, sf0001, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, al, nl, _, _) => al != nl }, "a same-label negative leaked through")
+    rows.groupBy(_._1).foreach { case (a, g) =>
+      val byRank = g.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to g.length), s"anchor $a: ranks not contiguous")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted(Ordering[Double].reverse),
+        s"anchor $a: cosine not descending with rank")
+    }
+  }
+
+  test("NCM confusion matrix conserves class sizes and predicts exactly once per vector") {
+    import org.apache.spark.sql.functions._
+    val conf = Similarity.ncmConfusion(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val sizes = graft.tables.Tables.embeddings(spark, sf0001)
+      .groupBy($"label").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rowSums = conf.groupBy(_._1).map { case (l, g) => l -> g.map(_._3).sum }
+    assert(rowSums == sizes, "confusion row sums != class sizes (a vector was dropped or double-predicted)")
+  }
 }
