@@ -852,7 +852,101 @@ object SeriesAnalysis {
       .orderBy(col("profile_name"))
   }
 
-  // ---------------------------------------------------------------- oracles
+  // ------------------------------------------------- binary segmentation
+
+  /** Two-level binary-segmentation changepoint detection — the
+    * localization step behind the CUSUM screen (`m_cusum` says "the
+    * level shifted somewhere"; binseg says WHERE): cp1 is the split that
+    * minimizes total within-segment SSE, cp2 the best further split of
+    * either resulting half (the greedy recursion truncated at depth 2,
+    * the standard stopping point when the gain ratio is the decision
+    * input).
+    *
+    * Determinism design — integer prefix sums, zero libm, zero decimal
+    * casts. The SSE of segment [a,b] is (Σy²)−(Σy)²/m, and every SSE
+    * DIFFERENCE binseg ranks (cost of a split vs its parent segment)
+    * cancels the Σy² term, so the whole job reduces to Σy prefixes
+    * alone. Weights are 6-dp decimals by construction, so wi = w·10⁶ is
+    * an exact BIGINT; prefix sums stay < 2⁵³ (3 400 weeks × 10¹¹
+    * quanta), so their doubles are EXACT and every downstream ×/÷ is a
+    * single correctly-rounded IEEE op — bit-identical in any engine, at
+    * any SF, with no DECIMAL(38,18)→double two-rounding hazard (the
+    * first cut of this job rounded ~10¹⁰-magnitude SSEs at a fixed
+    * decimal grid and flipped at sf0.1 exactly that way). Split ranking
+    * compares those bit-identical doubles directly (earlier week as
+    * tiebreak — gap-filled series have exactly-flat zero stretches whose
+    * splits tie EXACTLY); reported gains go through floor(), which
+    * unlike round() is a pure function of the binary value in both
+    * engines. One ordered window on the profile shuffle, every split
+    * scored map-side from its prefix row — no per-split pass, no driver
+    * loop, O(n) per profile. Min segment length 2 on both levels.
+    */
+  def binsegJob(s: SparkSession, dir: String): DataFrame =
+    binsegCore(ForecastJobs.gapfillJob(s, dir))
+
+  /** Core over any (profile_name, week_date, weight) frame — split out so
+    * the spec can run it on a planted-step series.
+    */
+  private[forecast] def binsegCore(gap: DataFrame): DataFrame = {
+    val byProf = Window.partitionBy($"profile_name")
+    val ord    = byProf.orderBy($"week_date")
+    val run    = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val base = gap
+      .withColumn("wi", round($"weight" * lit(1000000.0)).cast("long"))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("sy", sum($"wi").over(run))
+      .withColumn("n", count(lit(1)).over(byProf))
+      .withColumn("ty", sum($"wi").over(byProf))
+      .localCheckpoint() // consumed by three branches below
+    // (Σy)²/m of a segment given its Σy quanta and length — the only
+    // non-integer arithmetic in the job: square and divide, one IEEE
+    // rounding each, on EXACT double operands
+    def seg(sy: org.apache.spark.sql.Column,
+        m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val d = sy.cast("double"); d * d / m
+    }
+    // argmin of cost(t) = Σy²_tot − g(t) ⇔ argmax of g(t)
+    val scored = base
+      .filter($"t" >= 2 && $"t" <= $"n" - 2)
+      .withColumn("g", seg($"sy", $"t") + seg($"ty" - $"sy", $"n" - $"t"))
+    val cp1 = scored
+      .withColumn("rn", row_number().over(byProf.orderBy($"g".desc, $"t")))
+      .filter($"rn" === 1)
+      .select(
+        $"profile_name", $"n".as("n1"), $"ty".as("ty1"),
+        $"t".as("w"), $"week_date".as("cp1_week"),
+        $"sy".as("syw"), $"g".as("g1"))
+    // level 2: candidates re-scored INSIDE the half they fall in, via
+    // prefix differences against the level-1 winner's row (the Σy²
+    // terms of the half cancel, leaving pure Σy arithmetic again)
+    val cand = base
+      .join(cp1, "profile_name")
+      .withColumn(
+        "red",
+        when($"t" >= 2 && $"t" <= $"w" - 2,
+          seg($"sy", $"t") + seg($"syw" - $"sy", $"w" - $"t") - seg($"syw", $"w"))
+          .when($"t" >= $"w" + 2 && $"t" <= $"n" - 2,
+            seg($"sy" - $"syw", $"t" - $"w") + seg($"ty" - $"sy", $"n" - $"t") -
+              seg($"ty" - $"syw", $"n" - $"w")))
+      .filter($"red".isNotNull)
+    val cp2 = cand
+      .withColumn("rn", row_number().over(byProf.orderBy($"red".desc, $"t")))
+      .filter($"rn" === 1)
+      // ÷10¹² de-scales quanta² back to natural units (exact
+      // power-of-ten double, one rounding), floor pins the integer
+      .select($"profile_name", $"week_date".as("cp2_week"),
+        floor($"red" / lit(1.0e12)).cast("long").as("cp2_gain"))
+    cp1
+      .select(
+        $"profile_name",
+        $"n1".cast("long").as("n"),
+        $"cp1_week",
+        floor(($"g1" - seg($"ty1", $"n1")) / lit(1.0e12)).cast("long").as("cp1_gain"))
+      .join(cp2, Seq("profile_name"), "left")
+      .orderBy($"profile_name")
+  }
+
+    // ---------------------------------------------------------------- oracles
 
   /** The gap-filled weekly series as a shared CTE — the `t_gapfill` oracle
     * verbatim minus its ORDER BY.
@@ -999,6 +1093,7 @@ object SeriesAnalysis {
     "m_trend_ols"       -> (trendOlsJob(_, _)),
     "m_inventory_sim"   -> (inventorySimJob(_, _)),
     "m_cusum"           -> (cusumJob(_, _)),
+    "m_changepoint"     -> (binsegJob(_, _)),
     "m_theta"           -> (thetaJob(_, _)),
     "m_tsb"             -> (tsbJob(_, _)),
     "m_holt_damped"     -> (holtDampedJob(_, _)),
@@ -1101,6 +1196,59 @@ object SeriesAnalysis {
         |  round(slist[1], 6) AS seasonal_next,
         |  round(l + b + slist[1], 6) AS prediction
         |FROM hw WHERE i = n ORDER BY profile_name""".stripMargin,
+    // integer-prefix binseg replay: same 10⁶-scaled BIGINT weights,
+    // same exact-double (Σy)²/m expression tree, raw-double argmax with
+    // the t tiebreak, floor()-pinned gains — no decimals, no libm
+    "m_changepoint" ->
+      s"""WITH $gapCte,
+        |p AS (
+        |  SELECT profile_name, week_date,
+        |    row_number() OVER w AS t,
+        |    SUM(CAST(round(weight * 1000000.0) AS BIGINT)) OVER
+        |      (PARTITION BY profile_name ORDER BY week_date ROWS UNBOUNDED PRECEDING) AS sy,
+        |    COUNT(*) OVER pp AS n,
+        |    SUM(CAST(round(weight * 1000000.0) AS BIGINT)) OVER pp AS ty
+        |  FROM gap
+        |  WINDOW w AS (PARTITION BY profile_name ORDER BY week_date),
+        |    pp AS (PARTITION BY profile_name)),
+        |sc AS (
+        |  SELECT *,
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / t
+        |      + CAST(ty - sy AS DOUBLE) * CAST(ty - sy AS DOUBLE) / (n - t) AS g
+        |  FROM p WHERE t >= 2 AND t <= n - 2),
+        |w1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY profile_name ORDER BY g DESC, t) AS rn
+        |    FROM sc) x WHERE rn = 1),
+        |c2 AS (
+        |  SELECT p.profile_name, p.week_date, p.t,
+        |    CASE
+        |      WHEN p.t >= 2 AND p.t <= w1.w - 2 THEN
+        |        CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE) / p.t
+        |          + CAST(w1.syw - p.sy AS DOUBLE) * CAST(w1.syw - p.sy AS DOUBLE) / (w1.w - p.t)
+        |          - CAST(w1.syw AS DOUBLE) * CAST(w1.syw AS DOUBLE) / w1.w
+        |      WHEN p.t >= w1.w + 2 AND p.t <= p.n - 2 THEN
+        |        CAST(p.sy - w1.syw AS DOUBLE) * CAST(p.sy - w1.syw AS DOUBLE) / (p.t - w1.w)
+        |          + CAST(p.ty - p.sy AS DOUBLE) * CAST(p.ty - p.sy AS DOUBLE) / (p.n - p.t)
+        |          - CAST(p.ty - w1.syw AS DOUBLE) * CAST(p.ty - w1.syw AS DOUBLE) / (p.n - w1.w)
+        |    END AS red
+        |  FROM p JOIN (SELECT profile_name, t AS w, sy AS syw FROM w1) w1
+        |    USING (profile_name)),
+        |w2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY profile_name ORDER BY red DESC, t) AS rn
+        |    FROM c2 WHERE red IS NOT NULL) x WHERE rn = 1)
+        |SELECT w1.profile_name,
+        |  CAST(w1.n AS BIGINT) AS n,
+        |  w1.week_date AS cp1_week,
+        |  CAST(floor((w1.g - CAST(w1.ty AS DOUBLE) * CAST(w1.ty AS DOUBLE) / w1.n) / 1e12)
+        |    AS BIGINT) AS cp1_gain,
+        |  w2.week_date AS cp2_week,
+        |  CAST(floor(w2.red / 1e12) AS BIGINT) AS cp2_gain
+        |FROM w1 LEFT JOIN w2 USING (profile_name)
+        |ORDER BY w1.profile_name""".stripMargin,
     "m_cusum" ->
       s"""WITH $gapCte,
         |m AS (

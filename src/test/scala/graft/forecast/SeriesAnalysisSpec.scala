@@ -133,4 +133,31 @@ class SeriesAnalysisSpec extends SparkSpec {
     // cache hygiene: the weekly rollup persist must be released
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("binseg: planted two-step series localizes both changepoints; flat series gains zero") {
+    import spark.implicits._
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    def wk(i: Int) = java.sql.Date.valueOf(d0.plusWeeks(i.toLong))
+    // step profile: 30 weeks at 10, 30 at 50 (cp at week 30), 30 at 20
+    // (cp at week 60); binseg must find the LARGER jump first
+    val step = (0 until 90).map { i =>
+      val v = if (i < 30) 10.0 else if (i < 60) 50.0 else 20.0
+      ("step", wk(i), v)
+    }
+    val flat = (0 until 90).map(i => ("flat", wk(i), 7.5))
+    val gap = (step ++ flat).toDF("profile_name", "week_date", "weight")
+    val out = SeriesAnalysis.binsegCore(gap).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val st = out("step")
+    // the reported week is the LAST week of the left segment (split
+    // between wk(29) and wk(30) / wk(59) and wk(60))
+    assert(st.getDate(2) == wk(29), s"cp1 at ${st.getDate(2)}, want ${wk(29)}")
+    assert(st.getDate(4) == wk(59), s"cp2 at ${st.getDate(4)}, want ${wk(59)}")
+    assert(st.getLong(3) > 0 && st.getLong(5) > 0, "planted steps must carry positive gain")
+    val fl = out("flat")
+    assert(fl.getLong(3) == 0, s"flat cp1 gain ${fl.getLong(3)} != 0")
+    assert(fl.getLong(5) == 0, s"flat cp2 gain ${fl.getLong(5)} != 0")
+    // flat ties break to the earliest admissible split on both levels
+    assert(fl.getDate(2) == wk(1), s"flat cp1 tie not earliest: ${fl.getDate(2)}")
+  }
 }
