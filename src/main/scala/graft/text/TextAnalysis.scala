@@ -1205,6 +1205,71 @@ object TextAnalysis {
     } finally bg.unpersist()
   }
 
+  /** Multinomial naive-Bayes source classifier, trained and applied
+    * in-engine — the trained-model filtering step of a pretraining
+    * pipeline (CCNet/LLaMA-style "quality classifier" scoring is exactly
+    * this shape: a linear score over token counts; NB is its closed-form
+    * trainable instance, so both halves — fit AND inference — replay
+    * exactly). Even doc_ids train, odd doc_ids score. Laplace-1:
+    * P(t|c) = (cnt(c,t)+1)/(ctot_c+V).
+    *
+    * Scale shape: training is one (source, token) map-combinable count —
+    * the MODEL is the small side (V×C rows, model-sized by definition)
+    * and broadcasts to the scoring scan; per scored doc the fan-out is
+    * the class count C (bounded, 20 here), so scoring is linear in
+    * corpus × classes with no shuffle beyond the doc-token rollup.
+    * Determinism: per-(token,class) log-likelihood terms are
+    * once-rounded at 9 dp into DECIMAL(20,9) (the a_entropy discipline)
+    * and decimal-summed (order-free); the argmax compares exact decimals
+    * with the class name as tiebreak.
+    */
+  val textNbClassifier: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", $"source", explode(split($"text", " ")).as("token"))
+    val train = toks.filter($"doc_id" % 2 === 0)
+    val ctk  = train.groupBy($"source", $"token").agg(count(lit(1)).as("ctk")).persist()
+    try {
+      val vocabV  = ctk.select($"token").distinct().count()
+      val nTrain  = docs.filter($"doc_id" % 2 === 0).count()
+      val classes = ctk
+        .groupBy($"source")
+        .agg(sum($"ctk").as("ctot"))
+        .join(
+          docs.filter($"doc_id" % 2 === 0).groupBy($"source").agg(count(lit(1)).as("nd")),
+          Seq("source"))
+        .select(
+          $"source".as("c_source"), $"ctot",
+          round(log($"nd".cast("double") / lit(nTrain.toDouble)), 9)
+            .cast("decimal(20,9)").as("prior_lp"))
+      val tf = toks
+        .filter($"doc_id" % 2 === 1)
+        .groupBy($"doc_id", $"source", $"token")
+        .agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .crossJoin(broadcast(classes))
+        .join(broadcast(ctk.select($"source".as("c_source"), $"token", $"ctk")),
+          Seq("c_source", "token"), "left")
+        .select(
+          $"doc_id", $"source", $"c_source", $"prior_lp",
+          round($"tf" * log((coalesce($"ctk", lit(0L)) + lit(1L)).cast("double") /
+            ($"ctot" + lit(vocabV)).cast("double")), 9)
+            .cast("decimal(20,9)").as("term"))
+        .groupBy($"doc_id", $"source", $"c_source", $"prior_lp")
+        .agg(sum($"term").as("ll"))
+        .select($"doc_id", $"source", $"c_source", ($"prior_lp" + $"ll").as("score"))
+      val pred = scored
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"score".desc, $"c_source")))
+        .filter($"rn" === 1)
+      pred
+        .groupBy($"source".as("true_source"), $"c_source".as("pred_source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"true_source", $"pred_source")
+        .localCheckpoint(eager = true)
+    } finally ctk.unpersist()
+  }
+
   /** Keep-threshold on the once-rounded mean log-prob (≈ 31.5
     * perplexity). The corpus scores in a tight band (sf0.01: mean −3.386,
     * σ 0.038), so −3.45 (≈ mean − 1.7σ) flags the rarest-transition tail
@@ -1338,6 +1403,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_pmi_pairs"      -> textPmiPairs,
     "text_perplexity"     -> textPerplexity,
+    "text_nb_classifier"  -> textNbClassifier,
     "text_textrank"       -> textTextrank,
     "text_zipf_fit"       -> textZipfFit,
     "text_split_divergence" -> textSplitDivergence,
@@ -1406,6 +1472,48 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full fit+inference replay: same Laplace-1 likelihoods (integer
+    // ratios into one ln, once-rounded at 9 dp into DECIMAL(20,9)),
+    // same decimal score sum, same (score desc, class asc) argmax
+    "text_nb_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |ctk AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS ctk
+        |  FROM toks WHERE doc_id % 2 = 0 GROUP BY source, token),
+        |vv AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM ctk),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM documents WHERE doc_id % 2 = 0),
+        |classes AS (
+        |  SELECT c.source AS c_source, c.ctot,
+        |    CAST(round(ln(CAST(p.nd AS DOUBLE) / CAST(tr.n_train AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS prior_lp
+        |  FROM (SELECT source, SUM(ctk) AS ctot FROM ctk GROUP BY source) c
+        |  JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+        |        FROM documents WHERE doc_id % 2 = 0 GROUP BY source) p
+        |    ON c.source = p.source
+        |  CROSS JOIN tr),
+        |tf AS (
+        |  SELECT doc_id, source, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks WHERE doc_id % 2 = 1 GROUP BY doc_id, source, token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.source, cl.c_source,
+        |    cl.prior_lp + SUM(CAST(round(tf.tf * ln(
+        |      CAST(coalesce(k.ctk, 0) + 1 AS DOUBLE)
+        |        / CAST(cl.ctot + vv.v AS DOUBLE)), 9) AS DECIMAL(20,9))) AS score
+        |  FROM tf
+        |  CROSS JOIN classes cl
+        |  CROSS JOIN vv
+        |  LEFT JOIN ctk k ON k.source = cl.c_source AND k.token = tf.token
+        |  GROUP BY tf.doc_id, tf.source, cl.c_source, cl.prior_lp),
+        |pred AS (
+        |  SELECT doc_id, source, c_source FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY score DESC, c_source) AS rn
+        |    FROM scored) t WHERE rn = 1)
+        |SELECT source AS true_source, c_source AS pred_source,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY true_source, pred_source""".stripMargin,
     // all-integer replay: HUGEINT sums cast to BIGINT to mirror the
     // engine's long arithmetic; positive // == Spark's div
     "text_pmi_pairs" ->

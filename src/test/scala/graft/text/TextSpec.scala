@@ -239,4 +239,27 @@ class TextSpec extends SparkSpec {
       Seq("c", "d", 5L, 5L, 5L, 3400000L)
     ))
   }
+
+  test("nb classifier: separable planted corpus classifies every held-out doc correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    // even ids train, odd ids score; the two sources share no vocabulary,
+    // so NB must put every held-out doc on its own source's diagonal
+    Seq(
+      (0L, "red apple pie apple sweet", "fruit"),
+      (2L, "apple tart red apple", "fruit"),
+      (4L, "green apple pie apple", "fruit"),
+      (1L, "apple red sweet", "fruit"),
+      (5L, "pie apple green", "fruit"),
+      (6L, "fast car engine wheel", "auto"),
+      (8L, "car wheel engine brake", "auto"),
+      (10L, "engine car brake wheel", "auto"),
+      (3L, "car engine brake", "auto"),
+      (7L, "wheel fast car", "auto")
+    ).toDF("doc_id", "text", "source").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val conf = TextAnalysis.textNbClassifier(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(conf.toSet == Set(("auto", "auto", 2L), ("fruit", "fruit", 2L)),
+      s"confusion not diagonal: ${conf.toSeq}")
+  }
 }
