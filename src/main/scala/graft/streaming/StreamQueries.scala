@@ -439,7 +439,79 @@ object StreamQueries {
       .orderBy($"window_start", $"rank")
   }
 
+  /** Streaming UPSERT sink — the foreachBatch/MERGE pattern every
+    * Kafka→warehouse profile table runs: each micro-batch folds into a
+    * persistent per-user state table (latest event fields last-write-wins
+    * by (ts, event_id), event counts additive). Both folds are
+    * ASSOCIATIVE, so the converged table is independent of how the
+    * stream was batched — unlike `s_stream_dedup`, this query needs NO
+    * single-batch assumption and the plain per-user batch aggregate is
+    * the oracle under ANY trigger split. Per batch: batch-local rollup
+    * (one shuffle of batch-sized data) → [[graft.queries.Cdc.mergeUpsert]]
+    * against the state parquet keyed on user — state is user-bounded,
+    * not stream-bounded, and the merged frame is materialized
+    * (localCheckpoint) before the overwrite so the sink never reads the
+    * file it is replacing.
+    */
+  private def latestPerUser(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"last_ts".desc, $"last_event_id".desc)
+    df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+  }
+
+  /** One upsert fold: events batch → per-user rollup, merged with the
+    * prior state if any. Exposed to the spec, which proves the fold is
+    * batching-independent (split replay == one-shot replay).
+    */
+  private[streaming] def upsertFold(state: Option[DataFrame], batch: DataFrame): DataFrame = {
+    // latest-row payload and additive count are separate folds that
+    // re-join on the key (the count must not ride the rn=1 pick)
+    val rollup = latestPerUser(
+      batch.select(
+        $"user_id",
+        $"event_id".as("last_event_id"),
+        $"ts".as("last_ts"),
+        $"event_type".as("last_type"),
+        $"value".as("last_value"))
+    )
+    val counts   = batch.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val batchAgg = rollup.join(counts, "user_id")
+    state match {
+      case Some(st) =>
+        val uni = st.unionByName(batchAgg)
+        val tot = uni.groupBy($"user_id").agg(sum($"n_events").as("n_events"))
+        latestPerUser(uni.drop("n_events")).join(tot, "user_id")
+      case None => batchAgg
+    }
+  }
+
+  val streamUpsert: Q = (s, d) => {
+    val ck  = java.nio.file.Files.createTempDirectory("graft-supsert-ck").toString
+    val tbl = java.nio.file.Files.createTempDirectory("graft-supsert-state").toString + "/user_profile"
+    val q = eventsStream(s, d).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val state =
+          if (new java.io.File(tbl).exists()) Some(ss.read.parquet(tbl)) else None
+        upsertFold(state, batch).localCheckpoint(true).write.mode("overwrite").parquet(tbl)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val out = s.read.parquet(tbl)
+      .select($"user_id", $"last_event_id", $"last_ts", $"last_type", $"last_value", $"n_events")
+      .orderBy($"user_id")
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(tbl).getParentFile)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "s_stream_upsert"   -> streamUpsert,
     "s_stream_topk"     -> streamTopK,
     "s_stream_windows"  -> streamWindows,
     "s_stream_sessions" -> streamSessions,
@@ -451,6 +523,25 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the two folds are associative, so the converged upsert table is
+    // the plain per-user aggregate regardless of batching
+    "s_stream_upsert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events),
+        |latest AS (
+        |  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |    event_type AS last_type, value AS last_value
+        |  FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) t WHERE rn = 1)
+        |SELECT l.user_id, l.last_event_id, l.last_ts, l.last_type, l.last_value,
+        |  c.n_events
+        |FROM latest l JOIN (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY user_id) c
+        |  USING (user_id)
+        |ORDER BY l.user_id""".stripMargin,
     // batch replay of the full monitor: DECIMAL window totals, per-type
     // moments, once-rounded mean/σ, identical 3σ flag arithmetic
     "s_stream_anomaly" ->

@@ -96,4 +96,18 @@ class StreamUpsertSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("s_stream_upsert fold is batching-independent: split replay == one-shot replay") {
+    val ev = graft.tables.Tables.events(spark, sf0001)
+    val b1 = ev.filter($"event_id" % 2 === 0)
+    val b2 = ev.filter($"event_id" % 2 === 1)
+    def norm(df: DataFrame) = df
+      .orderBy($"user_id")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val split   = StreamQueries.upsertFold(Some(StreamQueries.upsertFold(None, b1)), b2)
+    val oneShot = StreamQueries.upsertFold(None, ev)
+    assert(norm(split) == norm(oneShot), "fold result depends on the batch split")
+  }
 }
