@@ -1205,6 +1205,82 @@ object TextAnalysis {
     } finally bg.unpersist()
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the data-selection
+    * step that upsamples raw-pool documents whose n-gram profile looks
+    * like the target domain: log w(d) = Σ_f tf_d(f)·[ln p̂_t(f) −
+    * ln p̂_r(f)] over bigram features with add-1 smoothing, where p̂_t /
+    * p̂_r are the target-pool and raw-pool feature distributions (target
+    * here = sources src0–src3, the "curated domain"). Raw docs with
+    * log w > 0 are the keep set. (The paper hashes features into 10⁴
+    * buckets purely to bound model size; exact bigram identities keep
+    * the oracle exact and the model is corpus-vocabulary-sized either
+    * way at these SFs.)
+    *
+    * Scale shape: two map-combinable feature-count aggregates (model
+    * build), then the model broadcasts to one scoring join on the
+    * feature key — inverted-index bounded, like `text_bm25_topk`.
+    * Determinism: each ln is once-rounded at 7 dp into DECIMAL(18,7) —
+    * coarser than the usual 9 because these lns sit at magnitude ~12
+    * where a last-ULP libm disagreement (~3·10⁻¹⁵) needs 10⁻⁷ of
+    * headroom, not 10⁻⁹ — and the weight difference, the tf product and
+    * the doc sum are all exact decimal arithmetic; the keep flag
+    * compares the exact decimal sum against zero.
+    */
+  val textDsir: Q = (s, d) => {
+    val bigramsUdf = udf { (text: String) =>
+      val w = text.split(" ", -1)
+      if (w.length < 2) Array.empty[String]
+      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
+    }
+    val isTarget = $"source".isin("src0", "src1", "src2", "src3")
+    val bg = Tables
+      .documents(s, d)
+      .select($"doc_id", isTarget.as("tgt"), explode(bigramsUdf($"text")).as("f"))
+      .persist()
+    try {
+      val counts = bg
+        .groupBy($"f")
+        .agg(
+          sum(when($"tgt", 1L).otherwise(0L)).as("ct"),
+          sum(when($"tgt", 0L).otherwise(1L)).as("cr"))
+        .persist()
+      val tot = counts.agg(
+        sum($"ct").as("nt"), sum($"cr").as("nr"), count(lit(1)).as("v")).head()
+      val (nt, nr, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      val model = counts.select(
+        $"f",
+        (round(log(($"ct" + lit(1L)).cast("double") / lit((nt + v).toDouble)), 7)
+          .cast("decimal(18,7)") -
+          round(log(($"cr" + lit(1L)).cast("double") / lit((nr + v).toDouble)), 7)
+            .cast("decimal(18,7)")).as("w"))
+      val scored = bg
+        .filter(!$"tgt")
+        .groupBy($"doc_id", $"f")
+        .agg(count(lit(1)).as("tf"))
+        .join(model.hint("broadcast"), Seq("f"))
+        .groupBy($"doc_id")
+        // tf enters as DECIMAL(10,0), not long: long×DECIMAL(19,7) needs
+        // precision 40 and Spark's precision-loss rule would silently
+        // round every product to scale 6 — the narrower operand keeps
+        // the product at (30,7), exact
+        .agg(count(lit(1)).as("n_feats"), sum($"tf".cast("decimal(10,0)") * $"w").as("lw"))
+      scored
+        .select(
+          $"doc_id",
+          $"n_feats",
+          // round in DECIMAL (the m_cusum discipline): the scale-7 sum
+          // can end exactly in …5, a 6-dp tie that double-rounding
+          // resolves differently per engine; decimal round() is
+          // half-away-from-zero on the EXACT value in both (NOT a
+          // decimal CAST — DuckDB's scale-down cast truncates)
+          round($"lw", 6).cast("double").as("log_weight"),
+          ($"lw" > lit(0)).cast("int").as("keep"))
+        .orderBy($"doc_id")
+        .localCheckpoint(eager = true)
+    } finally bg.unpersist()
+  }
+
   /** Multinomial naive-Bayes source classifier, trained and applied
     * in-engine — the trained-model filtering step of a pretraining
     * pipeline (CCNet/LLaMA-style "quality classifier" scoring is exactly
@@ -1404,6 +1480,7 @@ object TextAnalysis {
     "text_pmi_pairs"      -> textPmiPairs,
     "text_perplexity"     -> textPerplexity,
     "text_nb_classifier"  -> textNbClassifier,
+    "text_dsir"           -> textDsir,
     "text_textrank"       -> textTextrank,
     "text_zipf_fit"       -> textZipfFit,
     "text_split_divergence" -> textSplitDivergence,
@@ -1472,6 +1549,42 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // model replay: same add-1 feature distributions, each ln
+    // once-rounded at 7 dp into DECIMAL(18,7), exact decimal weight
+    // difference / tf product / doc sum, keep = exact sum > 0
+    "text_dsir" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    source IN ('src0', 'src1', 'src2', 'src3') AS tgt,
+        |    w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)] AS f
+        |  FROM (
+        |    SELECT doc_id, source, string_split(text, ' ') AS w,
+        |      unnest(range(0, len(string_split(text, ' ')) - 1)) AS i
+        |    FROM documents) t),
+        |counts AS (
+        |  SELECT f,
+        |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM bg GROUP BY f),
+        |tot AS (
+        |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM counts),
+        |model AS (
+        |  SELECT f,
+        |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 7) AS DECIMAL(18,7))
+        |      - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)), 7) AS DECIMAL(18,7))
+        |      AS w
+        |  FROM counts CROSS JOIN tot),
+        |tf AS (
+        |  SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM bg WHERE NOT tgt GROUP BY doc_id, f)
+        |SELECT tf.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |  CAST(round(SUM(tf.tf * m.w), 6) AS DOUBLE) AS log_weight,
+        |  CAST(SUM(tf.tf * m.w) > 0 AS INT) AS keep
+        |FROM tf JOIN model m USING (f)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     // full fit+inference replay: same Laplace-1 likelihoods (integer
     // ratios into one ln, once-rounded at 9 dp into DECIMAL(20,9)),
     // same decimal score sum, same (score desc, class asc) argmax

@@ -262,4 +262,22 @@ class TextSpec extends SparkSpec {
     assert(conf.toSet == Set(("auto", "auto", 2L), ("fruit", "fruit", 2L)),
       s"confusion not diagonal: ${conf.toSeq}")
   }
+
+  test("dsir: target-vocabulary raw docs score positive, raw-only-vocabulary docs negative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // src0 is the target pool; doc 100 reuses its bigrams, doc 101 uses
+    // vocabulary the target has never seen
+    Seq(
+      (0L, "alpha beta alpha beta alpha beta", "src0"),
+      (1L, "alpha beta gamma alpha beta", "src0"),
+      (100L, "alpha beta alpha beta", "src9"),
+      (101L, "zulu yankee zulu yankee zulu", "src9")
+    ).toDF("doc_id", "text", "source").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textDsir(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(rows.keySet == Set(100L, 101L), s"scored docs ${rows.keySet}, want the raw pool only")
+    assert(rows(100L)._2 == 1 && rows(100L)._1 > 0, s"target-like doc not kept: ${rows(100L)}")
+    assert(rows(101L)._2 == 0 && rows(101L)._1 < 0, s"off-vocab doc not rejected: ${rows(101L)}")
+  }
 }
