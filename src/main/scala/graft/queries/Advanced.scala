@@ -959,6 +959,86 @@ object Advanced {
       .orderBy($"exact_cnt".desc, $"user_id")
   }
 
+  /** Exact distinct counting on mergeable BITMAPS — the Doris/ClickHouse
+    * bitmap-rollup pattern, and the exact counterpart to the HLL row
+    * (`a_approx_distinct`): keys bucket into fixed 32k-bit bitmap
+    * segments (`bitmap_bucket_number`/`bitmap_bit_position`), each
+    * (group, bucket) aggregates into ONE binary blob map-side, and any
+    * rollup — across partitions, groups, or time — is a bitwise OR of
+    * blobs (`bitmap_or_agg`), after which `bitmap_count` reads the exact
+    * cardinality. State is (keyspace/32k) blobs regardless of row count,
+    * and unlike HLL the merge loses nothing: the oracle is plain
+    * COUNT(DISTINCT) and the match is HASH-exact. The total row
+    * re-derives the corpus cardinality by OR-merging the per-flag blobs
+    * — the cross-group rollup a sketch pipeline actually ships.
+    */
+  val aBitmapDistinct: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_orderkey")
+      .withColumn("bkt", expr("bitmap_bucket_number(l_orderkey)"))
+      .withColumn("pos", expr("bitmap_bit_position(l_orderkey)"))
+    val perFlag = li
+      .groupBy($"l_returnflag", $"bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .persist()
+    try {
+      val counts = perFlag
+        .groupBy($"l_returnflag")
+        .agg(sum(expr("bitmap_count(bm)")).as("distinct_orders"))
+      val total = perFlag
+        .groupBy($"bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("obm"))
+        .agg(sum(expr("bitmap_count(obm)")).as("distinct_orders"))
+        .select(lit("__all__").as("l_returnflag"), $"distinct_orders")
+      counts.unionByName(total).orderBy($"l_returnflag").localCheckpoint(eager = true)
+    } finally perFlag.unpersist()
+  }
+
+  /** k-anonymity audit — the governance gate before a dataset release
+    * (pipe_manifest's privacy sibling): every quasi-identifier
+    * combination must describe at least k individuals, else those rows
+    * re-identify. One exact group-size aggregate over the QI columns
+    * (nation × market segment here), flagged against k. At 100 TB the
+    * QI cardinality, not the row count, bounds the output.
+    */
+  val kAnonK = 5
+  val qKAnonymity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("group_n"))
+      .select(
+        $"c_nationkey",
+        $"c_mktsegment",
+        $"group_n",
+        ($"group_n" < kAnonK).cast("int").as("violates_k"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+
+  /** ε-differentially-private counts via the Laplace mechanism — noise
+    * drawn by inverse-CDF from the same deterministic md5-uniform used
+    * by `a_bootstrap_ci` (seeded by the GROUP KEY, so the release is
+    * reproducible and the oracle replays it): u ∈ [0,1) from 48 md5
+    * bits, noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). Counting queries have
+    * sensitivity 1, so b = 1/ε. The ln is once-rounded at 9 dp, the
+    * noisy count once at 6.
+    */
+  val dpEps = 1.0
+  val aDpCounts: Q = (s, d) => {
+    val u = conv(substring(md5(concat_ws("|", lit("dp"), $"l_returnflag").cast("binary")), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2.0, 48))
+    val v = u - lit(0.5)
+    val noise = round(
+      lit(-1.0 / dpEps) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 9)
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        $"l_returnflag",
+        $"n",
+        noise.as("noise"),
+        round($"n" + noise, 6).as("noisy_n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** UNPIVOT — the inverse of `a_pivot`: wide per-flag metric columns
     * melted to (key, metric, value) rows, the shape feature stores and
     * metric pipelines ingest. Spark's native `unpivot` is a map-side
@@ -1341,6 +1421,9 @@ object Advanced {
     "a_pivot"           -> aPivot,
     "a_approx_distinct" -> aApproxDistinct,
     "a_ddsketch_quantiles" -> aDdsketch,
+    "a_bitmap_distinct" -> aBitmapDistinct,
+    "q_k_anonymity"     -> qKAnonymity,
+    "a_dp_counts"       -> aDpCounts,
     "a_percentiles"     -> aPercentiles
   )
 
@@ -1996,6 +2079,34 @@ object Advanced {
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS approx_orders,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bitmap distinct is EXACT, so the oracle is plain COUNT(DISTINCT)
+    // per flag plus the OR-merged corpus total
+    "a_bitmap_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT '__all__', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS group_n,
+        |  CAST(COUNT(*) < $kAnonK AS INT) AS violates_k
+        |FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // md5-uniform inverse-CDF Laplace replay (the a_bootstrap_ci hex
+    // fold), same once-rounded ln and noisy sum
+    "a_dp_counts" ->
+      s"""WITH g AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+        |h AS (
+        |  SELECT *, list_reduce([instr('0123456789abcdef',
+        |      md5(concat_ws('|', 'dp', l_returnflag))[i]) - 1
+        |    for i in range(1, 13)], (a, c) -> a * 16 + c) AS hv
+        |  FROM g),
+        |u AS (SELECT *, CAST(hv AS DOUBLE) / 281474976710656.0 - 0.5 AS v FROM h)
+        |SELECT l_returnflag, n,
+        |  round(-1.0 * sign(v) * ln(1.0 - 2.0 * abs(v)), 9) AS noise,
+        |  round(n + round(-1.0 * sign(v) * ln(1.0 - 2.0 * abs(v)), 9), 6) AS noisy_n
+        |FROM u ORDER BY l_returnflag""".stripMargin,
     // full sketch replay: same ln-γ literal, same once-rounded bucket
     // ratio and estimate, same ⌊q(n−1)⌋+1 rank rule
     "a_ddsketch_quantiles" ->

@@ -140,6 +140,29 @@ class AdvancedSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bitmap distinct: per-flag counts and the OR-merged total equal exact countDistinct") {
+    import org.apache.spark.sql.functions._
+    val rows = Advanced.aBitmapDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = graft.tables.Tables.lineitem(spark, sf0001)
+    val exactAll = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(rows("__all__") == exactAll)
+    li.groupBy(col("l_returnflag")).agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().foreach(r => assert(rows(r.getString(0)) == r.getLong(1), r.getString(0)))
+  }
+
+  test("dp counts: noise is nonzero, bounded by the 48-bit Laplace tail, and reproducible") {
+    val a = Advanced.aDpCounts(spark, sf0001).collect()
+    val b = Advanced.aDpCounts(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "DP release is not reproducible")
+    a.foreach { r =>
+      val noise = r.getDouble(2)
+      // Laplace(b=1/ε) from 48 uniform bits cannot exceed b·ln(2^49)
+      assert(noise != 0.0 && math.abs(noise) < (1.0 / Advanced.dpEps) * 49 * math.log(2.0))
+      assert(r.getDouble(3) == BigDecimal(r.getLong(1) + noise).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("a_ddsketch_quantiles: every estimate within α relative error of the exact quantile") {
     import org.apache.spark.sql.functions._
     val est = Advanced.aDdsketch(spark, sf0001).collect()
