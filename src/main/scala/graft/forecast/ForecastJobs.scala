@@ -698,7 +698,81 @@ object ForecastJobs {
     } finally wk.unpersist()
   }
 
+  final case class ConformalRow(
+      profile_name: String, m: Int, point: Double, qhat: Double, lo: Double, hi: Double)
+
+  /** Split-conformal prediction interval around the SES point forecast —
+    * the distribution-free calibration step modern forecast serving
+    * wraps around ANY point model: the walk-forward one-step absolute
+    * residuals on the 25% calibration slice are the conformity scores,
+    * and q̂ = the ⌈0.9(m+1)⌉-th smallest score gives a finite-sample 90%
+    * interval with no distributional assumption. Same per-profile
+    * groupByKey shape as the SES job; every number is the same
+    * sequential IEEE fold the `m_ses_forecast` oracle already replays,
+    * plus a sort and an index — nothing to round until display.
+    */
+  def conformalJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 8)
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs          = series(rows)
+        val (_, test)   = Models.split75(xs)
+        val (_, preds)  = Models.sesWalkForward(xs, alpha = 0.6)
+        val sorted      = Array.tabulate(preds.length)(i => math.abs(test(i) - preds(i))).sorted
+        val m           = sorted.length
+        val k           = math.ceil(0.9 * (m + 1)).toInt
+        val qhat        = if (k > m) sorted(m - 1) else sorted(k - 1)
+        val point       = Models.sesForecast(xs, 0.6)
+        Iterator.single(ConformalRow(profile, m, point, qhat, point - qhat, point + qhat))
+      }
+      .toDF()
+      // raw doubles, the m_ses_forecast precedent: every value is a
+      // sequential IEEE fold both engines run identically, and a display
+      // round would only ADD a cross-engine tie hazard
+      .orderBy(col("profile_name"))
+  }
+
+  final case class MaseRow(
+      profile_name: String, m: Int, mae_model: Double, mae_naive: Double,
+      mase: Option[Double])
+
+  /** MASE (Hyndman's mean absolute scaled error) for the SES walk-forward
+    * — the scale-free score that lets per-profile model quality be
+    * COMPARED across profiles of wildly different volume (the backtest
+    * race's MSE cannot): model MAE over the walk-forward slice divided
+    * by the naive (previous-actual) MAE on the same slice. MASE < 1 ⇒
+    * the model beats persistence. NULL where the naive MAE is zero (a
+    * perfectly flat calibration slice) — both engines emit NULL rather
+    * than divide.
+    */
+  def maseJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 8)
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val xs             = series(rows)
+        val (train, test)  = Models.split75(xs)
+        val (_, preds)     = Models.sesWalkForward(xs, alpha = 0.6)
+        val m              = test.length
+        // sequential folds in slice order — the list_reduce the oracle runs
+        var sm = 0.0; var sn = 0.0; var i = 0
+        while (i < m) {
+          sm += math.abs(test(i) - preds(i))
+          sn += math.abs(test(i) - (if (i == 0) train.last else test(i - 1)))
+          i += 1
+        }
+        val maeM = sm / m
+        val maeN = sn / m
+        Iterator.single(MaseRow(profile, m, maeM, maeN, if (maeN == 0.0) None else Some(maeM / maeN)))
+      }
+      .toDF()
+      .orderBy(col("profile_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_conformal"        -> (conformalJob(_, _)),
+    "m_mase"             -> (maseJob(_, _)),
     "m_reconcile"        -> (reconcileJob(_, _)),
     "m_arma_wf"          -> (armaWfFixedJob(_, _)),
     "m_holt_opt"         -> (holtOptJob(_, _)),
@@ -1108,6 +1182,82 @@ object ForecastJobs {
         |  round(bt.bu_total, 6) AS bu_total,
         |  round(tp.top_pred, 6) AS top_pred
         |FROM base b, toppred tp, butotal bt ORDER BY profile_name""".stripMargin,
+    // the m_ses walk-forward CTEs + conformity-score sort + the
+    // ⌈0.9(m+1)⌉ rank rule; raw doubles end to end
+    "m_conformal" ->
+      """WITH weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 8),
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM weekly GROUP BY profile_name),
+        |calc AS (
+        |  SELECT profile_name, xs, len(xs) AS n,
+        |    CAST(floor(len(xs) * 0.75) AS INT) AS sp
+        |  FROM series),
+        |wf AS (
+        |  SELECT profile_name, xs, n, sp,
+        |    list_sort([ abs(xs[sp + i + 1]
+        |        - list_reduce(xs[1:sp + i], (acc, x) -> 0.6 * x + (1 - 0.6) * acc))
+        |      for i in range(0, n - sp) ]) AS scores
+        |  FROM calc),
+        |q AS (
+        |  SELECT profile_name, n, sp,
+        |    CAST(n - sp AS INT) AS m,
+        |    CAST(ceil(0.9 * (n - sp + 1)) AS INT) AS k,
+        |    scores,
+        |    list_reduce(xs, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS point
+        |  FROM wf)
+        |SELECT profile_name, m, point,
+        |  CASE WHEN k > m THEN scores[m] ELSE scores[k] END AS qhat,
+        |  point - (CASE WHEN k > m THEN scores[m] ELSE scores[k] END) AS lo,
+        |  point + (CASE WHEN k > m THEN scores[m] ELSE scores[k] END) AS hi
+        |FROM q ORDER BY profile_name""".stripMargin,
+    // same CTEs; sequential (a,b)->a+b folds over the model and naive
+    // absolute errors, NULL where the naive MAE is zero
+    "m_mase" ->
+      """WITH weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 8),
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM weekly GROUP BY profile_name),
+        |calc AS (
+        |  SELECT profile_name, xs, len(xs) AS n,
+        |    CAST(floor(len(xs) * 0.75) AS INT) AS sp
+        |  FROM series),
+        |wf AS (
+        |  SELECT profile_name, n, sp,
+        |    [ abs(xs[sp + i + 1]
+        |        - list_reduce(xs[1:sp + i], (acc, x) -> 0.6 * x + (1 - 0.6) * acc))
+        |      for i in range(0, n - sp) ] AS em,
+        |    [ abs(xs[sp + i + 1] - xs[sp + i]) for i in range(0, n - sp) ] AS en
+        |  FROM calc),
+        |mm AS (
+        |  SELECT profile_name,
+        |    CAST(n - sp AS INT) AS m,
+        |    list_reduce(em, (a, b) -> a + b) / (n - sp) AS mae_model,
+        |    list_reduce(en, (a, b) -> a + b) / (n - sp) AS mae_naive
+        |  FROM wf)
+        |SELECT profile_name, m, mae_model, mae_naive,
+        |  CASE WHEN mae_naive = 0 THEN NULL ELSE mae_model / mae_naive END AS mase
+        |FROM mm ORDER BY profile_name""".stripMargin,
     "m_ses_forecast" ->
       """WITH weekly AS (
         |  SELECT profile_name, week_date,

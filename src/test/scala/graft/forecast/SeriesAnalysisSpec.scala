@@ -134,6 +134,32 @@ class SeriesAnalysisSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("conformal: interval brackets the point and q-hat covers ≥90% of calibration scores") {
+    val rows = ForecastJobs.conformalJob(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, point, qhat, lo, hi) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(qhat >= 0.0 && lo <= point && point <= hi)
+      // rank rule: k = ⌈0.9(m+1)⌉ scores sit at or below q-hat, so
+      // calibration coverage is at least k/m > 0.9
+      val k = math.ceil(0.9 * (m + 1)).toInt
+      assert(math.min(k, m).toDouble / m >= 0.9, s"m=$m k=$k")
+    }
+  }
+
+  test("mase: ratio reproduces from its own numerator/denominator") {
+    val rows = ForecastJobs.maseJob(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val (mm, mn, ms) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        assert(ms == mm / mn, s"mase $ms != $mm/$mn")
+        assert(mn > 0.0)
+      }
+    }
+  }
+
   test("binseg: planted two-step series localizes both changepoints; flat series gains zero") {
     import spark.implicits._
     val d0 = java.time.LocalDate.of(2024, 1, 1)
