@@ -994,6 +994,37 @@ object Advanced {
     } finally perFlag.unpersist()
   }
 
+  /** Join-key skew report — the diagnostic a 100 TB join plans FROM: the
+    * heaviest keys (the salting/AQE-skew-split candidates), each with
+    * its frequency, parts-per-million share and a ×1000 skew ratio
+    * against the mean key frequency — ALL integer arithmetic (counts,
+    * integer division), so the report is bit-exact trivially. One
+    * map-combinable key count + a bounded top-10; the output is fixed
+    * size regardless of corpus.
+    */
+  val qSkewReport: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val g = counts.agg(sum($"cnt").as("total"), count(lit(1)).as("nkeys")).head()
+      val (total, nkeys) = (g.getLong(0), g.getLong(1))
+      counts
+        .withColumn("rn", row_number().over(Window.orderBy($"cnt".desc, $"l_partkey")))
+        .filter($"rn" <= 10)
+        .select(
+          $"rn".cast("int").as("rank"),
+          $"l_partkey",
+          $"cnt",
+          // `div`, not `/`: Spark's slash is true division (double) even
+          // on longs; div keeps the ppm/ratio in exact integer space
+          expr(s"cnt * 1000000L div ${total}L").as("share_ppm"),
+          expr(s"cnt * 1000L * ${nkeys}L div ${total}L").as("skew_x1000"))
+        .orderBy($"rank")
+        .localCheckpoint(eager = true)
+    } finally counts.unpersist()
+  }
+
   /** k-anonymity audit — the governance gate before a dataset release
     * (pipe_manifest's privacy sibling): every quasi-identifier
     * combination must describe at least k individuals, else those rows
@@ -1423,6 +1454,7 @@ object Advanced {
     "a_ddsketch_quantiles" -> aDdsketch,
     "a_bitmap_distinct" -> aBitmapDistinct,
     "q_k_anonymity"     -> qKAnonymity,
+    "q_skew_report"     -> qSkewReport,
     "a_dp_counts"       -> aDpCounts,
     "a_percentiles"     -> aPercentiles
   )
@@ -2087,6 +2119,20 @@ object Advanced {
         |UNION ALL
         |SELECT '__all__', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
         |ORDER BY l_returnflag""".stripMargin,
+    // integer ppm/ratio replay; positive // == Spark's div
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_partkey),
+        |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
+        |SELECT CAST(rn AS INT) AS rank, l_partkey, cnt,
+        |  cnt * 1000000 // total AS share_ppm,
+        |  cnt * 1000 * nkeys // total AS skew_x1000
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rn
+        |  FROM c CROSS JOIN g) t
+        |WHERE rn <= 10 ORDER BY rank""".stripMargin,
     "q_k_anonymity" ->
       s"""SELECT c_nationkey, c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS group_n,

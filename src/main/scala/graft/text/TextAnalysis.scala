@@ -206,6 +206,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Per-source quantile normalization of a document score — the
+    * distribution-alignment step a curation mix needs before comparing
+    * quality scores ACROSS sources (each source's scorer has its own
+    * scale; rank-mapping onto the corpus distribution makes one
+    * threshold mean the same thing everywhere). doc → its within-source
+    * rank r of n → the corpus score at global position
+    * 1 + round((r−1)(N−1)/(n−1)), with the position computed in EXACT
+    * integer arithmetic (·2, +den, div 2·den — integer half-up, no
+    * doubles anywhere in the map). Two rank orders (per-source window on
+    * the source shuffle; global via range-sort + zipWithIndex, the
+    * text_rare_score discipline — no partition-less window) + one join
+    * on the computed position.
+    */
+  val textQuantileNorm: Q = (s, d) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+    val n_ = docs.count()
+    val sortedCorpus = docs
+      .orderBy($"n_chars", $"doc_id")
+      .select($"n_chars")
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target =
+      try
+        s.createDataFrame(
+          sortedCorpus.zipWithIndex().map { case (r, i) => Row(i + 1L, r.getLong(0)) },
+          StructType(Seq(StructField("gidx", LongType), StructField("norm_score", LongType)))
+        ).localCheckpoint()
+      finally sortedCorpus.unpersist()
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    docs
+      .withColumn("r", row_number().over(bySrc).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .withColumn(
+        "gidx",
+        expr(s"1L + ((r - 1L) * ${n_ - 1}L * 2L + (n - 1L)) div ((n - 1L) * 2L)"))
+      .join(target.hint("broadcast"), Seq("gidx"))
+      .select($"doc_id", $"source", $"n_chars".as("raw_score"), $"r".as("src_rank"), $"norm_score")
+      .orderBy($"doc_id")
+      .localCheckpoint(eager = true)
+  }
+
   /** Sparse TF-IDF cosine similarity pairs — the sparse-vector
     * counterpart of `dedup_embedding_cos` (dense) and `dedup_minhash_*`
     * (set): near-dup and topical-overlap detection over the exact
@@ -1481,6 +1526,7 @@ object TextAnalysis {
     "text_perplexity"     -> textPerplexity,
     "text_nb_classifier"  -> textNbClassifier,
     "text_dsir"           -> textDsir,
+    "text_quantile_norm"  -> textQuantileNorm,
     "text_textrank"       -> textTextrank,
     "text_zipf_fit"       -> textZipfFit,
     "text_split_divergence" -> textSplitDivergence,
@@ -1549,6 +1595,24 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact-integer rank map: per-source row_number, global position by
+    // the ·2/+den/÷2den half-up integer formula, corpus value by index
+    "text_quantile_norm" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        |corpus AS (
+        |  SELECT n_chars AS norm_score,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS gidx
+        |  FROM docs),
+        |ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS n,
+        |    (SELECT COUNT(*) FROM docs) AS nn
+        |  FROM docs)
+        |SELECT doc_id, source, n_chars AS raw_score, r AS src_rank, norm_score
+        |FROM ranked JOIN corpus
+        |  ON gidx = 1 + ((r - 1) * (nn - 1) * 2 + (n - 1)) // ((n - 1) * 2)
+        |ORDER BY doc_id""".stripMargin,
     // model replay: same add-1 feature distributions, each ln
     // once-rounded at 7 dp into DECIMAL(18,7), exact decimal weight
     // difference / tf product / doc sum, keep = exact sum > 0

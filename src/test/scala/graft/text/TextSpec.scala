@@ -263,6 +263,21 @@ class TextSpec extends SparkSpec {
       s"confusion not diagonal: ${conf.toSeq}")
   }
 
+  test("quantile norm: monotone within source, extremes map to corpus extremes") {
+    val rows = TextAnalysis.textQuantileNorm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val corpusMin = rows.map(_._3).min; val corpusMax = rows.map(_._3).max
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val byRank = g.sortBy(_._4)
+      // normalization preserves the within-source order
+      assert(byRank.map(_._5).toSeq == byRank.map(_._5).sorted.toSeq, s"$src: non-monotone")
+      // rank 1 → corpus minimum, rank n → corpus maximum
+      assert(byRank.head._5 == corpusMin, s"$src: min maps to ${byRank.head._5}")
+      assert(byRank.last._5 == corpusMax, s"$src: max maps to ${byRank.last._5}")
+    }
+  }
+
   test("dsir: target-vocabulary raw docs score positive, raw-only-vocabulary docs negative") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
