@@ -183,6 +183,57 @@ object Graph {
     } finally bi.unpersist()
   }
 
+  val aaTopK = 20
+
+  /** Adamic-Adar link prediction from one brand's parts — "which
+    * not-yet-co-purchased part should we bundle next": for a seed set S
+    * (Brand#11's parts, the g_hops seed), every non-adjacent candidate v
+    * reachable through a common neighbor w scores Σ_w 1/ln(deg w) — the
+    * classic heuristic that discounts promiscuous hubs logarithmically.
+    * Scale shape: wedges are enumerated FROM the seed side only
+    * (|S|·d̄² work, not the full graph's Σdeg² — the full-graph variant
+    * is `sim_knn_graph` territory), existing links leave via one
+    * anti-join, and the global top-k is a window over the already
+    * aggregated candidate table. Determinism: each 1/ln(deg) term is
+    * once-rounded at 9 dp into DECIMAL(20,9) and decimal-summed; a
+    * common neighbor has deg ≥ 2, so the ln never sees 1.
+    */
+  val gAdamicAdar: Q = (s, d) => {
+    val e = coEdges(s, d).persist()
+    try {
+      val adj = e
+        .select($"u".as("a"), $"v".as("b"))
+        .unionAll(e.select($"v".as("a"), $"u".as("b")))
+      val deg = adj.groupBy($"a".as("node")).agg(count(lit(1)).as("deg"))
+      val seeds = Tables
+        .part(s, d)
+        .filter($"p_brand" === hopSeedBrand)
+        .select($"p_partkey".as("u"))
+      val wedges = adj
+        .join(broadcast(seeds), $"a" === $"u")
+        .select($"u", $"b".as("w"))
+        .join(adj.select($"a".as("w"), $"b".as("v")), "w")
+        .filter($"v" =!= $"u")
+        .join(deg.select($"node".as("w"), $"deg"), "w")
+      val cand = wedges
+        .groupBy($"u", $"v")
+        .agg(
+          count(lit(1)).as("n_common"),
+          sum(round(lit(1.0) / log($"deg".cast("double")), 9).cast("decimal(20,9)")).as("aa_dec"))
+      // drop already-linked pairs (both orientations live in adj)
+      val newLinks = cand.join(
+        adj.select($"a".as("u"), $"b".as("v")), Seq("u", "v"), "left_anti")
+      newLinks
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"aa_dec".desc, $"u", $"v")).cast("int"))
+        .filter($"rank" <= aaTopK)
+        .select($"rank", $"u", $"v", $"n_common", $"aa_dec".cast("double").as("aa"))
+        .orderBy($"rank")
+        .localCheckpoint(eager = true)
+    } finally e.unpersist()
+  }
+
   val lpRounds = 4
 
   /** Synchronous label propagation (community detection) over the
@@ -443,6 +494,7 @@ object Graph {
     "g_assortativity" -> gAssortativity,
     "g_pagerank"   -> gPagerank,
     "g_triangles"  -> gTriangles,
+    "g_adamic_adar" -> gAdamicAdar,
     "g_hops"       -> gHops,
     "g_label_prop" -> gLabelProp,
     "g_sssp"       -> gSssp,
@@ -493,6 +545,34 @@ object Graph {
        |  WHERE dd >= $kCoreK)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // seed-side wedge replay: same once-rounded 1/ln(deg) terms, decimal
+    // sum, anti-join on existing links, (aa desc, u, v) top-k
+    "g_adamic_adar" ->
+      s"""WITH $coBase,
+        |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY a),
+        |seeds AS (SELECT p_partkey AS u FROM part WHERE p_brand = '$hopSeedBrand'),
+        |wedges AS (
+        |  SELECT s.u, a2.b AS v, a1.b AS w
+        |  FROM seeds s
+        |  JOIN adj a1 ON a1.a = s.u
+        |  JOIN adj a2 ON a2.a = a1.b
+        |  WHERE a2.b <> s.u),
+        |cand AS (
+        |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    SUM(CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 9) AS DECIMAL(20,9))) AS aa_dec
+        |  FROM wedges JOIN deg ON node = w
+        |  GROUP BY u, v),
+        |nl AS (
+        |  SELECT c.* FROM cand c
+        |  LEFT JOIN adj ON adj.a = c.u AND adj.b = c.v
+        |  WHERE adj.a IS NULL)
+        |SELECT CAST(rank AS INT) AS rank, u, v, n_common,
+        |  CAST(aa_dec AS DOUBLE) AS aa
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY aa_dec DESC, u, v) AS rank
+        |  FROM nl) t
+        |WHERE rank <= $aaTopK ORDER BY rank""".stripMargin,
     // symmetrized edges, integer-degree DECIMAL moments, one closed form
     "g_assortativity" ->
       s"""WITH $coBase,

@@ -99,4 +99,22 @@ class GraphSpec extends SparkSpec {
     val dist = Graph.gSssp(spark, dir).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(dist == Map(10L -> 0, 20L -> 4))
   }
+
+  test("adamic-adar: planted path scores the distance-2 pair by its center's degree") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aa").toString
+    // co-purchase edges: 10—20 (order 1), 20—30 (order 2), 20—40 (order 3)
+    // → seed 10's only distance-2 candidates are 30 and 40, both through
+    // center 20 with deg 3 → aa = round(1/ln 3, 9) each
+    Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L), (3L, 20L), (3L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, Graph.hopSeedBrand), (20L, "Brand#99"), (30L, "Brand#99"), (40L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val rows = Graph.gAdamicAdar(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val want = BigDecimal(1.0 / math.log(3.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.toSet == Set((10L, 30L, 1L, want), (10L, 40L, 1L, want)), rows.toSeq.toString)
+  }
 }
