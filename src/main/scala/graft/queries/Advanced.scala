@@ -994,6 +994,28 @@ object Advanced {
     } finally perFlag.unpersist()
   }
 
+  /** Sliding (hopping) window aggregation in BATCH via the native
+    * `window()` TVF — 1-hour windows every 30 minutes, so each event
+    * lands in exactly 2 overlapping windows (the tumbling case is
+    * `s_stream_windows`; sliding is the distinct operator semantics: a
+    * slide/size expansion BEFORE the aggregate, which Spark plans as one
+    * Expand + one shuffle — rows multiply by size/slide, not by window
+    * count). DECIMAL value sums keep the overlap aggregate order-free.
+    */
+  val wHopWindows: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .groupBy(window($"ts", "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        $"window.start".as("win_start"),
+        $"window.end".as("win_end"),
+        $"n",
+        $"sum_value")
+      .orderBy($"win_start")
+
   /** Join-key skew report — the diagnostic a 100 TB join plans FROM: the
     * heaviest keys (the salting/AQE-skew-split candidates), each with
     * its frequency, parts-per-million share and a ×1000 skew ratio
@@ -1455,6 +1477,7 @@ object Advanced {
     "a_bitmap_distinct" -> aBitmapDistinct,
     "q_k_anonymity"     -> qKAnonymity,
     "q_skew_report"     -> qSkewReport,
+    "w_hop_windows"     -> wHopWindows,
     "a_dp_counts"       -> aDpCounts,
     "a_percentiles"     -> aPercentiles
   )
@@ -2119,6 +2142,20 @@ object Advanced {
         |UNION ALL
         |SELECT '__all__', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
         |ORDER BY l_returnflag""".stripMargin,
+    // each event expands into its two covering 30-min-aligned 1-h
+    // windows (Spark's window() is epoch-aligned, = time_bucket);
+    // CAST(ts AS TIMESTAMP) pins µs grain (streaming precedent)
+    "w_hop_windows" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |x AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS win_start,
+        |    value
+        |  FROM e, (SELECT unnest([0, 1]) AS k) ks)
+        |SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY win_start ORDER BY win_start""".stripMargin,
     // integer ppm/ratio replay; positive // == Spark's div
     "q_skew_report" ->
       """WITH c AS (

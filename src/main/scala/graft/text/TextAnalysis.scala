@@ -206,6 +206,58 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Heaps'-law vocabulary-growth fit — Zipf's companion statistic
+    * (`text_zipf_fit` measures the frequency head; Heaps measures how
+    * fast NEW vocabulary keeps arriving, the number that predicts
+    * tokenizer OOV and dedup index growth at 100 TB): V(N) ≈ K·N^β,
+    * fitted as ln V on ln N by OLS over 100 doc-order checkpoints.
+    * Distributed shape: one tokenize pass → per-token FIRST bucket
+    * (min-aggregate) + per-bucket token totals → cumulative sums over
+    * the ≤100-row bucket table (driver-sized window, the
+    * t_peak_concurrency two-level discipline) → closed-form OLS on
+    * once-rounded ln checkpoints (9 dp into DECIMAL(20,9); the products
+    * of rounded doubles round once, the decimal sums stay under 2⁵³
+    * quanta so both engines' double casts are exact).
+    */
+  val heapsBuckets = 100
+  val textHeapsFit: Q = (s, d) => {
+    val docs  = Tables.documents(s, d)
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .withColumn("b", expr(s"doc_id * $heapsBuckets div ${maxId + 1}L"))
+      .persist()
+    try {
+      val perBucket = toks.groupBy($"b").agg(count(lit(1)).as("nt"))
+      val firsts = toks
+        .groupBy($"token").agg(min($"b").as("fb"))
+        .groupBy($"fb").agg(count(lit(1)).as("nf"))
+      val run = org.apache.spark.sql.expressions.Window
+        .orderBy($"b").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cps = perBucket
+        .join(firsts.withColumnRenamed("fb", "b"), Seq("b"), "left")
+        .withColumn("cum_n", sum($"nt").over(run))
+        .withColumn("cum_v", sum(coalesce($"nf", lit(0L))).over(run))
+        .filter($"cum_v" > 0)
+        .select(
+          round(log($"cum_n".cast("double")), 9).as("x"),
+          round(log($"cum_v".cast("double")), 9).as("y"))
+      cps
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round($"x", 9).cast("decimal(20,9)")).cast("double").as("sx"),
+          sum(round($"y", 9).cast("decimal(20,9)")).cast("double").as("sy"),
+          sum(round($"x" * $"x", 9).cast("decimal(20,9)")).cast("double").as("sxx"),
+          sum(round($"x" * $"y", 9).cast("decimal(20,9)")).cast("double").as("sxy"))
+        .select(
+          $"n".cast("long").as("n_checkpoints"),
+          round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("beta"),
+          round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6)
+            .as("ln_k"))
+        .localCheckpoint(eager = true)
+    } finally toks.unpersist()
+  }
+
   /** Per-source quantile normalization of a document score — the
     * distribution-alignment step a curation mix needs before comparing
     * quality scores ACROSS sources (each source's scorer has its own
@@ -1527,6 +1579,7 @@ object TextAnalysis {
     "text_nb_classifier"  -> textNbClassifier,
     "text_dsir"           -> textDsir,
     "text_quantile_norm"  -> textQuantileNorm,
+    "text_heaps_fit"      -> textHeapsFit,
     "text_textrank"       -> textTextrank,
     "text_zipf_fit"       -> textZipfFit,
     "text_split_divergence" -> textSplitDivergence,
@@ -1595,6 +1648,38 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // bucketed growth replay: same first-bucket min, cumulative sums,
+    // once-rounded ln checkpoints + product terms, closed-form OLS
+    "text_heaps_fit" ->
+      s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |toks AS (
+        |  SELECT doc_id * $heapsBuckets // (m + 1) AS b,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents CROSS JOIN mx),
+        |pb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY b),
+        |fs AS (
+        |  SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS nf
+        |  FROM (SELECT token, MIN(b) AS fb FROM toks GROUP BY token) t GROUP BY fb),
+        |cum AS (
+        |  SELECT pb.b,
+        |    SUM(nt) OVER (ORDER BY pb.b) AS cum_n,
+        |    SUM(coalesce(nf, 0)) OVER (ORDER BY pb.b) AS cum_v
+        |  FROM pb LEFT JOIN fs ON fs.b = pb.b),
+        |cps AS (
+        |  SELECT round(ln(CAST(cum_n AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(cum_v AS DOUBLE)), 9) AS y
+        |  FROM cum WHERE cum_v > 0),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(round(y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxy
+        |  FROM cps)
+        |SELECT n AS n_checkpoints,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS ln_k
+        |FROM sums""".stripMargin,
     // exact-integer rank map: per-source row_number, global position by
     // the ·2/+den/÷2den half-up integer formula, corpus value by index
     "text_quantile_norm" ->

@@ -263,6 +263,19 @@ class TextSpec extends SparkSpec {
       s"confusion not diagonal: ${conf.toSeq}")
   }
 
+  test("heaps fit: every-token-new corpus fits beta = 1, ln K = 0 exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    // 100 one-token docs, all tokens distinct → V(N) = N at every
+    // checkpoint → the ln-ln OLS is the identity line
+    (0 until 100).map(i => (i.toLong, s"tok$i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.textHeapsFit(spark, dir).head()
+    assert(r.getLong(0) == 100, s"checkpoints ${r.getLong(0)}")
+    assert(r.getDouble(1) == 1.0, s"beta ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.0, s"ln_k ${r.getDouble(2)}")
+  }
+
   test("quantile norm: monotone within source, extremes map to corpus extremes") {
     val rows = TextAnalysis.textQuantileNorm(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
