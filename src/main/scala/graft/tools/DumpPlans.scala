@@ -86,6 +86,34 @@ object DumpPlans {
           "day-grain rows (calendar-bounded), day offsets broadcast back, and the " +
           "fine-grained cumulative window is partitioned by day.",
         fmt(graft.queries.Advanced.tPeakConcurrency(spark, sf))
+      ),
+      (
+        "BM25 retrieval (text_bm25_topk)",
+        "Query terms probe the tf table ON TOKEN (inverted-index bound: work is " +
+          "Σ df over query terms, never |corpus|×|queries|); df broadcasts; the " +
+          "per-probe top-k rides TopKPerKeyExec's bounded heaps.",
+        fmt(graft.text.Retrieval.bm25TopK(spark, sf))
+      ),
+      (
+        "Naive-Bayes scoring join (text_nb_classifier)",
+        "The V×C model and class table BROADCAST to the doc-term scan — scoring is " +
+          "map-side; the only shuffles aggregate doc terms and per-doc class scores " +
+          "(fan-out bounded by the class count).",
+        fmt(graft.text.TextAnalysis.textNbClassifier(spark, sf))
+      ),
+      (
+        "IRLS sufficient-statistics pass (m_logit_irls)",
+        "Shown: the final metrics aggregate — scan → partial HashAggregate (14 " +
+          "decimal sums map-side) → single-row final. Every training iteration is " +
+          "this same shape; β moves as broadcast literals, the corpus never shuffles.",
+        fmt(graft.queries.Glm.logitIrls(spark, sf))
+      ),
+      (
+        "Seed-bounded Adamic-Adar wedges (g_adamic_adar)",
+        "The seed set broadcasts into the adjacency scan, wedge enumeration is " +
+          "|S|·d̄² (seed-side only, not the full graph's Σdeg²), and the top-k window " +
+          "runs over the already-aggregated candidate table.",
+        fmt(graft.queries.Graph.gAdamicAdar(spark, sf))
       )
     )
     val md = new StringBuilder
