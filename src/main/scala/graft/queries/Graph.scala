@@ -198,7 +198,10 @@ object Graph {
     * once-rounded at 9 dp into DECIMAL(20,9) and decimal-summed; a
     * common neighbor has deg ≥ 2, so the ln never sees 1.
     */
-  val gAdamicAdar: Q = (s, d) => {
+  val gAdamicAdar: Q = (s, d) => adamicAdarBuild(s, d, checkpoint = true)
+
+  /** checkpoint=false returns the un-materialized plan for PlanSpec. */
+  private[graft] def adamicAdarBuild(s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     val e = coEdges(s, d).persist()
     try {
       val adj = e
@@ -229,8 +232,10 @@ object Graph {
             .orderBy($"aa_dec".desc, $"u", $"v")).cast("int"))
         .filter($"rank" <= aaTopK)
         .select($"rank", $"u", $"v", $"n_common", $"aa_dec".cast("double").as("aa"))
-        .orderBy($"rank")
-        .localCheckpoint(eager = true)
+        .orderBy($"rank") match {
+          case df if checkpoint => df.localCheckpoint(eager = true)
+          case df               => df
+        }
     } finally e.unpersist()
   }
 

@@ -44,7 +44,10 @@ object Retrieval {
     (tf, dl)
   }
 
-  val bm25TopK: Q = (s, d) => {
+  val bm25TopK: Q = (s, d) => bm25TopKBuild(s, d, checkpoint = true)
+
+  /** checkpoint=false returns the un-materialized plan for PlanSpec. */
+  private[graft] def bm25TopKBuild(s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     val (tf, dl) = termFreqs(s, d)
     val tfd = tf.join(dl, "doc_id").persist()
     try {
@@ -80,8 +83,10 @@ object Retrieval {
           org.apache.spark.sql.expressions.Window
             .partitionBy($"probe_id").orderBy($"score_dec".desc, $"doc_id")).cast("int"))
         .select($"probe_id", $"doc_id", round($"score_dec".cast("double"), 6).as("bm25"), $"rank")
-        .orderBy($"probe_id", $"rank")
-        .localCheckpoint(eager = true)
+        .orderBy($"probe_id", $"rank") match {
+          case df if checkpoint => df.localCheckpoint(eager = true)
+          case df               => df
+        }
     } finally tfd.unpersist()
   }
 

@@ -1396,7 +1396,10 @@ object TextAnalysis {
     * and decimal-summed (order-free); the argmax compares exact decimals
     * with the class name as tiebreak.
     */
-  val textNbClassifier: Q = (s, d) => {
+  val textNbClassifier: Q = (s, d) => nbClassifierBuild(s, d, checkpoint = true)
+
+  /** checkpoint=false returns the un-materialized plan for PlanSpec. */
+  private[graft] def nbClassifierBuild(s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.select($"doc_id", $"source", explode(split($"text", " ")).as("token"))
     val train = toks.filter($"doc_id" % 2 === 0)
@@ -1438,8 +1441,10 @@ object TextAnalysis {
       pred
         .groupBy($"source".as("true_source"), $"c_source".as("pred_source"))
         .agg(count(lit(1)).as("n"))
-        .orderBy($"true_source", $"pred_source")
-        .localCheckpoint(eager = true)
+        .orderBy($"true_source", $"pred_source") match {
+          case df if checkpoint => df.localCheckpoint(eager = true)
+          case df               => df
+        }
     } finally ctk.unpersist()
   }
 

@@ -157,4 +157,30 @@ class PlanSpec extends SparkSpec {
       s"no join produced by decorrelation:\n$p"
     )
   }
+
+  test("text_bm25_topk: per-probe top-k rides the native bounded-heap TopK, df broadcasts") {
+    val p = plan(graft.text.Retrieval.bm25TopKBuild(spark, sf0001, checkpoint = false))
+    assert(p.contains("TopKPerKeyPartial"), s"BM25 lost the partial-trim top-k:\n$p")
+    assert(p.contains("BroadcastExchange"), s"df table not broadcast:\n$p")
+  }
+
+  test("text_nb_classifier: model and class tables broadcast — scoring never shuffles the corpus side for the joins") {
+    val p = plan(graft.text.TextAnalysis.nbClassifierBuild(spark, sf0001, checkpoint = false))
+    val broadcasts = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastExchange"""))
+    assert(broadcasts >= 2, s"NB model/class tables not broadcast ($broadcasts):\n$p")
+    assert(!p.contains("CartesianProduct"), s"class fan-out degenerated to a cartesian:\n$p")
+  }
+
+  test("m_logit_irls: the sufficient-statistics pass partial-aggregates map-side") {
+    val p = plan(graft.queries.Glm.logitIrls(spark, sf0001))
+    // two HashAggregate nodes (partial + final) around one single-row exchange
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g_adamic_adar: the seed set broadcasts into the wedge join") {
+    val p = plan(graft.queries.Graph.adamicAdarBuild(spark, sf0001, checkpoint = false))
+    assert(p.contains("BroadcastExchange"), s"seed set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

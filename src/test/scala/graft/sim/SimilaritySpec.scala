@@ -313,7 +313,7 @@ class MipsSpec extends SparkSpec {
     rows.groupBy(_._1).foreach { case (a, g) =>
       val byRank = g.sortBy(_._5)
       assert(byRank.map(_._5).toSeq == (1 to g.length), s"anchor $a: ranks not contiguous")
-      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted(Ordering[Double].reverse),
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted(Ordering[Double].reverse).toSeq,
         s"anchor $a: cosine not descending with rank")
     }
   }
