@@ -733,6 +733,42 @@ object ForecastJobs {
       .orderBy(col("profile_name"))
   }
 
+  final case class ImpactRow(
+      profile_name: String, n_pre: Int, n_post: Int,
+      pred: Double, actual: Double, effect: Double, rel_effect: Double)
+
+  /** Intervention / causal-impact analysis ("did the price change on
+    * Jan 1 move demand?"): the counterfactual is the SES forecast
+    * trained ONLY on the pre-period, held flat across the post window
+    * (the CausalImpact pattern with the engine's own forecaster as the
+    * structural model); the measured impact is Σ(actual − predicted)
+    * over the post weeks, absolute and relative. Profiles need > 8 pre
+    * weeks (the SES history rule) and ≥ 1 post week. Raw doubles —
+    * every number is the same sequential fold both engines replay.
+    */
+  val impactCutoff: java.sql.Date = java.sql.Date.valueOf("2001-01-01")
+  def causalImpactJob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    typedWeekly(s, dir, minWeeks = 8)
+      .groupByKey(_.profile_name)
+      .flatMapGroups { (profile, rows) =>
+        val arr = rows.toArray.sortBy(_.week_date.getTime)
+        val (pre, post) = arr.partition(_.week_date.getTime < impactCutoff.getTime)
+        if (pre.length <= 8 || post.isEmpty) Iterator.empty
+        else {
+          val pred = Models.sesForecast(pre.map(_.weight), 0.6)
+          var actual = 0.0
+          post.foreach(r => actual += r.weight) // week order == oracle's fold
+          val effect = actual - post.length * pred
+          Iterator.single(ImpactRow(
+            profile, pre.length, post.length, pred, actual, effect,
+            effect / (post.length * pred)))
+        }
+      }
+      .toDF()
+      .orderBy(col("profile_name"))
+  }
+
   final case class MaseRow(
       profile_name: String, m: Int, mae_model: Double, mae_naive: Double,
       mase: Option[Double])
@@ -772,6 +808,7 @@ object ForecastJobs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_conformal"        -> (conformalJob(_, _)),
+    "m_causal_impact"    -> (causalImpactJob(_, _)),
     "m_mase"             -> (maseJob(_, _)),
     "m_reconcile"        -> (reconcileJob(_, _)),
     "m_arma_wf"          -> (armaWfFixedJob(_, _)),
@@ -1182,6 +1219,37 @@ object ForecastJobs {
         |  round(bt.bu_total, 6) AS bu_total,
         |  round(tp.top_pred, 6) AS top_pred
         |FROM base b, toppred tp, butotal bt ORDER BY profile_name""".stripMargin,
+    // pre/post split lists (aggregate FILTER keeps week order), SES fold
+    // counterfactual, sequential post sum; raw doubles
+    "m_causal_impact" ->
+      """WITH weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 8),
+        |sp AS (
+        |  SELECT profile_name,
+        |    list(weight ORDER BY week_date)
+        |      FILTER (WHERE week_date < DATE '2001-01-01') AS pre,
+        |    list(weight ORDER BY week_date)
+        |      FILTER (WHERE week_date >= DATE '2001-01-01') AS post
+        |  FROM weekly GROUP BY profile_name),
+        |f AS (
+        |  SELECT profile_name,
+        |    CAST(len(pre) AS INT) AS n_pre, CAST(len(post) AS INT) AS n_post,
+        |    list_reduce(pre, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS pred,
+        |    list_reduce(post, (a, b) -> a + b) AS actual
+        |  FROM sp WHERE len(pre) > 8 AND len(post) >= 1)
+        |SELECT profile_name, n_pre, n_post, pred, actual,
+        |  actual - n_post * pred AS effect,
+        |  (actual - n_post * pred) / (n_post * pred) AS rel_effect
+        |FROM f ORDER BY profile_name""".stripMargin,
     // the m_ses walk-forward CTEs + conformity-score sort + the
     // ⌈0.9(m+1)⌉ rank rule; raw doubles end to end
     "m_conformal" ->

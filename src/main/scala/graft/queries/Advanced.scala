@@ -994,6 +994,66 @@ object Advanced {
     } finally perFlag.unpersist()
   }
 
+  /** Association rules at depth 2 — market-basket support / confidence /
+    * lift over co-ordered part pairs (the depth every "customers also
+    * bought" surface actually ships; deeper itemsets explode support).
+    * Per-order fan-out is C(items,2) ≤ C(13,2), so pair generation is
+    * bounded row-local work; counts are two map-combinable aggregates.
+    * All scores are single IEEE divisions of exact integers, emitted RAW
+    * (bit-identical cross-engine, no rounding hazard). Pairs below
+    * 3-order support are cut before scoring.
+    */
+  val basketMinSupport = 3
+  val basketTopK       = 20
+  val eBasketRules: Q = (s, d) => {
+    val ip = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct().persist()
+    try {
+      val nOrders = ip.select($"l_orderkey").distinct().count()
+      val item    = ip.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      val pairs = ip.as("a")
+        .join(ip.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter($"pair_cnt" >= basketMinSupport)
+      pairs
+        .join(item.select($"l_partkey".as("p1"), $"cnt".as("c1")), "p1")
+        .join(item.select($"l_partkey".as("p2"), $"cnt".as("c2")), "p2")
+        .select(
+          $"p1", $"p2", $"pair_cnt",
+          ($"pair_cnt".cast("double") / lit(nOrders.toDouble)).as("support"),
+          ($"pair_cnt".cast("double") / $"c1".cast("double")).as("confidence"),
+          ($"pair_cnt".cast("double") * lit(nOrders.toDouble) /
+            ($"c1".cast("double") * $"c2".cast("double"))).as("lift"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"lift".desc, $"p1", $"p2")).cast("int"))
+        .filter($"rank" <= basketTopK)
+        .orderBy($"rank")
+        .localCheckpoint(eager = true)
+    } finally ip.unpersist()
+  }
+
+  /** Inactivity sessionization via the NATIVE session_window TVF — the
+    * declared-gap form Catalyst plans directly (one shuffle + merging
+    * session aggregation), vs `w_sessionize`'s portable lag/cumsum
+    * construction. Session end in this semantics is last event + gap.
+    */
+  val wSessionTvf: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        $"user_id",
+        $"w.start".as("session_start"),
+        $"w.end".as("session_end"),
+        $"n_events",
+        $"sum_value")
+      .orderBy($"user_id", $"session_start")
+
   /** Sliding (hopping) window aggregation in BATCH via the native
     * `window()` TVF — 1-hour windows every 30 minutes, so each event
     * lands in exactly 2 overlapping windows (the tumbling case is
@@ -1478,6 +1538,8 @@ object Advanced {
     "q_k_anonymity"     -> qKAnonymity,
     "q_skew_report"     -> qSkewReport,
     "w_hop_windows"     -> wHopWindows,
+    "e_basket_rules"    -> eBasketRules,
+    "w_session_tvf"     -> wSessionTvf,
     "a_dp_counts"       -> aDpCounts,
     "a_percentiles"     -> aPercentiles
   )
@@ -2142,6 +2204,53 @@ object Advanced {
         |UNION ALL
         |SELECT '__all__', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
         |ORDER BY l_returnflag""".stripMargin,
+    // raw-double ratios of exact integer counts; (lift desc, p1, p2) rank
+    "e_basket_rules" ->
+      s"""WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM ip),
+        |item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM ip GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        |  FROM ip a JOIN ip b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $basketMinSupport),
+        |scored AS (
+        |  SELECT p1, p2, pair_cnt,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+        |    CAST(pair_cnt AS DOUBLE) / CAST(i1.cnt AS DOUBLE) AS confidence,
+        |    CAST(pair_cnt AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(i1.cnt AS DOUBLE) * CAST(i2.cnt AS DOUBLE)) AS lift
+        |  FROM pairs
+        |  JOIN item i1 ON i1.l_partkey = p1
+        |  JOIN item i2 ON i2.l_partkey = p2
+        |  CROSS JOIN no)
+        |SELECT p1, p2, pair_cnt, support, confidence, lift, CAST(rank AS INT) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY lift DESC, p1, p2) AS rank
+        |  FROM scored) t
+        |WHERE rank <= $basketTopK ORDER BY rank""".stripMargin,
+    // manual gaps-and-islands replay of session_window semantics:
+    // session end = last event + the 30-minute gap
+    "w_session_tvf" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m)
+        |SELECT user_id,
+        |  MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sid GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
     // each event expands into its two covering 30-min-aligned 1-h
     // windows (Spark's window() is epoch-aligned, = time_bucket);
     // CAST(ts AS TIMESTAMP) pins µs grain (streaming precedent)

@@ -140,6 +140,38 @@ class AdvancedSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("basket rules: lift reproduces from confidence and the consequent base rate") {
+    val nOrders = graft.tables.Tables.lineitem(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("l_orderkey")).distinct().count()
+    val item = graft.tables.Tables.lineitem(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey")).distinct()
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Advanced.eBasketRules(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p2, cnt, sup, conf, lift) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(cnt >= Advanced.basketMinSupport)
+      assert(sup > 0 && conf > 0 && conf <= 1.0 + 1e-12)
+      val expLift = conf / (item(p2).toDouble / nOrders)
+      assert(math.abs(lift - expLift) < 1e-9 * expLift, s"lift $lift != $expLift")
+    }
+  }
+
+  test("session_window TVF agrees with the manual gaps-and-islands sessionization") {
+    import org.apache.spark.sql.functions._
+    val tvf = Advanced.wSessionTvf(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sorted
+    val manual = Advanced.wSessionize(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sorted
+    assert(tvf.toSeq == manual.toSeq,
+      s"native session_window diverges from the manual construction (${tvf.length} vs ${manual.length})")
+  }
+
   test("bitmap distinct: per-flag counts and the OR-merged total equal exact countDistinct") {
     import org.apache.spark.sql.functions._
     val rows = Advanced.aBitmapDistinct(spark, sf0001).collect()
