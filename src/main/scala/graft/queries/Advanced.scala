@@ -994,6 +994,23 @@ object Advanced {
     } finally perFlag.unpersist()
   }
 
+  /** MODE aggregate per group — the most frequent value with a
+    * deterministic smallest-value tiebreak (Spark's built-in `mode` is
+    * tie-nondeterministic, so the engine's contract formulates it as
+    * count + rank, which also keeps it one extra window over the count
+    * aggregate's own shuffle).
+    */
+  val aMode: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"l_returnflag").orderBy($"cnt".desc, $"l_quantity")))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt")
+      .orderBy($"l_returnflag")
+
   /** Association rules at depth 2 — market-basket support / confidence /
     * lift over co-ordered part pairs (the depth every "customers also
     * bought" surface actually ships; deeper itemsets explode support).
@@ -1539,6 +1556,7 @@ object Advanced {
     "q_skew_report"     -> qSkewReport,
     "w_hop_windows"     -> wHopWindows,
     "e_basket_rules"    -> eBasketRules,
+    "a_mode"            -> aMode,
     "w_session_tvf"     -> wSessionTvf,
     "a_dp_counts"       -> aDpCounts,
     "a_percentiles"     -> aPercentiles
@@ -2204,6 +2222,14 @@ object Advanced {
         |UNION ALL
         |SELECT '__all__', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
         |ORDER BY l_returnflag""".stripMargin,
+    "a_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     // raw-double ratios of exact integer counts; (lift desc, p1, p2) rank
     "e_basket_rules" ->
       s"""WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -374,6 +374,20 @@ object Relational {
       .agg(sum($"l_quantity").as("weight"))
       .orderBy($"l_returnflag", $"week_date")
 
+  /** Global top-N = ORDER BY + LIMIT, which Catalyst plans as
+    * TakeOrderedAndProject: each partition keeps an N-row heap and the
+    * driver merges P·N rows — NO full sort, no total-order exchange. The
+    * operator o1_sort deliberately is not (a full global sort range-
+    * partitions everything); PlanSpec pins the node. Total price is
+    * decimal, so the ordering key is exact; orderkey breaks ties.
+    */
+  val oTopN: Q = (s, d) =>
+    Tables
+      .orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+
   // ---------------------------------------------------------------------
   // TPC-H Q1 shape — the headline scan-heavy aggregation (bench anchor).
   // One pass over lineitem, map-side partial agg, 6-group output.
@@ -709,6 +723,7 @@ object Relational {
     "a7_distinct_sort" -> a7DistinctSort,
     "u1_union_all"     -> u1UnionAll,
     "o1_sort"          -> o1Sort,
+    "o_top_n"          -> oTopN,
     "q1_pricing_summary" -> q1PricingSummary,
     "q5_local_volume"    -> q5LocalVolume,
     "q6_forecast_revenue" -> q6ForecastRevenue,
@@ -921,6 +936,9 @@ object Relational {
       """SELECT l_returnflag, CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
         |  SUM(l_quantity) AS weight
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, week_date""".stripMargin,
+    "o_top_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
         |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

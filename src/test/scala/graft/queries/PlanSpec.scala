@@ -158,6 +158,13 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("o_top_n: global ORDER BY + LIMIT plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.oTopN(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-N fell back to a full sort:\n$p")
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Sort""")),
+      s"a global Sort node crept in:\n$p")
+  }
+
   test("text_bm25_topk: per-probe top-k rides the native bounded-heap TopK, df broadcasts") {
     val p = plan(graft.text.Retrieval.bm25TopKBuild(spark, sf0001, checkpoint = false))
     assert(p.contains("TopKPerKeyPartial"), s"BM25 lost the partial-trim top-k:\n$p")
