@@ -104,6 +104,10 @@ object Glm {
 
   // ---------------------------------------------------------------- engine
 
+  // the feature transforms are bit-identical cross-engine BECAUSE the
+  // source columns are parquet DOUBLEs — both engines compute
+  // fl(fl(d)·10) etc. (a DECIMAL-typed corpus would make the oracle's
+  // decimal-first multiply diverge by one ulp on values like 0.07)
   private def feats(s: SparkSession, d: String): DataFrame =
     Tables
       .lineitem(s, d)

@@ -44,39 +44,46 @@ object Retrieval {
     (tf, dl)
   }
 
+  /** Shared BM25 scoring core: (probe_id, doc_id, score_dec) for every
+    * candidate pair, plus a release handle for the persisted tf×dl
+    * table (callers materialize their result, then release).
+    */
+  private def bm25Scores(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    val (tf, dl) = termFreqs(s, d)
+    val tfd = tf.join(dl, "doc_id").persist()
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"), sum($"dl").as("tot_len")).head()
+    val nDocs  = corpus.getLong(0)
+    val avgdl  = corpus.getLong(1).toDouble / nDocs.toDouble
+    val df_ = tfd.groupBy($"token").agg(count(lit(1)).as("df"))
+    // query = the DISTINCT terms of each probe doc
+    val scores = tfd
+      .filter($"doc_id" < bmProbes)
+      .select($"doc_id".as("probe_id"), $"token")
+      .join(tfd.select($"doc_id", $"token", $"tf", $"dl"), Seq("token"))
+      .filter($"doc_id" =!= $"probe_id")
+      .join(df_.hint("broadcast"), Seq("token"))
+      .select(
+        $"probe_id",
+        $"doc_id",
+        round(
+          log((lit(nDocs.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+            ($"tf" * lit(bm25K1 + 1.0)) /
+            ($"tf" + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * ($"dl" / lit(avgdl)))),
+          9
+        ).cast(dec).as("term")
+      )
+      .groupBy($"probe_id", $"doc_id")
+      .agg(sum($"term").as("score_dec"))
+    (scores, () => { tfd.unpersist(); () })
+  }
+
   val bm25TopK: Q = (s, d) => bm25TopKBuild(s, d, checkpoint = true)
 
   /** checkpoint=false returns the un-materialized plan for PlanSpec. */
   private[graft] def bm25TopKBuild(s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
-    val (tf, dl) = termFreqs(s, d)
-    val tfd = tf.join(dl, "doc_id").persist()
+    val (scores, release) = bm25Scores(s, d)
     try {
-      val corpus = dl.agg(
-        count(lit(1)).as("n_docs"), sum($"dl").as("tot_len")).head()
-      val nDocs  = corpus.getLong(0)
-      val avgdl  = corpus.getLong(1).toDouble / nDocs.toDouble
-      val df_ = tfd.groupBy($"token").agg(count(lit(1)).as("df"))
-      // query = the DISTINCT terms of each probe doc
-      val qterms = tfd
-        .filter($"doc_id" < bmProbes)
-        .select($"doc_id".as("probe_id"), $"token")
-      val scoredTerms = qterms
-        .join(tfd.select($"doc_id", $"token", $"tf", $"dl"), Seq("token"))
-        .filter($"doc_id" =!= $"probe_id")
-        .join(df_.hint("broadcast"), Seq("token"))
-        .select(
-          $"probe_id",
-          $"doc_id",
-          round(
-            log((lit(nDocs.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
-              ($"tf" * lit(bm25K1 + 1.0)) /
-              ($"tf" + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * ($"dl" / lit(avgdl)))),
-            9
-          ).cast(dec).as("term")
-        )
-      val scores = scoredTerms
-        .groupBy($"probe_id", $"doc_id")
-        .agg(sum($"term").as("score_dec"))
       graft.plans.TopK
         .perKey(scores, Seq($"probe_id"), Seq($"score_dec".desc, $"doc_id".asc), bmK)
         .withColumn("rank", row_number().over(
@@ -87,7 +94,7 @@ object Retrieval {
           case df if checkpoint => df.localCheckpoint(eager = true)
           case df               => df
         }
-    } finally tfd.unpersist()
+    } finally release()
   }
 
   /** Hybrid fusion: RRF(d) = Σ_rankers 1/(C + rank_r(d)) over the top-20
@@ -100,36 +107,13 @@ object Retrieval {
     */
   val rrfFusion: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
-    val bmRanks = {
-      val (tf, dl) = termFreqs(s, d)
-      val tfd = tf.join(dl, "doc_id")
-      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("tot_len")).head()
-      val nDocs  = corpus.getLong(0)
-      val avgdl  = corpus.getLong(1).toDouble / nDocs.toDouble
-      val df_ = tfd.groupBy($"token").agg(count(lit(1)).as("df"))
-      val scores = tfd
-        .filter($"doc_id" < bmProbes)
-        .select($"doc_id".as("probe_id"), $"token")
-        .join(tfd.select($"doc_id", $"token", $"tf", $"dl"), Seq("token"))
-        .filter($"doc_id" =!= $"probe_id")
-        .join(df_.hint("broadcast"), Seq("token"))
-        .select(
-          $"probe_id", $"doc_id",
-          round(
-            log((lit(nDocs.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
-              ($"tf" * lit(bm25K1 + 1.0)) /
-              ($"tf" + lit(bm25K1) * (lit(1.0 - bm25B) + lit(bm25B) * ($"dl" / lit(avgdl)))),
-            9
-          ).cast(dec).as("term"))
-        .groupBy($"probe_id", $"doc_id")
-        .agg(sum($"term").as("sc"))
-      scores
-        .withColumn("r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"probe_id").orderBy($"sc".desc, $"doc_id")))
-        .filter($"r" <= rrfDepth)
-        .select($"probe_id", $"doc_id", $"r".as("bm25_rank"))
-    }
+    val (bmScores, release) = bm25Scores(s, d)
+    val bmRanks = bmScores
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"probe_id").orderBy($"score_dec".desc, $"doc_id")))
+      .filter($"r" <= rrfDepth)
+      .select($"probe_id", $"doc_id", $"r".as("bm25_rank"))
     val e = Tables.embeddings(s, d)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
     val probes = e.filter($"vec_id" < bmProbes)
@@ -155,7 +139,9 @@ object Retrieval {
       .filter($"rank" <= bmK)
       .select($"probe_id", $"doc_id", round($"rrf_raw", 6).as("rrf"), $"rank")
       .orderBy($"probe_id", $"rank")
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true) match {
+        case out => release(); out
+      }
   }
 
   // ---------------------------------------------------------------- oracles

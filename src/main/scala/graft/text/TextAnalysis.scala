@@ -296,7 +296,11 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.partitionBy($"source")))
       .withColumn(
         "gidx",
-        expr(s"1L + ((r - 1L) * ${n_ - 1}L * 2L + (n - 1L)) div ((n - 1L) * 2L)"))
+        // a singleton source has no within-source spread (n−1 = 0 would
+        // NULL the div and silently DROP the doc at the join) — it maps
+        // to the corpus median position by convention
+        expr(s"CASE WHEN n = 1 THEN ${(n_ + 1) / 2}L " +
+          s"ELSE 1L + ((r - 1L) * ${n_ - 1}L * 2L + (n - 1L)) div ((n - 1L) * 2L) END"))
       .join(target.hint("broadcast"), Seq("gidx"))
       .select($"doc_id", $"source", $"n_chars".as("raw_score"), $"r".as("src_rank"), $"norm_score")
       .orderBy($"doc_id")
@@ -1342,6 +1346,7 @@ object TextAnalysis {
           sum(when($"tgt", 1L).otherwise(0L)).as("ct"),
           sum(when($"tgt", 0L).otherwise(1L)).as("cr"))
         .persist()
+      try {
       val tot = counts.agg(
         sum($"ct").as("nt"), sum($"cr").as("nr"), count(lit(1)).as("v")).head()
       val (nt, nr, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
@@ -1375,6 +1380,7 @@ object TextAnalysis {
           ($"lw" > lit(0)).cast("int").as("keep"))
         .orderBy($"doc_id")
         .localCheckpoint(eager = true)
+      } finally counts.unpersist()
     } finally bg.unpersist()
   }
 
@@ -1701,7 +1707,8 @@ object TextAnalysis {
         |  FROM docs)
         |SELECT doc_id, source, n_chars AS raw_score, r AS src_rank, norm_score
         |FROM ranked JOIN corpus
-        |  ON gidx = 1 + ((r - 1) * (nn - 1) * 2 + (n - 1)) // ((n - 1) * 2)
+        |  ON gidx = CASE WHEN n = 1 THEN (nn + 1) // 2
+        |    ELSE 1 + ((r - 1) * (nn - 1) * 2 + (n - 1)) // ((n - 1) * 2) END
         |ORDER BY doc_id""".stripMargin,
     // model replay: same add-1 feature distributions, each ln
     // once-rounded at 7 dp into DECIMAL(18,7), exact decimal weight

@@ -92,14 +92,14 @@ object DumpPlans {
         "Query terms probe the tf table ON TOKEN (inverted-index bound: work is " +
           "Σ df over query terms, never |corpus|×|queries|); df broadcasts; the " +
           "per-probe top-k rides TopKPerKeyExec's bounded heaps.",
-        fmt(graft.text.Retrieval.bm25TopK(spark, sf))
+        fmt(graft.text.Retrieval.bm25TopKBuild(spark, sf, checkpoint = false))
       ),
       (
         "Naive-Bayes scoring join (text_nb_classifier)",
         "The V×C model and class table BROADCAST to the doc-term scan — scoring is " +
           "map-side; the only shuffles aggregate doc terms and per-doc class scores " +
           "(fan-out bounded by the class count).",
-        fmt(graft.text.TextAnalysis.textNbClassifier(spark, sf))
+        fmt(graft.text.TextAnalysis.nbClassifierBuild(spark, sf, checkpoint = false))
       ),
       (
         "IRLS sufficient-statistics pass (m_logit_irls)",
@@ -113,7 +113,7 @@ object DumpPlans {
         "The seed set broadcasts into the adjacency scan, wedge enumeration is " +
           "|S|·d̄² (seed-side only, not the full graph's Σdeg²), and the top-k window " +
           "runs over the already-aggregated candidate table.",
-        fmt(graft.queries.Graph.gAdamicAdar(spark, sf))
+        fmt(graft.queries.Graph.adamicAdarBuild(spark, sf, checkpoint = false))
       )
     )
     val md = new StringBuilder
