@@ -336,10 +336,66 @@ object Audio {
       .orderBy($"doc_id", $"segment_id")
   }
 
+  // ------------------------------------------------------------ Goertzel
+
+  /** Goertzel single-bin DFT energies over the first 256 channel-0
+    * frames — the classic O(N) per-bin spectral probe (tone detection /
+    * feature extraction) that avoids a full FFT when only a few bins
+    * matter. Determinism design: the only transcendental, the bin
+    * coefficient 2cos(2πk/N), is computed ONCE in Scala and shipped to
+    * both engines as a 17-significant-digit literal — the recursion
+    * itself is pure {+,×,−} on identical doubles, so the ~256-step state
+    * chain is bit-identical cross-engine (a per-engine cos() call would
+    * amplify a last-ULP coefficient difference through the whole
+    * recursion); energies are floor-pinned to BIGINT (floor of identical
+    * doubles never diverges — the binseg rule; a fixed-decimal round at
+    * these ~10¹¹ magnitudes would sit inside double ULP). The oracle
+    * replays the synth samples from doc_id arithmetic — codec-free, so a
+    * wrong decode breaks the hash.
+    */
+  val goertzelN               = 256
+  val goertzelBins: Seq[Int]  = Seq(1, 2, 4, 8, 16)
+  val goertzelCoefs: Map[Int, Double] =
+    goertzelBins.map(k => k -> 2.0 * math.cos(2.0 * math.Pi * k / goertzelN)).toMap
+  private def coefLit(k: Int): String =
+    "%.17g".formatLocal(java.util.Locale.ROOT, goertzelCoefs(k))
+
+  val goertzelSchema: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("bin", IntegerType),
+      StructField("energy", LongType)
+    )
+  )
+
+  val mmAudioGoertzel: Q = (s, d) => {
+    val enc  = org.apache.spark.sql.Encoders.row(goertzelSchema)
+    val bins = goertzelBins
+    val coefs = goertzelCoefs
+    val n = goertzelN
+    audioBlobs(s, d)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id           = r.getLong(0)
+          val (_, ch, xs)  = WavCodec.decode(r.getAs[Array[Byte]](1))
+          val x            = Array.tabulate(n)(f => xs(f * ch).toDouble)
+          bins.map { k =>
+            val c  = coefs(k)
+            var s1 = 0.0; var s2 = 0.0; var j = 0
+            while (j < n) { val s0 = x(j) + c * s1 - s2; s2 = s1; s1 = s0; j += 1 }
+            val power = s1 * s1 + s2 * s2 - c * s1 * s2
+            Row(id, k, math.floor(power).toLong)
+          }
+        }
+      }(enc)
+      .orderBy($"doc_id", $"bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_audio_decode"   -> mmAudioDecode,
     "mm_audio_resample" -> mmAudioResample,
-    "mm_audio_vad"      -> mmAudioVad
+    "mm_audio_vad"      -> mmAudioVad,
+    "mm_audio_goertzel" -> mmAudioGoertzel
   )
 
   /** Codec-free replays: the same `doc_id` integer arithmetic the synth
@@ -347,6 +403,37 @@ object Audio {
     * 32768` is the synth's sample; all stats fold in BIGINT.
     */
   val oracles: Map[String, String] = Map(
+    // codec-free Goertzel replay: synth samples from doc_id arithmetic,
+    // the same shared-literal coefficients, the identical {+,×,−}
+    // recursion as a LIST-state fold ([s1, s2] — DuckDB 1.0 struct-state
+    // lambdas leak the updated first field into the second's
+    // evaluation; list elements evaluate independently), floor-pinned
+    // energies
+    "mm_audio_goertzel" -> {
+      val binRows = goertzelBins
+        .map(k => s"($k, CAST('${coefLit(k)}' AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ch
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    [ CAST(((doc_id * 7919 + (f * ch) * 104729) % 65536) - 32768 AS DOUBLE)
+        |      for f in range(0, $goertzelN) ] AS xs
+        |  FROM p),
+        |bins AS (SELECT * FROM (VALUES $binRows) b(k, c)),
+        |g AS (
+        |  SELECT doc_id, k, c,
+        |    list_reduce(
+        |      list_transform(xs, v -> [v, CAST(0.0 AS DOUBLE)]),
+        |      (acc, e) -> [CAST(e[1] + c * acc[1] - acc[2] AS DOUBLE),
+        |                   CAST(acc[1] AS DOUBLE)]) AS st
+        |  FROM x CROSS JOIN bins)
+        |SELECT doc_id, CAST(k AS INT) AS bin,
+        |  CAST(floor(st[1] * st[1] + st[2] * st[2] - c * st[1] * st[2]) AS BIGINT) AS energy
+        |FROM g ORDER BY doc_id, bin""".stripMargin
+    },
     // codec-free VAD replay: frame energies from the branch formula,
     // threshold, gaps-and-islands segmentation — every tunable
     // interpolated from the engine's vals
