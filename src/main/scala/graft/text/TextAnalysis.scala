@@ -206,6 +206,60 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Greedy decoding from the corpus bigram LM — "generation in the
+    * engine": start at the most frequent unigram and repeatedly follow
+    * the highest-count successor (ties lexicographic), 20 steps. The
+    * per-state argmax successor TABLE is one window rank over the bigram
+    * counts (vocab-sized, persisted); the chain is then 20 single-key
+    * lookups — each step broadcasts the 1-row frontier against the
+    * successor table, which is exactly how a 100 TB n-gram model serves
+    * greedy decode (the model shards; the state is one row). All-integer
+    * argmaxes with string tiebreaks — trivially hash-exact.
+    */
+  val lmGenSteps = 20
+  val textLmGenerate: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+    val uni = toks.groupBy($"token").agg(count(lit(1)).as("c"))
+    val start = uni
+      .orderBy($"c".desc, $"token").limit(1)
+      .select($"token").head().getString(0)
+    val big = toks.alias("a")
+      .join(toks.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.pos") + 1 === col("b.pos"))
+      .groupBy(col("a.token").as("w1"), col("b.token").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val nextTab = big
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"w1").orderBy($"c".desc, $"w2")))
+      .filter($"rn" === 1)
+      .select($"w1", $"w2")
+      .persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer((0, start))
+      var cur = start
+      var i   = 1
+      var dead = false
+      while (i <= lmGenSteps && !dead) {
+        val nxt = nextTab.filter($"w1" === cur).select($"w2").collect()
+        if (nxt.isEmpty) dead = true
+        else { cur = nxt(0).getString(0); out += ((i, cur)); i += 1 }
+      }
+      val enc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType))))
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              out.toSeq.map { case (i2, t2) => org.apache.spark.sql.Row(i2, t2) }).asJava),
+          enc.schema)
+        .orderBy(col("step"))
+        .localCheckpoint(eager = true)
+    } finally nextTab.unpersist()
+  }
+
   /** Heaps'-law vocabulary-growth fit — Zipf's companion statistic
     * (`text_zipf_fit` measures the frequency head; Heaps measures how
     * fast NEW vocabulary keeps arriving, the number that predicts
@@ -1591,6 +1645,7 @@ object TextAnalysis {
     "text_dsir"           -> textDsir,
     "text_quantile_norm"  -> textQuantileNorm,
     "text_heaps_fit"      -> textHeapsFit,
+    "text_lm_generate"    -> textLmGenerate,
     "text_textrank"       -> textTextrank,
     "text_zipf_fit"       -> textZipfFit,
     "text_split_divergence" -> textSplitDivergence,
@@ -1659,6 +1714,31 @@ object TextAnalysis {
       |  FROM docs d, LATERAL (SELECT unnest(generate_series(1, d.m)) AS i) i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // greedy-decode replay: unigram-argmax start, per-state argmax
+    // successor via QUALIFY, 20-step recursive walk
+    "text_lm_generate" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+        |    unnest(w) AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        |uni AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+        |start AS (
+        |  SELECT token FROM uni ORDER BY c DESC, token LIMIT 1),
+        |big AS (
+        |  SELECT a.token AS w1, b.token AS w2, COUNT(*) AS c
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+        |  GROUP BY 1, 2),
+        |nxt AS (
+        |  SELECT w1, w2 FROM big
+        |  QUALIFY row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) = 1),
+        |walk AS (
+        |  SELECT 0 AS step, token FROM start
+        |  UNION ALL
+        |  SELECT w.step + 1, n.w2
+        |  FROM walk w JOIN nxt n ON n.w1 = w.token
+        |  WHERE w.step < $lmGenSteps)
+        |SELECT CAST(step AS INT) AS step, token FROM walk ORDER BY step""".stripMargin,
     // bucketed growth replay: same first-bucket min, cumulative sums,
     // once-rounded ln checkpoints + product terms, closed-form OLS
     "text_heaps_fit" ->

@@ -263,6 +263,26 @@ class TextSpec extends SparkSpec {
       s"confusion not diagonal: ${conf.toSeq}")
   }
 
+  test("lm generate: starts at the modal unigram and every step follows the argmax successor") {
+    import org.apache.spark.sql.functions._
+    val seq0 = TextAnalysis.textLmGenerate(spark, sf0001).collect()
+      .sortBy(_.getInt(0)).map(_.getString(1))
+    assert(seq0.length == TextAnalysis.lmGenSteps + 1)
+    val toks = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val top = toks.groupBy(col("token")).count()
+      .orderBy(col("count").desc, col("token")).head().getString(0)
+    assert(seq0.head == top, s"start ${seq0.head} != modal unigram $top")
+    // spot-check one transition against a direct bigram argmax
+    val succ = toks.alias("a")
+      .join(toks.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.pos") + 1 === col("b.pos"))
+      .filter(col("a.token") === seq0(0))
+      .groupBy(col("b.token")).count()
+      .orderBy(col("count").desc, col("b.token")).head().getString(0)
+    assert(seq0(1) == succ, s"step 1 ${seq0(1)} != argmax successor $succ")
+  }
+
   test("heaps fit: every-token-new corpus fits beta = 1, ln K = 0 exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
