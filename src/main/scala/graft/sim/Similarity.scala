@@ -960,6 +960,53 @@ object Similarity {
     rankPerProbe(rer, k)
   }
 
+  /** k-means model selection — the inertia (within-cluster sum of
+    * squares) elbow curve over k ∈ {2,4,8,16}, the number every
+    * clustering deployment reads before fixing k (semdedup/IVF both
+    * consume a chosen k; this is where it comes from). Each k trains
+    * through the same Lloyd machinery as IVF ([[trainCentroids]]);
+    * inertia is one map-side pass per k: every vector's min distance² to
+    * the broadcast centroids, once-rounded at 9 dp into DECIMAL(20,9)
+    * and decimal-summed (order-free). Boundary oracle: the trained
+    * centroids for ALL k dump as one parquet table and DuckDB replays
+    * min-distance² assignment and the inertia sums from them — only
+    * Lloyd itself stays engine-internal (the IVF precedent).
+    */
+  val elbowKs: Seq[Int] = Seq(2, 4, 8, 16)
+  def kmeansElbow(s: SparkSession, d: String, centsDump: Option[String]): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val models: Seq[(Int, Array[Array[Double]])] =
+      elbowKs.map(k => k -> trainCentroids(s, e, k, iters = 3))
+    centsDump.foreach { p =>
+      models
+        .flatMap { case (k, cs) => cs.zipWithIndex.map { case (c, i) => (k, i, c.toSeq) } }
+        .toDF("k", "cell_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(p)
+    }
+    val perK = models.map { case (k, cs) =>
+      val bc = s.sparkContext.broadcast(cs)
+      val minD2 = udf { (v: Seq[Double]) =>
+        var best = Double.MaxValue
+        var ci = 0
+        while (ci < bc.value.length) {
+          val c = bc.value(ci)
+          var d2 = 0.0; var i = 0
+          while (i < c.length) { val t = v(i) - c(i); d2 += t * t; i += 1 }
+          if (d2 < best) best = d2
+          ci += 1
+        }
+        best
+      }
+      e.agg(
+          sum(round(minD2(col("v")), 9).cast("decimal(20,9)")).cast("double").as("inertia"),
+          count(lit(1)).as("n"))
+        .select(lit(k).as("k"), col("inertia"), col("n"))
+    }
+    perK.reduce(_ unionByName _).orderBy(col("k")).localCheckpoint(eager = true)
+  }
+
   /** Hard-negative mining — the contrastive-training data step: for each
     * anchor, the k nearest neighbors whose LABEL DIFFERS (the negatives a
     * triplet/InfoNCE loss learns most from; easy random negatives carry
@@ -1032,6 +1079,8 @@ object Similarity {
       semDeDupKeep(s, d, nCells = 16, tau = 0.4,
         centsDump = Some(s"${graft.OracleIo.dir(d)}/semdedup_centroids"))),
     "sim_hard_negatives"  -> ((s, d) => hardNegatives(s, d, k = 5)),
+    "sim_kmeans_elbow"    -> ((s, d) =>
+      kmeansElbow(s, d, centsDump = Some(s"${graft.OracleIo.dir(d)}/elbow_centroids"))),
     "sim_ncm_confusion"   -> ncmConfusion,
     "sim_quantize_int8"   -> quantizeInt8,
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d, k = 5)),
@@ -1054,6 +1103,27 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // given-centroids inertia replay: min distance² per (k, vector) with
+    // the identical index-order squared-difference fold, once-rounded at
+    // 9 dp, decimal-summed per k
+    "sim_kmeans_elbow" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT * FROM read_parquet('${graft.OracleIo.sqlDir}/elbow_centroids/*.parquet')),
+        |d2 AS (
+        |  SELECT e.vec_id, c.k,
+        |    MIN(list_reduce(
+        |      [ (v[i] - centroid[i]) * (v[i] - centroid[i])
+        |        for i in range(1, len(v) + 1) ],
+        |      (a, b) -> a + b)) AS md2
+        |  FROM e CROSS JOIN cents c
+        |  GROUP BY e.vec_id, c.k)
+        |SELECT CAST(k AS INT) AS k,
+        |  CAST(SUM(CAST(round(md2, 9) AS DECIMAL(20,9))) AS DOUBLE) AS inertia,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d2 GROUP BY k ORDER BY k""".stripMargin,
     // label-mismatch predicate inside the join, rounded cosine, id
     // tiebreak — the bruteforce oracle with ≠-label pushed down
     "sim_hard_negatives" ->

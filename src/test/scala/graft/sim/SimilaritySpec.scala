@@ -148,6 +148,19 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == n)
   }
 
+  test("kmeans elbow: inertia decreases monotonically in k and covers every vector") {
+    val dump = java.nio.file.Files.createTempDirectory("graft-elbow").toString
+    val rows = Similarity.kmeansElbow(spark, sf0001, Some(s"$dump/cents"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Similarity.elbowKs)
+    val n = graft.tables.Tables.embeddings(spark, sf0001).count()
+    rows.foreach { case (_, _, cnt) => assert(cnt == n) }
+    val inertias = rows.sortBy(_._1).map(_._2)
+    assert(inertias.toSeq == inertias.sorted(Ordering[Double].reverse).toSeq,
+      s"inertia not monotone in k: ${inertias.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dump))
+  }
+
   test("semdedup: planted near-dup group keeps exactly the least-central member") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
