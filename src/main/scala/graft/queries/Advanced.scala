@@ -994,6 +994,41 @@ object Advanced {
     } finally perFlag.unpersist()
   }
 
+  /** Winsorization audit — the outlier-clamping step of a cleaning
+    * pipeline, reported per group: exact type-1 p01/p99 cut values
+    * (rank-based — ⌊q(n−1)⌋+1 like the DDSketch rank rule, no
+    * interpolation, so the cuts are actual data values and the whole
+    * query stays in exact arithmetic), how many rows each tail clips,
+    * and the mean before/after (DECIMAL sums). Two passes over the
+    * group: one rank window for the cuts, one aggregate for the stats.
+    */
+  val winsorQLo = 0.01
+  val winsorQHi = 0.99
+  val aWinsorize: Q = (s, d) => {
+    val w = Window.partitionBy($"l_returnflag").orderBy($"v", $"l_orderkey", $"l_linenumber")
+    val ranked = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice".as("v"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+    val cuts = ranked
+      .filter($"r" === floor(lit(winsorQLo) * ($"n" - 1)) + 1 ||
+        $"r" === floor(lit(winsorQHi) * ($"n" - 1)) + 1)
+      .groupBy($"l_returnflag")
+      .agg(min($"v").as("lo"), max($"v").as("hi"))
+    ranked
+      .join(cuts.hint("broadcast"), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        min($"lo").as("p01"),
+        min($"hi").as("p99"),
+        count(when($"v" < $"lo", 1)).as("n_clip_low"),
+        count(when($"v" > $"hi", 1)).as("n_clip_high"),
+        (sum($"v".cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1))).as("mean_raw"),
+        (sum(greatest(least($"v", $"hi"), $"lo").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1))).as("mean_winsor"))
+      .orderBy($"l_returnflag")
+  }
+
   /** MODE aggregate per group — the most frequent value with a
     * deterministic smallest-value tiebreak (Spark's built-in `mode` is
     * tie-nondeterministic, so the engine's contract formulates it as
@@ -1557,6 +1592,7 @@ object Advanced {
     "w_hop_windows"     -> wHopWindows,
     "e_basket_rules"    -> eBasketRules,
     "a_mode"            -> aMode,
+    "a_winsorize"       -> aWinsorize,
     "w_session_tvf"     -> wSessionTvf,
     "a_dp_counts"       -> aDpCounts,
     "a_percentiles"     -> aPercentiles
@@ -2222,6 +2258,30 @@ object Advanced {
         |UNION ALL
         |SELECT '__all__', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
         |ORDER BY l_returnflag""".stripMargin,
+    // rank-based cuts (no interpolation), DECIMAL mean sums; the clamp
+    // is greatest(least(v, hi), lo) on raw doubles — exact either way
+    "a_winsorize" ->
+      s"""WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |cuts AS (
+        |  SELECT l_returnflag, MIN(v) AS lo, MAX(v) AS hi
+        |  FROM ranked
+        |  WHERE r = floor($winsorQLo * (n - 1)) + 1
+        |     OR r = floor($winsorQHi * (n - 1)) + 1
+        |  GROUP BY l_returnflag)
+        |SELECT r.l_returnflag,
+        |  MIN(lo) AS p01, MIN(hi) AS p99,
+        |  CAST(COUNT(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_clip_low,
+        |  CAST(COUNT(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_clip_high,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_raw,
+        |  CAST(SUM(CAST(greatest(least(v, hi), lo) AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS mean_winsor
+        |FROM ranked r JOIN cuts USING (l_returnflag)
+        |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin,
     "a_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS cnt
         |FROM (

@@ -140,6 +140,25 @@ class AdvancedSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("winsorize: clip counts near the 1% tails, clamped mean inside the cut interval") {
+    import org.apache.spark.sql.functions._
+    val rows = Advanced.aWinsorize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val sizes = graft.tables.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (flag, p01, p99) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val (nLo, nHi)       = (r.getLong(3), r.getLong(4))
+      val mw               = r.getDouble(6)
+      val n                = sizes(flag)
+      assert(p01 <= p99)
+      assert(nLo <= (0.011 * n).toLong + 1, s"$flag clips too much low: $nLo of $n")
+      assert(nHi <= (0.011 * n).toLong + 1, s"$flag clips too much high: $nHi of $n")
+      assert(mw >= p01 && mw <= p99, s"$flag clamped mean $mw outside [$p01, $p99]")
+    }
+  }
+
   test("basket rules: lift reproduces from confidence and the consequent base rate") {
     val nOrders = graft.tables.Tables.lineitem(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("l_orderkey")).distinct().count()
