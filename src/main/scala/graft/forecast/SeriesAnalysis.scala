@@ -946,7 +946,52 @@ object SeriesAnalysis {
       .orderBy($"profile_name")
   }
 
-    // ---------------------------------------------------------------- oracles
+    // ------------------------------------------------------ rolling corr
+
+  /** Rolling 13-week Pearson correlation of each profile against the
+    * corpus-wide weekly total — the "does this brand move with the
+    * market" co-movement screen (a profile decorrelating from the
+    * market is a merchandising signal the pointwise anomaly screens
+    * cannot see). Determinism design: both series are rounded to WHOLE
+    * units (round-half of exact 6-dp values — .5 ties are exact doubles
+    * and round away from zero in both engines), so every window moment
+    * is an exact LONG sum whose double is exact (< 2⁵³ at these SFs; a
+    * larger deployment re-scales the unit), and the correlation is pure
+    * identical-IEEE arithmetic ending in one sqrt (correctly rounded).
+    * Flat windows (zero variance — gap-filled zero stretches) emit NULL
+    * rather than dividing. One profile-window pass + one week-keyed
+    * total join.
+    */
+  val corrWin = 13
+  def rollingCorrJob(s: SparkSession, dir: String): DataFrame = {
+    val g = ForecastJobs
+      .gapfillJob(s, dir)
+      .select($"profile_name", $"week_date", round($"weight").cast("long").as("x"))
+    val tot = g.groupBy($"week_date").agg(sum($"x").as("y"))
+    val w13 = Window
+      .partitionBy($"profile_name")
+      .orderBy($"week_date")
+      .rowsBetween(-(corrWin - 1), 0)
+    val m = g
+      .join(tot, "week_date")
+      .withColumn("mct", count(lit(1)).over(w13))
+      .withColumn("sx", sum($"x").over(w13).cast("double"))
+      .withColumn("sy", sum($"y").over(w13).cast("double"))
+      .withColumn("sxx", sum($"x" * $"x").over(w13).cast("double"))
+      .withColumn("syy", sum($"y" * $"y").over(w13).cast("double"))
+      .withColumn("sxy", sum($"x" * $"y").over(w13).cast("double"))
+      .filter($"mct" === corrWin)
+    val n   = lit(corrWin.toDouble)
+    val num = n * $"sxy" - $"sx" * $"sy"
+    val den = (n * $"sxx" - $"sx" * $"sx") * (n * $"syy" - $"sy" * $"sy")
+    m.select(
+        $"profile_name",
+        $"week_date",
+        when(den > lit(0.0), round(num / sqrt(den), 6)).as("corr13"))
+      .orderBy($"profile_name", $"week_date")
+  }
+
+  // ---------------------------------------------------------------- oracles
 
   /** The gap-filled weekly series as a shared CTE — the `t_gapfill` oracle
     * verbatim minus its ORDER BY.
@@ -1094,6 +1139,7 @@ object SeriesAnalysis {
     "m_inventory_sim"   -> (inventorySimJob(_, _)),
     "m_cusum"           -> (cusumJob(_, _)),
     "m_changepoint"     -> (binsegJob(_, _)),
+    "m_rolling_corr"    -> (rollingCorrJob(_, _)),
     "m_theta"           -> (thetaJob(_, _)),
     "m_tsb"             -> (tsbJob(_, _)),
     "m_holt_damped"     -> (holtDampedJob(_, _)),
@@ -1196,6 +1242,33 @@ object SeriesAnalysis {
         |  round(slist[1], 6) AS seasonal_next,
         |  round(l + b + slist[1], 6) AS prediction
         |FROM hw WHERE i = n ORDER BY profile_name""".stripMargin,
+    // whole-unit integer moments over the same 13-row frame, identical
+    // IEEE correlation, NULL on flat windows
+    "m_rolling_corr" ->
+      s"""WITH $gapCte,
+        |r AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(round(weight) AS BIGINT) AS x
+        |  FROM gap),
+        |tot AS (SELECT week_date, CAST(SUM(x) AS BIGINT) AS y FROM r GROUP BY week_date),
+        |m AS (
+        |  SELECT r.profile_name, r.week_date,
+        |    COUNT(*) OVER w AS mct,
+        |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) OVER w AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy
+        |  FROM r JOIN tot USING (week_date)
+        |  WINDOW w AS (PARTITION BY r.profile_name ORDER BY r.week_date
+        |    ROWS BETWEEN ${corrWin - 1} PRECEDING AND CURRENT ROW))
+        |SELECT profile_name, week_date,
+        |  CASE WHEN ($corrWin.0 * sxx - sx * sx) * ($corrWin.0 * syy - sy * sy) > 0.0
+        |    THEN round(($corrWin.0 * sxy - sx * sy)
+        |      / sqrt(($corrWin.0 * sxx - sx * sx) * ($corrWin.0 * syy - sy * sy)), 6)
+        |  END AS corr13
+        |FROM m WHERE mct = $corrWin
+        |ORDER BY profile_name, week_date""".stripMargin,
     // integer-prefix binseg replay: same 10⁶-scaled BIGINT weights,
     // same exact-double (Σy)²/m expression tree, raw-double argmax with
     // the t tiebreak, floor()-pinned gains — no decimals, no libm

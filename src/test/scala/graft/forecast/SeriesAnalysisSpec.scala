@@ -134,6 +134,23 @@ class SeriesAnalysisSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("rolling corr: values bounded in [-1, 1], full windows only") {
+    val rows = SeriesAnalysis.rollingCorrJob(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(2)).foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $c")
+    }
+    // every emitted row had a full 13-week window: per profile the row
+    // count is (weeks − 12)
+    val weeks = ForecastJobs.gapfillJob(spark, sf0001)
+      .groupBy(col("profile_name")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (p, g) =>
+      assert(g.length == weeks(p) - (SeriesAnalysis.corrWin - 1), s"$p: ${g.length}")
+    }
+  }
+
   test("conformal: interval brackets the point and q-hat covers ≥90% of calibration scores") {
     val rows = ForecastJobs.conformalJob(spark, sf0001).collect()
     assert(rows.nonEmpty)
