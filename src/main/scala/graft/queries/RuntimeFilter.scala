@@ -105,11 +105,50 @@ object RuntimeFilter {
       .orderBy($"o_orderpriority")
   }
 
+  /** Incremental batch dedup behind a Bloom prefilter — the "does this
+    * incoming document already exist in the corpus" gate an append-only
+    * curation pipeline runs per batch: the CORPUS side is summarized
+    * once into a model-sized Bloom filter over prefix fingerprints
+    * (first [[dedupPrefixTokens]] tokens — the cheap near-dup key; exact
+    * text equality is `dedup_exact`'s job), the incoming batch probes it
+    * MAP-SIDE, and only Bloom survivors pay the exact semi-join verify.
+    * At 100 TB the corpus never reshuffles per batch — the bloom ships.
+    * Correctness is FP-independent (the verify absorbs false positives;
+    * the Bloom has no false negatives), so the oracle is the plain
+    * semi-join. Batch = odd doc_ids, corpus = even.
+    */
+  val dedupPrefixTokens = 5
+  def dedupIncrementalBloom(s: SparkSession, dir: String, numBits: Long = 1 << 20): DataFrame = {
+    val key = array_join(slice(split($"text", " "), 1, dedupPrefixTokens), " ")
+    val docs   = graft.tables.Tables.documents(s, dir).select($"doc_id", key.as("fp"))
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch  = docs.filter($"doc_id" % 2 === 1)
+    val bloom  = buildBloom(corpus, $"fp", expectedKeys = 1 << 16, numBits = numBits)
+    batch
+      .filter(mightContain(s, bloom, $"fp"))
+      .join(corpus.select($"fp"), Seq("fp"), "left_semi")
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "j_bloom_prune" -> ((s, d) => jBloomPrune(s, d))
+    "j_bloom_prune"          -> ((s, d) => jBloomPrune(s, d)),
+    "dedup_incremental_bloom" -> ((s, d) => dedupIncrementalBloom(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    // FP-independent: the exact semi-join defines the result; the bloom
+    // only prunes
+    "dedup_incremental_bloom" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:$dedupPrefixTokens], ' ') AS fp
+        |  FROM documents)
+        |SELECT a.doc_id, a.fp
+        |FROM p a
+        |WHERE a.doc_id % 2 = 1
+        |  AND EXISTS (SELECT 1 FROM p b WHERE b.doc_id % 2 = 0 AND b.fp = a.fp)
+        |ORDER BY a.doc_id""".stripMargin,
     // the plain join — correctness must be independent of the bloom
     "j_bloom_prune" ->
       """SELECT o_orderpriority,

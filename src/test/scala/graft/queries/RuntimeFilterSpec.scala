@@ -54,6 +54,17 @@ class RuntimeFilterSpec extends SparkSpec {
       s"bloom passed $passed of $total rows — prefilter is not pruning")
   }
 
+  test("incremental bloom dedup: a saturated FP-heavy bloom changes nothing (verify absorbs FPs)") {
+    val normal = RuntimeFilter.dedupIncrementalBloom(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 64-bit bloom ≈ everything passes — the exact semi-join must still
+    // produce the identical confirmed set
+    val saturated = RuntimeFilter.dedupIncrementalBloom(spark, sf0001, numBits = 64).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(normal == saturated, "bloom FP rate leaked into the result")
+    assert(normal.nonEmpty, "no cross-batch prefix collisions — the positive control is dead")
+  }
+
   test("the bloom predicate evaluates inside the scan stage, before any exchange") {
     val df = RuntimeFilter.jBloomPrune(spark, sf0001)
     df.collect()
