@@ -374,6 +374,36 @@ object Relational {
       .agg(sum($"l_quantity").as("weight"))
       .orderBy($"l_returnflag", $"week_date")
 
+  /** Revenue by 4-4-5 retail fiscal period — the merchandising calendar
+    * a coffee-roasting company actually reports on (every period spans
+    * whole weeks, so periods compare like-for-like; calendar months
+    * don't). Weeks anchor at Monday 1995-01-02, years are flat 52-week
+    * cycles (the occasional 53rd week is out of scope and documented),
+    * quarter = week÷13, and the 4-4-5 split places weeks 0–3 / 4–7 /
+    * 8–12 into the quarter's three periods. The entire mapping is
+    * integer division/modulo on the day difference — no calendar
+    * functions beyond the week truncation the rollup already does.
+    */
+  val tFiscal445: Q = (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .groupBy(date_trunc("week", $"l_shipdate").cast("date").as("week_date"))
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 6)))
+        .as("rev"))
+      .withColumn("wk", floor(datediff($"week_date", lit("1995-01-02").cast("date")) / 7).cast("long"))
+      .withColumn("fy", (lit(1995L) + floor($"wk" / 52)).cast("int"))
+      .withColumn("wiy", ($"wk" % 52).cast("int"))
+      .withColumn("fq", ($"wiy" / 13).cast("int") + 1)
+      .withColumn("wq", $"wiy" % 13)
+      .withColumn(
+        "fp",
+        (($"fq" - 1) * 3 + when($"wq" < 4, 1).when($"wq" < 8, 2).otherwise(3)).cast("int"))
+      .groupBy($"fy", $"fq", $"fp")
+      .agg(
+        count(lit(1)).as("n_weeks"),
+        sum($"rev").cast(DoubleType).as("revenue"))
+      .orderBy($"fy", $"fp")
+
   /** Global top-N = ORDER BY + LIMIT, which Catalyst plans as
     * TakeOrderedAndProject: each partition keeps an N-row heap and the
     * driver merges P·N rows — NO full sort, no total-order exchange. The
@@ -724,6 +754,7 @@ object Relational {
     "u1_union_all"     -> u1UnionAll,
     "o1_sort"          -> o1Sort,
     "o_top_n"          -> oTopN,
+    "t_fiscal_445"     -> tFiscal445,
     "q1_pricing_summary" -> q1PricingSummary,
     "q5_local_volume"    -> q5LocalVolume,
     "q6_forecast_revenue" -> q6ForecastRevenue,
@@ -939,6 +970,32 @@ object Relational {
     "o_top_n" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    // integer week arithmetic from the Monday anchor; positive truncating
+    // and floor division coincide
+    "t_fiscal_445" ->
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |f AS (
+        |  SELECT *,
+        |    CAST(floor(date_diff('day', DATE '1995-01-02', week_date) / 7.0) AS BIGINT) AS wk
+        |  FROM w),
+        |g AS (
+        |  SELECT *, CAST(1995 + floor(wk / 52.0) AS INT) AS fy,
+        |    CAST(wk % 52 AS INT) AS wiy
+        |  FROM f),
+        |h AS (
+        |  SELECT *, CAST(wiy // 13 + 1 AS INT) AS fq, wiy % 13 AS wq FROM g),
+        |i AS (
+        |  SELECT *,
+        |    CAST((fq - 1) * 3
+        |      + CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END AS INT) AS fp
+        |  FROM h)
+        |SELECT fy, fq, fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_weeks,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue
+        |FROM i GROUP BY fy, fq, fp ORDER BY fy, fp""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
         |  round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

@@ -140,6 +140,18 @@ class AdvancedSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("fiscal 4-4-5: interior periods carry exactly 4/4/5 weeks by position in quarter") {
+    val rows = Relational.tFiscal445(spark, sf0001).collect()
+      .map(r => ((r.getInt(0), r.getInt(2)), r.getLong(3))) // (fy, fp) -> n_weeks
+    assert(rows.nonEmpty)
+    val keys = rows.map(_._1)
+    val (first, last) = (keys.min, keys.max)
+    rows.filterNot { case (k, _) => k == first || k == last }.foreach { case ((fy, fp), n) =>
+      val want = if (fp % 3 == 0) 5L else 4L
+      assert(n == want, s"FY$fy P$fp has $n weeks, want $want")
+    }
+  }
+
   test("winsorize: clip counts near the 1% tails, clamped mean inside the cut interval") {
     import org.apache.spark.sql.functions._
     val rows = Advanced.aWinsorize(spark, sf0001).collect()
