@@ -48,12 +48,47 @@ object Pca {
 
   private def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
 
-  /** Per-dimension means (rounded 9 dp) and the power-iterated,
-    * sign-fixed, rounded leading eigenvector of the covariance matrix.
+  /** The covariance grouped-aggregate frame, exposed separately so the
+    * plan gate (PcaSpec) can assert its shape: zero joins, a single
+    * exchange carrying only the ≤2080 (i,j) DECIMAL groups.
     */
-  def pcaComponents(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
-    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+  private[sim] def covarianceFrame(s: SparkSession, d: String): DataFrame = {
+    val (e, mu) = meansStage(s, d)
+    covFrom(e, mu)
+  }
 
+  private def covFrom(e: DataFrame, mu: Array[Double]): DataFrame = {
+    val muLit = array(mu.map(lit): _*)
+    val cent  = e.select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
+    // Row-local upper-triangle expansion: each row emits its own
+    // d(d+1)/2 (i, j, xi·xj) products via nested transform+flatten —
+    // no second scan of the corpus, no self-join, no pre-agg shuffle.
+    // The partial HashAggregate sits in the same stage as the Generate,
+    // so only ≤ d(d+1)/2 = 2080 DECIMAL groups per partition cross the
+    // wire. The addends are bit-identical to the former join plan
+    // (same double product, same DECIMAL(38,18) cast; decimal sums are
+    // order-free), so the query hash is unchanged.
+    val idx = sequence(lit(0), lit(dims - 1))
+    val triPairs = flatten(
+      transform(
+        idx,
+        i =>
+          transform(
+            sequence(i, lit(dims - 1)),
+            j =>
+              struct(
+                i.as("i"),
+                j.as("j"),
+                (element_at($"c", i + 1) * element_at($"c", j + 1)).cast(dec).as("p")))))
+    cent
+      .select(explode(triPairs).as("t"))
+      .groupBy($"t.i".as("i"), $"t.j".as("j"))
+      .agg(round(sum($"t.p").cast(DoubleType), 9).as("cv"))
+  }
+
+  /** Scan + per-dimension means (rounded 9 dp). */
+  private def meansStage(s: SparkSession, d: String) = {
+    val e = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
     val muRows = e
       .select(posexplode($"v").as(Seq("i", "x")))
       .groupBy($"i")
@@ -61,16 +96,15 @@ object Pca {
       .collect()
     val mu = new Array[Double](dims)
     muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    (e, mu)
+  }
 
-    val muLit = array(mu.map(lit): _*)
-    val cent  = e.select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
-    val ci    = cent.select($"vec_id", posexplode($"c").as(Seq("i", "xi")))
-    val cj    = cent.select($"vec_id".as("vid2"), posexplode($"c").as(Seq("j", "xj")))
-    val covRows = ci
-      .join(cj, $"vec_id" === $"vid2" && $"i" <= $"j")
-      .groupBy($"i", $"j")
-      .agg(round(sum(($"xi" * $"xj").cast(dec)).cast(DoubleType), 9).as("cv"))
-      .collect()
+  /** Per-dimension means (rounded 9 dp) and the power-iterated,
+    * sign-fixed, rounded leading eigenvector of the covariance matrix.
+    */
+  def pcaComponents(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
+    val (e, mu) = meansStage(s, d)
+    val covRows = covFrom(e, mu).collect()
 
     val cov = Array.ofDim[Double](dims, dims)
     covRows.foreach { r =>

@@ -27,6 +27,31 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(mean) < 1e-4, s"pc1 mean = $mean")
   }
 
+  test("covariance stage: no join, one exchange, groups bounded by d(d+1)/2") {
+    val df = Pca.covarianceFrame(spark, sf0001)
+    val n  = df.collect().length
+    assert(n == 64 * 65 / 2, s"expected 2080 upper-triangle cells, got $n")
+    // descend through AQE wrappers so nodes inside query stages count
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.isInstanceOf[BaseJoinExec] || n.isInstanceOf[CartesianProductExec]),
+      s"covariance build must not self-join:\n${df.queryExecution.executedPlan}")
+    val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exchanges == 1,
+      s"expected exactly one exchange (the ≤2080-group agg shuffle), got $exchanges:\n${df.queryExecution.executedPlan}")
+  }
+
   test("pc1 variance dominates every single original dimension's variance") {
     val n      = proj.length
     val pc1Var = proj.map(x => x * x).sum / n
