@@ -210,11 +210,15 @@ object TextAnalysis {
     * engine": start at the most frequent unigram and repeatedly follow
     * the highest-count successor (ties lexicographic), 20 steps. The
     * per-state argmax successor TABLE is one window rank over the bigram
-    * counts (vocab-sized, persisted); the chain is then 20 single-key
-    * lookups — each step broadcasts the 1-row frontier against the
-    * successor table, which is exactly how a 100 TB n-gram model serves
-    * greedy decode (the model shards; the state is one row). All-integer
-    * argmaxes with string tiebreaks — trivially hash-exact.
+    * counts; it is vocab-sized (one row per w1), i.e. model-sized state
+    * — the k-centroids precedent — so it ships to the driver ONCE and
+    * the 20-step walk is a Map lookup per step: one successor-table job
+    * instead of the earlier 20 per-step filter+collect round trips. At
+    * 100 TB the vocabulary (≈millions of rows, two short strings each)
+    * still fits the driver comfortably; past that budget the walk
+    * degrades gracefully to the per-step 1-row-frontier lookup this
+    * replaced. All-integer argmaxes with string tiebreaks — trivially
+    * hash-exact.
     */
   val lmGenSteps = 20
   val textLmGenerate: Q = (s, d) => {
@@ -229,35 +233,36 @@ object TextAnalysis {
         col("a.doc_id") === col("b.doc_id") && col("a.pos") + 1 === col("b.pos"))
       .groupBy(col("a.token").as("w1"), col("b.token").as("w2"))
       .agg(count(lit(1)).as("c"))
-    val nextTab = big
+    val succ: Map[String, String] = big
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"w1").orderBy($"c".desc, $"w2")))
       .filter($"rn" === 1)
       .select($"w1", $"w2")
-      .persist()
-    try {
-      val out = scala.collection.mutable.ArrayBuffer((0, start))
-      var cur = start
-      var i   = 1
-      var dead = false
-      while (i <= lmGenSteps && !dead) {
-        val nxt = nextTab.filter($"w1" === cur).select($"w2").collect()
-        if (nxt.isEmpty) dead = true
-        else { cur = nxt(0).getString(0); out += ((i, cur)); i += 1 }
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    val out = scala.collection.mutable.ArrayBuffer((0, start))
+    var cur = start
+    var i   = 1
+    var dead = false
+    while (i <= lmGenSteps && !dead) {
+      succ.get(cur) match {
+        case None      => dead = true
+        case Some(nxt) => cur = nxt; out += ((i, cur)); i += 1
       }
-      val enc = org.apache.spark.sql.Encoders.row(
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType))))
-      s.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(
-              out.toSeq.map { case (i2, t2) => org.apache.spark.sql.Row(i2, t2) }).asJava),
-          enc.schema)
-        .orderBy(col("step"))
-        .localCheckpoint(eager = true)
-    } finally nextTab.unpersist()
+    }
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType))))
+    s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            out.toSeq.map { case (i2, t2) => org.apache.spark.sql.Row(i2, t2) }).asJava),
+        enc.schema)
+      .orderBy(col("step"))
+      .localCheckpoint(eager = true)
   }
 
   /** Heaps'-law vocabulary-growth fit — Zipf's companion statistic
@@ -740,19 +745,17 @@ object TextAnalysis {
     * (count desc, bigram asc).
     */
   val textTopNgrams: Q = (s, d) => {
-    // row-local bigram builder: the transform/sequence/concat_ws catalyst
+    // row-local bigram builder: the codegen'd WordBigrams expression
+    // (graft.functions) — the transform/sequence/concat_ws catalyst
     // lambda formulation runs INTERPRETED per element (measured 2.8 s at
-    // sf0.1, ~1M bigrams) — same bottleneck and same fix as the round-1
-    // minhash signatures. split(" ", -1) keeps trailing empties exactly
-    // like Spark's split.
-    val bigramsUdf = udf { (text: String) =>
-      val w = text.split(" ", -1)
-      if (w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-    }
+    // sf0.1, ~1M bigrams), and the earlier ScalaUDF added a
+    // String/UTF8String round trip per row. WordBigrams slices bigrams
+    // directly out of the source bytes, byte-identical to
+    // split(" ", -1) + " ".join (trailing empties kept).
+    graft.functions.GraftFunctions.register(s)
     val bigrams = Tables
       .documents(s, d)
-      .select($"lang", explode(bigramsUdf($"text")).as("bigram"))
+      .select($"lang", explode(graft.functions.GraftFunctions.bigrams($"text")).as("bigram"))
       .groupBy($"lang", $"bigram")
       .agg(count(lit(1)).as("n"))
     val top = graft.plans.TopK.perKey(
@@ -1260,14 +1263,10 @@ object TextAnalysis {
     * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) before dividing.
     */
   val textPmiPairs: Q = (s, d) => {
-    val bigramsUdf = udf { (text: String) =>
-      val w = text.split(" ", -1)
-      if (w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-    }
+    graft.functions.GraftFunctions.register(s)
     val c = Tables
       .documents(s, d)
-      .select(explode(bigramsUdf($"text")).as("bigram"))
+      .select(explode(graft.functions.GraftFunctions.bigrams($"text")).as("bigram"))
       .select(
         element_at(split($"bigram", " ", -1), 1).as("w1"),
         element_at(split($"bigram", " ", -1), 2).as("w2")
@@ -1323,14 +1322,10 @@ object TextAnalysis {
     * pruned); per-doc aggregation partial-aggs map-side.
     */
   val textPerplexity: Q = (s, d) => {
-    val bigramsUdf = udf { (text: String) =>
-      val w = text.split(" ", -1)
-      if (w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-    }
+    graft.functions.GraftFunctions.register(s)
     val bg = Tables
       .documents(s, d)
-      .select($"doc_id", explode(bigramsUdf($"text")).as("bigram"))
+      .select($"doc_id", explode(graft.functions.GraftFunctions.bigrams($"text")).as("bigram"))
       .select(
         $"doc_id",
         element_at(split($"bigram", " ", -1), 1).as("w1"),
@@ -1383,15 +1378,11 @@ object TextAnalysis {
     * compares the exact decimal sum against zero.
     */
   val textDsir: Q = (s, d) => {
-    val bigramsUdf = udf { (text: String) =>
-      val w = text.split(" ", -1)
-      if (w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-    }
+    graft.functions.GraftFunctions.register(s)
     val isTarget = $"source".isin("src0", "src1", "src2", "src3")
     val bg = Tables
       .documents(s, d)
-      .select($"doc_id", isTarget.as("tgt"), explode(bigramsUdf($"text")).as("f"))
+      .select($"doc_id", isTarget.as("tgt"), explode(graft.functions.GraftFunctions.bigrams($"text")).as("f"))
       .persist()
     try {
       val counts = bg
@@ -1537,14 +1528,10 @@ object TextAnalysis {
     * cost vocab-edge joins, not corpus scans.
     */
   val textTextrank: Q = (s, d) => {
-    val bigramsUdf = udf { (text: String) =>
-      val w = text.split(" ", -1)
-      if (w.length < 2) Array.empty[String]
-      else Array.tabulate(w.length - 1)(i => w(i) + " " + w(i + 1))
-    }
+    graft.functions.GraftFunctions.register(s)
     val e0 = Tables
       .documents(s, d)
-      .select(explode(bigramsUdf($"text")).as("bigram"))
+      .select(explode(graft.functions.GraftFunctions.bigrams($"text")).as("bigram"))
       .select(
         element_at(split($"bigram", " ", -1), 1).as("p"),
         element_at(split($"bigram", " ", -1), 2).as("q")
