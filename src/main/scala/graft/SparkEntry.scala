@@ -36,7 +36,8 @@ object SparkEntry {
       ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries, ZoloPipeline.queries,
       TextAnalysis.queries, graft.text.Chunking.queries, graft.text.Bpe.queries,
       graft.text.Retrieval.queries, Dedup.queries,
-      Similarity.queries, graft.sim.Pca.queries, Multimodal.queries, graft.mm.Audio.queries,
+      Similarity.queries, graft.sim.Pca.queries, Multimodal.queries, graft.mm.Jpeg.queries,
+      graft.mm.Audio.queries,
       graft.streaming.StreamQueries.queries,
       graft.sources.RestQueries.queries
     )
@@ -54,6 +55,6 @@ object SparkEntry {
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++ graft.text.Bpe.oracles ++
       graft.text.Retrieval.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ graft.sim.Pca.oracles ++ Multimodal.oracles ++
-      graft.mm.Audio.oracles ++
+      graft.mm.Jpeg.oracles ++ graft.mm.Audio.oracles ++
       graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles
 }
