@@ -31,6 +31,26 @@ object RestQueries {
 
   private val squareTokRe = """batch_token=(.*?)&begin_time=""".r
 
+  /** ONE window's sequential batch-token chain — the Link-header regex
+    * is the reference's own (`square_ETL.py:88-91`). Shared verbatim by
+    * the helper extraction paths below AND the DSv2 partition reader
+    * ([[ZoloRestReaderFactory]]) so the wire contract cannot drift.
+    */
+  def squareTokenChain(
+      paymentsUrl: String,
+      token: String,
+      beginTime: String,
+      endTime: String,
+      maxPages: Int = 10000): Vector[String] = {
+    val range = s"begin_time=${enc(beginTime)}&end_time=${enc(endTime)}"
+    RestSource.fetchTokenPages(
+      s"$paymentsUrl?$range",
+      p => p.header("Link").flatMap(squareTokRe.findFirstMatchIn(_))
+        .map(m => s"$paymentsUrl?batch_token=${m.group(1)}&$range"),
+      HttpConf().withBearer(token),
+      maxPages)
+  }
+
   /** The square extraction chain, parameterized by endpoint and window:
     * sequential batch-token pagination scraped off the Link header with
     * the reference's own regex (`square_ETL.py:88-91`) → pinned-schema
@@ -44,12 +64,7 @@ object RestQueries {
       token: String,
       beginTime: String,
       endTime: String): DataFrame = {
-    val range = s"begin_time=${enc(beginTime)}&end_time=${enc(endTime)}"
-    val bodies = RestSource.fetchTokenPages(
-      s"$paymentsUrl?$range",
-      p => p.header("Link").flatMap(squareTokRe.findFirstMatchIn(_))
-        .map(m => s"$paymentsUrl?batch_token=${m.group(1)}&$range"),
-      HttpConf().withBearer(token))
+    val bodies = squareTokenChain(paymentsUrl, token, beginTime, endTime)
     val raw = RestSource.recordsFromArrayPages(RestSource.pagesDf(spark, bodies), ZoloSchemas.squarePayment)
     SquareEtl.headerTable(SquareEtl.withMarket(SquareEtl.details(raw)))
   }
@@ -74,34 +89,54 @@ object RestQueries {
       nSlices: Int): DataFrame = {
     val windows = RestSource.timeSlices(beginTime, endTime, nSlices)
     val pages = RestSource
-      .fetchWindows(spark, windows) { (wb, we) =>
-        val range = s"begin_time=${enc(wb)}&end_time=${enc(we)}"
-        RestSource.fetchTokenPages(
-          s"$paymentsUrl?$range",
-          p => p.header("Link").flatMap(squareTokRe.findFirstMatchIn(_))
-            .map(m => s"$paymentsUrl?batch_token=${m.group(1)}&$range"),
-          HttpConf().withBearer(token))
-      }
+      .fetchWindows(spark, windows)(squareTokenChain(paymentsUrl, token, _, _))
       .localCheckpoint(true) // pin bodies: the server stops after this plan
     val raw = RestSource.recordsFromArrayPages(pages, ZoloSchemas.squarePayment)
     SquareEtl.headerTable(SquareEtl.withMarket(SquareEtl.details(raw)))
   }
 
+  /** The DSv2 record scan ([[ZoloRestProvider]], `format("zolo-rest")`):
+    * the time range travels as a Catalyst filter pushdown (visible in the
+    * scan description), the pushed window is sliced into `nSlices`
+    * executor-side token chains, and the scan emits pinned-schema
+    * payment records.
+    */
+  def squareDsv2Records(
+      spark: SparkSession,
+      paymentsUrl: String,
+      token: String,
+      beginTime: String,
+      endTime: String,
+      nSlices: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read
+      .format("zolo-rest")
+      .option("url", paymentsUrl)
+      .option("token", token)
+      .option("nslices", nSlices)
+      .load()
+      .filter(col("created_at") >= beginTime && col("created_at") < endTime)
+  }
+
   /** Square driver query: 3 records/page so the fixture spans several
-    * pages; injected 429/500s on every URI. Runs the SHARDED extraction
-    * (4 sub-windows fetched on executors) — the sequential chain stays
-    * covered by RestSourceSpec's equality case and the incremental-ingest
-    * spec.
+    * pages; injected 429/500s on every URI. Runs through the DSv2 source
+    * (pushed time range, 4 executor-side window chains) — the sequential
+    * chain and the mapPartitions sharded path stay covered by
+    * RestSourceSpec's equality cases and the incremental-ingest spec.
+    * Eager localCheckpoint pins the fetched records before the loopback
+    * server stops.
     */
   def squareHttpTrans(spark: SparkSession): DataFrame = {
     val srv = FixtureApiServer.squareV1(
       s"${ZoloPipeline.fixturesDir}/square_payments.json",
       locationId = "LOC1", token = "sq-fixture-token", pageSize = 3, failFirst = 2)
-    try
-      squareExtractSharded(spark, s"${srv.base}/v1/LOC1/payments", "sq-fixture-token",
+    try {
+      val raw = squareDsv2Records(spark, s"${srv.base}/v1/LOC1/payments", "sq-fixture-token",
         begin, end, nSlices = 4)
+        .localCheckpoint(true)
+      SquareEtl.headerTable(SquareEtl.withMarket(SquareEtl.details(raw)))
         .orderBy("payment_id")
-    finally srv.stop()
+    } finally srv.stop()
   }
 
   /** Shopify: count endpoint → independent page URLs → DISTRIBUTED fetch on

@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.ZoloPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 face of the REST source: Catalyst-negotiated time-range
+  * pushdown (not hand-threaded URL params), window-sharded input
+  * partitions, and result equality with the mapPartitions extraction
+  * chain it wraps.
+  */
+class ZoloRestDsv2Spec extends SparkSpec {
+
+  private val begin = "2019-01-01T00:00:00Z"
+  private val end   = "2020-01-01T00:00:00Z"
+
+  private def withServer[A](f: String => A): A = {
+    val srv = FixtureApiServer.squareV1(
+      s"${ZoloPipeline.fixturesDir}/square_payments.json",
+      locationId = "LOC1", token = "sq-fixture-token", pageSize = 3, failFirst = 2)
+    try f(s"${srv.base}/v1/LOC1/payments")
+    finally srv.stop()
+  }
+
+  private def scanOf(df: DataFrame): ZoloRestScan = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b.scan }
+      .getOrElse(fail(s"no BatchScan in plan:\n${df.queryExecution.executedPlan}"))
+      .asInstanceOf[ZoloRestScan]
+  }
+
+  test("time range is pushed into the scan and visible in its description") {
+    withServer { url =>
+      val df   = RestQueries.squareDsv2Records(spark, url, "sq-fixture-token", begin, end, nSlices = 4)
+      val scan = scanOf(df)
+      assert(scan.pushedRange == ((begin, end)))
+      assert(scan.description().contains(s"PushedTimeRange=[$begin, $end)"))
+      assert(scan.toBatch.planInputPartitions().length == 4, "4 slices -> 4 window partitions")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("tightest bounds win when the range is filtered twice") {
+    withServer { url =>
+      val df = spark.read.format("zolo-rest")
+        .option("url", url).option("token", "sq-fixture-token")
+        .load()
+        .filter(col("created_at") >= begin && col("created_at") < end)
+        .filter(col("created_at") >= "2019-02-01T00:00:00Z")
+      assert(scanOf(df).pushedRange == (("2019-02-01T00:00:00Z", end)))
+    }
+  }
+
+  test("DSv2 records equal the mapPartitions sharded extraction") {
+    withServer { url =>
+      val dsv2 = RestQueries
+        .squareDsv2Records(spark, url, "sq-fixture-token", begin, end, nSlices = 4)
+        .localCheckpoint(true)
+      val viaDsv2 = graft.etl.SquareEtl
+        .headerTable(graft.etl.SquareEtl.withMarket(graft.etl.SquareEtl.details(dsv2)))
+        .orderBy("payment_id")
+        .collect()
+      val viaHelpers = RestQueries
+        .squareExtractSharded(spark, url, "sq-fixture-token", begin, end, nSlices = 4)
+        .orderBy("payment_id")
+        .collect()
+      assert(viaDsv2.map(_.toSeq).toSeq == viaHelpers.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("non-range predicates stay residual and still apply") {
+    withServer { url =>
+      val df = RestQueries
+        .squareDsv2Records(spark, url, "sq-fixture-token", begin, end, nSlices = 2)
+        .filter(col("device.name") === "reg1")
+      // the device predicate must NOT be claimed by the source
+      assert(scanOf(df).pushedRange == ((begin, end)))
+      val rows = df.localCheckpoint(true).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getStruct(rows.head.fieldIndex("device")).getString(0) == "reg1"))
+    }
+  }
+
+  test("an unbounded scan of the cursor API refuses at planning time") {
+    withServer { url =>
+      val df = spark.read.format("zolo-rest")
+        .option("url", url).option("token", "sq-fixture-token")
+        .load()
+      val e = intercept[Exception](df.collect())
+      assert(e.getMessage.contains("pushed half-open time range"),
+        s"unexpected message: ${e.getMessage}")
+    }
+  }
+}
