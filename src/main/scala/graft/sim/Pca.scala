@@ -52,7 +52,7 @@ object Pca {
     * plan gate (PcaSpec) can assert its shape: zero joins, a single
     * exchange carrying only the ≤2080 (i,j) DECIMAL groups.
     */
-  private[sim] def covarianceFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def covarianceFrame(s: SparkSession, d: String): DataFrame = {
     val (e, mu) = meansStage(s, d)
     covFrom(e, mu)
   }
