@@ -139,26 +139,60 @@ object RestQueries {
     } finally srv.stop()
   }
 
-  /** Shopify: count endpoint → independent page URLs → DISTRIBUTED fetch on
-    * executors (`shopify_ETL.py:70-88`; page size 2 forces real pagination
-    * on the fixture). Eager localCheckpoint pins the fetched bodies so the
-    * server can stop and plan re-execution never re-hits the API.
+  /** The mapPartitions count-then-pages Shopify extraction (kept as the
+    * spec-covered sibling of the DSv2 path; `shopify_ETL.py:70-88`).
+    */
+  def shopifyExtractPages(spark: SparkSession, base: String, user: String, pass: String): DataFrame = {
+    val cfg   = HttpConf().withBasicAuth(user, pass)
+    val range = s"created_at_min=${enc(begin)}&created_at_max=${enc(end)}"
+    val count = countOf(
+      Http.get(Http.newClient(), s"$base/admin/orders/count.json?$range", cfg).body, "count")
+    val limit = 2
+    val urls = (1 to math.ceil(count / limit.toDouble).toInt)
+      .map(k => s"$base/admin/orders.json?$range&limit=$limit&page=$k")
+    val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
+    val envelope = StructType(Seq(StructField("orders", ArrayType(ZoloSchemas.shopifyOrder))))
+    RestSource.recordsFromEnvelopePages(bodies, envelope, "orders")
+  }
+
+  /** Shopify DSv2 records: count-then-pages planned by Spark — the count
+    * request runs at partition-planning time, one InputPartition per
+    * page, and the `created_at_min`/`created_at_max` range is the pushed
+    * filter (the native mapping of `shopify_ETL.py:83-85`).
+    */
+  def shopifyDsv2Records(
+      spark: SparkSession,
+      base: String,
+      user: String,
+      pass: String,
+      beginTime: String,
+      endTime: String,
+      pageSize: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read
+      .format("zolo-rest")
+      .option("entity", "shopify_orders")
+      .option("url", base)
+      .option("user", user)
+      .option("pass", pass)
+      .option("pagesize", pageSize)
+      .load()
+      .filter(col("created_at") >= beginTime && col("created_at") < endTime)
+  }
+
+  /** Shopify driver query through the DSv2 source (page size 2 forces
+    * real pagination on the fixture; injected 429/500s on every URI —
+    * count call AND page readers exercise the retry budget). Eager
+    * localCheckpoint pins the fetched records so the server can stop and
+    * plan re-execution never re-hits the API.
     */
   def shopifyHttpTrans(spark: SparkSession): DataFrame = {
     val srv = FixtureApiServer.shopifyAdmin(
       s"${ZoloPipeline.fixturesDir}/shopify_orders.json",
       user = "sh-key", pass = "sh-pass", failFirst = 2)
     try {
-      val cfg   = HttpConf().withBasicAuth("sh-key", "sh-pass")
-      val range = s"created_at_min=${enc(begin)}&created_at_max=${enc(end)}"
-      val count = countOf(
-        Http.get(Http.newClient(), s"${srv.base}/admin/orders/count.json?$range", cfg).body, "count")
-      val limit = 2
-      val urls = (1 to math.ceil(count / limit.toDouble).toInt)
-        .map(k => s"${srv.base}/admin/orders.json?$range&limit=$limit&page=$k")
-      val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
-      val envelope = StructType(Seq(StructField("orders", ArrayType(ZoloSchemas.shopifyOrder))))
-      val raw = RestSource.recordsFromEnvelopePages(bodies, envelope, "orders")
+      val raw = shopifyDsv2Records(spark, srv.base, "sh-key", "sh-pass", begin, end, pageSize = 2)
+        .localCheckpoint(true)
       ShopifyEtl.headerTable(ShopifyEtl.details(raw)).orderBy("order_id")
     } finally srv.stop()
   }
@@ -169,26 +203,41 @@ object RestQueries {
     * fetching ZERO pages when n < 13 — page count here is `ceil`, the
     * arithmetic the reference plainly intended.
     */
+  /** QuickBooks DSv2 records: count query at partition-planning time,
+    * STARTPOSITION pages as InputPartitions. QB's SQL range is exclusive
+    * both ends, so the pushed shapes are the STRICT `TxnDate > lo` /
+    * `TxnDate < hi` (a `>=` would stay residual — the endpoint cannot
+    * express it).
+    */
+  def qbDsv2Records(
+      spark: SparkSession,
+      base: String,
+      realm: String,
+      token: String,
+      beginTime: String,
+      endTime: String,
+      pageSize: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read
+      .format("zolo-rest")
+      .option("entity", "qb_invoices")
+      .option("url", base)
+      .option("realm", realm)
+      .option("token", token)
+      .option("pagesize", pageSize)
+      .load()
+      .filter(col("TxnDate") > beginTime && col("TxnDate") < endTime)
+  }
+
   def qbHttpTrans(spark: SparkSession): DataFrame = {
     val srv = FixtureApiServer.qbQuery(
       s"${ZoloPipeline.fixturesDir}/qb_invoices.json",
       realmId = "RLM1", token = "qb-fixture-token", failFirst = 2)
     try {
-      val cfg = HttpConf().withBearer("qb-fixture-token")
-      // QB SQL range is exclusive both ends; the fixture dates are interior
-      val where = s"where TxnDate > '$begin' and TxnDate < '$end'"
-      def q(sql: String) = s"${srv.base}/v3/company/RLM1/query?query=${enc(sql)}"
-      val count = countOf(
-        Http.get(Http.newClient(), q(s"select count(*) from Invoice $where"), cfg).body,
-        "QueryResponse.totalCount")
-      val per = 2
-      val urls = (0 until math.ceil(count / per.toDouble).toInt)
-        .map(p => q(s"select * from Invoice $where STARTPOSITION ${p * per + 1} MAXRESULTS $per"))
-      val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
-      val envelope = StructType(Seq(StructField(
-        "QueryResponse",
-        StructType(Seq(StructField("Invoice", ArrayType(ZoloSchemas.qbInvoice)))))))
-      val raw = RestSource.recordsFromEnvelopePages(bodies, envelope, "QueryResponse.Invoice")
+      // fixture dates are interior to [begin, end], so the exclusive QB
+      // range selects them all
+      val raw = qbDsv2Records(spark, srv.base, "RLM1", "qb-fixture-token", begin, end, pageSize = 2)
+        .localCheckpoint(true)
       QuickbooksEtl.headerTable(QuickbooksEtl.details(raw)).orderBy("payment_id")
     } finally srv.stop()
   }

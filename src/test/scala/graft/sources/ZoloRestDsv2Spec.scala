@@ -103,4 +103,71 @@ class ZoloRestDsv2Spec extends SparkSpec {
         s"unexpected message: ${e.getMessage}")
     }
   }
+
+  test("column pruning reaches the scan; count(*) survives a pruned-to-empty schema") {
+    withServer { url =>
+      val pruned = RestQueries
+        .squareDsv2Records(spark, url, "sq-fixture-token", begin, end, nSlices = 2)
+        .select(col("created_at"))
+      assert(scanOf(pruned).readSchema().fieldNames.toSeq == Seq("created_at"))
+      assert(scanOf(pruned).description().contains("columns=[created_at]"))
+      val n = pruned.count()
+      assert(n > 0)
+      val all = RestQueries
+        .squareDsv2Records(spark, url, "sq-fixture-token", begin, end, nSlices = 2)
+        .count()
+      assert(n == all, "pruned scan must keep the record count")
+    }
+  }
+
+  private def withShopify[A](f: String => A): A = {
+    val srv = FixtureApiServer.shopifyAdmin(
+      s"${ZoloPipeline.fixturesDir}/shopify_orders.json",
+      user = "sh-key", pass = "sh-pass", failFirst = 2)
+    try f(srv.base)
+    finally srv.stop()
+  }
+
+  test("shopify entity: count-then-pages partitions, pushed range, equality with helper path") {
+    withShopify { base =>
+      val df = RestQueries.shopifyDsv2Records(spark, base, "sh-key", "sh-pass", begin, end, pageSize = 2)
+      val scan = scanOf(df)
+      assert(scan.pushedRange == ((begin, end)))
+      assert(scan.description().contains("entity=shopify_orders"))
+      // 4 fixture orders in range / page size 2 -> 2 page partitions
+      assert(scan.toBatch.planInputPartitions().length == 2)
+      val viaDsv2    = df.localCheckpoint(true).orderBy("id").collect()
+      val viaHelpers = RestQueries.shopifyExtractPages(spark, base, "sh-key", "sh-pass")
+        .orderBy("id").collect()
+      assert(viaDsv2.map(_.toSeq).toSeq == viaHelpers.map(_.toSeq).toSeq)
+    }
+  }
+
+  private def withQb[A](f: String => A): A = {
+    val srv = FixtureApiServer.qbQuery(
+      s"${ZoloPipeline.fixturesDir}/qb_invoices.json",
+      realmId = "RLM1", token = "qb-fixture-token", failFirst = 2)
+    try f(srv.base)
+    finally srv.stop()
+  }
+
+  test("qb entity: strict exclusive bounds push; >= stays residual and the scan refuses") {
+    withQb { base =>
+      val df = RestQueries.qbDsv2Records(
+        spark, base, "RLM1", "qb-fixture-token", begin, end, pageSize = 2)
+      val scan = scanOf(df)
+      assert(scan.pushedRange == ((begin, end)))
+      assert(scan.description().contains("entity=qb_invoices"))
+      assert(df.count() > 0)
+      // a >= lower bound is NOT expressible as a QB SQL range: it must
+      // not be claimed, leaving the scan unbounded below -> refusal
+      val ge = spark.read.format("zolo-rest")
+        .option("entity", "qb_invoices")
+        .option("url", base).option("realm", "RLM1").option("token", "qb-fixture-token")
+        .load()
+        .filter(col("TxnDate") >= begin && col("TxnDate") < end)
+      val e = intercept[Exception](ge.collect())
+      assert(e.getMessage.contains("pushed half-open time range"))
+    }
+  }
 }
