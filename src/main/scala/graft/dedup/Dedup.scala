@@ -62,7 +62,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sigUdf = udf { (text: String) =>
-      val sig = Hashing.minhashSignature(Hashing.shingleSet(text).toSeq, numPerms)
+      val sig = Hashing.minhashSignatureOfText(text, numPerms)
       val bands = (0 until numBands).map { b =>
         Hashing.hash64(
           (b * rowsPerBand until (b + 1) * rowsPerBand).map(sig).mkString(","),

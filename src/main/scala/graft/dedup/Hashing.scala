@@ -124,6 +124,78 @@ object Hashing {
     sig
   }
 
+  /** Fused k-permutation MinHash straight from the text — bit-identical
+    * to `minhashSignature(shingleSet(text), k)` (MinhashKernelSpec holds
+    * the equality corpus-wide), ~allocation-free:
+    *
+    *  - a 3-word shingle is a CONTIGUOUS char range of the source (the
+    *    delimiter is a single space — the [[graft.functions.WordBigrams]]
+    *    argument), so no StringBuilder and no shingle Strings exist;
+    *  - MinHash is multiplicity-invariant (a duplicate shingle can never
+    *    change a minimum), so the LinkedHashSet dedup is dropped rather
+    *    than replicated;
+    *  - the k FNV chains advance TOGETHER in one scan of each shingle's
+    *    chars (chars read once, not k times), then avalanche+min at the
+    *    shingle boundary — the same `hash64(sh, seed = i)` arithmetic,
+    *    reassociated.
+    *
+    * This is the dominant CPU of the LSH driver queries; signature
+    * VALUES are unchanged, so the boundary-oracle dumps and every
+    * downstream band/cap/join/verify stage hash-match as before.
+    */
+  def minhashSignatureOfText(text: String, k: Int, n: Int = 3): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (text == null) return sig
+    val len = text.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (text.charAt(i) == ' ') spaces += 1; i += 1 }
+    val m = spaces + 1 // word count under split(" ", -1) (trailing empties kept)
+    if (m < n) return sig
+    val starts = new Array[Int](m)
+    val ends   = new Array[Int](m)
+    starts(0) = 0
+    var w = 0
+    i = 0
+    while (i < len) {
+      if (text.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    val hs = new Array[Long](k)
+    var s = 0
+    while (s <= m - n) {
+      var t = 0
+      while (t < k) { hs(t) = FnvOffset ^ (t * FnvPrime); t += 1 }
+      var j = starts(s)
+      val until = ends(s + n - 1)
+      while (j < until) {
+        val c  = text.charAt(j)
+        val b1 = (c & 0xff).toLong
+        val b2 = ((c >> 8) & 0xff).toLong
+        t = 0
+        while (t < k) {
+          var h = hs(t)
+          h = (h ^ b1) * FnvPrime
+          hs(t) = (h ^ b2) * FnvPrime
+          t += 1
+        }
+        j += 1
+      }
+      t = 0
+      while (t < k) {
+        var z = hs(t) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= (z >>> 31)
+        if (z < sig(t)) sig(t) = z
+        t += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash of a shingle set: per bit, sum ±1 contributions of
     * each shingle hash; signature bit = sign.
     */
