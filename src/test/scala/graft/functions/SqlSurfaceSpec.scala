@@ -20,6 +20,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)   // parallel
   }
 
+  test("bigrams resolves and computes through spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT bigrams('a b c') AS bg, bigrams('one') AS none").collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1) == Seq.empty)
+  }
+
   test("wrong-typed argument fails at ANALYSIS time with a clean error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
