@@ -94,8 +94,10 @@ sealed trait ZoloRestEntity extends Serializable {
     * the entity's count request)
     */
   def planPartitions(opts: ZoloRestOptions, lo: String, hi: String): Array[InputPartition]
-  /** fetch one partition's page bodies (executor-side, task-local client) */
-  def fetch(p: InputPartition, opts: ZoloRestOptions, lo: String, hi: String): Vector[String]
+  /** fetch one partition's page bodies (executor-side, task-local
+    * client); the partition carries its own window
+    */
+  def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String]
 }
 
 object ZoloRestEntity {
@@ -108,9 +110,9 @@ object ZoloRestEntity {
 
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
 
-  final case class WindowPartition(lo: String, hi: String)   extends InputPartition
-  final case class PagePartition(pages: Seq[Int])            extends InputPartition
-  final case class OffsetPartition(startPositions: Seq[Int]) extends InputPartition
+  final case class WindowPartition(lo: String, hi: String)                           extends InputPartition
+  final case class PagePartition(pages: Seq[Int], lo: String, hi: String)            extends InputPartition
+  final case class OffsetPartition(startPositions: Seq[Int], lo: String, hi: String) extends InputPartition
 
   case object SquarePayments extends ZoloRestEntity {
     val name           = "square_payments"
@@ -125,7 +127,7 @@ object ZoloRestEntity {
         .map { case (b, e) => WindowPartition(b, e): InputPartition }
         .toArray
 
-    def fetch(p: InputPartition, opts: ZoloRestOptions, lo: String, hi: String): Vector[String] = {
+    def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
       val w = p.asInstanceOf[WindowPartition]
       RestQueries.squareTokenChain(opts.url, opts.token, w.lo, w.hi, opts.maxPages)
     }
@@ -147,15 +149,16 @@ object ZoloRestEntity {
       val pages = math.ceil(count / opts.pageSize.toDouble).toInt
       (1 to pages)
         .grouped(math.max(1, opts.pagesPerPartition))
-        .map(g => PagePartition(g): InputPartition)
+        .map(g => PagePartition(g, lo, hi): InputPartition)
         .toArray
     }
 
-    def fetch(p: InputPartition, opts: ZoloRestOptions, lo: String, hi: String): Vector[String] = {
+    def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
+      val pp     = p.asInstanceOf[PagePartition]
       val client = Http.newClient()
-      p.asInstanceOf[PagePartition].pages.iterator.map { k =>
+      pp.pages.iterator.map { k =>
         Http.get(client,
-          s"${opts.url}/admin/orders.json?${range(lo, hi)}&limit=${opts.pageSize}&page=$k",
+          s"${opts.url}/admin/orders.json?${range(pp.lo, pp.hi)}&limit=${opts.pageSize}&page=$k",
           opts.httpConf).body
       }.toVector
     }
@@ -180,16 +183,17 @@ object ZoloRestEntity {
       (0 until pages)
         .map(p => p * opts.pageSize + 1)
         .grouped(math.max(1, opts.pagesPerPartition))
-        .map(g => OffsetPartition(g): InputPartition)
+        .map(g => OffsetPartition(g, lo, hi): InputPartition)
         .toArray
     }
 
-    def fetch(p: InputPartition, opts: ZoloRestOptions, lo: String, hi: String): Vector[String] = {
+    def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
+      val op     = p.asInstanceOf[OffsetPartition]
       val client = Http.newClient()
-      p.asInstanceOf[OffsetPartition].startPositions.iterator.map { s =>
+      op.startPositions.iterator.map { s =>
         Http.get(client,
           queryUrl(opts,
-            s"select * from Invoice ${where(lo, hi)} STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
+            s"select * from Invoice ${where(op.lo, op.hi)} STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
           opts.httpConf).body
       }.toVector
     }
@@ -206,7 +210,9 @@ final case class ZoloRestOptions(
     nSlices: Int,
     pageSize: Int,
     pagesPerPartition: Int,
-    maxPages: Int) {
+    maxPages: Int,
+    begin: String = "",
+    clock: String = "") {
   def httpConf: HttpConf =
     if (user.nonEmpty) HttpConf().withBasicAuth(user, pass)
     else if (token.nonEmpty) HttpConf().withBearer(token)
@@ -224,7 +230,9 @@ object ZoloRest {
       nSlices = Option(o.get("nslices")).map(_.toInt).getOrElse(4),
       pageSize = Option(o.get("pagesize")).map(_.toInt).getOrElse(50),
       pagesPerPartition = Option(o.get("pagesperpartition")).map(_.toInt).getOrElse(1),
-      maxPages = Option(o.get("maxpages")).map(_.toInt).getOrElse(10000)
+      maxPages = Option(o.get("maxpages")).map(_.toInt).getOrElse(10000),
+      begin = Option(o.get("begin")).getOrElse(""),
+      clock = Option(o.get("clock")).getOrElse("")
     )
 
   /** Driver-side count call (retries included — the loopback server
@@ -244,7 +252,7 @@ final class ZoloRestTable(tableSchema: StructType, options: CaseInsensitiveStrin
   override def name(): String = s"zolo-rest(${entity.name}, ${options.get("url")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ZoloRestScanBuilder(entity, tableSchema, options)
 }
@@ -287,22 +295,16 @@ final class ZoloRestScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = pruned = requiredSchema
 
-  override def build(): Scan = {
-    require(
-      begin.isDefined && end.isDefined,
-      s"zolo-rest ${entity.name} scan requires a pushed half-open time range: " +
-        s"filter(col(\"${entity.rangeColumn}\") ${if (entity.lowerInclusive) ">=" else ">"} lo " +
-        s"&& col(\"${entity.rangeColumn}\") < hi)")
-    new ZoloRestScan(entity, pruned, ZoloRest.options(options), begin.get, end.get)
-  }
+  override def build(): Scan =
+    new ZoloRestScan(entity, pruned, ZoloRest.options(options), begin, end)
 }
 
 final class ZoloRestScan(
     entity: ZoloRestEntity,
     prunedSchema: StructType,
     opts: ZoloRestOptions,
-    beginTime: String,
-    endTime: String)
+    begin: Option[String],
+    end: Option[String])
     extends Scan with Batch {
 
   override def readSchema(): StructType = prunedSchema
@@ -310,26 +312,99 @@ final class ZoloRestScan(
   /** The plan-visible pushdown evidence (PlanSpec gate). */
   override def description(): String =
     s"ZoloRestScan entity=${entity.name} url=${opts.url} " +
-      s"PushedTimeRange=[$beginTime, $endTime) " +
+      s"PushedTimeRange=[${begin.getOrElse("?")}, ${end.getOrElse("?")}) " +
       s"columns=[${prunedSchema.fieldNames.mkString(",")}]"
 
-  def pushedRange: (String, String) = (beginTime, endTime)
+  def pushedRange: (String, String) = (begin.orNull, end.orNull)
 
-  override def toBatch: Batch = this
+  /** Batch mode requires the range PUSHED — an unbounded scan of a
+    * cursor API is a bug, not a full-table read.
+    */
+  override def toBatch: Batch = {
+    require(
+      begin.isDefined && end.isDefined,
+      s"zolo-rest ${entity.name} scan requires a pushed half-open time range: " +
+        s"filter(col(\"${entity.rangeColumn}\") ${if (entity.lowerInclusive) ">=" else ">"} lo " +
+        s"&& col(\"${entity.rangeColumn}\") < hi)")
+    this
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
-    entity.planPartitions(opts, beginTime, endTime)
+    entity.planPartitions(opts, begin.get, end.get)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZoloRestReaderFactory(entity, prunedSchema, opts, beginTime, endTime)
+    new ZoloRestReaderFactory(entity, prunedSchema, opts)
+
+  /** Streaming mode: the incremental-ingest face (the reference's S10
+    * watermark-state loop made native). Spark does not run filter
+    * pushdown for micro-batch sources, so the initial watermark comes
+    * from `option("begin", ...)`; each trigger's batch covers
+    * `[lastOffset, now)` with `now` truncated to whole seconds (mixed
+    * sub-second precision would break the lexicographic-=-chronologic
+    * string comparison the endpoints use). `option("clock", ...)` pins
+    * `now` for deterministic tests. Offsets checkpoint as JSON, so a
+    * restart resumes from the committed watermark and never re-fetches
+    * a landed window — the exactly-once contract RestStreamSpec gates.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val startAt = begin.orElse(Option(opts.begin).filter(_.nonEmpty))
+    require(
+      startAt.isDefined,
+      s"zolo-rest ${entity.name} stream requires option(\"begin\", <iso-instant>) — " +
+        "the initial ingest watermark")
+    new ZoloRestMicroBatchStream(entity, opts, startAt.get)
+  }
+}
+
+final case class ZoloRestStreamOffset(endTime: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"endTime":"$endTime"}"""
+}
+
+final class ZoloRestMicroBatchStream(
+    entity: ZoloRestEntity,
+    opts: ZoloRestOptions,
+    beginTime: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def nowIso: String =
+    Option(opts.clock).filter(_.nonEmpty).getOrElse(
+      java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)
+
+  override def initialOffset(): Offset = ZoloRestStreamOffset(beginTime)
+
+  override def latestOffset(): Offset = {
+    // the watermark never regresses: a wall clock behind the committed
+    // offset (or a stale fixed clock) yields an empty batch, not a
+    // negative window
+    ZoloRestStreamOffset(nowIso)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    ZoloRestStreamOffset(node.get("endTime").asText())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[ZoloRestStreamOffset].endTime
+    val hi = end.asInstanceOf[ZoloRestStreamOffset].endTime
+    if (lo >= hi) Array.empty
+    else entity.planPartitions(opts, lo, hi)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZoloRestReaderFactory(entity, entity.schema, opts)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit             = ()
 }
 
 final class ZoloRestReaderFactory(
     entity: ZoloRestEntity,
     prunedSchema: StructType,
-    opts: ZoloRestOptions,
-    beginTime: String,
-    endTime: String)
+    opts: ZoloRestOptions)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -344,7 +419,7 @@ final class ZoloRestReaderFactory(
       private val emitEmpty = prunedSchema.fields.isEmpty
 
       private lazy val rows: Iterator[InternalRow] = {
-        val bodies = entity.fetch(partition, opts, beginTime, endTime)
+        val bodies = entity.fetch(partition, opts)
         val parseSchema = entity.envelopePath.foldRight(recordSchema: StructType) {
           case (fieldName, inner) =>
             // each envelope level is a single-field struct, innermost
