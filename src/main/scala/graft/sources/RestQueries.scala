@@ -244,27 +244,25 @@ object RestQueries {
 
   /** QuickBooks customers: the S4 full-refresh dimension — an UNBOUNDED
     * `select * from Customer` paged by STARTPOSITION (no date predicate;
-    * `qb_customers_ETL.py:58-105`), wrapped in the entity's own envelope
-    * key. Distributed fetch like the invoices path.
+    * `qb_customers_ETL.py:58-105`). The one DSv2 entity with
+    * `unboundedOk`: a full refresh IS its reference contract, so no
+    * range filter participates (page size 1 → 2 fixture customers → 2
+    * partitions, real pagination).
     */
   def qbCustomersHttp(spark: SparkSession): DataFrame = {
     val srv = FixtureApiServer.qbQuery(
       s"${ZoloPipeline.fixturesDir}/qb_customers.json",
       realmId = "RLM1", token = "qb-fixture-token", failFirst = 2, entity = "Customer")
     try {
-      val cfg            = HttpConf().withBearer("qb-fixture-token")
-      def q(sql: String) = s"${srv.base}/v3/company/RLM1/query?query=${enc(sql)}"
-      val count = countOf(
-        Http.get(Http.newClient(), q("select count(*) from Customer"), cfg).body,
-        "QueryResponse.totalCount")
-      val per = 1 // 2 fixture customers → 2 pages, real pagination
-      val urls = (0 until math.ceil(count / per.toDouble).toInt)
-        .map(p => q(s"select * from Customer STARTPOSITION ${p * per + 1} MAXRESULTS $per"))
-      val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
-      val envelope = StructType(Seq(StructField(
-        "QueryResponse",
-        StructType(Seq(StructField("Customer", ArrayType(ZoloSchemas.qbCustomer)))))))
-      val raw = RestSource.recordsFromEnvelopePages(bodies, envelope, "QueryResponse.Customer")
+      val raw = spark.read
+        .format("zolo-rest")
+        .option("entity", "qb_customers")
+        .option("url", srv.base)
+        .option("realm", "RLM1")
+        .option("token", "qb-fixture-token")
+        .option("pagesize", 1)
+        .load()
+        .localCheckpoint(true)
       graft.etl.QbCustomersEtl.customers(raw).orderBy("customer_id")
     } finally srv.stop()
   }

@@ -86,6 +86,10 @@ sealed trait ZoloRestEntity extends Serializable {
   def rangeColumn: String
   /** does the endpoint's lower bound include equality? (`>=` vs `>`) */
   def lowerInclusive: Boolean
+  /** entities whose reference contract IS an unbounded full refresh (the
+    * S4 customers dimension) may scan without a pushed range
+    */
+  def unboundedOk: Boolean = false
   /** dotted path from the parsed body root to the record array; empty =
     * the body IS a top-level record array
     */
@@ -105,6 +109,7 @@ object ZoloRestEntity {
     case "square_payments" => SquarePayments
     case "shopify_orders"  => ShopifyOrders
     case "qb_invoices"     => QbInvoices
+    case "qb_customers"    => QbCustomers
     case other             => throw new IllegalArgumentException(s"unknown zolo-rest entity '$other'")
   }
 
@@ -194,6 +199,44 @@ object ZoloRestEntity {
         Http.get(client,
           queryUrl(opts,
             s"select * from Invoice ${where(op.lo, op.hi)} STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
+          opts.httpConf).body
+      }.toVector
+    }
+  }
+
+  /** The S4 full-refresh dimension (`qb_customers_ETL.py:58-105`): an
+    * UNBOUNDED `select * from Customer` paged by STARTPOSITION — the one
+    * entity whose reference contract has no date predicate, so
+    * `unboundedOk` and no range column participates.
+    */
+  case object QbCustomers extends ZoloRestEntity {
+    val name                    = "qb_customers"
+    val schema                  = ZoloSchemas.qbCustomer
+    val rangeColumn             = "" // no range predicate exists for this entity
+    val lowerInclusive          = false
+    override val unboundedOk    = true
+    val envelopePath            = Seq("QueryResponse", "Customer")
+
+    private def queryUrl(opts: ZoloRestOptions, sql: String) =
+      s"${opts.url}/v3/company/${opts.realm}/query?query=${enc(sql)}"
+
+    def planPartitions(opts: ZoloRestOptions, lo: String, hi: String): Array[InputPartition] = {
+      val count = ZoloRest.countRequest(
+        queryUrl(opts, "select count(*) from Customer"), "QueryResponse.totalCount", opts)
+      val pages = math.ceil(count / opts.pageSize.toDouble).toInt
+      (0 until pages)
+        .map(p => p * opts.pageSize + 1)
+        .grouped(math.max(1, opts.pagesPerPartition))
+        .map(g => OffsetPartition(g, lo, hi): InputPartition)
+        .toArray
+    }
+
+    def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
+      val op     = p.asInstanceOf[OffsetPartition]
+      val client = Http.newClient()
+      op.startPositions.iterator.map { s =>
+        Http.get(client,
+          queryUrl(opts, s"select * from Customer STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
           opts.httpConf).body
       }.toVector
     }
@@ -322,7 +365,7 @@ final class ZoloRestScan(
     */
   override def toBatch: Batch = {
     require(
-      begin.isDefined && end.isDefined,
+      entity.unboundedOk || (begin.isDefined && end.isDefined),
       s"zolo-rest ${entity.name} scan requires a pushed half-open time range: " +
         s"filter(col(\"${entity.rangeColumn}\") ${if (entity.lowerInclusive) ">=" else ">"} lo " +
         s"&& col(\"${entity.rangeColumn}\") < hi)")
@@ -330,7 +373,7 @@ final class ZoloRestScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    entity.planPartitions(opts, begin.get, end.get)
+    entity.planPartitions(opts, begin.getOrElse(""), end.getOrElse(""))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZoloRestReaderFactory(entity, prunedSchema, opts)

@@ -170,4 +170,21 @@ class ZoloRestDsv2Spec extends SparkSpec {
       assert(e.getMessage.contains("pushed half-open time range"))
     }
   }
+
+  test("qb_customers entity: unbounded full refresh is the contract — no range required") {
+    val srv = FixtureApiServer.qbQuery(
+      s"${ZoloPipeline.fixturesDir}/qb_customers.json",
+      realmId = "RLM1", token = "qb-fixture-token", failFirst = 2, entity = "Customer")
+    try {
+      val df = spark.read.format("zolo-rest")
+        .option("entity", "qb_customers")
+        .option("url", srv.base).option("realm", "RLM1").option("token", "qb-fixture-token")
+        .option("pagesize", 1)
+        .load()
+      val rows = df.collect() // no filter anywhere: must NOT refuse
+      assert(rows.length == 2)
+      assert(scanOf(df).toBatch.planInputPartitions().length == 2,
+        "2 customers at page size 1 -> 2 STARTPOSITION partitions")
+    } finally srv.stop()
+  }
 }
