@@ -106,6 +106,36 @@ class RestStreamSpec extends SparkSpec {
     }
   }
 
+  test("count-then-pages entities stream too: shopify incremental ingest") {
+    val srv = FixtureApiServer.shopifyAdmin(
+      s"${ZoloPipeline.fixturesDir}/shopify_orders.json",
+      user = "sh-key", pass = "sh-pass", failFirst = 2)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("zolo-rest-stream3").toString
+      val out  = java.nio.file.Files.createTempDirectory("zolo-rest-out3").toString
+      val q = spark.readStream
+        .format("zolo-rest")
+        .option("entity", "shopify_orders")
+        .option("url", srv.base).option("user", "sh-key").option("pass", "sh-pass")
+        .option("begin", begin)
+        .option("clock", end)
+        .option("pagesize", 2)
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val got = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSet
+      val batch = RestQueries
+        .shopifyDsv2Records(spark, srv.base, "sh-key", "sh-pass", begin, end, pageSize = 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == batch, s"stream landed $got, batch read $batch")
+    } finally srv.stop()
+  }
+
   test("offset json round-trips") {
     val off = ZoloRestStreamOffset("2019-07-01T00:00:00Z")
     val stream = new ZoloRestMicroBatchStream(
