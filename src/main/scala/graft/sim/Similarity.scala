@@ -68,7 +68,18 @@ object Similarity {
     * definition of cell assignment (ivfTopK, writeIvfIndex and the spec
     * equivalence all depend on it agreeing with itself).
     */
-  private[sim] def nearestCell(cents: Array[Array[Double]], v: Seq[Double]): Int = {
+  private[sim] def nearestCell(cents: Array[Array[Double]], v: Seq[Double]): Int =
+    nearestCellArr(cents, v.toArray)
+
+  /** Primitive-array hot path: the assignment loop touches every
+    * centroid per row, so per-element Seq dispatch/boxing is the
+    * dominant cost once nCells grows with the corpus (the r7 1000×
+    * probe measured it: 2M vectors × 16k cells never finished on the
+    * boxed path). One unboxing pass per ROW at the UDF boundary, then
+    * pure primitive arithmetic — identical operation order, so
+    * assignments (and every downstream hash) are unchanged.
+    */
+  private[sim] def nearestCellArr(cents: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
     while (c < cents.length) {
       val sim = cosLocal(cents(c), v)
@@ -80,6 +91,9 @@ object Similarity {
 
   /** The nprobe best cells for a probe vector ((-sim, cell) order). */
   private[sim] def probeCells(cents: Array[Array[Double]], v: Seq[Double], nprobe: Int): Seq[Int] =
+    probeCellsArr(cents, v.toArray, nprobe)
+
+  private[sim] def probeCellsArr(cents: Array[Array[Double]], v: Array[Double], nprobe: Int): Seq[Int] =
     cents.indices
       .map(c => (cosLocal(cents(c), v), c))
       .sortBy { case (sim, c) => (-sim, c) }
@@ -106,7 +120,7 @@ object Similarity {
   }
 
   /** Row-local cosine for training/assignment closures. */
-  private def cosLocal(a: Array[Double], b: Seq[Double]): Double = {
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
@@ -138,7 +152,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val bc = s.sparkContext.broadcast(cents)
       val updated = ds
-        .map { case (_, v) => (nearestCell(bc.value, v.toSeq), v) }
+        .map { case (_, v) => (nearestCellArr(bc.value, v), v) }
         .groupByKey(_._1)
         .mapGroups { (cell, rows) =>
           val sum = new Array[Double](bc.value(0).length)
@@ -430,7 +444,7 @@ object Similarity {
       nprobe: Int
   ): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cells = probeCells(cents, probe.toSeq, nprobe)
+    val cells = probeCellsArr(cents, probe, nprobe)
     val idx = s.read.parquet(indexPath).filter($"cell_id".isin(cells: _*))
     val pv  = typedlit(probe.toSeq)
     idx
@@ -714,7 +728,7 @@ object Similarity {
     }
     val bc         = s.sparkContext.broadcast(cents)
     val assignCell = udf { (v: Seq[Double]) => nearestCell(bc.value, v) }
-    val centSim    = udf { (c: Int, v: Seq[Double]) => cosLocal(bc.value(c), v) }
+    val centSim    = udf { (c: Int, v: Seq[Double]) => cosLocal(bc.value(c), v.toArray) }
     val assigned = e
       .withColumn("cell_id", assignCell($"v"))
       .withColumn("cent_sim", round(centSim($"cell_id", $"v"), 6))
