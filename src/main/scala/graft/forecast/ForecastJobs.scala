@@ -205,7 +205,7 @@ object ForecastJobs {
     * by the production `m_arima_forecast` and the bounded, oracle-replayed
     * `m_arima_grid`, so the oracle exercises the exact scoring path.
     */
-  private def gridScored(
+  private[graft] def gridScored(
       s: SparkSession,
       seriesDs: Dataset[(String, Array[Double])]
   ): Dataset[GridTask] = {
@@ -229,7 +229,7 @@ object ForecastJobs {
   /** Deterministic min-MSE config per profile (tie-break on the config
     * tuple) — the grid's reduce side, shared like [[gridScored]].
     */
-  private def gridBest(s: SparkSession, scored: Dataset[GridTask]): Dataset[(String, GridTask)] = {
+  private[graft] def gridBest(s: SparkSession, scored: Dataset[GridTask]): Dataset[(String, GridTask)] = {
     import s.implicits._
     scored
       .filter(t => t.mse.isFinite)
@@ -274,6 +274,12 @@ object ForecastJobs {
         }
       }
       .toDF()
+      // eager checkpoint before the global sort: orderBy's range
+      // partitioner SAMPLES its child, which would re-run the per-profile
+      // MLE stage a second time (profiled r7: the sample pass doubled the
+      // whole tail). The result is profile-count-sized, so pinning it is
+      // free; rows and final order are unchanged.
+      .localCheckpoint(eager = true)
       .orderBy(col("profile_name"))
   }
 
@@ -336,7 +342,7 @@ object ForecastJobs {
       .orderBy($"profile_name", $"week_date")
   }
 
-  private def typedWeekly(s: SparkSession, dir: String, minWeeks: Int): Dataset[WeeklyRow] = {
+  private[graft] def typedWeekly(s: SparkSession, dir: String, minWeeks: Int): Dataset[WeeklyRow] = {
     import s.implicits._
     // no repartition(profile_name): the downstream groupByKey keys on an
     // opaque lambda, so EnsureRequirements inserts its own exchange
