@@ -263,21 +263,24 @@ object Models {
     val k = x(0).length
     if (n < k) return None
     val a = Array.ofDim[Double](k, k + 1)
-    var i = 0
-    while (i < k) {
-      var j = 0
-      while (j < k) {
-        var s = 0.0
-        var r = 0
-        while (r < n) { s += x(r)(i) * x(r)(j); r += 1 }
-        a(i)(j) = s
-        j += 1
+    // X'X and X'y accumulated row-outer: each (i,j) entry still sums in
+    // ascending row order (bit-identical to the entry-by-entry loops
+    // this replaced), but every design row is touched ONCE — the grid's
+    // ~200k small OLS fits per series spend their time here
+    var r = 0
+    while (r < n) {
+      val row = x(r)
+      val yr  = y(r)
+      var i = 0
+      while (i < k) {
+        val ai = a(i)
+        val xi = row(i)
+        var j = 0
+        while (j < k) { ai(j) += xi * row(j); j += 1 }
+        ai(k) += xi * yr
+        i += 1
       }
-      var s = 0.0
-      var r = 0
-      while (r < n) { s += x(r)(i) * y(r); r += 1 }
-      a(i)(k) = s
-      i += 1
+      r += 1
     }
     // gaussian elimination
     var col = 0
