@@ -261,22 +261,29 @@ object Models {
     val n = x.length
     if (n == 0) return None
     val k = x(0).length
-    if (n < k) return None
-    val a = Array.ofDim[Double](k, k + 1)
-    // X'X and X'y accumulated row-outer: each (i,j) entry still sums in
-    // ascending row order (bit-identical to the entry-by-entry loops
-    // this replaced), but every design row is touched ONCE — the grid's
-    // ~200k small OLS fits per series spend their time here
+    olsSolveRows(n, k) { (r, buf) => System.arraycopy(x(r), 0, buf, 0, k); y(r) }
+  }
+
+  /** Streaming normal-equation OLS: `fill` writes design row r into the
+    * shared buffer and returns y(r) — no materialized design matrix.
+    * X'X and X'y accumulate row-outer with each (i,j) entry summing in
+    * ascending row order, bit-identical to the materialized form (the
+    * HR replay oracles pin this); the grid's ~200k small fits per
+    * series stop allocating ~300-row matrices apiece.
+    */
+  def olsSolveRows(n: Int, k: Int)(fill: (Int, Array[Double]) => Double): Option[Array[Double]] = {
+    if (n == 0 || n < k) return None
+    val a   = Array.ofDim[Double](k, k + 1)
+    val buf = new Array[Double](k)
     var r = 0
     while (r < n) {
-      val row = x(r)
-      val yr  = y(r)
+      val yr = fill(r, buf)
       var i = 0
       while (i < k) {
         val ai = a(i)
-        val xi = row(i)
+        val xi = buf(i)
         var j = 0
-        while (j < k) { ai(j) += xi * row(j); j += 1 }
+        while (j < k) { ai(j) += xi * buf(j); j += 1 }
         ai(k) += xi * yr
         i += 1
       }
@@ -383,20 +390,15 @@ object Models {
         val m = math.min(math.max(p + q + 2, 4), math.max(1, n / 4))
         if (n <= m + p + q + 1) return None
         val nr = n - m
-        val xr = Array.ofDim[Double](nr, m + 1)
-        val yr = new Array[Double](nr)
-        var t = m
-        while (t < n) {
-          val row = xr(t - m)
-          row(0) = 1.0
+        val b = olsSolveRows(nr, m + 1) { (r, buf) =>
+          val t = m + r
+          buf(0) = 1.0
           var j = 1
-          while (j <= m) { row(j) = w(t - j); j += 1 }
-          yr(t - m) = w(t)
-          t += 1
-        }
-        val b = olsSolve(xr, yr).getOrElse(return None)
+          while (j <= m) { buf(j) = w(t - j); j += 1 }
+          w(t)
+        }.getOrElse(return None)
         val res = new Array[Double](n)
-        t = m
+        var t = m
         while (t < n) {
           var f = b(0)
           var j = 1
@@ -410,20 +412,15 @@ object Models {
     val start = math.max(p, q) + (if (q > 0) math.max(p + q + 2, 4).min(math.max(1, n / 4)) else 0)
     if (n - start < p + q + 2) return None
     val nr2 = n - start
-    val rows = Array.ofDim[Double](nr2, 1 + p + q)
-    val ys = new Array[Double](nr2)
-    var t2 = start
-    while (t2 < n) {
-      val row = rows(t2 - start)
-      row(0) = 1.0
+    val b = olsSolveRows(nr2, 1 + p + q) { (r, buf) =>
+      val t2 = start + r
+      buf(0) = 1.0
       var j = 1
-      while (j <= p) { row(j) = w(t2 - j); j += 1 }
+      while (j <= p) { buf(j) = w(t2 - j); j += 1 }
       j = 1
-      while (j <= q) { row(p + j) = resid(t2 - j); j += 1 }
-      ys(t2 - start) = w(t2)
-      t2 += 1
-    }
-    val b = olsSolve(rows, ys).getOrElse(return None)
+      while (j <= q) { buf(p + j) = resid(t2 - j); j += 1 }
+      w(t2)
+    }.getOrElse(return None)
     val c = b(0)
     val phi = b.slice(1, 1 + p)
     val theta = b.slice(1 + p, 1 + p + q)
