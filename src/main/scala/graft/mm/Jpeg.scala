@@ -147,7 +147,6 @@ object Jpeg {
     * shift-exact), so each must pair within the hamming budget.
     */
   val mmAhashJpeg: Q = (s, _) => {
-    graft.functions.GraftFunctions.register(s)
     val hashSchema = StructType(
       Seq(StructField("img_id", LongType), StructField("ahash", LongType))
     )
@@ -155,56 +154,11 @@ object Jpeg {
     val hashes = jpegBlobs(s)
       .mapPartitions { rows =>
         rows.map { r =>
-          val id       = r.getLong(0)
           val (img, _) = Multimodal.ImageCodec.decode(r.getAs[Array[Byte]](1))
-          Row(id, Jpeg.ahash64(img))
+          Row(r.getLong(0), Multimodal.ahash64(img))
         }
       }(enc)
-    val segs = hashes.select(
-      $"img_id",
-      $"ahash",
-      posexplode(
-        array((0 until 4).map(k => shiftright($"ahash", k * 16).bitwiseAND(lit(0xffffL))): _*)
-      ).as(Seq("seg_id", "seg"))
-    )
-    val hamming = graft.functions.GraftFunctions.hamming64($"a.ahash", $"b.ahash")
-    segs
-      .as("a")
-      .join(
-        segs.as("b"),
-        $"a.seg_id" === $"b.seg_id" && $"a.seg" === $"b.seg" && $"a.img_id" < $"b.img_id"
-      )
-      .select($"a.img_id".as("img_a"), $"b.img_id".as("img_b"), hamming.as("hamming"))
-      .distinct()
-      .filter($"hamming" <= Multimodal.ahashMaxHamming)
-      .orderBy($"img_a", $"img_b")
-  }
-
-  /** Shared aHash kernel (same arithmetic as [[Multimodal.mmAhash]]'s
-    * inline loop: 8×8 NN grid over band 0, integer mean, pack).
-    */
-  def ahash64(img: BufferedImage): Long = {
-    val w    = img.getWidth
-    val h    = img.getHeight
-    val ras  = img.getRaster
-    val vals = new Array[Int](64)
-    var i    = 0
-    var y8   = 0
-    while (y8 < 8) {
-      var x8 = 0
-      while (x8 < 8) {
-        vals(i) = ras.getSample(x8 * w / 8, y8 * h / 8, 0)
-        i += 1; x8 += 1
-      }
-      y8 += 1
-    }
-    var sum = 0L
-    vals.foreach(sum += _)
-    val mean = sum / 64
-    var bits = 0L
-    i = 0
-    while (i < 64) { if (vals(i) > mean) bits |= (1L << i); i += 1 }
-    bits
+    Multimodal.ahashPairs(s, hashes, "img_id", "img_a", "img_b")
   }
 
   val queries: Map[String, Q] = Map(

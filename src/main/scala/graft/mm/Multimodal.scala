@@ -470,7 +470,6 @@ object Multimodal {
     * the winnow HUGEINT precedent).
     */
   val mmAhash: Q = (s, d) => {
-    graft.functions.GraftFunctions.register(s)
     val hashSchema = StructType(
       Seq(StructField("doc_id", LongType), StructField("ahash", LongType))
     )
@@ -478,33 +477,57 @@ object Multimodal {
     val hashes = imageBlobs(s, d)
       .mapPartitions { rows =>
         rows.map { r =>
-          val id       = r.getLong(0)
           val (img, _) = ImageCodec.decode(r.getAs[Array[Byte]](1))
-          val w        = img.getWidth
-          val h        = img.getHeight
-          val ras      = img.getRaster
-          val vals     = new Array[Int](64)
-          var i        = 0
-          var y8       = 0
-          while (y8 < 8) {
-            var x8 = 0
-            while (x8 < 8) {
-              vals(i) = ras.getSample(x8 * w / 8, y8 * h / 8, 0)
-              i += 1; x8 += 1
-            }
-            y8 += 1
-          }
-          var sum = 0L
-          vals.foreach(sum += _)
-          val mean = sum / 64
-          var bits = 0L
-          i = 0
-          while (i < 64) { if (vals(i) > mean) bits |= (1L << i); i += 1 }
-          Row(id, bits)
+          Row(r.getLong(0), ahash64(img))
         }
       }(enc)
+    ahashPairs(s, hashes, "doc_id", "doc_a", "doc_b")
+  }
+
+  /** The aHash kernel: 8×8 NN resample of band 0, integer-mean
+    * threshold, 64-bit pack. One definition for the PNG/BMP family
+    * (above), the JPEG family ([[Jpeg]]) and the golden-fixture
+    * generator — the hash arithmetic cannot drift between codecs.
+    */
+  def ahash64(img: java.awt.image.BufferedImage): Long = {
+    val w    = img.getWidth
+    val h    = img.getHeight
+    val ras  = img.getRaster
+    val vals = new Array[Int](64)
+    var i    = 0
+    var y8   = 0
+    while (y8 < 8) {
+      var x8 = 0
+      while (x8 < 8) {
+        vals(i) = ras.getSample(x8 * w / 8, y8 * h / 8, 0)
+        i += 1; x8 += 1
+      }
+      y8 += 1
+    }
+    var sum = 0L
+    vals.foreach(sum += _)
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (vals(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Shared near-dup pair pipeline over an (id, ahash) frame: 4×16-bit
+    * pigeonhole bands (candidates share a band — complete for
+    * hamming < 4), exact hamming64 verify, `<`-ordered distinct pairs.
+    * Parameterized on the id column so the PNG/BMP (`doc_id`) and JPEG
+    * (`img_id`) families run the ONE implementation.
+    */
+  private[mm] def ahashPairs(
+      s: SparkSession,
+      hashes: DataFrame,
+      id: String,
+      outA: String,
+      outB: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val segs = hashes.select(
-      $"doc_id",
+      col(id),
       $"ahash",
       posexplode(
         array((0 until 4).map(k => shiftright($"ahash", k * 16).bitwiseAND(lit(0xffffL))): _*)
@@ -515,12 +538,12 @@ object Multimodal {
       .as("a")
       .join(
         segs.as("b"),
-        $"a.seg_id" === $"b.seg_id" && $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id"
+        $"a.seg_id" === $"b.seg_id" && $"a.seg" === $"b.seg" && col(s"a.$id") < col(s"b.$id")
       )
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), hamming.as("hamming"))
+      .select(col(s"a.$id").as(outA), col(s"b.$id").as(outB), hamming.as("hamming"))
       .distinct()
       .filter($"hamming" <= ahashMaxHamming)
-      .orderBy($"doc_a", $"doc_b")
+      .orderBy(col(outA), col(outB))
   }
 
   val queries: Map[String, Q] = Map(

@@ -24,9 +24,19 @@ object RestQueries {
   private val begin          = "2019-01-01T00:00:00Z"
   private val end            = "2020-01-01T00:00:00Z"
 
-  private def countOf(body: String, field: String): Int = {
+  /** Parse a count endpoint's response body, following the dotted
+    * `field` path. ONE definition for the helper extraction paths here
+    * AND the DSv2 partition planner ([[ZoloRest.countRequest]]) — and a
+    * descriptive failure when a 200 body is an error envelope without
+    * the field (the raw fold NPE'd with no URL or body context).
+    */
+  private[sources] def countOf(body: String, field: String, context: String): Int = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-    field.split('.').foldLeft(node)((n, f) => n.get(f)).asInt
+    val out  = field.split('.').foldLeft(node)((n, f) => if (n == null) null else n.get(f))
+    if (out == null || !out.canConvertToInt)
+      throw new IllegalStateException(
+        s"$context: count response has no integer field '$field': ${body.take(200)}")
+    out.asInt
   }
 
   private val squareTokRe = """batch_token=(.*?)&begin_time=""".r
@@ -145,8 +155,8 @@ object RestQueries {
   def shopifyExtractPages(spark: SparkSession, base: String, user: String, pass: String): DataFrame = {
     val cfg   = HttpConf().withBasicAuth(user, pass)
     val range = s"created_at_min=${enc(begin)}&created_at_max=${enc(end)}"
-    val count = countOf(
-      Http.get(Http.newClient(), s"$base/admin/orders/count.json?$range", cfg).body, "count")
+    val countUrl = s"$base/admin/orders/count.json?$range"
+    val count    = countOf(Http.get(Http.newClient(), countUrl, cfg).body, "count", countUrl)
     val limit = 2
     val urls = (1 to math.ceil(count / limit.toDouble).toInt)
       .map(k => s"$base/admin/orders.json?$range&limit=$limit&page=$k")

@@ -126,11 +126,21 @@ object ZoloRestEntity {
     val lowerInclusive = true
     val envelopePath   = Seq.empty[String]
 
-    def planPartitions(opts: ZoloRestOptions, lo: String, hi: String): Array[InputPartition] =
-      RestSource
-        .timeSlices(lo, hi, opts.nSlices)
-        .map { case (b, e) => WindowPartition(b, e): InputPartition }
-        .toArray
+    def planPartitions(opts: ZoloRestOptions, lo: String, hi: String): Array[InputPartition] = {
+      // a window that is empty at whole-second granularity (equal or
+      // inverted bounds, or sub-second) is a legitimate zero-row query —
+      // plan zero partitions, exactly like the count-then-pages entities
+      // plan zero pages on count=0 (timeSlices would refuse it)
+      val secs = java.time.Duration
+        .between(java.time.Instant.parse(lo), java.time.Instant.parse(hi))
+        .getSeconds
+      if (secs <= 0) Array.empty
+      else
+        RestSource
+          .timeSlices(lo, hi, opts.nSlices)
+          .map { case (b, e) => WindowPartition(b, e): InputPartition }
+          .toArray
+    }
 
     def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
       val w = p.asInstanceOf[WindowPartition]
@@ -280,13 +290,13 @@ object ZoloRest {
 
   /** Driver-side count call (retries included — the loopback server
     * 429/500-fails first attempts of every URI, so this path exercises
-    * the retry budget too).
+    * the retry budget too). Parsing is [[RestQueries.countOf]] — the one
+    * definition both extraction layers share, with the request URL as
+    * failure context (this runs at partition-planning time, where a bare
+    * NPE would surface as an opaque planning failure).
     */
-  def countRequest(url: String, field: String, opts: ZoloRestOptions): Int = {
-    val body = Http.get(Http.newClient(), url, opts.httpConf).body
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-    field.split('.').foldLeft(node)((n, f) => n.get(f)).asInt
-  }
+  def countRequest(url: String, field: String, opts: ZoloRestOptions): Int =
+    RestQueries.countOf(Http.get(Http.newClient(), url, opts.httpConf).body, field, url)
 }
 
 final class ZoloRestTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -391,6 +401,15 @@ final class ZoloRestScan(
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a full-refresh dimension has no incremental watermark: its
+    // planPartitions ignores the offset window, so "streaming" it would
+    // re-fetch and re-append the ENTIRE dimension every trigger —
+    // unbounded duplication. Refuse at planning time (the streaming
+    // mirror of toBatch's unbounded-scan gate).
+    require(
+      !entity.unboundedOk,
+      s"zolo-rest ${entity.name} is a full-refresh dimension — it has no incremental " +
+        "watermark to stream on; read it as a batch refresh instead")
     val startAt = begin.orElse(Option(opts.begin).filter(_.nonEmpty))
     require(
       startAt.isDefined,
@@ -416,23 +435,34 @@ final class ZoloRestMicroBatchStream(
     Option(opts.clock).filter(_.nonEmpty).getOrElse(
       java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString)
 
+  /** The highest offset this stream has seen — initial, checkpointed
+    * (restart), or previously planned. `latestOffset` clamps to it, so a
+    * wall clock stepping BEHIND the committed watermark (NTP step-back,
+    * restart with a stale fixed clock) idles at the watermark until real
+    * time passes it again, instead of committing the regressed time and
+    * re-ingesting already-landed windows when the clock recovers.
+    */
+  @volatile private var highWater: String = beginTime
+  private def advance(t: String): String = synchronized {
+    if (t > highWater) highWater = t
+    highWater
+  }
+
   override def initialOffset(): Offset = ZoloRestStreamOffset(beginTime)
 
-  override def latestOffset(): Offset = {
-    // the watermark never regresses: a wall clock behind the committed
-    // offset (or a stale fixed clock) yields an empty batch, not a
-    // negative window
-    ZoloRestStreamOffset(nowIso)
-  }
+  override def latestOffset(): Offset = ZoloRestStreamOffset(advance(nowIso))
 
   override def deserializeOffset(json: String): Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    ZoloRestStreamOffset(node.get("endTime").asText())
+    val t    = node.get("endTime").asText()
+    advance(t)
+    ZoloRestStreamOffset(t)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ZoloRestStreamOffset].endTime
     val hi = end.asInstanceOf[ZoloRestStreamOffset].endTime
+    advance(lo)
     if (lo >= hi) Array.empty
     else entity.planPartitions(opts, lo, hi)
   }

@@ -215,13 +215,22 @@ object TextAnalysis {
     * the 20-step walk is a Map lookup per step: one successor-table job
     * instead of the earlier 20 per-step filter+collect round trips. At
     * 100 TB the vocabulary (≈millions of rows, two short strings each)
-    * still fits the driver comfortably; past that budget the walk
-    * degrades gracefully to the per-step 1-row-frontier lookup this
-    * replaced. All-integer argmaxes with string tiebreaks — trivially
-    * hash-exact.
+    * still fits the driver comfortably; the collect is guarded by
+    * [[lmSuccBudget]] (the fetch stops at budget+1 rows), and past the
+    * budget the walk REALLY degrades to the per-step 1-row-frontier
+    * lookup over the distributed table (LmGenerateSpec runs both routes
+    * to identical output). All-integer argmaxes with string tiebreaks —
+    * trivially hash-exact.
     */
   val lmGenSteps = 20
-  val textLmGenerate: Q = (s, d) => {
+
+  /** Driver budget for the collected successor table, in rows (one per
+    * vocabulary word — two short strings each, so this is ~100 MB at the
+    * cap, comfortably model-sized state).
+    */
+  val lmSuccBudget: Int = 1 << 22
+
+  private[text] def lmGenerate(s: SparkSession, d: String, succBudget: Int): DataFrame = {
     val toks = Tables.documents(s, d)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
     val uni = toks.groupBy($"token").agg(count(lit(1)).as("c"))
@@ -233,23 +242,36 @@ object TextAnalysis {
         col("a.doc_id") === col("b.doc_id") && col("a.pos") + 1 === col("b.pos"))
       .groupBy(col("a.token").as("w1"), col("b.token").as("w2"))
       .agg(count(lit(1)).as("c"))
-    val succ: Map[String, String] = big
+    val ranked = big
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"w1").orderBy($"c".desc, $"w2")))
       .filter($"rn" === 1)
       .select($"w1", $"w2")
-      .collect()
-      .map(r => r.getString(0) -> r.getString(1))
-      .toMap
-    val out = scala.collection.mutable.ArrayBuffer((0, start))
-    var cur = start
-    var i   = 1
-    var dead = false
-    while (i <= lmGenSteps && !dead) {
-      succ.get(cur) match {
-        case None      => dead = true
-        case Some(nxt) => cur = nxt; out += ((i, cur)); i += 1
+    // budget+1 bounds the driver fetch: ≤ budget rows means we got the
+    // WHOLE table (deterministic); budget+1 rows means an arbitrary
+    // subset arrived — discard it and walk the distributed table per
+    // step instead (1 row per step, vocab-size-independent)
+    val collected = ranked.limit(succBudget + 1).collect()
+    val out       = scala.collection.mutable.ArrayBuffer((0, start))
+    var cur       = start
+    var i         = 1
+    var dead      = false
+    if (collected.length <= succBudget) {
+      val succ = collected.map(r => r.getString(0) -> r.getString(1)).toMap
+      while (i <= lmGenSteps && !dead) {
+        succ.get(cur) match {
+          case None      => dead = true
+          case Some(nxt) => cur = nxt; out += ((i, cur)); i += 1
+        }
+      }
+    } else {
+      val frontier = ranked.localCheckpoint(true)
+      while (i <= lmGenSteps && !dead) {
+        frontier.filter($"w1" === cur).select($"w2").collect().headOption match {
+          case None    => dead = true
+          case Some(r) => cur = r.getString(0); out += ((i, cur)); i += 1
+        }
       }
     }
     val enc = org.apache.spark.sql.Encoders.row(
@@ -264,6 +286,8 @@ object TextAnalysis {
       .orderBy(col("step"))
       .localCheckpoint(eager = true)
   }
+
+  val textLmGenerate: Q = (s, d) => lmGenerate(s, d, lmSuccBudget)
 
   /** Heaps'-law vocabulary-growth fit — Zipf's companion statistic
     * (`text_zipf_fit` measures the frequency head; Heaps measures how

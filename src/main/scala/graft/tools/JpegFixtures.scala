@@ -33,7 +33,7 @@ object JpegFixtures {
       val bytes          = Files.readAllBytes(dir.resolve(s"img_$id.jpg"))
       val (img, fmt)     = Multimodal.ImageCodec.decode(bytes)
       val (w, h, c, sum) = Multimodal.ImageCodec.stats(img)
-      (id, w, h, c, fmt, sum, sum / (w.toLong * h * c), Jpeg.ahash64(img))
+      (id, w, h, c, fmt, sum, sum / (w.toLong * h * c), Multimodal.ahash64(img))
     }
 
     val goldens = "img_id,width,height,channels,format,pix_sum,mean_intensity\n" +

@@ -136,6 +136,39 @@ class RestStreamSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("latestOffset never regresses behind the committed watermark (clock step-back)") {
+    val stale = "2019-03-01T00:00:00Z" // wall clock BEHIND the committed offset
+    val stream = new ZoloRestMicroBatchStream(
+      ZoloRestEntity("square_payments"),
+      ZoloRestOptions("http://x", "", "", "", "", 2, 50, 1, 100, begin = begin, clock = stale),
+      begin)
+    // restart path: the checkpointed offset arrives via deserializeOffset
+    stream.deserializeOffset(ZoloRestStreamOffset(mid).json())
+    val latest = stream.latestOffset().asInstanceOf[ZoloRestStreamOffset].endTime
+    assert(latest == mid,
+      s"latestOffset must clamp to the committed watermark $mid, got $latest — " +
+        "committing the regressed clock would re-ingest landed windows on recovery")
+    assert(stream.planInputPartitions(ZoloRestStreamOffset(mid), stream.latestOffset()).isEmpty,
+      "the clamped (empty) window must plan zero partitions")
+  }
+
+  test("qb_customers refuses to stream — a full refresh has no incremental watermark") {
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("zolo-rest")
+        .option("entity", "qb_customers")
+        .option("url", "http://localhost:9").option("realm", "R").option("token", "t")
+        .option("begin", begin).option("clock", end)
+        .load()
+        .writeStream.format("memory").queryName("qbc_refuse").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("full-refresh dimension"))),
+      s"unexpected error: $e")
+  }
+
   test("offset json round-trips") {
     val off = ZoloRestStreamOffset("2019-07-01T00:00:00Z")
     val stream = new ZoloRestMicroBatchStream(

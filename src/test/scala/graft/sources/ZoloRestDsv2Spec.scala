@@ -171,6 +171,18 @@ class ZoloRestDsv2Spec extends SparkSpec {
     }
   }
 
+  test("square entity: an empty or sub-second pushed window plans zero partitions, not a crash") {
+    // nothing is fetched (zero partitions == zero requests), so no server
+    def read(lo: String, hi: String) =
+      spark.read.format("zolo-rest")
+        .option("url", "http://localhost:9/v1/LOC1/payments").option("token", "t")
+        .load()
+        .filter(col("created_at") >= lo && col("created_at") < hi)
+    assert(read(begin, begin).count() == 0, "equal bounds = a legitimate empty window")
+    assert(read(begin, "2019-01-01T00:00:00.500Z").count() == 0,
+      "a window empty at whole-second granularity must plan zero slices")
+  }
+
   test("qb_customers entity: unbounded full refresh is the contract — no range required") {
     val srv = FixtureApiServer.qbQuery(
       s"${ZoloPipeline.fixturesDir}/qb_customers.json",

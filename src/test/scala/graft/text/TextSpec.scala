@@ -263,6 +263,15 @@ class TextSpec extends SparkSpec {
       s"confusion not diagonal: ${conf.toSeq}")
   }
 
+  test("lm generate: over-budget fallback (per-step frontier walk) equals the collected-map walk") {
+    val viaMap = TextAnalysis.lmGenerate(spark, sf0001, TextAnalysis.lmSuccBudget)
+      .collect().map(_.toSeq).toSeq
+    // budget 1 < vocab size forces the degraded route end-to-end
+    val viaSteps = TextAnalysis.lmGenerate(spark, sf0001, 1)
+      .collect().map(_.toSeq).toSeq
+    assert(viaMap == viaSteps)
+  }
+
   test("lm generate: starts at the modal unigram and every step follows the argmax successor") {
     import org.apache.spark.sql.functions._
     val seq0 = TextAnalysis.textLmGenerate(spark, sf0001).collect()
