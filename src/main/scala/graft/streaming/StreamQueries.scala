@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.syntax._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Driver-facing streaming queries — the §2.10 slice run through the REAL
@@ -364,6 +364,105 @@ object StreamQueries {
     out
   }
 
+  /** The milestone fold as a Spark-4 `StatefulProcessor` — semantically
+    * byte-identical to the `flatMapGroupsWithState` closure in
+    * [[streamState]] (same in-batch (ts, event_id) sort, same pure-Long
+    * cents arithmetic), but the running total lives in a named
+    * `ValueState[Long]` obtained from the processor handle instead of a
+    * `GroupState`. Named state is the scale hook: the new API only runs
+    * on the RocksDB state store, so per-key state pages to local disk
+    * (plus an SST changelog in the checkpoint) instead of living in
+    * executor heap — the difference between "state fits in memory" and
+    * "state fits on disk" once the user universe hits 10⁹ keys at 100 TB.
+    * `TTLConfig.NONE` keeps lifetime semantics identical to the
+    * `NoTimeout` of the old API; a live deployment would set a TTL here
+    * to bound abandoned-key state without a code change.
+    */
+  private[streaming] class MilestoneProcessor
+      extends StatefulProcessor[Long, PurchaseEvt, MilestoneRow] {
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[PurchaseEvt], tv: TimerValues
+    ): Iterator[MilestoneRow] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var c      = if (cum.exists()) cum.get() else 0L
+      val out    = Array.newBuilder[MilestoneRow]
+      sorted.foreach { e =>
+        val prevLvl = c / milestoneCents
+        c += e.vc
+        val lvl = c / milestoneCents
+        if (lvl > prevLvl)
+          out += MilestoneRow(user, e.event_id, e.ts_us, lvl, c.toDouble / 100.0)
+      }
+      cum.update(c)
+      out.result().iterator
+    }
+  }
+
+  /** FQCN of the disk-backed provider `transformWithState` requires —
+    * Spark refuses to plan the operator on the default HDFS-backed
+    * in-heap provider, so a completed run is itself proof the state
+    * lived in RocksDB.
+    */
+  private[streaming] val rocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** `s_stream_state` on the modern engine: `transformWithState` +
+    * RocksDB state store. Shares [[streamState]]'s oracle verbatim —
+    * the two APIs must converge to the same alert set — so the driver
+    * hash-checks the old-API fold, the new-API fold, and the DuckDB
+    * window replay against each other. The provider conf is read at
+    * query start, set session-wide for the run and restored after
+    * (concurrent queries in this engine run the heap provider
+    * untouched; a deployment would set it once in spark-defaults).
+    */
+  val streamStateTws: Q = (s, d) => {
+    import s.implicits.{newLongEncoder, newProductEncoder}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior   = s.conf.getOption(provKey)
+    s.conf.set(provKey, rocksDbProvider)
+    val ck = java.nio.file.Files.createTempDirectory("graft-tws-ck").toString
+    try {
+      val purchases = eventsStream(s, d, Map("maxFilesPerTrigger" -> "1000"))
+        .filter($"event_type" === "purchase")
+        .select(
+          $"user_id", $"event_id",
+          unix_micros($"ts").as("ts_us"),
+          ($"value".cast("decimal(18,2)") * lit(100)).cast("long").as("vc")
+        )
+        .as[PurchaseEvt]
+      val alerts = purchases
+        .groupByKey(_.user_id)
+        .transformWithState(new MilestoneProcessor, TimeMode.None(), OutputMode.Append())
+      val q = alerts.toDF().writeStream
+        .format("memory")
+        .queryName("s_stream_state_tws_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table("s_stream_state_tws_sink")
+        .select(
+          $"user_id", $"event_id",
+          timestamp_micros($"ts_us").as("ts"),
+          $"milestone", $"cum_value"
+        )
+        .orderBy($"user_id", $"ts", $"event_id")
+        .localCheckpoint()
+      s.catalog.dropTempView("s_stream_state_tws_sink")
+      out
+    } finally {
+      prior match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    }
+  }
+
   /** Streaming anomaly monitor — the stream-STATIC join leg of §2.10:
     * per-type historical statistics (mean/σ of 30-minute window totals,
     * computed batch-side from exact DECIMAL moments and rounded once at
@@ -519,6 +618,7 @@ object StreamQueries {
     "s_stream_join_outer" -> streamJoinOuter,
     "s_stream_dedup"    -> streamDedup,
     "s_stream_state"    -> streamState,
+    "s_stream_state_tws" -> streamStateTws,
     "s_stream_anomaly"  -> streamAnomaly
   )
 
@@ -573,6 +673,26 @@ object StreamQueries {
     // uses. lag(...,1,0) seeds the pre-stream level at 0 — a user's first
     // purchase can itself cross milestone 1.
     "s_stream_state" ->
+      s"""WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT *, SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM p),
+        |l AS (
+        |  SELECT *, cum // $milestoneCents AS lvl,
+        |    lag(cum // $milestoneCents, 1, 0) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lvl
+        |  FROM c)
+        |SELECT user_id, event_id, ts, CAST(lvl AS BIGINT) AS milestone,
+        |  CAST(cum AS DOUBLE) / 100.0 AS cum_value
+        |FROM l WHERE lvl > prev_lvl
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    // the transformWithState leg shares the fold oracle verbatim — both
+    // APIs must converge to the same alert set
+    "s_stream_state_tws" ->
       s"""WITH p AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
