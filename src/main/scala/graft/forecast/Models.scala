@@ -48,7 +48,7 @@ object Models {
     */
   def sesWalkForward(xs: Array[Double], alpha: Double = 0.6): (Double, Array[Double]) = {
     val (train, test) = split75(xs)
-    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val history = scala.collection.mutable.ArrayBuffer.from(train)
     val preds = new Array[Double](test.length)
     var i = 0
     while (i < test.length) {
@@ -173,7 +173,7 @@ object Models {
     */
   def armaWalkForwardFixedD1(xs: Array[Double], phi: Double, theta: Double): (Double, Double) = {
     val (train, test) = split75(xs)
-    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val history = scala.collection.mutable.ArrayBuffer.from(train)
     val preds = new Array[Double](test.length)
     var i = 0
     while (i < test.length) {
@@ -199,7 +199,7 @@ object Models {
 
   def holtWalkForward(xs: Array[Double]): (Double, Array[Double]) = {
     val (train, test) = split75(xs)
-    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val history = scala.collection.mutable.ArrayBuffer.from(train)
     val preds = new Array[Double](test.length)
     var i = 0
     while (i < test.length) {
@@ -590,7 +590,7 @@ object Models {
   def arimaWalkForward(xs: Array[Double], p: Int, d: Int, q: Int): Option[(Double, Array[Double])] = {
     val (train, test) = split75(xs)
     if (train.length < d + math.max(p, q) + 5 || test.isEmpty) return None
-    val history = scala.collection.mutable.ArrayBuffer(train: _*)
+    val history = scala.collection.mutable.ArrayBuffer.from(train)
     val preds = new Array[Double](test.length)
     var i = 0
     while (i < test.length) {

@@ -48,7 +48,7 @@ object SkewJoin {
     // distinguishing payload anyway).
     val saltedBig = big.withColumn(
       "__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int")
+      pmod(xxhash64(struct(scala.collection.immutable.ArraySeq.unsafeWrapArray(big.columns.map(col)): _*)), lit(salts.toLong)).cast("int")
     )
     val saltedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig

@@ -58,7 +58,7 @@ object Pca {
   }
 
   private def covFrom(e: DataFrame, mu: Array[Double]): DataFrame = {
-    val muLit = array(mu.map(lit): _*)
+    val muLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(mu.map(lit)): _*)
     val cent  = e.select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
     // Row-local upper-triangle expansion: each row emits its own
     // d(d+1)/2 (i, j, xi·xj) products via nested transform+flatten —
@@ -149,8 +149,8 @@ object Pca {
   def pcaProject(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val (mu, ev) = pcaComponents(s, d)
-    val muLit    = array(mu.map(lit): _*)
-    val evLit    = array(ev.map(lit): _*)
+    val muLit    = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(mu.map(lit)): _*)
+    val evLit    = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(ev.map(lit)): _*)
     Tables
       .embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("v"))
