@@ -106,7 +106,7 @@ object Similarity {
     * (cosine desc, neighbor_id asc) tie-breaking that all variants (and
     * their shared oracle) must agree on.
     */
-  private def rankPerProbe(sims: DataFrame, k: Int): DataFrame = {
+  private[sim] def rankPerProbe(sims: DataFrame, k: Int): DataFrame = {
     val top = graft.plans.TopK.perKey(
       sims,
       keys = Seq($"probe_id"),
@@ -120,7 +120,7 @@ object Similarity {
   }
 
   /** Row-local cosine for training/assignment closures. */
-  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+  private[sim] def cosLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1 }

@@ -1,0 +1,114 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.syntax._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contract of the two-level IVF: well-formed output, recall vs brute
+  * force pinned (approximation confined to candidate generation, as
+  * with every other ANN path), hierarchical assignment consistent with
+  * its own structure, short cells padded deterministically, and the
+  * bounded training-sample cap engaging without breaking the query.
+  */
+class HierIvfSpec extends SparkSpec {
+
+  private def embeddings = graft.tables.Tables
+    .embeddings(spark, sf0001)
+    .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+
+  private lazy val result =
+    HierIvf.ivfHierTopK(spark, sf0001, k = 5, kc = 4, kf = 4, nprobe = 4, wCoarse = 2).collect()
+
+  test("result is well-formed: no self matches, contiguous ranks, at most k rows per probe") {
+    assert(result.nonEmpty)
+    assert(!result.exists(r => r.getLong(0) == r.getLong(1)), "probe returned itself")
+    result.groupBy(_.getLong(0)).foreach { case (p, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"probe $p ranks not contiguous: $ranks")
+      assert(ranks.length <= 5, s"probe $p emitted ${ranks.length} > k rows")
+    }
+  }
+
+  test("recall vs brute force stays above the pinned floor") {
+    val exact = Similarity
+      .bruteForceTopK(spark, sf0001, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = result.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"hier-IVF recall@5 = $recall%.3f (${got.size} vs ${exact.size} exact)")
+    assert(recall >= 0.50, f"recall collapsed: $recall%.3f")
+  }
+
+  test("assignment is hierarchically consistent: fine argmax within the coarse argmax") {
+    val e              = embeddings
+    val (coarse, fine) = HierIvf.trainCentroidsHier(spark, e, kc = 4, kf = 4, iters = 3)
+    assert(fine.length == 4 && fine.forall(_.length == 4), "fine grid not kc x kf")
+    val vs = e.collect().map(r => r.getSeq[Double](1).toArray)
+    vs.foreach { v =>
+      val id = HierIvf.assignHierArr(coarse, fine, v)
+      assert(id >= 0 && id < 16, s"cell id $id out of range")
+      val c = id / 4
+      assert(c == Similarity.nearestCellArr(coarse, v), "coarse level of id is not the coarse argmax")
+      assert(id % 4 == Similarity.nearestCellArr(fine(c), v), "fine level of id is not the in-cell argmax")
+    }
+  }
+
+  test("probe cells come only from the wCoarse best coarse cells, best-first") {
+    val e              = embeddings
+    val (coarse, fine) = HierIvf.trainCentroidsHier(spark, e, kc = 4, kf = 4, iters = 3)
+    val v              = e.orderBy($"vec_id").limit(1).collect()(0).getSeq[Double](1).toArray
+    val cells          = HierIvf.probeCellsHierArr(coarse, fine, v, wCoarse = 2, nprobe = 4)
+    assert(cells.length == 4)
+    assert(cells.distinct.length == cells.length, "duplicate probe cell")
+    val allowedCoarse = Similarity.probeCellsArr(coarse, v, 2).toSet
+    assert(cells.forall(id => allowedCoarse.contains(id / 4)), "probe cell outside wCoarse cells")
+    val sims = cells.map(id => Similarity.cosLocal(fine(id / 4)(id % 4), v))
+    assert(
+      sims.zip(sims.tail).forall { case (a, b) => a >= b },
+      s"probe cells not best-first: $sims"
+    )
+  }
+
+  test("a coarse cell with fewer sample vectors than kf pads with its coarse centroid") {
+    import spark.implicits._
+    // 5 near-identical vectors land in one coarse cell; the opposite
+    // direction gets a single vector, so its fine list must pad
+    val rows = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.99, 0.01)), (2L, Array(0.98, 0.02)),
+      (3L, Array(0.97, 0.03)), (4L, Array(0.96, 0.04)),
+      (5L, Array(-1.0, 0.0))
+    ).toDF("vec_id", "v")
+    val (coarse, fine) = HierIvf.trainCentroidsHier(spark, rows, kc = 2, kf = 4, iters = 2)
+    assert(fine.forall(_.length == 4), "fine slots not dense")
+    val padded = fine.zipWithIndex.flatMap { case (cells, c) =>
+      cells.zipWithIndex.collect { case (fc, j) if fc.sameElements(coarse(c)) => (c, j) }
+    }
+    assert(padded.nonEmpty, "expected at least one coarse-padded fine slot")
+    // padding fills from the tail: every slot after a padded one is padded too
+    padded.groupBy(_._1).foreach { case (c, js) =>
+      val first = js.map(_._2).min
+      assert((first until 4).forall(j => fine(c)(j).sameElements(coarse(c))),
+        s"cell $c pads non-contiguously")
+    }
+    // equal-similarity duplicates (what padding creates) resolve to the
+    // FIRST index — the strict-> discipline shared with the flat path
+    val dup = fine(padded.head._1)(padded.head._2)
+    assert(Similarity.nearestCellArr(Array(dup, dup.clone()), dup) == 0,
+      "tie between identical centroids did not resolve to the first index")
+  }
+
+  test("the sample cap engages without breaking the query shape") {
+    val e = embeddings
+    val (coarse, fine) =
+      HierIvf.trainCentroidsHier(spark, e, kc = 4, kf = 4, iters = 3, sampleCap = 8)
+    assert(coarse.length == 4 && fine.forall(_.length == 4))
+    // with only 8 sample rows per cell the trainer must still emit a
+    // total assignment over the full corpus
+    val vs = e.collect().map(r => r.getSeq[Double](1).toArray)
+    val ids = vs.map(HierIvf.assignHierArr(coarse, fine, _)).toSet
+    assert(ids.forall(id => id >= 0 && id < 16))
+  }
+}
