@@ -127,11 +127,12 @@ object Similarity {
     dot / math.sqrt(na * nb)
   }
 
-  /** Spherical k-means (Lloyd's): deterministic init (vec_id < nCells),
-    * map-only assignment against broadcast centroids each iteration,
-    * per-cell normalized mean. Centroids are tiny (nCells × dim) so the
-    * per-iteration collect is driver-cheap at any corpus size — each
-    * iteration's cluster cost is one scan + one groupBy.
+  /** Spherical k-means (Lloyd's): deterministic init (the nCells
+    * smallest vec_ids), map-only assignment against broadcast centroids
+    * each iteration, per-cell normalized mean via per-partition sum
+    * blocks + treeReduce — the corpus never shuffles during training;
+    * only nCells × dim state leaves each partition, so the per-iteration
+    * cluster cost is one scan at any corpus size.
     */
   def trainCentroids(s: SparkSession, e: DataFrame, nCells: Int, iters: Int): Array[Array[Double]] = {
     import s.implicits._
@@ -149,23 +150,46 @@ object Similarity {
     var cents: Array[Array[Double]] =
       ds.orderBy(col("vec_id")).limit(nCells).collect().sortBy(_._1).map(_._2)
     require(cents.nonEmpty, "trainCentroids: empty input — no vectors to seed centroids from")
+    val k   = cents.length
+    val dim = cents(0).length
     for (_ <- 1 to iters) {
       val bc = s.sparkContext.broadcast(cents)
-      val updated = ds
-        .map { case (_, v) => (nearestCellArr(bc.value, v), v) }
-        .groupByKey(_._1)
-        .mapGroups { (cell, rows) =>
-          val sum = new Array[Double](bc.value(0).length)
-          rows.foreach { case (_, v) =>
-            var i = 0; while (i < sum.length) { sum(i) += v(i); i += 1 }
+      // map-side combinable mean step (the trainPqCodebooks discipline):
+      // each partition folds its rows into ONE k×dim sum block + hit
+      // flags, treeReduce merges the blocks — the corpus itself never
+      // shuffles during training (the old groupByKey/mapGroups shuffled
+      // every vector to its cell's reducer each iteration, which at
+      // nCells ∝ n was pure overhead: the r7 profile measured the flat
+      // 1600-cell iteration at ~8 s of flops inside ~24 s of wall)
+      val (sums, hit) = ds.rdd
+        .mapPartitions { it =>
+          val sums = new Array[Double](k * dim)
+          val hit  = new Array[Boolean](k)
+          it.foreach { case (_, v) =>
+            val c = nearestCellArr(bc.value, v)
+            hit(c) = true
+            val base = c * dim
+            var i = 0
+            while (i < dim) { sums(base + i) += v(i); i += 1 }
           }
-          val norm = math.sqrt(sum.map(x => x * x).sum)
-          (cell, if (norm > 0) sum.map(_ / norm) else sum)
+          Iterator.single((sums, hit))
         }
-        .collect()
-        .toMap
-      // empty cells keep their previous centroid
-      cents = cents.indices.map(c => updated.getOrElse(c, cents(c))).toArray
+        .treeReduce { case ((s1, h1), (s2, h2)) =>
+          var i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          var c = 0; while (c < h1.length) { h1(c) = h1(c) || h2(c); c += 1 }
+          (s1, h1)
+        }
+      cents = Array.tabulate(k) { c =>
+        if (!hit(c)) cents(c) // empty cells keep their previous centroid
+        else {
+          val base = c * dim
+          var n2 = 0.0; var i = 0
+          while (i < dim) { val x = sums(base + i); n2 += x * x; i += 1 }
+          val n = math.sqrt(n2)
+          if (n > 0) Array.tabulate(dim)(i => sums(base + i) / n)
+          else Array.tabulate(dim)(i => sums(base + i))
+        }
+      }
     }
     cents
     } finally ds.unpersist() // finally: a failed Lloyd iteration must not leak the corpus cache
