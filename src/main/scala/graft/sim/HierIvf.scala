@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * The flat IVF trainer ([[Similarity.trainCentroids]]) pays
   * O(n · nCells · d) flops per Lloyd iteration; once nCells grows ∝ n to
   * hold cell size constant (the scale rule every IVF note in this repo
-  * states), training is O(n^1.5) and became the measured wall of the r7
+  * states), training is O(n²·d) and became the measured wall of the r7
   * 1000× probe (2M vectors × 16k cells: 432 s, all of it assignment
   * flops — BENCH_LOCAL §r7-1000×). The standard remedy, named there, is
   * hierarchical assignment; this file implements it:
