@@ -75,7 +75,7 @@ object StressHier {
       }
       log(f"- flat IVF   (${nEmb * mult} vectors, $nCells cells): " +
         f"${tFlat}%.1f s, recall@5 ${recallOf(flatRows)}%.3f " +
-        f"(assignment O(n·${nCells}·d) per Lloyd iter)")
+        f"(assignment O(n x $nCells x d) per Lloyd iter)")
     }
 
     val (hierRows, tHier) = t {
@@ -86,7 +86,7 @@ object StressHier {
     }
     log(f"- hier IVF   (kc=$kc, kf=$kf = ${kc * kf} cells): " +
       f"${tHier}%.1f s, recall@5 ${recallOf(hierRows)}%.3f " +
-      f"(coarse O(n·${kc}·d) per iter + sampled fine + build O(n·${kc + kf}·d))")
+      f"(coarse O(n x $kc x d) per iter + sampled fine + build O(n x ${kc + kf} x d))")
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     log("")

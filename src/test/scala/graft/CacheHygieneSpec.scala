@@ -30,6 +30,7 @@ class CacheHygieneSpec extends SparkSpec {
     "dedup_clusters",
     "dedup_keep_list",
     "ann_ivf_topk",
+    "ann_ivf_hier_topk",
     "ann_ivf_index_topk",
     "ann_srp_topk",
     "dedup_semdedup_keep"
