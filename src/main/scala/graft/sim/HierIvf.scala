@@ -232,12 +232,62 @@ object HierIvf {
     Similarity.rankPerProbe(cellSims, k)
   }
 
+  /** Materialize the hier-assigned IVF index: the corpus written
+    * PARTITIONED BY the global fine cell id, exactly the
+    * [[Similarity.writeIvfIndexFor]] layout, but each row pays O(kc+kf)
+    * assignment cosines instead of O(kc·kf). At 100 TB the index BUILD
+    * is the operation that touches every vector — with nCells ∝ n the
+    * flat assignment term is the O(n²·d) wall StressHier measures; this
+    * is the build path that scales. Probing is layout-compatible with
+    * the flat index (same cell_id partitioning, same probe machinery).
+    */
+  def writeIvfIndexHierFor(
+      s: SparkSession,
+      e: DataFrame,
+      path: String,
+      kc: Int,
+      kf: Int,
+      iters: Int,
+      sampleCap: Int = 1024
+  ): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    graft.functions.GraftFunctions.register(s)
+    val (coarse, fine) = trainCentroidsHier(s, e, kc, kf, iters, sampleCap)
+    val bcC = s.sparkContext.broadcast(coarse)
+    val bcF = s.sparkContext.broadcast(fine)
+    val assignCell = udf { (v: Seq[Double]) => assignHierArr(bcC.value, bcF.value, v.toArray) }
+    e.withColumn("cell_id", assignCell($"v"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    (coarse, fine)
+  }
+
+  /** Driver row for the hier-built index: build with hierarchical
+    * assignment, probe the standard 10 probes through the shared
+    * [[Similarity.ivfProbeIndexBatch]] at full width — every vector
+    * lives in exactly one cell, so full-width probing is EXACT at any
+    * centroid quality and the row hash-matches the shared brute-force
+    * oracle while exercising the hier build → partitioned layout →
+    * batched pruned read end-to-end (the flat-index discipline of
+    * `ann_ivf_index_topk`). The pruning variant (nprobe < kc·kf,
+    * planning-time PartitionFilters) is asserted by HierIvfSpec.
+    */
+  def ivfHierIndexTopK(s: SparkSession, d: String, k: Int, kc: Int, kf: Int): DataFrame = {
+    val path = Similarity.scratchDir("hierindex", d)
+    val e    = Tables.embeddings(s, d).select($"vec_id", asDouble($"embedding").as("v"))
+    val (_, fine) = writeIvfIndexHierFor(s, e, path, kc, kf, iters = 3)
+    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
+    // the flat centroid list in global-fine-id order: probeCells over it
+    // at full width covers every cell, keeping the exactness argument
+    Similarity.ivfProbeIndexBatch(s, path, fine.flatten, probes, k, nprobe = kc * kf)
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_ivf_hier_topk" -> ((s, d) =>
       ivfHierTopK(s, d, k = hierK, kc = hierKc, kf = hierKf,
         nprobe = hierNprobe, wCoarse = hierWCoarse,
         coarseDump = Some(s"${graft.OracleIo.dir(d)}/hier_coarse"),
-        fineDump = Some(s"${graft.OracleIo.dir(d)}/hier_fine")))
+        fineDump = Some(s"${graft.OracleIo.dir(d)}/hier_fine"))),
+    "ann_ivf_hier_index_topk" -> ((s, d) =>
+      ivfHierIndexTopK(s, d, k = hierK, kc = hierKc, kf = hierKf))
   )
 
   // Given-centroids replay of BOTH levels: coarse argmax → fine argmax
@@ -309,6 +359,10 @@ object HierIvf {
          |  SELECT *, CAST(row_number() OVER
          |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
          |  FROM sims) t
-         |WHERE rank <= $hierK ORDER BY probe_id, rank""".stripMargin
+         |WHERE rank <= $hierK ORDER BY probe_id, rank""".stripMargin,
+    // full-width probing of the hier-built index is exact (every vector
+    // in exactly one cell), so the row shares the brute-force oracle —
+    // the same argument ann_ivf_index_topk makes for the flat build
+    "ann_ivf_hier_index_topk" -> Similarity.oracles("ann_bruteforce_topk")
   )
 }

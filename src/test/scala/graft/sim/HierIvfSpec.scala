@@ -100,6 +100,28 @@ class HierIvfSpec extends SparkSpec {
       "tie between identical centroids did not resolve to the first index")
   }
 
+  test("hier-built index: partitioned layout, pruned read, full width equals brute force") {
+    val dir            = java.nio.file.Files.createTempDirectory("graft-hier-index").toString
+    val e              = embeddings
+    val (_, fine)      = HierIvf.writeIvfIndexHierFor(spark, e, dir, kc = 4, kf = 4, iters = 3)
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell_id="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16, "hier index not cell-partitioned")
+    val probes = e.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
+    // a narrow probe must plan PartitionFilters on cell_id — the pruned
+    // read is the point of the materialized layout, hier or flat
+    val narrow = Similarity.ivfProbeIndexBatch(
+      spark, dir, fine.flatten, probes.filter($"probe_id" === 0L), k = 5, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"), plan)
+    assert(narrow.count() == 5)
+    // full width covers every cell ⇒ EXACTLY brute force, ranks included
+    val full = Similarity.ivfProbeIndexBatch(spark, dir, fine.flatten, probes, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bf = Similarity.bruteForceTopK(spark, sf0001, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(full.toSeq == bf.toSeq, "hier-built full-width index read != brute force")
+  }
+
   test("the sample cap engages without breaking the query shape") {
     val e = embeddings
     val (coarse, fine) =
