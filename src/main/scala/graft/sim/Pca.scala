@@ -99,21 +99,15 @@ object Pca {
     (e, mu)
   }
 
-  /** Per-dimension means (rounded 9 dp) and the power-iterated,
-    * sign-fixed, rounded leading eigenvector of the covariance matrix.
+  /** The driver-side eigenvector step, shared by pc1 and the deflated
+    * pc2: 10 fixed power-iteration rounds from the exact-binary start
+    * 1/8, every fold in ascending-index order, sign fixed by the first
+    * largest-|coordinate| rule, final vector rounded ONCE at 9 dp
+    * (BigDecimal.valueOf + HALF_UP is exactly Spark's Round-on-double
+    * semantics, which 200+ gated queries have shown agrees with
+    * DuckDB's round(double, n)).
     */
-  def pcaComponents(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
-    val (e, mu) = meansStage(s, d)
-    val covRows = covFrom(e, mu).collect()
-
-    val cov = Array.ofDim[Double](dims, dims)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      cov(i)(j) = c
-      cov(j)(i) = c
-    }
-
-    // power iteration: exact-binary start, ascending folds, fixed rounds
+  private def powerIterate(cov: Array[Array[Double]]): Array[Double] = {
     var v = Array.fill(dims)(0.125)
     for (_ <- 1 to rounds) {
       val w = new Array[Double](dims)
@@ -137,12 +131,51 @@ object Pca {
     var i    = 1
     while (i < dims) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
     if (v(best) < 0) v = v.map(x => -x)
-    // BigDecimal.valueOf + HALF_UP is exactly Spark's Round-on-double
-    // semantics, which 200+ gated queries have shown agrees with
-    // DuckDB's round(double, n)
-    val r9 = v.map(x =>
+    v.map(x =>
       java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
-    (mu, r9)
+  }
+
+  private def covMatrix(s: SparkSession, d: String): (Array[Double], Array[Array[Double]]) = {
+    val (e, mu) = meansStage(s, d)
+    val covRows = covFrom(e, mu).collect()
+    val cov = Array.ofDim[Double](dims, dims)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    (mu, cov)
+  }
+
+  /** Per-dimension means (rounded 9 dp) and the power-iterated,
+    * sign-fixed, rounded leading eigenvector of the covariance matrix.
+    */
+  def pcaComponents(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
+    val (mu, cov) = covMatrix(s, d)
+    (mu, powerIterate(cov))
+  }
+
+  /** Means + the two leading eigenvectors. The second comes from
+    * Hotelling deflation on the ROUNDED first: λ₁ = v₁ᵀCv₁ (Rayleigh
+    * quotient, both folds ascending from 0.0), C₂ = C − λ₁·v₁v₁ᵀ
+    * elementwise, then the identical power-iteration discipline on C₂.
+    * Using the rounded v₁ keeps every deflation addend a plain IEEE
+    * expression the oracle can replay bit-for-bit.
+    */
+  def pcaComponents2(s: SparkSession, d: String): (Array[Double], Array[Double], Array[Double]) = {
+    val (mu, cov) = covMatrix(s, d)
+    val v1 = powerIterate(cov)
+    val w1 = Array.tabulate(dims) { i =>
+      var acc = 0.0
+      var j   = 0
+      while (j < dims) { acc += cov(i)(j) * v1(j); j += 1 }
+      acc
+    }
+    var lam = 0.0
+    var i   = 0
+    while (i < dims) { lam += v1(i) * w1(i); i += 1 }
+    val cov2 = Array.tabulate(dims, dims)((i, j) => cov(i)(j) - lam * v1(i) * v1(j))
+    (mu, v1, powerIterate(cov2))
   }
 
   /** pc1 score per vector — the driver query. */
@@ -164,8 +197,32 @@ object Pca {
       .orderBy($"vec_id")
   }
 
+  /** (pc1, pc2) score per vector — the 2-D projection curation consumes
+    * for embedding-space drift plots and cluster sanity views. Same
+    * map-side shape as [[pcaProject]]: two broadcast-literal dot
+    * products per row, no shuffle.
+    */
+  def pca2Project(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (mu, ev1, ev2) = pcaComponents2(s, d)
+    val muLit  = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(mu.map(lit)): _*)
+    val ev1Lit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(ev1.map(lit)): _*)
+    val ev2Lit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(ev2.map(lit)): _*)
+    Tables
+      .embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
+      .select(
+        $"vec_id",
+        round(graft.functions.GraftFunctions.dot64($"c", ev1Lit), 6).as("pc1"),
+        round(graft.functions.GraftFunctions.dot64($"c", ev2Lit), 6).as("pc2")
+      )
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "sim_pca_project" -> (pcaProject(_, _))
+    "sim_pca_project"  -> (pcaProject(_, _)),
+    "sim_pca2_project" -> (pca2Project(_, _))
   )
 
   // DuckDB replay of the full cascade. The unnormalized-iterate list W
@@ -179,47 +236,96 @@ object Pca {
   private val wNorm =
     s"sqrt(list_reduce(list_prepend(0.0, [x * x for x in $wList]), (a, b) -> a + b))"
 
+  /** The validated cascade up to the rounded first eigenvector — shared
+    * verbatim by both PCA oracles so the pc1 semantics can never desync.
+    */
+  private val cascadeToEv1 =
+    s"""WITH RECURSIVE u AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |mu0 AS (
+      |  SELECT i, round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS m
+      |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM u)
+      |  GROUP BY i),
+      |mul AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+      |cent AS (
+      |  SELECT vec_id,
+      |    [v[CAST(k AS INT)] - mu[CAST(k AS INT)] for k in range(1, 65)] AS c
+      |  FROM u, mul),
+      |cov0 AS (
+      |  SELECT i, j,
+      |    round(CAST(SUM(CAST(c[CAST(i AS INT)] * c[CAST(j AS INT)]
+      |      AS DECIMAL(38,18))) AS DOUBLE), 9) AS cv
+      |  FROM cent, range(1, 65) t1(i), range(1, 65) t2(j)
+      |  WHERE i <= j GROUP BY i, j),
+      |covm AS (
+      |  SELECT i, j, cv FROM cov0
+      |  UNION ALL SELECT j, i, cv FROM cov0 WHERE i <> j),
+      |cr AS (SELECT i, list(cv ORDER BY j) AS row FROM covm GROUP BY i),
+      |cl AS (SELECT list(row ORDER BY i) AS m FROM cr),
+      |it AS (
+      |  SELECT 0 AS r, [CAST(0.125 AS DOUBLE) for k in range(1, 65)] AS v, m FROM cl
+      |  UNION ALL
+      |  SELECT r + 1, [x / $wNorm for x in $wList], m
+      |  FROM it WHERE r < 10),
+      |fin AS (SELECT v FROM it WHERE r = 10),
+      |sgn AS (
+      |  SELECT CASE WHEN v[list_position([abs(x) for x in v],
+      |                                   list_max([abs(x) for x in v]))] < 0
+      |    THEN [-x for x in v] ELSE v END AS v
+      |  FROM fin),
+      |ev AS (SELECT [round(x, 9) for x in v] AS ev FROM sgn)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_pca_project" ->
-      s"""WITH RECURSIVE u AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |mu0 AS (
-        |  SELECT i, round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS m
-        |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM u)
-        |  GROUP BY i),
-        |mul AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
-        |cent AS (
-        |  SELECT vec_id,
-        |    [v[CAST(k AS INT)] - mu[CAST(k AS INT)] for k in range(1, 65)] AS c
-        |  FROM u, mul),
-        |cov0 AS (
-        |  SELECT i, j,
-        |    round(CAST(SUM(CAST(c[CAST(i AS INT)] * c[CAST(j AS INT)]
-        |      AS DECIMAL(38,18))) AS DOUBLE), 9) AS cv
-        |  FROM cent, range(1, 65) t1(i), range(1, 65) t2(j)
-        |  WHERE i <= j GROUP BY i, j),
-        |covm AS (
-        |  SELECT i, j, cv FROM cov0
-        |  UNION ALL SELECT j, i, cv FROM cov0 WHERE i <> j),
-        |cr AS (SELECT i, list(cv ORDER BY j) AS row FROM covm GROUP BY i),
-        |cl AS (SELECT list(row ORDER BY i) AS m FROM cr),
-        |it AS (
-        |  SELECT 0 AS r, [CAST(0.125 AS DOUBLE) for k in range(1, 65)] AS v, m FROM cl
-        |  UNION ALL
-        |  SELECT r + 1, [x / $wNorm for x in $wList], m
-        |  FROM it WHERE r < 10),
-        |fin AS (SELECT v FROM it WHERE r = 10),
-        |sgn AS (
-        |  SELECT CASE WHEN v[list_position([abs(x) for x in v],
-        |                                   list_max([abs(x) for x in v]))] < 0
-        |    THEN [-x for x in v] ELSE v END AS v
-        |  FROM fin),
-        |ev AS (SELECT [round(x, 9) for x in v] AS ev FROM sgn)
+      s"""$cascadeToEv1
         |SELECT vec_id,
         |  round(list_reduce(list_prepend(0.0,
         |    [c[CAST(k AS INT)] * ev[CAST(k AS INT)] for k in range(1, 65)]),
         |    (a, b) -> a + b), 6) AS pc1
-        |FROM cent, ev ORDER BY vec_id""".stripMargin
+        |FROM cent, ev ORDER BY vec_id""".stripMargin,
+    // pc2 replay: Hotelling deflation on the ROUNDED ev (w₁ = C·ev and
+    // λ₁ = Σ ev[i]·w₁[i], both ascending folds from 0.0 — the same
+    // prepend discipline as the iteration), C₂ = C − λ₁·ev·evᵀ
+    // elementwise (left-assoc product order matches the Scala
+    // `lam * v1(i) * v1(j)`), then the identical 10-round recursion,
+    // sign rule and 9-dp rounding against C₂
+    "sim_pca2_project" ->
+      s"""$cascadeToEv1,
+        |wl AS (
+        |  SELECT [list_reduce(list_prepend(0.0,
+        |    [m[CAST(i AS INT)][CAST(j AS INT)] * ev[CAST(j AS INT)] for j in range(1, 65)]),
+        |    (a, b) -> a + b) for i in range(1, 65)] AS w1
+        |  FROM cl, ev),
+        |lm AS (
+        |  SELECT list_reduce(list_prepend(0.0,
+        |    [ev[CAST(i AS INT)] * w1[CAST(i AS INT)] for i in range(1, 65)]),
+        |    (a, b) -> a + b) AS lam
+        |  FROM ev, wl),
+        |cl2 AS (
+        |  SELECT [[m[CAST(i AS INT)][CAST(j AS INT)]
+        |      - lam * ev[CAST(i AS INT)] * ev[CAST(j AS INT)]
+        |    for j in range(1, 65)] for i in range(1, 65)] AS m
+        |  FROM cl, ev, lm),
+        |it2 AS (
+        |  SELECT 0 AS r, [CAST(0.125 AS DOUBLE) for k in range(1, 65)] AS v, m FROM cl2
+        |  UNION ALL
+        |  SELECT r + 1, [x / $wNorm for x in $wList], m
+        |  FROM it2 WHERE r < 10),
+        |fin2 AS (SELECT v FROM it2 WHERE r = 10),
+        |sgn2 AS (
+        |  SELECT CASE WHEN v[list_position([abs(x) for x in v],
+        |                                   list_max([abs(x) for x in v]))] < 0
+        |    THEN [-x for x in v] ELSE v END AS v
+        |  FROM fin2),
+        |ev2t AS (SELECT [round(x, 9) for x in v] AS ev2 FROM sgn2)
+        |SELECT vec_id,
+        |  round(list_reduce(list_prepend(0.0,
+        |    [c[CAST(k AS INT)] * ev[CAST(k AS INT)] for k in range(1, 65)]),
+        |    (a, b) -> a + b), 6) AS pc1,
+        |  round(list_reduce(list_prepend(0.0,
+        |    [c[CAST(k AS INT)] * ev2[CAST(k AS INT)] for k in range(1, 65)]),
+        |    (a, b) -> a + b), 6) AS pc2
+        |FROM cent, ev, ev2t ORDER BY vec_id""".stripMargin
   )
 }

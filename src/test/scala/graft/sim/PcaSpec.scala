@@ -52,6 +52,33 @@ class PcaSpec extends SparkSpec {
       s"expected exactly one exchange (the ≤2080-group agg shuffle), got $exchanges:\n${df.queryExecution.executedPlan}")
   }
 
+  test("pc2: unit norm, near-orthogonal to pc1, pc1 column identical to the 1-component query") {
+    val (_, v1, v2) = Pca.pcaComponents2(spark, sf0001)
+    assert(v1.sameElements(ev), "pcaComponents2 ev1 diverged from pcaComponents")
+    val n2 = v2.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"ev2 norm² = $n2")
+    // orthogonality holds only up to the FIXED 10-round iteration's
+    // convergence (the cascade trades convergence for cross-engine
+    // determinism — rounds are pinned, not adaptive): v1 retains an
+    // O(convergence-error) component that deflation then can't remove.
+    // Measured 0.052 on the 50-vector sf0.001 corpus; gate at 0.1 to
+    // catch sign/deflation bugs (those produce |dot| ≈ 1) without
+    // pretending the fixed-round discipline converges further.
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.1, s"ev1·ev2 = $dot")
+    val two = Pca.pca2Project(spark, sf0001).collect()
+    assert(two.map(_.getDouble(1)).sameElements(proj),
+      "pc1 in sim_pca2_project must be bit-identical to sim_pca_project")
+    // no pc1-var ≥ pc2-var assertion: the synthetic corpus has a
+    // near-flat spectrum (random embeddings), and 10 fixed rounds do not
+    // guarantee eigenvalue ORDER on a narrow gap — only that both
+    // components are dominant-subspace directions (measured: pc2 var
+    // 0.0277 vs pc1 var 0.0265 here). The contract is replayability and
+    // shape, not Rayleigh ordering on degenerate spectra.
+    val pc2Var = two.map(r => r.getDouble(2) * r.getDouble(2)).sum / two.length
+    assert(pc2Var > 0.0)
+  }
+
   test("pc1 variance dominates every single original dimension's variance") {
     val n      = proj.length
     val pc1Var = proj.map(x => x * x).sum / n
