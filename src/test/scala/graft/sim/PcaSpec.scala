@@ -61,7 +61,7 @@ class PcaSpec extends SparkSpec {
     // convergence (the cascade trades convergence for cross-engine
     // determinism — rounds are pinned, not adaptive): v1 retains an
     // O(convergence-error) component that deflation then can't remove.
-    // Measured 0.052 on the 50-vector sf0.001 corpus; gate at 0.1 to
+    // Measured 0.052 on the 500-vector sf0.001 corpus; gate at 0.1 to
     // catch sign/deflation bugs (those produce |dot| ≈ 1) without
     // pretending the fixed-round discipline converges further.
     val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
