@@ -102,6 +102,13 @@ object HierIvf {
   /** Coarse + fine centroid training. Returns (coarse, fine) where
     * fine(c) has exactly kf entries (coarse-padded where the cell's
     * sample ran short).
+    *
+    * `sampleCap` ≤ 0 means auto: max(1024, 32·kf) — the per-cell sample
+    * scales with the number of fine centroids it has to support
+    * (≈32 examples per centroid, the FAISS-order training budget), so a
+    * high-kf index at scale doesn't silently starve its fine trainer
+    * while small configurations keep the old fixed 1024 bound (and the
+    * gate-SF corpora, which never hit either bound, are bit-unchanged).
     */
   private[graft] def trainCentroidsHier(
       s: SparkSession,
@@ -109,9 +116,10 @@ object HierIvf {
       kc: Int,
       kf: Int,
       iters: Int,
-      sampleCap: Int = 1024
+      sampleCap: Int = -1
   ): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import s.implicits._
+    val cap    = if (sampleCap > 0) sampleCap else math.max(1024, 32 * kf)
     val coarse = Similarity.trainCentroids(s, e, kc, iters)
     val bc     = s.sparkContext.broadcast(coarse)
     val assigned = e
@@ -119,10 +127,10 @@ object HierIvf {
       .as[(Long, Array[Double])]
       .map { case (id, v) => (Similarity.nearestCellArr(bc.value, v), id, v) }
       .toDF("coarse_id", "vec_id", "v")
-    // bounded-heap per-cell sample: ≤ sampleCap rows per (cell, mapper)
+    // bounded-heap per-cell sample: ≤ cap rows per (cell, mapper)
     // reach the shuffle — never a full per-cell sort
     val sampled = graft.plans.TopK
-      .perKey(assigned, keys = Seq(col("coarse_id")), ordering = Seq(col("vec_id").asc), k = sampleCap)
+      .perKey(assigned, keys = Seq(col("coarse_id")), ordering = Seq(col("vec_id").asc), k = cap)
       .as[(Int, Long, Array[Double])]
     val trained: Map[Int, Array[Array[Double]]] = sampled
       .groupByKey(_._1)
