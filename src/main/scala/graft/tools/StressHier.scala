@@ -88,6 +88,20 @@ object StressHier {
       f"${tHier}%.1f s, recall@5 ${recallOf(hierRows)}%.3f " +
       f"(coarse O(n x $kc x d) per iter + sampled fine + build O(n x ${kc + kf} x d))")
 
+    // r8: the adaptive cutover — the PLAIN flat API at the same nCells
+    // must delegate to the two-level path on its own (no caller opt-in)
+    if (nCells > graft.sim.Similarity.hierCutoverCells) {
+      val (autoRows, tAuto) = t {
+        graft.sim.Similarity
+          .ivfTopK(spark, work, k = 5, nCells = nCells, nprobe = 4)
+          .select($"probe_id", $"neighbor_id")
+          .collect()
+      }
+      log(f"- auto cutover (plain ivfTopK, nCells=$nCells > " +
+        f"${graft.sim.Similarity.hierCutoverCells}): ${tAuto}%.1f s, " +
+        f"recall@5 ${recallOf(autoRows)}%.3f — delegated to hier with no caller opt-in")
+    }
+
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     log("")
     spark.stop()

@@ -133,4 +133,36 @@ class HierIvfSpec extends SparkSpec {
     val ids = vs.map(HierIvf.assignHierArr(coarse, fine, _)).toSet
     assert(ids.forall(id => id >= 0 && id < 16))
   }
+
+  test("corpus smaller than kc trains without throwing and pads to coarse.length") {
+    // trainCentroids returns min(n, kc) centroids; the hier padding loop
+    // must follow that length, not kc (r7 ADVICE: it indexed coarse(c)
+    // up to kc-1 and threw where the flat trainer degrades gracefully)
+    val tiny = embeddings.filter($"vec_id" < 5)
+    val (coarse, fine) = HierIvf.trainCentroidsHier(spark, tiny, kc = 8, kf = 2, iters = 2)
+    assert(coarse.length == 5, s"expected 5 coarse centroids, got ${coarse.length}")
+    assert(fine.length == 5 && fine.forall(_.length == 2))
+    val vs = tiny.collect().map(r => r.getSeq[Double](1).toArray)
+    vs.foreach { v =>
+      val id = HierIvf.assignHierArr(coarse, fine, v)
+      assert(id >= 0 && id < 10)
+    }
+  }
+
+  test("adaptive cutover: plain writeIvfIndexFor above the threshold delegates to hier") {
+    // nCells = 2000 > hierCutoverCells: the flat API must transparently
+    // build the two-level index — visible as a kc·kf = 45·45 flat
+    // centroid list — and full-width probing of it must still be EXACTLY
+    // brute force (every vector in exactly one cell, any centroid set)
+    val dir   = java.nio.file.Files.createTempDirectory("graft-cutover").toString
+    val cents = Similarity.writeIvfIndexFor(spark, embeddings, dir, nCells = 2000, iters = 2)
+    assert(cents.length == 45 * 45, s"cutover did not engage: ${cents.length} centroids")
+    val probes = embeddings.filter($"vec_id" < 10).select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val full = Similarity
+      .ivfProbeIndexBatch(spark, dir, cents, probes, k = 5, nprobe = cents.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bf = Similarity.bruteForceTopK(spark, sf0001, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(full.toSeq == bf.toSeq, "cutover index full-width read != brute force")
+  }
 }
