@@ -75,32 +75,72 @@ object ZoloPipeline {
     * don't, so the driver's zolo_* hashes are untouched by this path.
     */
   def loadWarehouse(spark: SparkSession, root: String, dir: String = fixturesDir): Unit = {
-    spark.conf.set("spark.sql.catalog.zolo", classOf[graft.sources.WarehouseCatalog].getName)
-    spark.conf.set("spark.sql.catalog.zolo.root", root)
+    val cat = catalogFor(spark, root)
     val (sqTrans, sqDetails) = SquareEtl.run(spark, s"$dir/square_payments.json")
     val (shTrans, shDetails) = ShopifyEtl.run(spark, s"$dir/shopify_orders.json")
     val (qbTrans, qbDetails) = QuickbooksEtl.run(spark, s"$dir/qb_invoices.json")
 
     def appendKeyed(df: DataFrame, table: String, key: String): Unit = {
-      val w = df.writeTo(s"zolo.raw.$table").option("dedupKey", key)
-      if (spark.catalog.tableExists(s"zolo.raw.$table")) w.append()
+      val w = df.writeTo(s"$cat.raw.$table").option("dedupKey", key)
+      if (spark.catalog.tableExists(s"$cat.raw.$table")) w.append()
       else w.create() // first load: CTAS; replays afterwards dedup on key
+    }
+    // detail tables have no single-row key in the reference either, so
+    // they ACCUMULATE via plain append, same as to_sql(if_exists=
+    // 'append') (square_ETL.py:233, shopify_ETL.py:201,
+    // quickbooks_ETL.py:235) — a second load with a different extraction
+    // window must keep both windows' detail rows next to their
+    // accumulated headers (the J1 join this warehouse serves). The
+    // reference's caveat carries over too: replaying the SAME window
+    // duplicates details (no key to dedup on), while facts stay
+    // effectively-once via dedupKey.
+    def appendDetails(df: DataFrame, table: String): Unit = {
+      val w = df.writeTo(s"$cat.raw.$table")
+      if (spark.catalog.tableExists(s"$cat.raw.$table")) w.append()
+      else w.create()
     }
     appendKeyed(sqTrans, "square_trans", "payment_id")
     appendKeyed(shTrans, "shopify_trans", "order_id")
     appendKeyed(qbTrans, "qb_trans", "payment_id") // DocNumber lands as payment_id (QuickbooksEtl)
-    // detail tables have no single-row key in the reference either —
-    // plain append, same as to_sql(if_exists='append')
-    sqDetails.writeTo("zolo.raw.square_trans_details").createOrReplace()
-    shDetails.writeTo("zolo.raw.shopify_trans_details").createOrReplace()
-    qbDetails.writeTo("zolo.raw.qb_trans_details").createOrReplace()
+    appendDetails(sqDetails, "square_trans_details")
+    appendDetails(shDetails, "shopify_trans_details")
+    appendDetails(qbDetails, "qb_trans_details")
     // the reference REPLACES the customer dim on every run
     QbCustomersEtl.run(spark, s"$dir/qb_customers.json")
-      .writeTo("zolo.raw.qb_customers").createOrReplace()
+      .writeTo(s"$cat.raw.qb_customers").createOrReplace()
     Warehouse.readItems(spark, s"$dir/items.csv")
-      .writeTo("zolo.ref.items").createOrReplace()
+      .writeTo(s"$cat.ref.items").createOrReplace()
     Warehouse.readCoffeeProfiles(spark, s"$dir/coffee_profiles.csv")
-      .writeTo("zolo.ref.coffee_profiles").createOrReplace()
+      .writeTo(s"$cat.ref.coffee_profiles").createOrReplace()
+  }
+
+  /** Resolve a catalog NAME for the requested warehouse root. Spark
+    * caches v2 catalog instances by name after first use, so re-running
+    * `spark.conf.set("spark.sql.catalog.zolo.root", other)` is a silent
+    * no-op once 'zolo' is loaded — a second warehouse in the same
+    * session would keep writing to the FIRST root. Preferred name is
+    * 'zolo'; if it is already bound to a different root this derives a
+    * per-root sibling ('zolo_<hex>') instead, and fails loudly on the
+    * (hash-collision) case where even that name is taken by another
+    * root.
+    */
+  private def catalogFor(spark: SparkSession, root: String): String = {
+    def ensure(name: String): Option[String] = {
+      // always (re)point the conf at the requested root: if the catalog
+      // is not yet instantiated this takes effect; if it IS cached the
+      // instance ignores it — which the rootPath check below detects
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sources.WarehouseCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", root)
+      spark.sessionState.catalogManager.catalog(name) match {
+        case w: graft.sources.WarehouseCatalog if w.rootPath == root => Some(name)
+        case _                                                       => None
+      }
+    }
+    ensure("zolo").orElse(ensure("zolo_" + Integer.toHexString(root.hashCode))).getOrElse {
+      sys.error(
+        s"loadWarehouse: catalog names 'zolo' and the derived per-root name are both " +
+          s"bound to other roots in this session; cannot address warehouse at $root")
+    }
   }
 
   /** Rows-only driver queries: the sfDir argument is ignored — these run

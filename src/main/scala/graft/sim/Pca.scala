@@ -57,7 +57,23 @@ object Pca {
     covFrom(e, mu)
   }
 
+  /** Contract: the row-local upper-triangle expansion below emits
+    * d(d+1)/2 structs PER ROW inside a higher-order lambda — linear in
+    * the corpus but quadratic in d, and proven only up to d=128 (8256
+    * groups; at the corpus d=64 it is 2080). At d=512 the per-row fanout
+    * is 131 k structs and the right plan changes shape: a mapPartitions
+    * sibling accumulating a primitive d×d Gram matrix per partition and
+    * emitting ONE row per partition (d² values once per partition, not
+    * per row). This require is the pin that stops the expansion plan
+    * from being silently reused past its measured regime.
+    */
+  private val maxExpansionDims = 128
+
   private def covFrom(e: DataFrame, mu: Array[Double]): DataFrame = {
+    require(
+      dims <= maxExpansionDims,
+      s"Pca.covFrom: the per-row triangle expansion is contracted to d <= $maxExpansionDims " +
+        s"(got $dims); implement the per-partition Gram-matrix sibling before raising this")
     val muLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(mu.map(lit)): _*)
     val cent  = e.select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
     // Row-local upper-triangle expansion: each row emits its own

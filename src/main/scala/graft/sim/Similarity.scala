@@ -237,6 +237,13 @@ object Similarity {
       centsDump: Option[String] = None
   ): DataFrame = {
     if (nCells > hierCutoverCells) {
+      // the flat-cell oracle dump has no meaning on the two-level path
+      // (cell ids live in the hier grid) — failing here beats silently
+      // writing nothing and breaking the caller's read_parquet downstream
+      require(
+        centsDump.isEmpty,
+        s"ivfTopK: centsDump is a flat-IVF oracle hook and nCells=$nCells engages the " +
+          s"hierarchical cutover (> $hierCutoverCells); drop the dump or stay below the cutover")
       val (kc, kf) = hierSplit(nCells)
       // pooled fine candidates must cover the probe budget
       val wCoarse = math.max(2, math.ceil(nprobe.toDouble / kf).toInt + 1)

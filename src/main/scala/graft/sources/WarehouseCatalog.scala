@@ -40,6 +40,14 @@ class WarehouseCatalog extends TableCatalog {
   private var catalogName: String = _
   private var root: String        = _
 
+  /** The warehouse directory this instance is bound to. Spark caches v2
+    * catalog instances by name, so a later conf change does NOT re-root a
+    * loaded catalog — callers managing multiple roots per session (e.g.
+    * [[graft.etl.ZoloPipeline.loadWarehouse]]) compare this against the
+    * root they want and pick a different catalog name on mismatch.
+    */
+  def rootPath: String = root
+
   private def spark = SparkSession.active
   private def pathFor(ident: Identifier): String =
     (root +: ident.namespace() :+ ident.name()).mkString("/")

@@ -225,10 +225,20 @@ object TextAnalysis {
   val lmGenSteps = 20
 
   /** Driver budget for the collected successor table, in rows (one per
-    * vocabulary word — two short strings each, so this is ~100 MB at the
-    * cap, comfortably model-sized state).
+    * vocabulary word — two short strings each, so ~25 MB at the default
+    * cap, comfortably model-sized state). Overridable per session via
+    * `spark.graft.lm.succBudget` for corpora whose vocabulary is known
+    * to exceed 1M words and whose driver heap can take the larger map;
+    * past the effective budget the walk degrades to the per-step
+    * distributed frontier lookup (TextSpec's over-budget fallback test
+    * drives that branch end-to-end at budget 1).
     */
-  val lmSuccBudget: Int = 1 << 22
+  val lmSuccBudget: Int = 1 << 20
+
+  val lmSuccBudgetConf = "spark.graft.lm.succBudget"
+
+  private[text] def succBudgetOf(s: SparkSession): Int =
+    s.conf.getOption(lmSuccBudgetConf).map(_.toInt).getOrElse(lmSuccBudget)
 
   private[text] def lmGenerate(s: SparkSession, d: String, succBudget: Int): DataFrame = {
     val toks = Tables.documents(s, d)
@@ -287,7 +297,7 @@ object TextAnalysis {
       .localCheckpoint(eager = true)
   }
 
-  val textLmGenerate: Q = (s, d) => lmGenerate(s, d, lmSuccBudget)
+  val textLmGenerate: Q = (s, d) => lmGenerate(s, d, succBudgetOf(s))
 
   /** Heaps'-law vocabulary-growth fit — Zipf's companion statistic
     * (`text_zipf_fit` measures the frequency head; Heaps measures how

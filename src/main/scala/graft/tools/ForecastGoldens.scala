@@ -49,27 +49,37 @@ object ForecastGoldens {
   }
   private def s(v: String): String = "\"" + v.replace("\"", "\"\"") + "\""
 
+  /** The SINGLE rendering used by both the generator and
+    * ForecastGoldenSpec's bit-equality assertion — sharing it means the
+    * spec compares engine OUTPUT against committed bytes, never one CSV
+    * dialect against another (a renderer drift can no longer read as
+    * false golden drift, or mask real drift).
+    */
+  def renderArima(rows: Array[org.apache.spark.sql.Row]): String =
+    "profile_name,best_config,mse,prediction,std_error,lower_bound,upper_bound\n" +
+      rows.map { r =>
+        Seq(
+          s(r.getString(0)), s(r.getString(1)),
+          d(r.getDouble(2)), d(r.getDouble(3)), d(r.getDouble(4)),
+          d(r.getDouble(5)), d(r.getDouble(6))
+        ).mkString(",")
+      }.mkString("\n") + "\n"
+
+  def renderApprox(rows: Array[org.apache.spark.sql.Row]): String =
+    "l_returnflag,approx_orders\n" +
+      rows.map(r => s"${s(r.getString(0))},${r.getLong(1)}").mkString("\n") + "\n"
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(cores = 8, appName = "forecast-goldens")
     for (sf <- sfs) {
       val dir = s"/root/testdata/$sf"
 
       val arima = SparkEntry.queries("m_arima_forecast")(spark, dir).collect()
-      val aCsv = "profile_name,best_config,mse,prediction,std_error,lower_bound,upper_bound\n" +
-        arima.map { r =>
-          Seq(
-            s(r.getString(0)), s(r.getString(1)),
-            d(r.getDouble(2)), d(r.getDouble(3)), d(r.getDouble(4)),
-            d(r.getDouble(5)), d(r.getDouble(6))
-          ).mkString(",")
-        }.mkString("\n") + "\n"
-      Files.writeString(Paths.get(arimaCsv(sf)), aCsv)
+      Files.writeString(Paths.get(arimaCsv(sf)), renderArima(arima))
       println(s"wrote ${arimaCsv(sf)}: ${arima.length} profiles")
 
       val approx = SparkEntry.queries("a_approx_distinct")(spark, dir).collect()
-      val xCsv = "l_returnflag,approx_orders\n" +
-        approx.map(r => s"${s(r.getString(0))},${r.getLong(1)}").mkString("\n") + "\n"
-      Files.writeString(Paths.get(approxCsv(sf)), xCsv)
+      Files.writeString(Paths.get(approxCsv(sf)), renderApprox(approx))
       println(s"wrote ${approxCsv(sf)}: ${approx.length} flags")
     }
     spark.stop()

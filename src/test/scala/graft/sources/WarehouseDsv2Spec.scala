@@ -64,6 +64,77 @@ class WarehouseDsv2Spec extends SparkSpec {
     assert(e.getMessage.contains("writeDatePartitioned"), e.getMessage)
   }
 
+  /** Split the bundled newline-delimited fixture JSONs into two distinct
+    * "extraction windows" (disjoint line ranges) so incremental-load
+    * semantics can be exercised: the reference re-runs its ETLs per
+    * window and appends (`to_sql(if_exists='append')`), so both windows
+    * must survive side by side. The dims (qb_customers, items,
+    * coffee_profiles) are copied whole into both windows — the reference
+    * replaces those every run.
+    */
+  private def splitFixtureWindows(): (String, String) = {
+    import java.nio.file.{Files => F, Paths}
+    val a = tmp("zolo-win-a")
+    val b = tmp("zolo-win-b")
+    def split(name: String, firstN: Int): Unit = {
+      val lines = F.readAllLines(Paths.get(s"${ZoloPipeline.fixturesDir}/$name"))
+      F.write(Paths.get(s"$a/$name"), lines.subList(0, firstN))
+      F.write(Paths.get(s"$b/$name"), lines.subList(firstN, lines.size))
+    }
+    def copy(name: String): Unit =
+      for (d <- Seq(a, b))
+        F.copy(Paths.get(s"${ZoloPipeline.fixturesDir}/$name"), Paths.get(s"$d/$name"))
+    split("square_payments.json", 5)
+    split("shopify_orders.json", 2)
+    split("qb_invoices.json", 2)
+    copy("qb_customers.json"); copy("items.csv"); copy("coffee_profiles.csv")
+    (a, b)
+  }
+
+  test("incremental load: two distinct windows accumulate BOTH headers and details (J1-consistent)") {
+    val (winA, winB) = splitFixtureWindows()
+    val root         = tmp("zolo-incr")
+    ZoloPipeline.loadWarehouse(spark, root, winA)
+    val headsA   = spark.read.parquet(s"$root/raw/square_trans").collect().toSet
+    val detailsA = spark.read.parquet(s"$root/raw/square_trans_details").collect().toSet
+    ZoloPipeline.loadWarehouse(spark, root, winB)
+    val heads   = spark.read.parquet(s"$root/raw/square_trans")
+    val details = spark.read.parquet(s"$root/raw/square_trans_details")
+    // (a) both windows' detail rows present — window A's must NOT be
+    // wiped by window B's load (the r8 createOrReplace bug)
+    assert(detailsA.subsetOf(details.collect().toSet), "window-A detail rows lost on window-B load")
+    assert(details.select("payment_id").distinct().count() >
+      detailsA.map(_.getAs[String]("payment_id")).size.toLong,
+      "window-B details missing")
+    // (b) header/detail J1 consistency: every header has detail lines and
+    // no detail row is orphaned
+    val headIds   = heads.select("payment_id").distinct()
+    val detailIds = details.select("payment_id").distinct()
+    assert(detailIds.join(headIds, Seq("payment_id"), "left_anti").count() == 0, "orphan details")
+    assert(headIds.join(detailIds, Seq("payment_id"), "left_anti").count() == 0, "header without details")
+    // shopify + qb detail tables accumulated too
+    assert(spark.read.parquet(s"$root/raw/shopify_trans_details").select("order_id").distinct().count() ==
+      spark.read.parquet(s"$root/raw/shopify_trans").count())
+    assert(spark.read.parquet(s"$root/raw/qb_trans_details").select("payment_id").distinct().count() ==
+      spark.read.parquet(s"$root/raw/qb_trans").count())
+    // (c) replaying window A leaves facts effectively-once (dedupKey)
+    ZoloPipeline.loadWarehouse(spark, root, winA)
+    assert(spark.read.parquet(s"$root/raw/square_trans").collect().toSet ==
+      headsA ++ heads.collect().toSet, "fact replay duplicated headers")
+  }
+
+  test("two warehouses in one session: second root gets its own catalog, not the cached first") {
+    val rootA = tmp("zolo-multi-a")
+    val rootB = tmp("zolo-multi-b")
+    ZoloPipeline.loadWarehouse(spark, rootA)
+    ZoloPipeline.loadWarehouse(spark, rootB)
+    // without per-root catalog resolution the second call silently lands
+    // in rootA (Spark caches v2 catalogs by name after first use)
+    assert(spark.read.parquet(s"$rootB/raw/square_trans").count() > 0, "second root never written")
+    assert(spark.read.parquet(s"$rootA/raw/square_trans").collect().toSet ==
+      spark.read.parquet(s"$rootB/raw/square_trans").collect().toSet)
+  }
+
   test("zolo load end-to-end through writeTo: replay-safe facts, replaced dim, bytes match the ETL") {
     val root = tmp("zolo-load")
     ZoloPipeline.loadWarehouse(spark, root)

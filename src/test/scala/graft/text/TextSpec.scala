@@ -270,6 +270,13 @@ class TextSpec extends SparkSpec {
     val viaSteps = TextAnalysis.lmGenerate(spark, sf0001, 1)
       .collect().map(_.toSeq).toSeq
     assert(viaMap == viaSteps)
+    // the session conf reaches the driver query: forcing the fallback
+    // through spark.graft.lm.succBudget yields the same sequence
+    spark.conf.set(TextAnalysis.lmSuccBudgetConf, "1")
+    try {
+      val viaConf = TextAnalysis.textLmGenerate(spark, sf0001).collect().map(_.toSeq).toSeq
+      assert(viaMap == viaConf)
+    } finally spark.conf.unset(TextAnalysis.lmSuccBudgetConf)
   }
 
   test("lm generate: starts at the modal unigram and every step follows the argmax successor") {
