@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Cosine64, Hamming64}
 
 /** The library's `SparkSessionExtensions` entry point — the
   * deployment-grade registration path:
@@ -22,34 +21,15 @@ import graft.functions.{Cosine64, Hamming64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  // arity-checked builder: a wrong-arity SQL call gets a clear message
-  // instead of the builder lambda's IndexOutOfBoundsException
-  private def binary(
-      name: String,
-      f: (Expression, Expression) => Expression
-  )(exprs: Seq[Expression]): Expression = {
-    require(
-      exprs.length == 2,
-      s"$name requires exactly 2 arguments, got ${exprs.length}"
-    )
-    f(exprs(0), exprs(1))
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (
-        FunctionIdentifier("hamming64"),
-        new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
-        binary("hamming64", Hamming64.apply) _
+    // the COMPLETE function surface, from the same builder list the
+    // programmatic register() consumes — extensions-deployed sessions
+    // and embedded sessions can never see different function sets
+    graft.functions.GraftFunctions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
       )
-    )
-    ext.injectFunction(
-      (
-        FunctionIdentifier("cosine64"),
-        new ExpressionInfo(classOf[Cosine64].getName, "cosine64"),
-        binary("cosine64", Cosine64.apply) _
-      )
-    )
+    }
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

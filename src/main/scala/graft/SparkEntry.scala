@@ -39,7 +39,8 @@ object SparkEntry {
       Similarity.queries, graft.sim.HierIvf.queries, graft.sim.Pca.queries, Multimodal.queries, graft.mm.Jpeg.queries,
       graft.mm.Audio.queries,
       graft.streaming.StreamQueries.queries,
-      graft.sources.RestQueries.queries
+      graft.sources.RestQueries.queries,
+      graft.functions.SqlSurfaceQueries.queries
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.text.Retrieval.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ graft.sim.HierIvf.oracles ++ graft.sim.Pca.oracles ++ Multimodal.oracles ++
       graft.mm.Jpeg.oracles ++ graft.mm.Audio.oracles ++
-      graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles
+      graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles ++
+      graft.functions.SqlSurfaceQueries.oracles
 }

@@ -29,6 +29,18 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       assert(r.getInt(0) == 2)
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      // the full library surface rides the same injection list: every
+      // registered name resolves through this extensions-built session
+      val all = spark.sql(
+        """SELECT token_count('a b c') AS tc, simhash64('a b c d') AS sh,
+          |  size(minhash_sig('a b c d e')) AS mk, normalize_text('A  B') AS nt,
+          |  lang_id('the cat sat on the mat with the dog and the bird') AS li,
+          |  forecast_ses(array(1.0D, 2.0D, 3.0D)) AS f
+          |""".stripMargin).collect()(0)
+      assert(all.getInt(0) == 3)
+      assert(all.getInt(2) == graft.dedup.Dedup.numPerms)
+      assert(all.getString(3) == "a b")
+      assert(!all.isNullAt(1) && !all.isNullAt(4) && !all.isNullAt(5))
       assert(
         spark.sessionState.planner.extraPlanningStrategies
           .contains(graft.plans.TopKStrategy),
