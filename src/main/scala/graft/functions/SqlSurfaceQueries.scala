@@ -30,6 +30,30 @@ object SqlSurfaceQueries {
            |  size(shingles3(text)) AS n_shingles
            |FROM parquet.`$d/documents.parquet`
            |ORDER BY doc_id""".stripMargin)
+    }),
+    // the reference's consumer pattern end-to-end in ONE SQL statement:
+    // weekly rollup (the arima_models.py:75-141 shape) + a per-profile
+    // forecast — series assembly via array_sort(collect_list(struct))
+    // so the SES fold sees week order, forecast by library function.
+    // The sequential-IEEE fold is the same arithmetic the m_ses_forecast
+    // oracle replays with list_reduce, so the hash gate is exact.
+    "sql_ses_by_profile" -> ((s, d) => {
+      GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT profile_name,
+           |  forecast_ses(transform(array_sort(collect_list(struct(week_date, weight))),
+           |               x -> x.weight)) AS prediction
+           |FROM (
+           |  SELECT p_brand AS profile_name,
+           |    CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+           |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+           |  FROM parquet.`$d/lineitem.parquet` JOIN parquet.`$d/part.parquet`
+           |    ON l_partkey = p_partkey
+           |  WHERE l_shipdate < TIMESTAMP '2001-06-01'
+           |  GROUP BY 1, 2)
+           |GROUP BY profile_name
+           |HAVING count(*) > 8
+           |ORDER BY profile_name""".stripMargin)
     })
   )
 
@@ -50,6 +74,26 @@ object SqlSurfaceQueries {
          |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
          |  )) END AS INT) AS n_shingles
          |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) s
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // the m_ses_forecast oracle's rollup + list_reduce SES fold, minus
+    // the walk-forward (this query is the forecast-only surface)
+    "sql_ses_by_profile" ->
+      """WITH weekly AS (
+        |  SELECT profile_name, week_date,
+        |    CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+        |  FROM (
+        |    SELECT p_brand AS profile_name,
+        |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+        |      l_quantity, p_retailprice
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE l_shipdate < TIMESTAMP '2001-06-01') t
+        |  GROUP BY profile_name, week_date
+        |  QUALIFY COUNT(*) OVER (PARTITION BY profile_name) > 8),
+        |series AS (
+        |  SELECT profile_name, list(weight ORDER BY week_date) AS xs
+        |  FROM weekly GROUP BY profile_name)
+        |SELECT profile_name,
+        |  list_reduce(xs, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS prediction
+        |FROM series ORDER BY profile_name""".stripMargin
   )
 }
