@@ -436,18 +436,41 @@ object Dedup {
     * integer (cross-multiplied threshold, pct via integral div).
     */
   val dedupPpjoinPairs: Q = (s, d) => {
+    // r9 scale re-plan (values bit-identical, 100× stress-guided; the
+    // brute-force oracle and DedupSpec rows are unchanged):
+    //  - shingling through the codegen'd native expression
+    //    (graft.functions.Shingles3 — same LinkedHashSet kernel) instead
+    //    of the interpreted higher-order-lambda Column, which priced
+    //    every doc at ~100× on the 500k-doc corpus;
+    //  - n carried as size(sh) from the shingle array (sh is distinct,
+    //    so explode emits exactly n rows) instead of a count-window;
+    //  - df as a count-window over tok riding ONE shuffle of the
+    //    postings instead of groupBy(tok) + join back on tok (which
+    //    shuffled the postings AND the df table, then sorted both);
+    //  - postings carry xxhash64(tok), not the ~40-byte shingle string,
+    //    through both window shuffles and the candidate self-join. This
+    //    is LOSSLESS for the result: equal shingles hash equal, so no
+    //    true candidate is ever dropped; a collision only admits a false
+    //    candidate, and every candidate is verified by the exact
+    //    array_intersect on the full shingle sets below. The prefix rule
+    //    itself is order-agnostic — "first n−⌈t·n⌉+1 tokens of ANY
+    //    consistent global order" is a valid prefix filter; (df asc,
+    //    hash asc) just keeps the rare-token concentration that makes it
+    //    cheap.
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables
       .documents(s, d)
-      .select($"doc_id", shingles($"text").as("sh"))
+      .select($"doc_id", graft.functions.GraftFunctions.shingles3($"text").as("sh"))
       .filter(size($"sh") > 0)
       .persist()
     try {
-      val post = docs.select($"doc_id", explode($"sh").as("tok"))
-      val dfreq = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val post = docs
+        .select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
+        .select($"doc_id", $"n", xxhash64($"tok").as("tok"))
+      val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"tok")
       val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
       val prefix = post
-        .join(dfreq, "tok")
-        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("df", count(lit(1)).over(byTok))
         .withColumn("rn", row_number().over(byDoc.orderBy($"df".asc, $"tok".asc)))
         .filter($"rn" <= expr(s"n - (n * $ppjoinTNum + ${ppjoinTDen - 1}) div $ppjoinTDen + 1"))
         .select($"doc_id", $"tok", $"n")
@@ -516,17 +539,24 @@ object Dedup {
 
   /** Core of [[dedupContainment]] over any (doc_id, text) frame. */
   def containmentPairs(input: DataFrame): DataFrame = {
+    // same r9 scale re-plan as dedupPpjoinPairs: native shingling,
+    // n = size(sh), df as a tok-window on the postings' own shuffle,
+    // xxhash64(tok) through the shuffles/join (lossless — see the
+    // candidate-verification argument there; verification below is the
+    // exact array_intersect on the full shingle sets)
+    graft.functions.GraftFunctions.register(input.sparkSession)
     val docs = input
-      .select($"doc_id", shingles($"text").as("sh"))
+      .select($"doc_id", graft.functions.GraftFunctions.shingles3($"text").as("sh"))
       .filter(size($"sh") > 0)
       .persist()
     try {
-      val post  = docs.select($"doc_id", explode($"sh").as("tok"))
-      val dfreq = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val post = docs
+        .select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
+        .select($"doc_id", $"n", xxhash64($"tok").as("tok"))
+      val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"tok")
       val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
       val ranked = post
-        .join(dfreq, "tok")
-        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("df", count(lit(1)).over(byTok))
         .withColumn("rn", row_number().over(byDoc.orderBy($"df".asc, $"tok".asc)))
       val prefixA = ranked
         .filter($"rn" <= expr(s"n - (n * $containTNum + ${containTDen - 1}) div $containTDen + 1"))

@@ -70,8 +70,9 @@ object StressR9 {
       }
       // prefix-df bound evidence: the largest posting list the candidate
       // join can square
+      graft.functions.GraftFunctions.register(spark)
       val sh = graft.tables.Tables.documents(spark, work)
-        .select($"doc_id", graft.dedup.Dedup.shingles($"text").as("sh"))
+        .select($"doc_id", graft.functions.GraftFunctions.shingles3($"text").as("sh"))
         .filter(size($"sh") > 0)
       val maxDf = sh.select(explode($"sh").as("tok"))
         .groupBy($"tok").count().agg(max($"count")).head().getLong(0)
@@ -90,6 +91,10 @@ object StressR9 {
         "(rounds do vocab-sized work after the one corpus-sized shuffle)")
     }
 
+    if (sys.env.getOrElse("SPARK_GRAFT_STRESS_IVF", "1") != "1") {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      log(""); spark.stop(); return
+    }
     // ---- writeIvfIndexFor above the cutover: the index-WRITE face of
     // the r8 adaptive delegation (StressHier covers the query face) ----
     val mult = mults.max
