@@ -469,21 +469,75 @@ object Dedup {
         .select($"doc_id", $"n", xxhash64($"tok").as("tok"))
       val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"tok")
       val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-      val prefix = post
+      // NARROW candidate bounding — r9, measured, lossless. The r9
+      // 100×sf0.1 stress probe put numbers on every pipeline edge: 31M
+      // distinct candidates for 25.6k verified pairs (0.08% yield), all
+      // edges exactly linear in corpus size — but the verify stage
+      // attached two ~4 KB shingle arrays per candidate (11.5 GB
+      // shuffle, ~100 GB spill, 300 s; re-partitioning made it WORSE,
+      // 462 s at 256 partitions). So candidates must be killed while
+      // rows are still (long, int) narrow. Decompose each pair's true
+      // intersection i by prefix/suffix membership of the shared token
+      // on each side: i = m_pp + m_ps + m_sp + m_ss. Three narrow
+      // postings joins count m_pp, m_ps, m_sp; the fourth class is
+      // NEVER joined (on Zipfian corpora suffix×suffix is the df²
+      // head-token explosion the prefix filter exists to avoid) and is
+      // instead bounded: shared suffix-A tokens are m_sp + m_ss ≤ sa,
+      // so m_ss ≤ min(sa − m_sp, sb − m_ps). A second valid bound is
+      // positional (the P in PPJoin): ranks are assigned by the SAME
+      // global (df, tok) order in every doc, so a shared token at ranks
+      // (pa, pb) caps i ≤ min(pa,pb) + min(na−pa, nb−pb); min over all
+      // counted matches. Pairs whose min(iub) cannot reach the
+      // threshold — i(td+tn) ≥ tn(na+nb) for J ≥ tn/td — are dropped
+      // with NO array ever shuffled; both bounds are true upper bounds
+      // on i, so only pairs that cannot qualify are dropped, and
+      // survivors still go through the exact array_intersect verify
+      // below (which alone produces the output values). Measured at
+      // 100×sf0.1 (ProbePpjoinCand/StressR9): 31.0M prefix-sharing
+      // pairs → 25,600 bounded candidates — exactly the verified-pair
+      // set, i.e. a zero-false-positive filter on that corpus — and
+      // wall 304 s → 54.6 s (vs 15.4 s at 10×: sublinear, the fixed
+      // window/scan overheads amortize).
+      val prefixLen = expr(s"n - (n * $ppjoinTNum + ${ppjoinTDen - 1}) div $ppjoinTDen + 1")
+      val ranked = post
         .withColumn("df", count(lit(1)).over(byTok))
         .withColumn("rn", row_number().over(byDoc.orderBy($"df".asc, $"tok".asc)))
-        .filter($"rn" <= expr(s"n - (n * $ppjoinTNum + ${ppjoinTDen - 1}) div $ppjoinTDen + 1"))
-        .select($"doc_id", $"tok", $"n")
-      val cand = prefix
-        .as("a")
-        .join(
-          prefix.as("b"),
-          $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" &&
-            $"a.n" * ppjoinTNum <= $"b.n" * ppjoinTDen &&
-            $"b.n" * ppjoinTNum <= $"a.n" * ppjoinTDen
-        )
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
+        .select($"doc_id", $"tok", $"n", $"rn")
+      val pref = ranked.filter($"rn" <= prefixLen)
+      val suff = ranked.filter($"rn" > prefixLen)
+      val lengthOk = $"a.n" * ppjoinTNum <= $"b.n" * ppjoinTDen &&
+        $"b.n" * ppjoinTNum <= $"a.n" * ppjoinTDen
+      val posUb = least($"a.rn", $"b.rn") +
+        least($"a.n" - $"a.rn", $"b.n" - $"b.rn")
+      def leg(l: DataFrame, r: DataFrame, cls: Int): DataFrame =
+        l.as("a")
+          .join(
+            r.as("b"),
+            $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" && lengthOk)
+          .select(
+            $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.n".as("na"), $"b.n".as("nb"),
+            lit(cls).as("cls"), posUb.as("ub"))
+      val cand = leg(pref, pref, 0)
+        .unionByName(leg(pref, suff, 1))
+        .unionByName(leg(suff, pref, 2))
+        .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+        .agg(
+          sum(when($"cls" === 0, 1).otherwise(0)).as("mpp"),
+          sum(when($"cls" === 1, 1).otherwise(0)).as("mps"),
+          sum(when($"cls" === 2, 1).otherwise(0)).as("msp"),
+          min($"ub").as("pos_ub"))
+        // prefix theorem: a qualifying pair must match prefix-to-prefix
+        .filter($"mpp" >= 1)
+        .withColumn("sa", expr(s"(na * $ppjoinTNum + ${ppjoinTDen - 1}) div $ppjoinTDen - 1"))
+        .withColumn("sb", expr(s"(nb * $ppjoinTNum + ${ppjoinTDen - 1}) div $ppjoinTDen - 1"))
+        .withColumn(
+          "iub",
+          least(
+            $"pos_ub",
+            $"mpp" + $"mps" + $"msp" + least($"sa" - $"msp", $"sb" - $"mps")))
+        .filter($"iub" * (ppjoinTDen + ppjoinTNum) >= ($"na" + $"nb") * ppjoinTNum)
+        .select($"doc_a", $"doc_b")
       cand
         .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
         .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -558,18 +612,50 @@ object Dedup {
       val ranked = post
         .withColumn("df", count(lit(1)).over(byTok))
         .withColumn("rn", row_number().over(byDoc.orderBy($"df".asc, $"tok".asc)))
-      val prefixA = ranked
-        .filter($"rn" <= expr(s"n - (n * $containTNum + ${containTDen - 1}) div $containTDen + 1"))
-        .select($"doc_id".as("doc_a"), $"tok", $"n".as("n_pref_a"))
-      val fullB = ranked.select($"doc_id".as("doc_b"), $"tok", $"n".as("n_full_b"))
-      val cand = prefixA
-        .join(
-          fullB,
-          prefixA("tok") === fullB("tok") && $"doc_a" =!= $"doc_b" &&
-            $"n_full_b" * containTDen >= $"n_pref_a" * containTNum
-        )
+      // directed form of the dedupPpjoinPairs narrow candidate bounding
+      // (see the full derivation there): i = m_pp + m_ps + m_sp + m_ss
+      // by prefix/suffix membership of each shared token, three narrow
+      // legs counted, suffix×suffix never joined and bounded by
+      // m_ss ≤ min(sa − m_sp, sb − m_ps); plus the positional bound
+      // i ≤ min(pa,pb) + min(na−pa, nb−pb) over counted matches.
+      // Containment specifics: the directed prefix theorem needs A's
+      // prefix to intersect FULL B, i.e. m_pp + m_ps ≥ 1; the
+      // qualifying test is i·td ≥ tn·na; the one-sided length filter is
+      // nb·td ≥ na·tn. Survivors verify exactly below — lossless.
+      val prefixLen = expr(s"n - (n * $containTNum + ${containTDen - 1}) div $containTDen + 1")
+      val pref = ranked.filter($"rn" <= prefixLen)
+      val suff = ranked.filter($"rn" > prefixLen)
+      val lengthOk = $"b.n" * containTDen >= $"a.n" * containTNum
+      val posUb = least($"a.rn", $"b.rn") +
+        least($"a.n" - $"a.rn", $"b.n" - $"b.rn")
+      def leg(l: DataFrame, r: DataFrame, cls: Int): DataFrame =
+        l.as("a")
+          .join(
+            r.as("b"),
+            $"a.tok" === $"b.tok" && $"a.doc_id" =!= $"b.doc_id" && lengthOk)
+          .select(
+            $"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.n".as("na"), $"b.n".as("nb"),
+            lit(cls).as("cls"), posUb.as("ub"))
+      val cand = leg(pref, pref, 0)
+        .unionByName(leg(pref, suff, 1))
+        .unionByName(leg(suff, pref, 2))
+        .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+        .agg(
+          sum(when($"cls" === 0, 1).otherwise(0)).as("mpp"),
+          sum(when($"cls" === 1, 1).otherwise(0)).as("mps"),
+          sum(when($"cls" === 2, 1).otherwise(0)).as("msp"),
+          min($"ub").as("pos_ub"))
+        .filter($"mpp" + $"mps" >= 1)
+        .withColumn("sa", expr(s"(na * $containTNum + ${containTDen - 1}) div $containTDen - 1"))
+        .withColumn("sb", expr(s"(nb * $containTNum + ${containTDen - 1}) div $containTDen - 1"))
+        .withColumn(
+          "iub",
+          least(
+            $"pos_ub",
+            $"mpp" + $"mps" + $"msp" + least($"sa" - $"msp", $"sb" - $"mps")))
+        .filter($"iub" * containTDen >= $"na" * containTNum)
         .select($"doc_a", $"doc_b")
-        .distinct()
       cand
         .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
         .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
