@@ -681,6 +681,47 @@ object Dedup {
   val dedupMinhashPairs: Q = (s, d) =>
     minhashPairs(Tables.documents(s, d), threshold = 0.5, sigDump = Some(minhashSigPath(d)))
 
+  /** The whole MinHash-LSH dedup pipeline — signatures, banding, bucket
+    * cap, candidate self-join, exact shingle-Jaccard verify — written by
+    * a SQL-only consumer as ONE statement over two library functions
+    * (`minhash_sig`, `jaccard_shingles`). Semantics match
+    * [[minhashPairs]]: band buckets here are keyed on the slice string
+    * the engine hashes, so buckets — and therefore the cap and the
+    * candidate set — coincide (modulo engine-side hash64 collisions,
+    * absent on these corpora). Scale note: the library path stays
+    * preferred at fleet scale because it materializes signatures once —
+    * this statement's two self-join branches each recompute `minhash_sig`
+    * over the corpus (a CTE is not a materialization barrier in Spark);
+    * the SQL face is the semantics surface, not the throughput path.
+    */
+  val sqlLshPairs: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    s.sql(
+      s"""WITH sigs AS (
+         |  SELECT doc_id, minhash_sig(text) AS sig
+         |  FROM parquet.`$d/documents.parquet`),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
+         |              x -> CAST(x AS STRING))) AS bkey
+         |  FROM sigs LATERAL VIEW explode(sequence(0, ${numBands - 1})) t AS b),
+         |bcap AS (
+         |  SELECT doc_id, b, bkey FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY b, bkey) AS bucket_n FROM bands)
+         |  WHERE bucket_n <= $maxBucketSize),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bcap a JOIN bcap c
+         |    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |docs AS (SELECT doc_id, text FROM parquet.`$d/documents.parquet`)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT cand.doc_a, cand.doc_b, jaccard_shingles(ta.text, tb.text) AS jaccard
+         |  FROM cand JOIN docs ta ON cand.doc_a = ta.doc_id
+         |            JOIN docs tb ON cand.doc_b = tb.doc_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   val dedupSimhash: Q = (s, d) => simhash(Tables.documents(s, d)).orderBy($"doc_id")
 
   val dedupSimhashPairs: Q = (s, d) =>
@@ -1053,6 +1094,7 @@ object Dedup {
     "dedup_containment"     -> dedupContainment,
     "dedup_minhash_sigs"    -> dedupMinhashSignatures,
     "dedup_minhash_pairs"   -> dedupMinhashPairs,
+    "sql_lsh_pairs"         -> sqlLshPairs,
     "dedup_simhash"         -> dedupSimhash,
     "dedup_simhash_pairs"   -> dedupSimhashPairs,
     "dedup_clusters"        -> dedupClusters,
@@ -1228,18 +1270,16 @@ object Dedup {
     * END-TO-END: sigs here, band/cap/join/verify/CC/keep via the
     * sig-boundary replays.
     */
-  private val minhashSigReplay: String = {
+  /** Independent recompute of the signature table through `sigp`
+    * (doc_id, sig0..sig15) — the shared prefix of [[minhashSigReplay]]
+    * and the `sql_lsh_pairs` replay (which bands on the raw slice
+    * strings instead of the band hashes).
+    */
+  private val minhashSigpCte: String = {
     val sigCols = (0 until numPerms)
       .map(i => s"COALESCE(MIN(CASE WHEN sd = $i THEN sig END), 9223372036854775807) AS sig$i")
       .mkString(",\n    ")
-    val bandSrcs = (0 until numBands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(", ")
-      s"SELECT doc_id, $b::BIGINT AS sd, concat_ws(',', $slice) AS s FROM sigp"
-    }.mkString(" UNION ALL ")
-    val bandCols = (0 until numBands)
-      .map(b => s"MIN(CASE WHEN sd = $b THEN hh END) AS band$b").mkString(", ")
-    s"""WITH $shingleBytesCte,
+    s"""$shingleBytesCte,
        |mrows AS (SELECT doc_id, r.range AS sd, bs FROM sh, range(0, $numPerms) r),
        |${hash64ReplaySql("m", "mrows", "doc_id")},
        |sigs AS (SELECT doc_id, sd, MIN(hh) AS sig FROM m6 GROUP BY doc_id, sd),
@@ -1247,12 +1287,59 @@ object Dedup {
        |  SELECT d.doc_id,
        |    $sigCols
        |  FROM documents d LEFT JOIN sigs ON d.doc_id = sigs.doc_id
-       |  GROUP BY d.doc_id),
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
+  private val minhashSigReplay: String = {
+    val bandSrcs = (0 until numBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b::BIGINT AS sd, concat_ws(',', $slice) AS s FROM sigp"
+    }.mkString(" UNION ALL ")
+    val bandCols = (0 until numBands)
+      .map(b => s"MIN(CASE WHEN sd = $b THEN hh END) AS band$b").mkString(", ")
+    s"""WITH $minhashSigpCte,
        |bandsrc AS (SELECT doc_id, sd, $bytesOf AS bs FROM ($bandSrcs) bu),
        |${hash64ReplaySql("b", "bandsrc", "doc_id")},
        |bandp AS (SELECT doc_id, $bandCols FROM b6 GROUP BY doc_id)
        |SELECT s.*, ${(0 until numBands).map(b => s"band$b").mkString(", ")}
        |FROM sigp s JOIN bandp USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fully independent replay of `sql_lsh_pairs`: signature recompute
+    * ([[minhashSigpCte]] — FNV/splitmix in HUGEINT SQL), banding on the
+    * comma-joined signed-decimal slice strings (the SQL face's bucket
+    * key — no band hash anywhere on either side), bucket cap, candidate
+    * self-join, exact shingle-Jaccard verify.
+    */
+  private val sqlLshPairsReplay: String = {
+    val bandSrcs = (0 until numBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band_id, concat_ws(',', $slice) AS bkey FROM sigp"
+    }.mkString(" UNION ALL ")
+    s"""WITH $minhashSigpCte,
+       |bands AS ($bandSrcs),
+       |bok AS (SELECT band_id, bkey FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize),
+       |bcap AS (SELECT bands.* FROM bands JOIN bok USING (band_id, bkey)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bcap a JOIN bcap b
+       |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |shing AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3
+       |      THEN list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)])
+       |      ELSE [] END AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+       |  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(sa.sh, sb.sh))
+       |      / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0) AS jaccard
+       |  FROM cand c JOIN shing sa ON c.doc_a = sa.doc_id JOIN shing sb ON c.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Full independent replay of the 64-bit SimHash table: one seed-0 hash
@@ -1426,6 +1513,7 @@ object Dedup {
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, jaccard FROM verified
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "sql_lsh_pairs" -> sqlLshPairsReplay,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCandCte,
          |$winnowCcCte

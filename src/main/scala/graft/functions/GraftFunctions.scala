@@ -62,7 +62,8 @@ object GraftFunctions {
     ("jaccard_shingles", classOf[JaccardShingles], binary("jaccard_shingles", JaccardShingles.apply) _),
     ("forecast_ses", classOf[ForecastSes], optBinary("forecast_ses", ForecastSes.apply,
       org.apache.spark.sql.catalyst.expressions.Literal(0.6d)) _),
-    ("forecast_holt", classOf[ForecastHolt], unary("forecast_holt", ForecastHolt.apply) _)
+    ("forecast_holt", classOf[ForecastHolt], unary("forecast_holt", ForecastHolt.apply) _),
+    ("forecast_arima", classOf[ForecastArima], unary("forecast_arima", ForecastArima.apply) _)
   )
 
   /** Idempotent: queries call this at build time, many per session —
@@ -135,6 +136,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("forecast_ses", series, alpha)
   def forecastHolt(series: Column): Column =
     org.apache.spark.sql.functions.call_function("forecast_holt", series)
+  def forecastArima(series: Column): Column =
+    org.apache.spark.sql.functions.call_function("forecast_arima", series)
 }
 
 /** Hamming distance between two 64-bit signatures. ExpectsInputTypes so a

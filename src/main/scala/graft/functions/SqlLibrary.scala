@@ -4,10 +4,11 @@ import graft.dedup.Hashing
 import graft.forecast.Models
 import graft.text.NgramLangId
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-callable surface for the library's row-local kernels (judge r8
@@ -128,6 +129,30 @@ object SqlKernels {
 
   def forecastHolt(xs: ArrayData): Double =
     Models.holtForecast(xs.toDoubleArray())
+
+  /** The FULL auto-ARIMA chain of `m_arima_forecast` as one row-local
+    * kernel: 50-config grid ([[Models.arimaGridSearch]] — identical
+    * argmin to the distributed `gridScored`/`gridBest` pair: both take
+    * the (mse, p, d, q) tuple-min over finite configs) → winning config
+    * refit HR → CSS → exact Kalman MLE ([[Models.arimaFitMle]]) → 1-step
+    * forecast with 95% CI. Null when NO config yields a finite
+    * walk-forward MSE (the profile `arimaJob` drops); NaN fields when
+    * the grid winner's full-series refit degenerates (the profile
+    * `arimaJob` keeps with NaN bounds).
+    */
+  def forecastArimaAuto(xs: ArrayData): InternalRow = {
+    val arr = xs.toDoubleArray()
+    Models.arimaGridSearch(arr) match {
+      case Some((p, d, q, m)) =>
+        val (f, se) = Models.arimaFitMle(arr, p, d, q) match {
+          case Some(fit) => (fit.forecast, fit.stdError)
+          case None      => (Double.NaN, Double.NaN)
+        }
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(s"($p, $d, $q)"), m, f, se, f - 1.96 * se, f + 1.96 * se))
+      case None => null
+    }
+  }
 }
 
 /** `minhash_sig(text[, k])`: k-permutation MinHash signature (array of
@@ -321,6 +346,41 @@ case class ForecastHolt(child: Expression)
     nullSafeCodeGen(ctx, ev, xs => s"""
       if ($xs.numElements() < 2) { ${ev.isNull} = true; }
       else { ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.forecastHolt($xs); }
+    """)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `forecast_arima(series)`: the reference's production model —
+  * `m_arima_forecast`'s grid-search + HR→CSS→Kalman-MLE chain — as one
+  * SQL-callable struct ([[SqlKernels.forecastArimaAuto]]): best_config,
+  * walk-forward mse, 1-step prediction, std_error, and the 95% CI.
+  * Null when no (p, d, q) config fits the series. One eval runs the
+  * whole 50-config grid, so callers should compute the struct once per
+  * group and project fields above it (the Filter a `WHERE ... IS NOT
+  * NULL` inserts between Project and Aggregate blocks CollapseProject
+  * from duplicating the eval per projected field); at fleet scale the
+  * work is embarrassingly parallel across groups, same as the library's
+  * `mapGroups` path. Reference: `arima_models.py:47-49`, `lib.py:98-132`.
+  */
+case class ForecastArima(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("best_config", StringType, nullable = false),
+    StructField("mse", DoubleType, nullable = false),
+    StructField("prediction", DoubleType, nullable = false),
+    StructField("std_error", DoubleType, nullable = false),
+    StructField("lower_bound", DoubleType, nullable = false),
+    StructField("upper_bound", DoubleType, nullable = false)
+  ))
+  override def nullable: Boolean = true
+  override def prettyName: String = "forecast_arima"
+  override protected def nullSafeEval(xs: Any): Any =
+    SqlKernels.forecastArimaAuto(xs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => s"""
+      ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.forecastArimaAuto($xs);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -54,6 +54,61 @@ object SqlSurfaceQueries {
            |GROUP BY profile_name
            |HAVING count(*) > 8
            |ORDER BY profile_name""".stripMargin)
+    }),
+    // the reference's ENTIRE consumer flow (arima_models.py: weekly
+    // demand SQL + per-profile auto-ARIMA with 95% CI) as ONE SQL
+    // statement. forecast_arima computes the whole grid+MLE chain once
+    // per profile inside the aggregate; the IS NOT NULL filter sits
+    // between Aggregate and the field projection, so the struct is an
+    // attribute above the aggregate and each field extraction is free
+    // (CollapseProject cannot pull the expensive eval into 6 copies
+    // through a Filter). Rollup semantics are weeklySeries(minWeeks=5)
+    // verbatim: same date cut, same DECIMAL(18,6) sum, strict > 5 week
+    // filter, week-ordered series via array_sort(struct(week, w)).
+    "sql_arima_auto" -> ((s, d) => {
+      GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT profile_name, f.best_config, f.mse, f.prediction,
+           |  f.std_error, f.lower_bound, f.upper_bound
+           |FROM (
+           |  SELECT profile_name,
+           |    forecast_arima(transform(array_sort(collect_list(struct(week_date, weight))),
+           |                   x -> x.weight)) AS f
+           |  FROM (
+           |    SELECT p_brand AS profile_name,
+           |      CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+           |      CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+           |    FROM parquet.`$d/lineitem.parquet` JOIN parquet.`$d/part.parquet`
+           |      ON l_partkey = p_partkey
+           |    WHERE l_shipdate < TIMESTAMP '2001-06-01'
+           |    GROUP BY 1, 2)
+           |  GROUP BY profile_name
+           |  HAVING count(*) > 5)
+           |WHERE f IS NOT NULL
+           |ORDER BY profile_name""".stripMargin)
+    }),
+    // similarity search from SQL: brute-force cosine top-k over the
+    // embeddings table — the ann_bruteforce_topk semantics (probe cut,
+    // 6-dp rounded rank, id tiebreak) written by a SQL-only consumer.
+    // cosine64 is the codegen'd fused-loop kernel, bit-identical to the
+    // DataFrame path; the broadcast hint keeps the corpus scan map-only
+    // exactly like the library query's broadcast(probes).
+    "sql_ann_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      s.sql(
+        s"""WITH e AS (
+           |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM parquet.`$d/embeddings.parquet`),
+           |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+           |sims AS (
+           |  SELECT /*+ BROADCAST(p) */ probe_id, e.vec_id AS neighbor_id,
+           |    round(cosine64(pv, v), 6) AS cosine
+           |  FROM e JOIN p ON e.vec_id <> p.probe_id)
+           |SELECT probe_id, neighbor_id, cosine, rank FROM (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM sims) t
+           |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)
     })
   )
 
@@ -94,6 +149,15 @@ object SqlSurfaceQueries {
         |  FROM weekly GROUP BY profile_name)
         |SELECT profile_name,
         |  list_reduce(xs, (acc, x) -> 0.6 * x + (1 - 0.6) * acc) AS prediction
-        |FROM series ORDER BY profile_name""".stripMargin
+        |FROM series ORDER BY profile_name""".stripMargin,
+    // same rollup + same kernel chain as m_arima_forecast ⇒ the same
+    // committed golden pins the SQL face (the independent anchors —
+    // m_arima_mle_fixed / m_arima_hr / m_arima_grid replays — cover the
+    // kernel; SqlSurfaceSpec holds bit-parity between this statement and
+    // arimaJob's DataFrame output, so the two faces cannot drift apart)
+    "sql_arima_auto" -> graft.forecast.ForecastJobs.oracles("m_arima_forecast"),
+    // the SQL face must land on the library face's exact rows: reuse the
+    // ann_bruteforce_topk independent DuckDB replay verbatim
+    "sql_ann_topk" -> graft.sim.Similarity.oracles("ann_bruteforce_topk")
   )
 }

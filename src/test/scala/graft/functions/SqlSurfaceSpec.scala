@@ -147,6 +147,62 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(0) == hand)
   }
 
+  test("forecast_arima parity with the Models kernel chain on a synthetic series") {
+    GraftFunctions.register(spark)
+    // trending series with noise — long enough for the 75/25 walk-forward
+    val xs = Array.tabulate(24)(i => 50.0 + 3.0 * i + (if (i % 3 == 0) 4.0 else -2.0))
+    val lit = xs.mkString("array(", "D,", "D)")
+    val r = spark.sql(
+      s"""SELECT f.best_config, f.mse, f.prediction, f.std_error,
+         |  f.lower_bound, f.upper_bound
+         |FROM (SELECT forecast_arima($lit) AS f)""".stripMargin).head()
+    val Some((p, d, q, m)) = graft.forecast.Models.arimaGridSearch(xs)
+    val fit = graft.forecast.Models.arimaFitMle(xs, p, d, q).get
+    assert(r.getString(0) == s"($p, $d, $q)")
+    assert(r.getDouble(1) == m)
+    assert(r.getDouble(2) == fit.forecast)
+    assert(r.getDouble(3) == fit.stdError)
+    assert(r.getDouble(4) == fit.forecast - 1.96 * fit.stdError)
+    assert(r.getDouble(5) == fit.forecast + 1.96 * fit.stdError)
+    // an unfittable series (too short for any config's walk-forward) is null
+    assert(spark.sql("SELECT forecast_arima(array(1.0D, 2.0D)) IS NULL AS n").head().getBoolean(0))
+  }
+
+  test("sql_arima_auto: the one-statement SQL face is bit-identical to arimaJob") {
+    GraftFunctions.register(spark)
+    val viaSql = SqlSurfaceQueries.queries("sql_arima_auto")(spark, sf0001).collect()
+    val viaLib = graft.forecast.ForecastJobs.arimaJob(spark, sf0001).collect()
+    assert(viaSql.length == viaLib.length && viaSql.nonEmpty)
+    viaSql.zip(viaLib).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getString(1) == b.getString(1))
+      // NaN-forecast profiles must survive in BOTH faces, never drop
+      (2 to 6).foreach { i =>
+        val (x, y) = (a.getDouble(i), b.getDouble(i))
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y),
+          s"col $i differs for ${a.getString(0)}: $x vs $y")
+      }
+    }
+  }
+
+  test("sql_ann_topk: the SQL face lands on bruteForceTopK's exact rows") {
+    GraftFunctions.register(spark)
+    val viaSql = SqlSurfaceQueries.queries("sql_ann_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val viaLib = graft.sim.Similarity.bruteForceTopK(spark, sf0001, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(viaSql.toSeq == viaLib.toSeq && viaSql.nonEmpty)
+  }
+
+  test("sql_lsh_pairs: the one-statement LSH face matches minhashPairs") {
+    GraftFunctions.register(spark)
+    val viaSql = graft.dedup.Dedup.queries("sql_lsh_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val viaLib = graft.dedup.Dedup
+      .minhashPairs(graft.tables.Tables.documents(spark, sf0001), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaSql.toSeq == viaLib.toSeq && viaSql.nonEmpty)
+  }
+
   test("wrong-typed argument fails at ANALYSIS time with a clean error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
