@@ -24,10 +24,14 @@ import java.util
   *
   * `ns.table` maps to `root/ns/table` — the directory layout
   * [[graft.etl.Warehouse]] already writes, so catalog tables and the
-  * batch-ingest helpers see the same bytes. WRITE face only, matching
-  * the judge's asymmetry note: reads keep going through the native
-  * parquet source (`spark.read.parquet(root/ns/table)`), which gets
-  * pushdown/pruning/vectorization this catalog could only proxy.
+  * batch-ingest helpers see the same bytes. Reads work too — a SQL-only
+  * consumer can `CREATE TABLE` / `INSERT INTO` / `SELECT` / `INSERT
+  * OVERWRITE` / `DROP TABLE` against `zolo.ns.table` without touching
+  * the Scala API — and lose nothing to the catalog indirection: the
+  * table's scan builder IS Spark's v2 parquet one
+  * ([[WarehouseSinkTable.newScanBuilder]] delegates), so pushdown/
+  * pruning/vectorization match `spark.read.parquet(root/ns/table)`
+  * exactly.
   *
   * Creation writes a zero-row parquet commit so the new table exists
   * with its schema on disk immediately (the `to_sql` contract: a

@@ -2,10 +2,13 @@ package graft.sources
 
 import graft.etl.Warehouse
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,29 +79,46 @@ object WarehouseSink {
   }
 }
 
-/** Write-only DSv2 table over a parquet directory. ACCEPT_ANY_SCHEMA is
+/** Read+write DSv2 table over a parquet directory. ACCEPT_ANY_SCHEMA is
   * deliberate for the format face (first write to an absent table has no
   * schema to validate against — parquet is self-describing); the CATALOG
   * face ([[WarehouseCatalog]]) loads existing tables with their real
   * parquet schema, so `writeTo(...).append()` against a known table still
   * gets Catalyst's by-name output resolution.
+  *
+  * The read face delegates scan planning to Spark's own v2
+  * [[ParquetTable]] over the same directory, so a `SELECT` through the
+  * catalog gets the IDENTICAL pushdown / column-pruning / vectorized
+  * scan `spark.read.parquet` gets — the catalog adds naming, never a
+  * proxy penalty (WarehouseDsv2Spec asserts PushedFilters on a filtered
+  * catalog SELECT).
   */
 final class WarehouseSinkTable(
     path: String,
     tableSchema: StructType,
     acceptAnySchema: Boolean = true
 ) extends Table
-    with SupportsWrite {
+    with SupportsWrite
+    with SupportsRead {
   override def name(): String         = s"zolo-wh `$path`"
   override def schema(): StructType   = tableSchema
   override def capabilities(): util.Set[TableCapability] = {
     val caps = scala.collection.mutable.Set(
+      TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE
     )
     if (acceptAnySchema) caps += TableCapability.ACCEPT_ANY_SCHEMA
     caps.asJava
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // empty schema = format face over an absent path (write-before-create);
+    // let the parquet table read footers itself for anything that exists
+    val userSchema = if (tableSchema.isEmpty) None else Some(tableSchema)
+    ParquetTable(name(), SparkSession.active, options, Seq(path), userSchema,
+      classOf[ParquetFileFormat]).newScanBuilder(options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -123,6 +123,44 @@ class WarehouseDsv2Spec extends SparkSpec {
       headsA ++ heads.collect().toSet, "fact replay duplicated headers")
   }
 
+  test("SQL-only consumer: CREATE / INSERT / SELECT / INSERT OVERWRITE / DROP via the catalog") {
+    val root = tmp("zolo-cat-sql")
+    spark.conf.set("spark.sql.catalog.wsql", classOf[WarehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wsql.root", root)
+    spark.sql("CREATE TABLE wsql.raw.sales (id BIGINT, amount DOUBLE)")
+    spark.sql("INSERT INTO wsql.raw.sales VALUES (1, 10.5), (2, 20.0)")
+    spark.sql("INSERT INTO wsql.raw.sales VALUES (3, 7.25)")
+    val agg = spark.sql("SELECT sum(amount) AS s, count(*) AS n FROM wsql.raw.sales").head()
+    assert(agg.getDouble(0) == 37.75 && agg.getLong(1) == 3)
+    // CTAS reads through the catalog and writes through it
+    spark.sql("CREATE TABLE wsql.raw.big AS SELECT id, amount * 2 AS amount FROM wsql.raw.sales")
+    assert(spark.sql("SELECT sum(amount) AS s FROM wsql.raw.big").head().getDouble(0) == 75.5)
+    // INSERT OVERWRITE rides the SupportsTruncate negotiation
+    spark.sql("INSERT OVERWRITE wsql.raw.big SELECT id, amount FROM wsql.raw.sales WHERE id = 1")
+    assert(spark.sql("SELECT count(*) AS n FROM wsql.raw.big").head().getLong(0) == 1)
+    // bytes on disk are the same parquet every other reader consumes
+    assert(spark.read.parquet(s"$root/raw/sales").count() == 3)
+    spark.sql("DROP TABLE wsql.raw.big")
+    val e = intercept[Exception](spark.sql("SELECT * FROM wsql.raw.big").collect())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
+  test("catalog SELECT scan is the real parquet v2 scan: filters push down") {
+    val root = tmp("zolo-cat-scan")
+    spark.conf.set("spark.sql.catalog.wscan", classOf[WarehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wscan.root", root)
+    Seq((1L, "a", 0.5), (50L, "b", 1.5), (900L, "c", 2.5)).toDF("id", "v", "unused")
+      .writeTo("wscan.raw.t").create()
+    val df   = spark.sql("SELECT v FROM wscan.raw.t WHERE id > 100")
+    val plan = df.queryExecution.executedPlan.toString
+    // pushdown reached the parquet scan (delegated ParquetScanBuilder);
+    // pruning dropped the never-referenced column from the read schema
+    // (id stays — the post-scan Filter re-evaluates the pushed predicate)
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,100)"), plan)
+    assert(plan.contains("ReadSchema") && !plan.replaceAll("(?s).*ReadSchema", "").contains("unused"), plan)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
   test("two warehouses in one session: second root gets its own catalog, not the cached first") {
     val rootA = tmp("zolo-multi-a")
     val rootB = tmp("zolo-multi-b")
