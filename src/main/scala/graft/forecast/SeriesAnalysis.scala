@@ -269,6 +269,41 @@ object SeriesAnalysis {
     * = level + trend + matching seasonal. Same flatMapGroups shape as the
     * other per-profile models.
     */
+  /** Fixed-parameter additive Holt-Winters fold (α=0.3, β=0.1, γ=0.2;
+    * sequential left folds mirrored by the oracle's recursive CTE) —
+    * shared by [[holtWintersJob]] and the SQL face (`forecast_hw`) so
+    * the two cannot drift: (level, trend, next-period seasonal) after
+    * the pass, None under 2m+1 observations (no two full seasons to
+    * initialize from).
+    */
+  private[graft] def hwFold(xs: Array[Double], m: Int): Option[(Double, Double, Double)] = {
+    val n = xs.length
+    if (n < 2 * m + 1) None
+    else {
+      var m1 = 0.0; var i = 0
+      while (i < m) { m1 += xs(i); i += 1 }
+      m1 /= m
+      var m2 = 0.0; i = m
+      while (i < 2 * m) { m2 += xs(i); i += 1 }
+      m2 /= m
+      var l = m1
+      var b = (m2 - m1) / m
+      val slist = Array.tabulate(m)(j => xs(j) - m1)
+      var t = m
+      while (t < n) {
+        val sOld = slist(0)
+        val lNew = 0.3 * (xs(t) - sOld) + 0.7 * (l + b)
+        val bNew = 0.1 * (lNew - l) + 0.9 * b
+        val sNew = 0.2 * (xs(t) - l - b) + 0.8 * sOld
+        System.arraycopy(slist, 1, slist, 0, m - 1)
+        slist(m - 1) = sNew
+        l = lNew; b = bNew
+        t += 1
+      }
+      Some((l, b, slist(0)))
+    }
+  }
+
   def holtWintersJob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = hwPeriod
@@ -278,32 +313,7 @@ object SeriesAnalysis {
       .groupByKey(_.profile_name)
       .flatMapGroups { (profile, rows) =>
         val xs = rows.toArray.sortBy(_.week_date.getTime).map(_.weight)
-        val n  = xs.length
-        if (n < 2 * m + 1) Iterator.empty
-        else {
-          // sequential left folds, mirrored by list_reduce in the oracle
-          var m1 = 0.0; var i = 0
-          while (i < m) { m1 += xs(i); i += 1 }
-          m1 /= m
-          var m2 = 0.0; i = m
-          while (i < 2 * m) { m2 += xs(i); i += 1 }
-          m2 /= m
-          var l = m1
-          var b = (m2 - m1) / m
-          val slist = Array.tabulate(m)(j => xs(j) - m1)
-          var t = m
-          while (t < n) {
-            val sOld = slist(0)
-            val lNew = 0.3 * (xs(t) - sOld) + 0.7 * (l + b)
-            val bNew = 0.1 * (lNew - l) + 0.9 * b
-            val sNew = 0.2 * (xs(t) - l - b) + 0.8 * sOld
-            System.arraycopy(slist, 1, slist, 0, m - 1)
-            slist(m - 1) = sNew
-            l = lNew; b = bNew
-            t += 1
-          }
-          Iterator.single(HwRow(profile, l, b, slist(0), l + b + slist(0)))
-        }
+        hwFold(xs, m).iterator.map { case (l, b, s0) => HwRow(profile, l, b, s0, l + b + s0) }
       }
       .toDF()
       .select(
@@ -480,9 +490,10 @@ object SeriesAnalysis {
   )
 
   /** Croston (α=0.2) fold: final (size level, interval level), or None
-    * for an all-zero series.
+    * for an all-zero series. Shared with the SQL face
+    * (`forecast_croston`) so the two cannot drift.
     */
-  private[forecast] def crostonFold(xs: Array[Double]): Option[(Double, Double)] = {
+  private[graft] def crostonFold(xs: Array[Double]): Option[(Double, Double)] = {
     val f = xs.indexWhere(_ > 0)
     if (f < 0) None
     else {

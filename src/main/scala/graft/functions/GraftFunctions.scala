@@ -63,7 +63,10 @@ object GraftFunctions {
     ("forecast_ses", classOf[ForecastSes], optBinary("forecast_ses", ForecastSes.apply,
       org.apache.spark.sql.catalyst.expressions.Literal(0.6d)) _),
     ("forecast_holt", classOf[ForecastHolt], unary("forecast_holt", ForecastHolt.apply) _),
-    ("forecast_arima", classOf[ForecastArima], unary("forecast_arima", ForecastArima.apply) _)
+    ("forecast_arima", classOf[ForecastArima], unary("forecast_arima", ForecastArima.apply) _),
+    ("forecast_hw", classOf[ForecastHw], optBinary("forecast_hw", ForecastHw.apply,
+      org.apache.spark.sql.catalyst.expressions.Literal(graft.forecast.SeriesAnalysis.hwPeriod)) _),
+    ("forecast_croston", classOf[ForecastCroston], unary("forecast_croston", ForecastCroston.apply) _)
   )
 
   /** Idempotent: queries call this at build time, many per session —
@@ -138,6 +141,10 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("forecast_holt", series)
   def forecastArima(series: Column): Column =
     org.apache.spark.sql.functions.call_function("forecast_arima", series)
+  def forecastHw(series: Column, period: Column): Column =
+    org.apache.spark.sql.functions.call_function("forecast_hw", series, period)
+  def forecastCroston(series: Column): Column =
+    org.apache.spark.sql.functions.call_function("forecast_croston", series)
 }
 
 /** Hamming distance between two 64-bit signatures. ExpectsInputTypes so a

@@ -153,6 +153,28 @@ object SqlKernels {
       case None => null
     }
   }
+
+  /** Fixed-parameter additive Holt-Winters
+    * ([[graft.forecast.SeriesAnalysis.hwFold]] — α=0.3, β=0.1, γ=0.2):
+    * (level, trend, seasonal_next, prediction). Null under 2·period+1
+    * observations.
+    */
+  def forecastHw(xs: ArrayData, period: Int): InternalRow =
+    graft.forecast.SeriesAnalysis.hwFold(xs.toDoubleArray(), period) match {
+      case Some((l, b, s0)) => new GenericInternalRow(Array[Any](l, b, s0, l + b + s0))
+      case None             => null
+    }
+
+  /** Croston's intermittent-demand method
+    * ([[graft.forecast.SeriesAnalysis.crostonFold]] — α=0.2): (demand
+    * level, interval estimate, forecast = z/p, SBA-corrected 0.9·z/p).
+    * Null for an all-zero series.
+    */
+  def forecastCroston(xs: ArrayData): InternalRow =
+    graft.forecast.SeriesAnalysis.crostonFold(xs.toDoubleArray()) match {
+      case Some((z, p)) => new GenericInternalRow(Array[Any](z, p, z / p, 0.9 * z / p))
+      case None         => null
+    }
 }
 
 /** `minhash_sig(text[, k])`: k-permutation MinHash signature (array of
@@ -380,6 +402,60 @@ case class ForecastArima(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, xs => s"""
       ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.forecastArimaAuto($xs);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `forecast_hw(series[, period])`: fixed-parameter additive
+  * Holt-Winters (the `m_hw_fixed` recursion) as a struct — level,
+  * trend, next-period seasonal, 1-step prediction. Defaults to the
+  * engine's period 13 (a quarterly cycle on weekly data); null under
+  * 2·period+1 observations.
+  */
+case class ForecastHw(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("level", DoubleType, nullable = false),
+    StructField("trend", DoubleType, nullable = false),
+    StructField("seasonal_next", DoubleType, nullable = false),
+    StructField("prediction", DoubleType, nullable = false)
+  ))
+  override def nullable: Boolean = true
+  override def prettyName: String = "forecast_hw"
+  override protected def nullSafeEval(xs: Any, period: Any): Any =
+    SqlKernels.forecastHw(xs.asInstanceOf[ArrayData], period.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, period) => s"""
+      ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.forecastHw($xs, $period);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `forecast_croston(series)`: Croston's intermittent-demand method (the
+  * `m_croston` recursion, α=0.2) as a struct — demand_level,
+  * interval_est, forecast (z/p), sba_forecast (0.9·z/p). Null for an
+  * all-zero series (no demand event to initialize from).
+  */
+case class ForecastCroston(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("demand_level", DoubleType, nullable = false),
+    StructField("interval_est", DoubleType, nullable = false),
+    StructField("forecast", DoubleType, nullable = false),
+    StructField("sba_forecast", DoubleType, nullable = false)
+  ))
+  override def nullable: Boolean = true
+  override def prettyName: String = "forecast_croston"
+  override protected def nullSafeEval(xs: Any): Any =
+    SqlKernels.forecastCroston(xs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => s"""
+      ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.forecastCroston($xs);
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

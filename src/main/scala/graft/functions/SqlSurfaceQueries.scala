@@ -19,6 +19,40 @@ object SqlSurfaceQueries {
   private val stopList =
     graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The gap-filled weekly series chain (`ForecastJobs.gapfillJob`
+    * semantics: weeklySeries(minWeeks=5) rollup → per-profile 7-day
+    * `sequence` spine → zero-filled left join) as SQL text — the input
+    * every per-series diagnostic model assumes. Shared by the HW and
+    * Croston one-statement faces.
+    */
+  private def gapfilledSeriesCte(d: String): String =
+    s"""weekly AS (
+       |  SELECT profile_name, week_date, weight FROM (
+       |    SELECT profile_name, week_date, weight,
+       |      count(*) OVER (PARTITION BY profile_name) AS n_weeks
+       |    FROM (
+       |      SELECT p_brand AS profile_name,
+       |        CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
+       |        CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
+       |      FROM parquet.`$d/lineitem.parquet` JOIN parquet.`$d/part.parquet`
+       |        ON l_partkey = p_partkey
+       |      WHERE l_shipdate < TIMESTAMP '2001-06-01'
+       |      GROUP BY 1, 2))
+       |  WHERE n_weeks > 5),
+       |spine AS (
+       |  SELECT profile_name, explode(sequence(wmin, wmax, interval 7 days)) AS week_date
+       |  FROM (SELECT profile_name, min(week_date) AS wmin, max(week_date) AS wmax
+       |        FROM weekly GROUP BY profile_name)),
+       |gf AS (
+       |  SELECT s.profile_name, CAST(s.week_date AS DATE) AS week_date,
+       |    coalesce(w.weight, 0.0) AS weight
+       |  FROM spine s LEFT JOIN weekly w
+       |    ON s.profile_name = w.profile_name AND CAST(s.week_date AS DATE) = w.week_date),
+       |series AS (
+       |  SELECT profile_name,
+       |    transform(array_sort(collect_list(struct(week_date, weight))), x -> x.weight) AS xs
+       |  FROM gf GROUP BY profile_name)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_text_stats" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -85,6 +119,37 @@ object SqlSurfaceQueries {
            |  GROUP BY profile_name
            |  HAVING count(*) > 5)
            |WHERE f IS NOT NULL
+           |ORDER BY profile_name""".stripMargin)
+    }),
+    // fixed-parameter Holt-Winters over the gap-filled weekly series —
+    // m_hw_fixed's whole chain (rollup, spine gap-fill, seasonal fold)
+    // as one SQL statement; same oracle pins it
+    "sql_hw_by_profile" -> ((s, d) => {
+      GraftFunctions.register(s)
+      s.sql(
+        s"""WITH ${gapfilledSeriesCte(d)},
+           |fitted AS (SELECT profile_name, forecast_hw(xs) AS f FROM series)
+           |SELECT profile_name,
+           |  round(f.level, 6) AS level,
+           |  round(f.trend, 6) AS trend,
+           |  round(f.seasonal_next, 6) AS seasonal_next,
+           |  round(f.prediction, 6) AS prediction
+           |FROM fitted WHERE f IS NOT NULL
+           |ORDER BY profile_name""".stripMargin)
+    }),
+    // Croston's intermittent-demand method over the same gap-filled
+    // series — m_croston's chain as one SQL statement
+    "sql_croston_by_profile" -> ((s, d) => {
+      GraftFunctions.register(s)
+      s.sql(
+        s"""WITH ${gapfilledSeriesCte(d)},
+           |fitted AS (SELECT profile_name, forecast_croston(xs) AS f FROM series)
+           |SELECT profile_name,
+           |  round(f.demand_level, 6) AS demand_level,
+           |  round(f.interval_est, 6) AS interval_est,
+           |  round(f.forecast, 6) AS forecast,
+           |  round(f.sba_forecast, 6) AS sba_forecast
+           |FROM fitted WHERE f IS NOT NULL
            |ORDER BY profile_name""".stripMargin)
     }),
     // similarity search from SQL: brute-force cosine top-k over the
@@ -158,6 +223,10 @@ object SqlSurfaceQueries {
     "sql_arima_auto" -> graft.forecast.ForecastJobs.oracles("m_arima_forecast"),
     // the SQL face must land on the library face's exact rows: reuse the
     // ann_bruteforce_topk independent DuckDB replay verbatim
-    "sql_ann_topk" -> graft.sim.Similarity.oracles("ann_bruteforce_topk")
+    "sql_ann_topk" -> graft.sim.Similarity.oracles("ann_bruteforce_topk"),
+    // same chains as m_hw_fixed / m_croston ⇒ the same recursive-CTE
+    // replays pin the SQL faces
+    "sql_hw_by_profile" -> graft.forecast.SeriesAnalysis.oracles("m_hw_fixed"),
+    "sql_croston_by_profile" -> graft.forecast.SeriesAnalysis.oracles("m_croston")
   )
 }

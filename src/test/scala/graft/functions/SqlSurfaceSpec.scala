@@ -184,6 +184,52 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("sql_arima_auto plan evaluates forecast_arima ONCE, not once per field") {
+    GraftFunctions.register(spark)
+    val df = SqlSurfaceQueries.queries("sql_arima_auto")(spark, sf0001)
+    // if CollapseProject ever pulled the field extractions into the
+    // aggregate, the 50-config grid would run 6x per profile — the plan
+    // must carry exactly one ForecastArima node
+    val n = df.queryExecution.optimizedPlan
+      .map(p => p.expressions.map(_.collect { case e: ForecastArima => e }.size).sum)
+      .sum
+    assert(n == 1, s"forecast_arima appears $n times in the optimized plan")
+  }
+
+  test("sql_hw_by_profile / sql_croston_by_profile match their DataFrame jobs bit-exactly") {
+    GraftFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), (1 until r.length).map(r.getDouble).toSeq)).toSeq
+    assert(rows(SqlSurfaceQueries.queries("sql_hw_by_profile")(spark, sf0001)) ==
+      rows(graft.forecast.SeriesAnalysis.holtWintersJob(spark, sf0001)))
+    assert(rows(SqlSurfaceQueries.queries("sql_croston_by_profile")(spark, sf0001)) ==
+      rows(graft.forecast.SeriesAnalysis.crostonJob(spark, sf0001)))
+  }
+
+  test("forecast_hw / forecast_croston kernel parity and null contracts") {
+    GraftFunctions.register(spark)
+    val xs  = Array.tabulate(30)(i => (i % 4).toDouble + i * 0.1)
+    val lit = xs.mkString("array(", "D,", "D)")
+    val r = spark.sql(
+      s"""SELECT forecast_hw($lit, 4) AS hw, forecast_hw($lit) AS hwDefault,
+         |  forecast_croston($lit) AS cro,
+         |  forecast_hw(array(1.0D, 2.0D), 4) IS NULL AS hwShort,
+         |  forecast_croston(array(0.0D, 0.0D)) IS NULL AS croZero""".stripMargin).head()
+    val Some((l, b, s0)) = graft.forecast.SeriesAnalysis.hwFold(xs, 4)
+    val hw = r.getStruct(0)
+    assert(hw.getDouble(0) == l && hw.getDouble(1) == b && hw.getDouble(2) == s0
+      && hw.getDouble(3) == l + b + s0)
+    // default period = hwPeriod (13): 30 obs ≥ 2*13+1, engages
+    val Some((l13, b13, s13)) = graft.forecast.SeriesAnalysis.hwFold(xs, 13)
+    assert(r.getStruct(1).getDouble(0) == l13 && r.getStruct(1).getDouble(1) == b13
+      && r.getStruct(1).getDouble(2) == s13)
+    val Some((z, p)) = graft.forecast.SeriesAnalysis.crostonFold(xs)
+    val cro = r.getStruct(2)
+    assert(cro.getDouble(0) == z && cro.getDouble(1) == p
+      && cro.getDouble(2) == z / p && cro.getDouble(3) == 0.9 * z / p)
+    assert(r.getBoolean(3) && r.getBoolean(4))
+  }
+
   test("sql_ann_topk: the SQL face lands on bruteForceTopK's exact rows") {
     GraftFunctions.register(spark)
     val viaSql = SqlSurfaceQueries.queries("sql_ann_topk")(spark, sf0001)
