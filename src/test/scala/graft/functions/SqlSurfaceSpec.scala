@@ -237,6 +237,11 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaLib = graft.sim.Similarity.bruteForceTopK(spark, sf0001, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(viaSql.toSeq == viaLib.toSeq && viaSql.nonEmpty)
+    // the hint took: probes broadcast, corpus scan stays map-side (the
+    // library query's broadcast(probes) shape, not a shuffled join)
+    val plan = SqlSurfaceQueries.queries("sql_ann_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("sql_lsh_pairs: the one-statement LSH face matches minhashPairs") {
