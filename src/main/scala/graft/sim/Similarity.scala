@@ -1161,7 +1161,40 @@ object Similarity {
       .orderBy($"true_label", $"pred_label")
   }
 
+  /** Recall@k audit of the IVF approximate path against exact brute
+    * force — the operational quality gate every ANN deployment runs
+    * before trusting an index (the number the stress harnesses report,
+    * promoted to a first-class driver-gated operator): per probe, how
+    * many of the exact top-k the pruned nprobe search returned. Both
+    * sides are the engine's own queries; the trained centroids dump to a
+    * boundary-oracle table so DuckDB replays assignment → pruning →
+    * ranking → set intersection end-to-end. Scale shape: the audit adds
+    * one semi-join and one k-row-per-probe aggregate on top of the two
+    * top-k queries — at fleet scale it runs on a probe SAMPLE, the same
+    * way the stress tools measure recall.
+    */
+  def recallAudit(s: SparkSession, d: String, k: Int): DataFrame = {
+    val exact = bruteForceTopK(s, d, k).select($"probe_id", $"neighbor_id")
+    val approx = ivfTopK(s, d, k, nCells = 16, nprobe = 4,
+      centsDump = Some(s"${graft.OracleIo.dir(d)}/recall_centroids"))
+      .select($"probe_id", $"neighbor_id")
+    val hits = exact
+      .join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy($"probe_id")
+      .agg(count(lit(1)).as("hits"))
+    exact
+      .select($"probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(
+        $"probe_id",
+        coalesce($"hits", lit(0L)).cast("int").as("hits"),
+        (coalesce($"hits", lit(0L)).cast("double") / k).as("recall")
+      )
+      .orderBy($"probe_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_recall_audit"    -> ((s, d) => recallAudit(s, d, k = 5)),
     "dedup_semdedup_keep" -> ((s, d) =>
       semDeDupKeep(s, d, nCells = 16, tau = 0.4,
         centsDump = Some(s"${graft.OracleIo.dir(d)}/semdedup_centroids"))),
@@ -1491,7 +1524,66 @@ object Similarity {
         |  SELECT *, CAST(row_number() OVER
         |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         |  FROM sims) t
-        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // exact face (brute-force window) ∩ approx face (given-centroids IVF
+    // replay from the recall_centroids dump): per-probe hit count and
+    // recall@5 — the whole audit recomputed end-to-end in DuckDB
+    "ann_recall_audit" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |xsims AS (
+         |  SELECT probe_id, e.vec_id AS neighbor_id,
+         |    round(list_dot_product(pv, v)
+         |      / sqrt(list_dot_product(pv, pv) * list_dot_product(v, v)), 6) AS cosine
+         |  FROM e JOIN p ON e.vec_id <> p.probe_id),
+         |exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM xsims) t WHERE rank <= 5),
+         |cents AS (
+         |  SELECT cell_id, centroid
+         |  FROM read_parquet('${graft.OracleIo.sqlDir}/recall_centroids/*.parquet')),
+         |asim AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |    list_dot_product(c.centroid, e.v)
+         |      / sqrt(list_dot_product(c.centroid, c.centroid) * list_dot_product(e.v, e.v)) AS sim
+         |  FROM e, cents c),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM asim) t WHERE rn = 1),
+         |pcells AS (
+         |  SELECT vec_id AS probe_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM asim WHERE vec_id < 10) t WHERE rn <= 4),
+         |asims AS (
+         |  SELECT pc.probe_id, a.vec_id AS neighbor_id,
+         |    round(list_dot_product(pe.v, ae.v)
+         |      / sqrt(list_dot_product(pe.v, pe.v) * list_dot_product(ae.v, ae.v)), 6) AS cosine
+         |  FROM pcells pc
+         |  JOIN assigned a ON a.cell_id = pc.cell_id AND a.vec_id <> pc.probe_id
+         |  JOIN e pe ON pe.vec_id = pc.probe_id
+         |  JOIN e ae ON ae.vec_id = a.vec_id),
+         |approx AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM asims) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT x.probe_id, COUNT(*) AS h
+         |  FROM exact x JOIN approx a
+         |    ON a.probe_id = x.probe_id AND a.neighbor_id = x.neighbor_id
+         |  GROUP BY x.probe_id)
+         |SELECT pr.probe_id,
+         |  CAST(coalesce(h.h, 0) AS INT) AS hits,
+         |  CAST(coalesce(h.h, 0) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT DISTINCT probe_id FROM exact) pr
+         |LEFT JOIN hits h USING (probe_id) ORDER BY probe_id""".stripMargin
   )
 
   // the native-TopK and full-width batched-index variants must produce

@@ -35,6 +35,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("ann_recall_audit equals the set intersection of its two faces") {
+    val audit = Similarity.recallAudit(spark, sf0001, k = 5).collect()
+    assert(audit.length == 10)
+    val bfByProbe  = bf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val ivfByProbe = ivf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    audit.foreach { r =>
+      val probe = r.getLong(0)
+      val expect = (bfByProbe(probe) & ivfByProbe.getOrElse(probe, Set.empty)).size
+      assert(r.getInt(1) == expect, s"probe $probe: hits ${r.getInt(1)} != $expect")
+      assert(r.getDouble(2) == expect / 5.0)
+    }
+  }
+
   test("int8 quantization: codes in range, dequant error bounded by scale/2") {
     import org.apache.spark.sql.functions._
     val q = graft.tables.Tables
