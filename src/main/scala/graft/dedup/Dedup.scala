@@ -722,6 +722,45 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** Recall audit of the MinHash-LSH path against the exact
+    * shingle-Jaccard pair universe — the dedup twin of
+    * `ann_recall_audit`: of all doc pairs with true Jaccard ≥ threshold,
+    * how many did banding surface? (Banding is the only lossy stage —
+    * the verify step already guarantees precision 1.0, and the left join
+    * proves the subset property rather than assuming it.) The exact
+    * universe is a broadcast self-join over per-doc shingle sets —
+    * O(n²) by definition, fine at gate SF; at fleet scale the audit
+    * runs on a document SAMPLE, exactly like the ANN audit's probe
+    * sample. Expected recall at 16 perms / 4 bands: 1-(1-j⁴)⁴ ≈ 0.23 at
+    * j=0.5 rising to 1.0 for near-identical docs — the audit makes the
+    * deployed operating point a measured number instead of a formula.
+    */
+  def lshRecallAudit(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lsh = minhashPairs(docs, threshold, sigDump = Some(minhashSigPath(d)))
+      .select($"doc_a", $"doc_b")
+    val shUdf = udf { (text: String) => Hashing.shingleSet(text).toSeq }
+    val sh = docs.select($"doc_id", shUdf($"text").as("sh")).filter(size($"sh") > 0)
+    val exact = sh.as("a")
+      .join(broadcast(sh.as("b")), $"a.doc_id" < $"b.doc_id")
+      .select(
+        $"a.doc_id".as("doc_a"),
+        $"b.doc_id".as("doc_b"),
+        (size(array_intersect($"a.sh", $"b.sh")) / size(array_union($"a.sh", $"b.sh")))
+          .as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b")
+    exact
+      .join(lsh.withColumn("found", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("exact_pairs"),
+        sum(coalesce($"found", lit(0))).cast("long").as("found_pairs"))
+      .select(
+        $"exact_pairs",
+        $"found_pairs",
+        ($"found_pairs".cast("double") / $"exact_pairs").as("recall"))
+  }
+
   val dedupSimhash: Q = (s, d) => simhash(Tables.documents(s, d)).orderBy($"doc_id")
 
   val dedupSimhashPairs: Q = (s, d) =>
@@ -1095,6 +1134,7 @@ object Dedup {
     "dedup_minhash_sigs"    -> dedupMinhashSignatures,
     "dedup_minhash_pairs"   -> dedupMinhashPairs,
     "sql_lsh_pairs"         -> sqlLshPairs,
+    "dedup_lsh_recall"      -> ((s, d) => lshRecallAudit(s, d, threshold = 0.5)),
     "dedup_simhash"         -> dedupSimhash,
     "dedup_simhash_pairs"   -> dedupSimhashPairs,
     "dedup_clusters"        -> dedupClusters,
@@ -1514,6 +1554,28 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM verified
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "sql_lsh_pairs" -> sqlLshPairsReplay,
+    // LSH-found pairs (given-sigs band/cap/join/verify replay: `sel`)
+    // against the exact all-pairs shingle-Jaccard universe
+    "dedup_lsh_recall" ->
+      s"""WITH $minhashCandCte,
+         |shx AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |      THEN list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)])
+         |      ELSE [] END AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+         |ex AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_intersect(a.sh, b.sh))
+         |      / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.5)
+         |SELECT
+         |  COUNT(*) AS exact_pairs,
+         |  CAST(SUM(CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found_pairs,
+         |  CAST(SUM(CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM ex e LEFT JOIN sel s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCandCte,
          |$winnowCcCte

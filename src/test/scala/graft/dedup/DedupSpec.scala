@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a >= 3L || b >= 3L }) // no false pairs
   }
 
+  test("lsh recall audit: found ⊆ exact, recall in [0,1], corpus recall matches a hand count") {
+    val r = Dedup.lshRecallAudit(spark, sf0001, threshold = 0.5).head()
+    val (exact, found, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(found <= exact, "LSH surfaced a pair outside the exact universe (verify stage broken)")
+    assert(recall >= 0.0 && recall <= 1.0 && recall == found.toDouble / exact)
+    // independent hand count of the exact universe on the corpus
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .collect().map(x => (x.getLong(0), Hashing.shingleSet(x.getString(1)).toSet))
+      .filter(_._2.nonEmpty)
+    val handExact = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5
+    } yield 1).size
+    assert(exact == handExact, s"exact_pairs $exact != hand count $handExact")
+  }
+
   test("containment join finds a doc subsumed by its superset in both directions") {
     // doc 10 ⊂ doc 11: 11 is 10 plus a long unrelated tail, so Jaccard is
     // low but containment(10→11) = 100; 12 is unrelated
