@@ -609,7 +609,90 @@ object StreamQueries {
     out
   }
 
+  /** Streaming transform for the near-dup landing gate: LSH band rows →
+    * per-bucket minimal-doc-id state ([[GroupState]] holds ONE long per
+    * bucket) → (doc_id, dup_of) flags. Within a micro-batch the group's
+    * rows fold in doc_id order, so arrival order inside a batch cannot
+    * leak into the output; across batches a doc is flagged against the
+    * smallest bucket-mate seen SO FAR — genuine streaming semantics (a
+    * later-arriving smaller id does not retro-flag earlier docs), which
+    * the cross-batch spec pins. Shared by the driver query and the
+    * MemoryStream spec.
+    */
+  private[streaming] def nearDedupFlags(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    // encoders only — the full bundle's `$` clashes with graft.syntax's
+    import s.implicits.{newLongEncoder, newProductEncoder}
+    graft.dedup.Dedup
+      .minhashSignatures(docs)
+      .select(
+        $"doc_id",
+        posexplode(array((0 until graft.dedup.Dedup.numBands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "band_hash")))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, bandId, bandHash) => (bandId, bandHash) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val out = Array.newBuilder[(Long, Long)]
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          ids.foreach { id =>
+            if (mn < id) out += ((id, mn))
+            if (id < mn) mn = id
+          }
+          state.update(mn)
+          out.result().iterator
+      }
+      .toDF("doc_id", "dup_of")
+  }
+
+  /** Streaming near-dup LANDING GATE — the LLM-pipeline ingestion shape:
+    * as documents stream in, each is flagged against everything already
+    * seen ((doc_id, dup_of) = the smallest earlier doc sharing any LSH
+    * band bucket), so downstream training-data writers can drop or route
+    * near-dups AT INGEST instead of re-scanning the corpus. State is one
+    * long per OCCUPIED band bucket — bounded by bucket count, never
+    * corpus-sized — and the signature stage is the same map-only pass the
+    * batch LSH path runs. No bucket cap on the stream face (membership is
+    * unknown upfront); a degenerate boilerplate corpus belongs on the
+    * batch [[graft.dedup.Dedup.minhashPairs]] path whose capBuckets guard
+    * handles it. The post-stream min-aggregate (a doc sits in 4 buckets)
+    * is batch work on the converged sink table.
+    *
+    * SINGLE-BATCH PIN (the s_stream_dedup contract): oracle equality with
+    * the batch min-bucket-mate SQL relies on the corpus landing in one
+    * AvailableNow micro-batch — across batches a smaller id arriving
+    * later legitimately stops flagging earlier docs, which the spec (not
+    * the oracle) covers with an explicit two-batch MemoryStream case.
+    */
+  val streamNearDedup: Q = (s, d) => {
+    val ck = java.nio.file.Files.createTempDirectory("graft-sneardup-ck").toString
+    val docsSchema = graft.tables.Tables.documents(s, d).schema
+    val src = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1000")
+      .parquet(d)
+    val q = nearDedupFlags(src).writeStream
+      .format("memory")
+      .queryName("s_stream_near_dedup_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val out = s.table("s_stream_near_dedup_sink")
+      .groupBy($"doc_id")
+      .agg(min($"dup_of").as("dup_of"))
+      .orderBy($"doc_id")
+      .localCheckpoint()
+    s.catalog.dropTempView("s_stream_near_dedup_sink")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "s_stream_near_dedup" -> streamNearDedup,
     "s_stream_upsert"   -> streamUpsert,
     "s_stream_topk"     -> streamTopK,
     "s_stream_windows"  -> streamWindows,
@@ -623,6 +706,21 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // converged single-batch flags = for every doc, the smallest doc
+    // sharing any (band_id, band_hash) bucket — replayed from the
+    // engine's dumped signature table (written by dedup_minhash_pairs
+    // during the same sweep; DuckDB runs after the full dump phase)
+    "s_stream_near_dedup" ->
+      s"""WITH sigs AS (
+         |  SELECT * FROM read_parquet('${graft.OracleIo.sqlDir}/minhash_sigs/*.parquet')),
+         |bands AS (
+         |  SELECT doc_id, bi.range AS band_id,
+         |    [band0, band1, band2, band3][bi.range + 1] AS band_hash
+         |  FROM sigs, range(0, ${graft.dedup.Dedup.numBands}) bi)
+         |SELECT b.doc_id, MIN(a.doc_id) AS dup_of
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // the two folds are associative, so the converged upsert table is
     // the plain per-user aggregate regardless of batching
     "s_stream_upsert" ->

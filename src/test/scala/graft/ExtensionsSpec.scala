@@ -46,6 +46,15 @@ class ExtensionsSpec extends AnyFunSuite {
           .contains(graft.plans.TopKStrategy),
         "TopKStrategy not injected by the extensions"
       )
+      // completeness: EVERY builder-listed function must resolve in the
+      // extensions-built session — a new expression added to builders is
+      // covered here automatically, so the two faces can never diverge
+      val reg = spark.sessionState.functionRegistry
+      graft.functions.GraftFunctions.builders.foreach { case (name, _, _) =>
+        assert(
+          reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"$name not injected by GraftExtensions")
+      }
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
