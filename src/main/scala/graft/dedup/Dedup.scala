@@ -688,11 +688,19 @@ object Dedup {
     * [[minhashPairs]]: band buckets here are keyed on the slice string
     * the engine hashes, so buckets — and therefore the cap and the
     * candidate set — coincide (modulo engine-side hash64 collisions,
-    * absent on these corpora). Scale note: the library path stays
-    * preferred at fleet scale because it materializes signatures once —
-    * this statement's two self-join branches each recompute `minhash_sig`
-    * over the corpus (a CTE is not a materialization barrier in Spark);
-    * the SQL face is the semantics surface, not the throughput path.
+    * absent on these corpora).
+    *
+    * Plan shape: a CTE is not a materialization barrier in Spark, so the
+    * textbook bucket SELF-JOIN would recompute the `minhash_sig` pass
+    * once per branch (the whole corpus scanned twice). Instead buckets
+    * aggregate ONCE (`collect_list` + HAVING cap — the cap bounds the
+    * collected array exactly like [[capBuckets]] bounds the join) and
+    * pairs explode from the bucket array map-side: one signature pass,
+    * one shuffle to the buckets, candidate fan-out ≤ cap² per bucket —
+    * the same quadratic term the join formulation has, without its
+    * second corpus scan. Degenerate boilerplate corpora (bucket ≫ cap)
+    * still collect before the HAVING drops them; they belong on the
+    * batch [[minhashPairs]] path, same as before.
     */
   val sqlLshPairs: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
@@ -705,14 +713,15 @@ object Dedup {
          |    concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
          |              x -> CAST(x AS STRING))) AS bkey
          |  FROM sigs LATERAL VIEW explode(sequence(0, ${numBands - 1})) t AS b),
-         |bcap AS (
-         |  SELECT doc_id, b, bkey FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY b, bkey) AS bucket_n FROM bands)
-         |  WHERE bucket_n <= $maxBucketSize),
+         |buckets AS (
+         |  SELECT b, bkey, collect_list(doc_id) AS ids
+         |  FROM bands GROUP BY b, bkey
+         |  HAVING count(*) <= $maxBucketSize),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bcap a JOIN bcap c
-         |    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |  SELECT DISTINCT doc_a, doc_b FROM buckets
+         |  LATERAL VIEW explode(ids) ta AS doc_a
+         |  LATERAL VIEW explode(ids) tb AS doc_b
+         |  WHERE doc_a < doc_b),
          |docs AS (SELECT doc_id, text FROM parquet.`$d/documents.parquet`)
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT cand.doc_a, cand.doc_b, jaccard_shingles(ta.text, tb.text) AS jaccard
