@@ -124,11 +124,34 @@ object SqlKernels {
     inter.toDouble / (setA.size + setB.size - inter)
   }
 
-  def forecastSes(xs: ArrayData, alpha: Double): Double =
-    Models.sesForecast(xs.toDoubleArray(), alpha)
+  /** Null-element guard shared by every forecast expression: a series
+    * containing SQL NULL observations has no defined recursion, so the
+    * result is SQL NULL — not a ClassCastException from inside generated
+    * code (the analysis-time ArrayType(DoubleType) signature accepts
+    * nullable-element arrays; the guard makes the runtime contract match
+    * the r1-ADVICE clean-error discipline).
+    */
+  def seriesOrNull(xs: ArrayData): Array[Double] = {
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) { if (xs.isNullAt(i)) return null; i += 1 }
+    xs.toDoubleArray()
+  }
 
-  def forecastHolt(xs: ArrayData): Double =
-    Models.holtForecast(xs.toDoubleArray())
+  /** Boxed so the generated code can branch on null (null-element or
+    * empty series → SQL NULL).
+    */
+  def forecastSes(xs: ArrayData, alpha: Double): java.lang.Double = {
+    val arr = seriesOrNull(xs)
+    if (arr == null || arr.length == 0) null
+    else java.lang.Double.valueOf(Models.sesForecast(arr, alpha))
+  }
+
+  def forecastHolt(xs: ArrayData): java.lang.Double = {
+    val arr = seriesOrNull(xs)
+    if (arr == null || arr.length < 2) null
+    else java.lang.Double.valueOf(Models.holtForecast(arr))
+  }
 
   /** The FULL auto-ARIMA chain of `m_arima_forecast` as one row-local
     * kernel: 50-config grid ([[Models.arimaGridSearch]] — identical
@@ -141,7 +164,8 @@ object SqlKernels {
     * `arimaJob` keeps with NaN bounds).
     */
   def forecastArimaAuto(xs: ArrayData): InternalRow = {
-    val arr = xs.toDoubleArray()
+    val arr = seriesOrNull(xs)
+    if (arr == null) return null
     Models.arimaGridSearch(arr) match {
       case Some((p, d, q, m)) =>
         val (f, se) = Models.arimaFitMle(arr, p, d, q) match {
@@ -159,22 +183,28 @@ object SqlKernels {
     * (level, trend, seasonal_next, prediction). Null under 2·period+1
     * observations.
     */
-  def forecastHw(xs: ArrayData, period: Int): InternalRow =
-    graft.forecast.SeriesAnalysis.hwFold(xs.toDoubleArray(), period) match {
+  def forecastHw(xs: ArrayData, period: Int): InternalRow = {
+    val arr = seriesOrNull(xs)
+    if (arr == null) return null
+    graft.forecast.SeriesAnalysis.hwFold(arr, period) match {
       case Some((l, b, s0)) => new GenericInternalRow(Array[Any](l, b, s0, l + b + s0))
       case None             => null
     }
+  }
 
   /** Croston's intermittent-demand method
     * ([[graft.forecast.SeriesAnalysis.crostonFold]] — α=0.2): (demand
     * level, interval estimate, forecast = z/p, SBA-corrected 0.9·z/p).
     * Null for an all-zero series.
     */
-  def forecastCroston(xs: ArrayData): InternalRow =
-    graft.forecast.SeriesAnalysis.crostonFold(xs.toDoubleArray()) match {
+  def forecastCroston(xs: ArrayData): InternalRow = {
+    val arr = seriesOrNull(xs)
+    if (arr == null) return null
+    graft.forecast.SeriesAnalysis.crostonFold(arr) match {
       case Some((z, p)) => new GenericInternalRow(Array[Any](z, p, z / p, 0.9 * z / p))
       case None         => null
     }
+  }
 }
 
 /** `minhash_sig(text[, k])`: k-permutation MinHash signature (array of
@@ -335,16 +365,16 @@ case class ForecastSes(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "forecast_ses"
-  override protected def nullSafeEval(xs: Any, alpha: Any): Any = {
-    val arr = xs.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null
-    else SqlKernels.forecastSes(arr, alpha.asInstanceOf[Double])
-  }
+  override protected def nullSafeEval(xs: Any, alpha: Any): Any =
+    SqlKernels.forecastSes(xs.asInstanceOf[ArrayData], alpha.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (xs, alpha) => s"""
-      if ($xs.numElements() == 0) { ${ev.isNull} = true; }
-      else { ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.forecastSes($xs, $alpha); }
-    """)
+    nullSafeCodeGen(ctx, ev, (xs, alpha) => {
+      val r = ctx.freshName("sesR")
+      s"""
+      java.lang.Double $r = graft.functions.SqlKernels$$.MODULE$$.forecastSes($xs, $alpha);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+    """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -360,15 +390,16 @@ case class ForecastHolt(child: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "forecast_holt"
-  override protected def nullSafeEval(xs: Any): Any = {
-    val arr = xs.asInstanceOf[ArrayData]
-    if (arr.numElements() < 2) null else SqlKernels.forecastHolt(arr)
-  }
+  override protected def nullSafeEval(xs: Any): Any =
+    SqlKernels.forecastHolt(xs.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, xs => s"""
-      if ($xs.numElements() < 2) { ${ev.isNull} = true; }
-      else { ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.forecastHolt($xs); }
-    """)
+    nullSafeCodeGen(ctx, ev, xs => {
+      val r = ctx.freshName("holtR")
+      s"""
+      java.lang.Double $r = graft.functions.SqlKernels$$.MODULE$$.forecastHolt($xs);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+    """
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

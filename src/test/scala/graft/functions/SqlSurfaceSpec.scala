@@ -254,6 +254,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq == viaLib.toSeq && viaSql.nonEmpty)
   }
 
+  test("null series elements surface as SQL NULL in every forecast function") {
+    GraftFunctions.register(spark)
+    val nullArr = "array(1.0D, CAST(NULL AS DOUBLE), 3.0D)"
+    val r = spark.sql(
+      s"""SELECT forecast_ses($nullArr) IS NULL AS a, forecast_holt($nullArr) IS NULL AS b,
+         |  forecast_arima($nullArr) IS NULL AS c, forecast_hw($nullArr, 1) IS NULL AS d,
+         |  forecast_croston($nullArr) IS NULL AS e""".stripMargin).head()
+    (0 until 5).foreach(i => assert(r.getBoolean(i), s"function $i did not null out"))
+  }
+
   test("wrong-typed argument fails at ANALYSIS time with a clean error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
