@@ -691,7 +691,65 @@ object StreamQueries {
     out
   }
 
+  /** One probe micro-batch against the cell-partitioned index — shared
+    * by the driver query and the batching-independence spec.
+    */
+  private[streaming] def annServeBatchFn(
+      idxPath: String,
+      cents: Array[Array[Double]],
+      outDir: String
+  ): (DataFrame, Long) => Unit = { (batch, _) =>
+    if (!batch.isEmpty)
+      graft.sim.Similarity
+        .ivfProbeIndexBatch(batch.sparkSession, idxPath, cents, batch, k = 5, nprobe = 16)
+        .write.mode("append").parquet(outDir)
+    ()
+  }
+
+  /** IVF-routed streaming ANN serving — the fleet-scale serving shape:
+    * the cell-partitioned index is built ONCE from the static corpus;
+    * each probe micro-batch routes through
+    * [[graft.sim.Similarity.ivfProbeIndexBatch]] (broadcast centroids →
+    * probe-cell assignment → partition-PRUNED index read → broadcast
+    * probe join → top-k), so a batch touches only its own cells' files,
+    * never the corpus — unlike the brute-force stream-static join
+    * (StreamServingSpec), whose per-batch read cost is the whole corpus.
+    * nprobe = nCells here (full width ⇒ exact at any centroid quality,
+    * the ann_ivf_index_topk contract), so the brute-force oracle pins
+    * the converged table. Batching-independent BY CONSTRUCTION: each
+    * probe's top-k is computed entirely within the micro-batch carrying
+    * that probe, so any AvailableNow split converges to the batch
+    * result — no single-batch pin (the spec runs a 2-batch split).
+    */
+  val streamAnnServe: Q = (s, d) => {
+    val ck  = java.nio.file.Files.createTempDirectory("graft-sannserve-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sannserve-out").toString + "/hits"
+    val idxPath = graft.sim.Similarity.scratchDir("sindex", d)
+    val cents   = graft.sim.Similarity.writeIvfIndex(s, d, idxPath, nCells = 16, iters = 3)
+    val schema  = graft.tables.Tables.embeddings(s, d).schema
+    val probes = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"),
+        transform($"embedding", x => x.cast("double")).as("pv"))
+    val q = probes.writeStream
+      .foreachBatch(annServeBatchFn(idxPath, cents, out))
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val res = s.read.parquet(out)
+      .orderBy($"probe_id", $"rank")
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out).getParentFile)
+    res
+  }
+
   val queries: Map[String, Q] = Map(
+    "s_stream_ann_serve"  -> streamAnnServe,
     "s_stream_near_dedup" -> streamNearDedup,
     "s_stream_upsert"   -> streamUpsert,
     "s_stream_topk"     -> streamTopK,
@@ -706,6 +764,9 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full-width index probing is exact ⇒ the converged serving table is
+    // the brute-force top-k, same pin as ann_ivf_index_topk
+    "s_stream_ann_serve" -> graft.sim.Similarity.oracles("ann_bruteforce_topk"),
     // converged single-batch flags = for every doc, the smallest doc
     // sharing any (band_id, band_hash) bucket — replayed from the
     // engine's dumped signature table (written by dedup_minhash_pairs
