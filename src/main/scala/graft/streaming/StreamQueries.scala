@@ -748,7 +748,48 @@ object StreamQueries {
     res
   }
 
+  /** Streaming ingest QUALITY gate — the other half of the landing zone
+    * beside [[streamNearDedup]]: every arriving document is scored
+    * map-only with the SQL-surface expressions (token_count /
+    * quality_score / lang_id — the codegen'd Catalyst kernels running
+    * INSIDE Structured Streaming, proving the library surface is
+    * streaming-safe) and stamped with the accept verdict a training-data
+    * writer would route on (quality ≥ 2 ∧ language identified, i.e. not
+    * the 'und' fallback). Purely
+    * map-only ⇒ batching-independent; the converged table is the batch
+    * scoring, which the DuckDB oracle replays term by term.
+    */
+  val streamIngestGate: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val ck = java.nio.file.Files.createTempDirectory("graft-sgate-ck").toString
+    val docsSchema = graft.tables.Tables.documents(s, d).schema
+    val src = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+    val scored = src.selectExpr(
+      "doc_id",
+      "token_count(text) AS n_tokens",
+      "quality_score(text) AS quality_score",
+      "lang_id(text) AS lang_pred",
+      "quality_score(text) >= 2 AND lang_id(text) <> 'und' AS accepted"
+    )
+    val q = scored.writeStream
+      .format("memory")
+      .queryName("s_stream_ingest_gate_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val out = s.table("s_stream_ingest_gate_sink").orderBy($"doc_id").localCheckpoint()
+    s.catalog.dropTempView("s_stream_ingest_gate_sink")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "s_stream_ingest_gate" -> streamIngestGate,
     "s_stream_ann_serve"  -> streamAnnServe,
     "s_stream_near_dedup" -> streamNearDedup,
     "s_stream_upsert"   -> streamUpsert,
@@ -763,10 +804,40 @@ object StreamQueries {
     "s_stream_anomaly"  -> streamAnomaly
   )
 
+  private val gateStopList =
+    graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
   val oracles: Map[String, String] = Map(
     // full-width index probing is exact ⇒ the converged serving table is
     // the brute-force top-k, same pin as ann_ivf_index_topk
     "s_stream_ann_serve" -> graft.sim.Similarity.oracles("ann_bruteforce_topk"),
+    // map-only scoring replayed term by term: token split, the 3-term
+    // quality score, and the full trigram-profile langid (the profile
+    // literals are the engine's Scala constants)
+    "s_stream_ingest_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |    ' ' || regexp_replace(lower(coalesce(text, '')), '[^a-zà-ÿ ]', '', 'g') || ' ' AS p
+         |  FROM documents),
+         |tg AS (
+         |  SELECT doc_id, text, w,
+         |    list_distinct([ p[i : i + 2] for i in range(1, length(p) - 1) ]) AS g
+         |  FROM t),
+         |sc AS (
+         |  SELECT doc_id, w,
+         |    ${graft.text.TextAnalysis.langIdScoreCols}
+         |  FROM tg),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS INT) AS n_tokens,
+         |    CAST(CAST(len(w) BETWEEN 20 AND 1000 AS INT)
+         |      + CAST(len(list_filter(w, x -> x IN ($gateStopList))) / len(w) >= 0.05 AS INT)
+         |      + CAST(len(list_distinct(w)) / len(w) >= 0.1 AS INT) AS INT) AS quality_score,
+         |    ${graft.text.TextAnalysis.langIdBest} AS lang_pred
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, quality_score, lang_pred,
+         |  quality_score >= 2 AND lang_pred <> 'und' AS accepted
+         |FROM scored ORDER BY doc_id""".stripMargin,
     // converged single-batch flags = for every doc, the smallest doc
     // sharing any (band_id, band_hash) bucket — replayed from the
     // engine's dumped signature table (written by dedup_minhash_pairs

@@ -1706,11 +1706,11 @@ object TextAnalysis {
     NgramLangId.profiles.map { case (l, s) =>
       l -> (s.toSeq.sorted.map(t => s"'$t'").mkString("[", ", ", "]"), s.size)
     }
-  private val langIdScoreCols: String =
+  private[graft] val langIdScoreCols: String =
     langLits.toSeq.sortBy(_._1).map { case (l, (lits, size)) =>
       s"CAST(len(list_intersect(g, $lits)) AS DOUBLE) / $size AS s_$l"
     }.mkString(",\n    ")
-  private val langIdBest: String = {
+  private[graft] val langIdBest: String = {
     val langs = langLits.keys.toSeq.sorted
     val ms = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     // CASE order = alphabetical ⇒ ties resolve to the first lang, exactly
