@@ -63,6 +63,38 @@ object ZoloPipeline {
     WeeklyDemand.run(spark)
   }
 
+  /** The reference pipeline END-TO-END through the warehouse connector:
+    * [[loadWarehouse]] lands all 8 tables via the DSv2 WRITE face, then
+    * the verbatim weekly-demand SQL runs with every table reference
+    * resolved through the catalog READ face (facts under `raw.`, dims
+    * under `ref.` — qualified in place with a word-boundary rewrite), so
+    * parse → resolve → scan all go through the connector instead of temp
+    * views. Same rows (and the same DuckDB oracle) as
+    * `zolo_weekly_demand`: the catalog indirection must cost nothing and
+    * change nothing.
+    */
+  def weeklyDemandViaCatalog(spark: SparkSession): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-whsql").toString + "/wh"
+    loadWarehouse(spark, root)
+    val cat = catalogFor(spark, root)
+    // longest-name-first so *_details qualifies before its header prefix;
+    // the lookbehind keeps already-qualified and aliased references intact
+    val qualify = Seq(
+      "square_trans_details"  -> s"$cat.raw.square_trans_details",
+      "shopify_trans_details" -> s"$cat.raw.shopify_trans_details",
+      "qb_trans_details"      -> s"$cat.raw.qb_trans_details",
+      "square_trans"          -> s"$cat.raw.square_trans",
+      "shopify_trans"         -> s"$cat.raw.shopify_trans",
+      "qb_trans"              -> s"$cat.raw.qb_trans",
+      "items"                 -> s"$cat.ref.items",
+      "coffee_profiles"       -> s"$cat.ref.coffee_profiles"
+    )
+    val sql = qualify.foldLeft(WeeklyDemand.sql) { case (q, (from, to)) =>
+      q.replaceAll(s"(?<![\\w.])$from\\b", java.util.regex.Matcher.quoteReplacement(to))
+    }
+    spark.sql(sql)
+  }
+
   /** The LOAD half of the reference pipeline through the DSv2 sink face
     * (judge r7 next-round #3): every `to_sql` call in the reference maps
     * to a `writeTo` against the [[graft.sources.WarehouseCatalog]] —
@@ -176,7 +208,8 @@ object ZoloPipeline {
     "zolo_qb_customers" -> ((s, _) => {
       registerAll(s); s.table("qb_customers").orderBy("customer_id")
     }),
-    "zolo_weekly_demand" -> ((s, _) => weeklyDemand(s))
+    "zolo_weekly_demand" -> ((s, _) => weeklyDemand(s)),
+    "sql_wh_demand" -> ((s, _) => weeklyDemandViaCatalog(s))
   )
 
   // ------------------------------------------------------------------
@@ -272,7 +305,13 @@ object ZoloPipeline {
        |    unnest(list_filter(Line, l -> l.Id IS NOT NULL)) AS line
        |  FROM qb_raw)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // identical output to zolo_weekly_demand (the catalog read face must
+  // change nothing), so the same independent fixture replay pins it.
+  // lazy: baseOracles is defined below in the object body.
+  lazy val oracles: Map[String, String] = baseOracles +
+    ("sql_wh_demand" -> baseOracles("zolo_weekly_demand"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "zolo_square_trans" ->
       s"""WITH $sqCtes
          |SELECT payment_id, created_at_local AS created_at, market,
