@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       )
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // conf-gated (spark.graft.topk.rewrite, default off): SQL window-rank
+    // top-k patterns rewrite onto the bounded-heap operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -3,11 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator extension (the brief's ladder step (c)): per-key top-k
   * with BOUNDED per-key heaps.
@@ -127,12 +129,77 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Opt-in optimizer rule (`spark.graft.topk.rewrite=true`): rewrites the
+  * SQL-face top-k pattern —
+  * {{{
+  *   SELECT ..., row_number() OVER (PARTITION BY p ORDER BY o) AS rn ...
+  *   WHERE rn <= k
+  * }}}
+  * — onto the bounded-heap operator: a [[TopKPerKey]] trim lands BELOW
+  * the Window, so the full per-key sort of the corpus (and the
+  * corpus-sized shuffle feeding it) collapses to the partial/final heap
+  * pair; the Window then recomputes ranks over ≤ k rows per key and the
+  * Filter stays in place (free on trimmed input, and it keeps the
+  * output schema byte-identical to the unrewritten query). Lossless when
+  * the ORDER BY is total per key (the engine's own queries always
+  * tiebreak on an id); with ties at the k boundary the surviving tie
+  * subset is arbitrary — the same nondeterminism `row_number` itself
+  * has. OPT-IN (default off): a silent plan rewrite under every existing
+  * window query is a blast radius no library default should have —
+  * deployments enable it per session, SQL consumers get the custom
+  * operator without touching the Scala API.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+  val confKey = "spark.graft.topk.rewrite"
+
+  /** Heap memory guard: the exec holds k rows per in-partition key. */
+  private val maxRewriteK = 1 << 20
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(confKey, "false").toBoolean
+    if (!enabled) plan
+    else plan.transformDown {
+      case f @ Filter(cond,
+            w @ Window(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
+              part, order, child, _))
+          if order.nonEmpty && part.nonEmpty &&
+            !child.isInstanceOf[TopKPerKey] => // idempotent under FixedPoint batches
+        rankBound(cond, al.exprId) match {
+          case Some(k) if k >= 1 && k <= maxRewriteK =>
+            f.copy(child = w.copy(child = TopKPerKey(k, part, order, child)))
+          case _ => f
+        }
+    }
+  }
+
+  private def rankBound(cond: Expression, rn: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn =>
+      Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn =>
+      Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn =>
+      Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn =>
+      Some(k - 1)
+    case EqualTo(a: AttributeReference, Literal(1, IntegerType)) if a.exprId == rn =>
+      Some(1)
+    case _ => None
+  }
+}
+
 object TopK {
 
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    // the rewrite rule is conf-gated (default off), so installing it is
+    // inert until a session opts in via TopKRewrite.confKey
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
 
   /** Per-key top-k of `df` under the caller-supplied ordering. Every
     * ordering column MUST carry an explicit direction (`.asc`/`.desc`) —

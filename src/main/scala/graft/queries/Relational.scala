@@ -418,6 +418,33 @@ object Relational {
       .orderBy($"o_totalprice".desc, $"o_orderkey")
       .limit(25)
 
+  /** The SQL window-rank top-k pattern rewritten onto the custom
+    * bounded-heap operator by [[graft.plans.TopKRewrite]] (opt-in conf):
+    * a SQL-only consumer writes the textbook `row_number ... WHERE rn <=
+    * k` and gets TopKPerKeyExec's partial/final heap pair instead of a
+    * full per-key sort — the custom physical operator reachable from
+    * pure SQL text. The ORDER BY is total (price, orderkey, linenumber),
+    * so the rewrite is exactly lossless; the conf is flipped back before
+    * returning (the result is eagerly pinned first), so no other query
+    * in the sweep sees the rewrite. TopKSpec asserts the plan shape and
+    * on/off row equality.
+    */
+  val oTopkSqlRewrite: Q = (s, d) => {
+    graft.plans.TopK.install(s)
+    s.conf.set(graft.plans.TopKRewrite.confKey, "true")
+    try
+      s.sql(
+        s"""SELECT l_returnflag, l_orderkey, l_extendedprice, rn FROM (
+           |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           |  FROM parquet.`$d/lineitem.parquet`)
+           |WHERE rn <= 3""".stripMargin)
+        .localCheckpoint(true) // optimize+execute NOW, under the conf
+        .orderBy($"l_returnflag", $"rn")
+    finally s.conf.unset(graft.plans.TopKRewrite.confKey)
+  }
+
   // ---------------------------------------------------------------------
   // TPC-H Q1 shape — the headline scan-heavy aggregation (bench anchor).
   // One pass over lineitem, map-side partial agg, 6-group output.
@@ -754,6 +781,7 @@ object Relational {
     "u1_union_all"     -> u1UnionAll,
     "o1_sort"          -> o1Sort,
     "o_top_n"          -> oTopN,
+    "o_topk_sql_rewrite" -> oTopkSqlRewrite,
     "t_fiscal_445"     -> tFiscal445,
     "q1_pricing_summary" -> q1PricingSummary,
     "q5_local_volume"    -> q5LocalVolume,
@@ -970,6 +998,15 @@ object Relational {
     "o_top_n" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    // the plain window formulation — the rewrite must be invisible in the
+    // rows, only in the plan
+    "o_topk_sql_rewrite" ->
+      """SELECT l_returnflag, l_orderkey, l_extendedprice, rn FROM (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
     // integer week arithmetic from the Monday anchor; positive truncating
     // and floor division coincide
     "t_fiscal_445" ->

@@ -22,6 +22,51 @@ class TopKSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("TopKRewrite: SQL window-rank pattern plans through the heap operator, rows unchanged") {
+    TopK.install(spark)
+    graft.tables.Tables.orders(spark, sf0001).createOrReplaceTempView("tk_orders")
+    val sql =
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM tk_orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+    def run() = spark.sql(sql)
+    // off (default): plain window plan
+    val off = run(); val offRows = off.collect()
+    assert(!off.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // on: the heap operator plans below the window, rows identical
+    spark.conf.set(TopKRewrite.confKey, "true")
+    try {
+      val on = run(); val onRows = on.collect()
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey") && plan.contains("TopKPerKeyPartial"), plan)
+      assert(onRows.map(_.toSeq).toSeq == offRows.map(_.toSeq).toSeq)
+    } finally spark.conf.unset(TopKRewrite.confKey)
+    spark.catalog.dropTempView("tk_orders")
+  }
+
+  test("TopKRewrite: non-matching shapes are left alone") {
+    TopK.install(spark)
+    graft.tables.Tables.orders(spark, sf0001).createOrReplaceTempView("tk_orders2")
+    spark.conf.set(TopKRewrite.confKey, "true")
+    try {
+      // rank() is not row_number; no partition spec; bound not a literal —
+      // none may rewrite
+      val plans = Seq(
+        """SELECT * FROM (SELECT o_orderkey,
+          |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS rn
+          |  FROM tk_orders2) WHERE rn <= 2""".stripMargin,
+        """SELECT * FROM (SELECT o_orderkey,
+          |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+          |  FROM tk_orders2) WHERE rn <= 2""".stripMargin
+      ).map(q => spark.sql(q).queryExecution.executedPlan.toString)
+      plans.foreach(p => assert(!p.contains("TopKPerKey"), p))
+    } finally spark.conf.unset(TopKRewrite.confKey)
+    spark.catalog.dropTempView("tk_orders2")
+  }
+
   test("map-side partial trim runs below the exchange, exact stage above") {
     val df = Similarity.bruteForceTopKNative(spark, sf0001, k = 5)
     df.collect()
