@@ -197,6 +197,24 @@ object SqlKernels {
     * level, interval estimate, forecast = z/p, SBA-corrected 0.9·z/p).
     * Null for an all-zero series.
     */
+  /** 32-bit Morton code of two 16-bit dimension ranks — the
+    * [[graft.queries.ZOrder.zvalue]] bit-spread as one scalar (identical
+    * mask/shift rounds, pure integer ⇒ bit-parity with the Column
+    * composition), so a SQL consumer can write a Z-ordered layout as
+    * `ORDER BY zvalue16(rank_a, rank_b)` without reproducing the
+    * 4-round magic-number cascade.
+    */
+  def zvalue16(a: Long, b: Long): Long = {
+    def spread(x0: Long): Long = {
+      val m = x0 & 0xFFFFL
+      val s1 = (m | (m << 8)) & 0x00FF00FFL
+      val s2 = (s1 | (s1 << 4)) & 0x0F0F0F0FL
+      val s3 = (s2 | (s2 << 2)) & 0x33333333L
+      (s3 | (s3 << 1)) & 0x55555555L
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
   def forecastCroston(xs: ArrayData): InternalRow = {
     val arr = seriesOrNull(xs)
     if (arr == null) return null
@@ -436,6 +454,22 @@ case class ForecastArima(child: Expression)
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `zvalue16(a, b)`: 32-bit Morton interleave of two 16-bit dimension
+  * ranks — the Z-order layout key from SQL.
+  */
+case class ZValue16(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zvalue16"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SqlKernels.zvalue16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SqlKernels$$.MODULE$$.zvalue16($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `forecast_hw(series[, period])`: fixed-parameter additive

@@ -254,6 +254,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq == viaLib.toSeq && viaSql.nonEmpty)
   }
 
+  test("zvalue16 bit-parity with the ZOrder Column composition") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = spark.range(0, 2000, 7)
+      .select(($"id" % 65536).as("a"), (($"id" * 31) % 65536).as("b"))
+    val viaSql = df.selectExpr("zvalue16(a, b) AS z").collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(graft.queries.ZOrder.zvalue($"a", $"b").as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // hand anchors: even bits from a, odd bits from b
+    val r = spark.sql("SELECT zvalue16(1L, 0L) AS x, zvalue16(0L, 1L) AS y, zvalue16(3L, 3L) AS w").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 15L)
+  }
+
   test("null series elements surface as SQL NULL in every forecast function") {
     GraftFunctions.register(spark)
     val nullArr = "array(1.0D, CAST(NULL AS DOUBLE), 3.0D)"
