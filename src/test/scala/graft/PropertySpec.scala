@@ -96,6 +96,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Croston degenerates to SES(0.2) with interval exactly 1 on all-positive demand") {
+    forSamples(Gen.nonEmptyListOf(Gen.choose(0.1, 1000.0)).map(_.take(50)), 50) { xs0 =>
+      if (xs0.nonEmpty) {
+        val xs = xs0.toArray
+        val Some((z, p)) = graft.forecast.SeriesAnalysis.crostonFold(xs)
+        // every period has demand: q stays 1, so p0 = 1 and every update
+        // is 0.2*1 + 0.8*p — the fixed point p == 1.0 EXACTLY in IEEE
+        assert(p == 1.0)
+        assert(z == graft.forecast.Models.sesForecast(xs, 0.2))
+      }
+    }
+  }
+
+  test("Croston is zero-run invariant in the demand level: z ignores gap lengths") {
+    forSamples(Gen.nonEmptyListOf(Gen.choose(0.1, 100.0)).map(_.take(20)), 30) { ds0 =>
+      if (ds0.nonEmpty) {
+        val ds = ds0.toArray
+        // same demand events, different inter-arrival gaps: demand level z
+        // must match (only p moves); fold equality is exact
+        val sparse1 = ds.flatMap(d => Array(d, 0.0))
+        val sparse2 = ds.flatMap(d => Array(d, 0.0, 0.0, 0.0))
+        val Some((z1, _)) = graft.forecast.SeriesAnalysis.crostonFold(sparse1)
+        val Some((z2, _)) = graft.forecast.SeriesAnalysis.crostonFold(sparse2)
+        assert(z1 == z2)
+      }
+    }
+  }
+
   test("watermark filter is monotone: later watermark keeps a subset") {
     val df = graft.tables.Tables.events(spark, sf0001)
     val w1 = df.filter($"ts" > lit("2024-01-10").cast("timestamp")).count()
