@@ -67,7 +67,8 @@ object GraftFunctions {
     ("forecast_hw", classOf[ForecastHw], optBinary("forecast_hw", ForecastHw.apply,
       org.apache.spark.sql.catalyst.expressions.Literal(graft.forecast.SeriesAnalysis.hwPeriod)) _),
     ("forecast_croston", classOf[ForecastCroston], unary("forecast_croston", ForecastCroston.apply) _),
-    ("zvalue16", classOf[ZValue16], binary("zvalue16", ZValue16.apply) _)
+    ("zvalue16", classOf[ZValue16], binary("zvalue16", ZValue16.apply) _),
+    ("minhash_est", classOf[MinhashEst], binary("minhash_est", MinhashEst.apply) _)
   )
 
   /** Idempotent: queries call this at build time, many per session —

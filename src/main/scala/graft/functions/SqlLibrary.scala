@@ -197,6 +197,24 @@ object SqlKernels {
     * level, interval estimate, forecast = z/p, SBA-corrected 0.9·z/p).
     * Null for an all-zero series.
     */
+  /** Estimated Jaccard from two MinHash signatures — the fraction of
+    * agreeing components (the estimator banding approximates; stored-sig
+    * comparison is the cheap path when signatures are materialized and
+    * texts are not). −1 sentinel on mismatched lengths → expression
+    * raises a clean error.
+    */
+  def minhashEst(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return -1.0
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree.toDouble / n
+  }
+
   /** 32-bit Morton code of two 16-bit dimension ranks — the
     * [[graft.queries.ZOrder.zvalue]] bit-spread as one scalar (identical
     * mask/shift rounds, pure integer ⇒ bit-parity with the Column
@@ -454,6 +472,38 @@ case class ForecastArima(child: Expression)
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_est(sig_a, sig_b)`: estimated Jaccard similarity from two
+  * stored MinHash signatures (fraction of agreeing components). Fails at
+  * runtime with a clean message on length mismatch or empty signatures —
+  * comparing sigs from different permutation counts is a caller bug, not
+  * a 0.0.
+  */
+case class MinhashEst(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "minhash_est"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = SqlKernels.minhashEst(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r < 0.0)
+      throw new IllegalArgumentException(
+        "minhash_est: signatures must be non-empty and of equal length " +
+          "(same permutation count on both sides)")
+    r
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.SqlKernels$$.MODULE$$.minhashEst($a, $b);
+      if (${ev.value} < 0.0) {
+        throw new IllegalArgumentException(
+          "minhash_est: signatures must be non-empty and of equal length " +
+          "(same permutation count on both sides)");
+      }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `zvalue16(a, b)`: 32-bit Morton interleave of two 16-bit dimension

@@ -254,6 +254,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq == viaLib.toSeq && viaSql.nonEmpty)
   }
 
+  test("minhash_est: 1.0 on identical sigs, high on planted near-dups, clean length error") {
+    docsView()
+    val r = spark.sql(
+      """SELECT min(minhash_est(minhash_sig(text), minhash_sig(text))) AS self
+        |FROM documents""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    // estimator tracks exact jaccard on the corpus within MinHash error
+    // (16 perms => stderr ~ 0.25·sqrt(j(1-j))): spot a high-sim pair
+    val est = spark.sql(
+      """SELECT minhash_est(minhash_sig(a.text), minhash_sig(b.text)) AS e,
+        |  jaccard_shingles(a.text, b.text) AS j
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE jaccard_shingles(a.text, b.text) >= 0.9""".stripMargin).collect()
+    assert(est.nonEmpty && est.forall(r => r.getDouble(0) >= 0.5))
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_est(array(1L, 2L), array(1L))").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("zvalue16 bit-parity with the ZOrder Column composition") {
     GraftFunctions.register(spark)
     import spark.implicits._
