@@ -184,6 +184,10 @@ object SqlKernels {
     * observations.
     */
   def forecastHw(xs: ArrayData, period: Int): InternalRow = {
+    // clean error, not an ArrayIndexOutOfBounds from inside generated
+    // code: period 0 would divide the season means by zero and index an
+    // empty seasonal buffer
+    require(period >= 1, s"forecast_hw: period must be >= 1, got $period")
     val arr = seriesOrNull(xs)
     if (arr == null) return null
     graft.forecast.SeriesAnalysis.hwFold(arr, period) match {

@@ -109,6 +109,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Holt-Winters fixed point: a constant series stays at (c, 0, 0) to relative 1e-12") {
+    forSamples(Gen.zip(Gen.choose(1, 1000000), Gen.choose(1, 13), Gen.choose(0, 20)), 40) {
+      case (ci, m, extra) =>
+        // the TRUE fixed point is (level=c, trend=0, seasonal=0); in IEEE
+        // even 0.3*c + 0.7*c rounds off c by ulps, so the recursion may
+        // drift at ulp-per-step scale — the property worth locking is
+        // that the drift stays at rounding noise, never grows
+        val c  = ci.toDouble
+        val xs = Array.fill(2 * m + 1 + extra)(c)
+        val Some((l, b, s0)) = graft.forecast.SeriesAnalysis.hwFold(xs, m)
+        assert(math.abs(l - c) <= 1e-12 * c, s"level drifted: $l vs $c")
+        assert(math.abs(b) <= 1e-12 * c && math.abs(s0) <= 1e-12 * c, s"($b, $s0)")
+    }
+  }
+
   test("Croston is zero-run invariant in the demand level: z ignores gap lengths") {
     forSamples(Gen.nonEmptyListOf(Gen.choose(0.1, 100.0)).map(_.take(20)), 30) { ds0 =>
       if (ds0.nonEmpty) {

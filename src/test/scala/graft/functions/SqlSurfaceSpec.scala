@@ -254,6 +254,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq == viaLib.toSeq && viaSql.nonEmpty)
   }
 
+  test("forecast_hw rejects period < 1 with a clean message") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT forecast_hw(array(1.0D, 2.0D, 3.0D), 0)").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("period"), e.getMessage)
+  }
+
   test("minhash_est: 1.0 on identical sigs, high on planted near-dups, clean length error") {
     docsView()
     val r = spark.sql(
