@@ -47,6 +47,27 @@ object StressLshSql {
         f"(library minhashPairs: $libPairs pairs in $tLib%.1f s) — identical pair sets by " +
         "construction; the SQL face pays one extra corpus scan (the verify-stage text join " +
         "re-reads parquet) against the library path's cached-signature design")
+
+    // the stateful streaming landing gate on the same corpus: per-bucket
+    // min state through the real micro-batch engine (AvailableNow). The
+    // stream source matches the testdata layout — a FILE named
+    // documents.parquet — so stage a single-file copy of the corpus
+    // (the multi-part stress dir matches nothing under the glob filter).
+    val streamRoot = java.nio.file.Files.createTempDirectory("graft-stress-sdocs").toString
+    val stage      = s"$streamRoot/_stage"
+    spark.read.parquet(s"$work/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(
+      part.toPath, java.nio.file.Paths.get(s"$streamRoot/documents.parquet"))
+    val (flags, tStream) = t {
+      graft.streaming.StreamQueries.queries("s_stream_near_dedup")(spark, streamRoot).count()
+    }
+    println(
+      f"- s_stream_near_dedup at ${nDocs * mult} docs (mult=$mult): $flags flagged docs " +
+        f"in $tStream%.1f s through the micro-batch engine (state = one long per occupied " +
+        "band bucket)")
     spark.stop()
   }
 }
