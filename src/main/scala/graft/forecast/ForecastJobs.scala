@@ -75,28 +75,34 @@ object ForecastJobs {
     * weekly rows — never the fact table.
     */
   def gapfillJob(s: SparkSession, dir: String): DataFrame = {
-    // persisted: both the bounds branch and the join probe consume the
-    // rollup — without it the fact scan + join + aggregation run twice
-    val w = weeklySeries(s, dir, minWeeks = 5).persist()
-    try {
-      val spine = w
-        .groupBy($"profile_name")
-        .agg(min($"week_date").as("wmin"), max($"week_date").as("wmax"))
-        .select(
-          $"profile_name",
-          explode(expr("sequence(wmin, wmax, interval 7 days)")).as("week_date")
-        )
-      spine
-        .join(w, Seq("profile_name", "week_date"), "left")
-        .select(
-          $"profile_name",
-          $"week_date",
-          coalesce($"weight", lit(0.0)).as("weight"),
-          $"weight".isNull.cast("int").as("is_gap")
-        )
-        .orderBy($"profile_name", $"week_date")
-        .localCheckpoint()
-    } finally w.unpersist()
+    // pinned because both the bounds branch and the join probe consume
+    // the rollup — without it the fact scan + join + aggregation run
+    // twice. localCheckpoint, NOT persist (r10): 16 driver queries ride
+    // this helper with an IDENTICAL canonical plan, so `persist()`
+    // entries are shared through the context-wide CacheManager across
+    // concurrent sessions — and the first finisher's unpersist yanks the
+    // entry mid-materialization, which intermittently surfaced as an
+    // AQE-propagated EMPTY stage (five 0-row dumps in the first
+    // concurrent sweep). Checkpoint blocks are RDD-level and private to
+    // this invocation: no plan matching, no clearCache exposure.
+    val w = weeklySeries(s, dir, minWeeks = 5).localCheckpoint()
+    val spine = w
+      .groupBy($"profile_name")
+      .agg(min($"week_date").as("wmin"), max($"week_date").as("wmax"))
+      .select(
+        $"profile_name",
+        explode(expr("sequence(wmin, wmax, interval 7 days)")).as("week_date")
+      )
+    spine
+      .join(w, Seq("profile_name", "week_date"), "left")
+      .select(
+        $"profile_name",
+        $"week_date",
+        coalesce($"weight", lit(0.0)).as("weight"),
+        $"weight".isNull.cast("int").as("is_gap")
+      )
+      .orderBy($"profile_name", $"week_date")
+      .localCheckpoint()
   }
 
   private def series(it: Iterator[WeeklyRow]): Array[Double] =

@@ -180,10 +180,17 @@ object Advanced {
     * and Monetary (exact DECIMAL revenue), each cut into quintiles with
     * quintile 1 = best (most recent / most orders / highest spend). The
     * ntile cuts ride a total order (metric, then custkey) so bucket
-    * boundaries are deterministic cross-engine; the three ntiles share
-    * one single-partition window pass over the CUSTOMER DIMENSION —
-    * dimension-sized by definition (the a_abc_class precedent), never
-    * the fact table. The segment string concatenates the three digits.
+    * boundaries are deterministic cross-engine.
+    *
+    * Scale shape (r10 — formerly three partition-less ntile windows over
+    * the customer dimension): each quintile is the RANGE-PARTITIONED
+    * rank ([[Ranking.withGlobalRank]], the `text_rare_score` pattern)
+    * plus the closed-form ntile reconstruction from (rank, n) — no
+    * single-task sort anywhere; at 10⁹ customers each metric's cut is
+    * one parallel range-sort. The three quintile tables join back on
+    * custkey (dimension-sized co-partitioned shuffles). The corpus-max
+    * reference date is a broadcast one-row aggregate, not a global
+    * window.
     */
   val eRfm: Q = (s, d) => {
     val byCust = Tables
@@ -194,12 +201,28 @@ object Advanced {
         count(lit(1)).as("frequency"),
         sum($"o_totalprice".cast(DecimalType(18, 2))).as("monetary_dec")
       )
-      .withColumn("ref_date", max($"last_order").over(Window.partitionBy()))
+    val refDate = byCust.agg(max($"last_order").as("ref_date"))
+    // checkpointed: feeds three rank sorts plus the final join — four
+    // evaluations of the orders aggregate otherwise
+    val base = byCust
+      .crossJoin(broadcast(refDate))
       .withColumn("recency_days", datediff($"ref_date", $"last_order").cast("long"))
-    byCust
-      .withColumn("r", ntile(5).over(Window.orderBy($"recency_days", $"c_custkey")))
-      .withColumn("f", ntile(5).over(Window.orderBy($"frequency".desc, $"c_custkey")))
-      .withColumn("m", ntile(5).over(Window.orderBy($"monetary_dec".desc, $"c_custkey")))
+      .drop("ref_date", "last_order")
+      .localCheckpoint()
+    val n = base.count()
+    def quint(name: String, metric: String, asc: Boolean): DataFrame = {
+      val ord = if (asc) col(metric) else col(metric).desc
+      Ranking
+        .withGlobalRank(base.select($"c_custkey", col(metric)), "rn")(ord, $"c_custkey")
+        .select($"c_custkey", Ranking.ntileFromRank($"rn", n, 5).as(name))
+    }
+    val r = quint("r", "recency_days", asc = true)
+    val f = quint("f", "frequency", asc = false)
+    val m = quint("m", "monetary_dec", asc = false)
+    base
+      .join(r, "c_custkey")
+      .join(f, "c_custkey")
+      .join(m, "c_custkey")
       .select(
         $"c_custkey",
         $"recency_days",
@@ -944,15 +967,17 @@ object Advanced {
       .groupBy($"j", $"b")
       .agg(count(lit(1)).as("c"))
     val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
-    val top = exact
-      .withColumn("rn", row_number().over(Window.orderBy($"exact_cnt".desc, $"user_id")))
-      .filter($"rn" <= 10)
+    // bounded top-10 via ORDER BY + LIMIT → TakeOrderedAndProject (per-
+    // partition 10-row heaps, driver merges P·10 rows) — r10 replaced the
+    // partition-less row_number window that sorted the whole user
+    // dimension in one task; the rank was never in the output anyway
+    val top = exact.orderBy($"exact_cnt".desc, $"user_id").limit(10)
     val est = top
-      .select($"user_id", $"exact_cnt", $"rn",
+      .select($"user_id", $"exact_cnt",
         explode(array((0 until cmsDepth).map(j =>
           struct(lit(j).as("j"), cmsBucket(j, $"user_id").as("b"))): _*)).as("jb"))
       .join(counters, $"jb.j" === $"j" && $"jb.b" === $"b")
-      .groupBy($"user_id", $"exact_cnt", $"rn")
+      .groupBy($"user_id", $"exact_cnt")
       .agg(min($"c").as("cms_est"))
     est
       .select($"user_id", $"exact_cnt", $"cms_est", ($"cms_est" >= $"exact_cnt").cast("int").as("one_sided_ok"))
@@ -1143,9 +1168,13 @@ object Advanced {
     try {
       val g = counts.agg(sum($"cnt").as("total"), count(lit(1)).as("nkeys")).head()
       val (total, nkeys) = (g.getLong(0), g.getLong(1))
-      counts
-        .withColumn("rn", row_number().over(Window.orderBy($"cnt".desc, $"l_partkey")))
-        .filter($"rn" <= 10)
+      // bounded top-10: ORDER BY + LIMIT plans as TakeOrderedAndProject
+      // (per-partition heaps), then the rank is a zipWithIndex over the
+      // ten surviving rows — r10 replaced the partition-less row_number
+      // window that funneled every key count through one task
+      Ranking
+        .withGlobalRank(counts.orderBy($"cnt".desc, $"l_partkey").limit(10), "rn")(
+          $"cnt".desc, $"l_partkey")
         .select(
           $"rn".cast("int").as("rank"),
           $"l_partkey",
@@ -1408,10 +1437,16 @@ object Advanced {
     * at the 80%/95% cumulative-share Pareto cuts. The running share is an
     * exact DECIMAL cumulative sum over the revenue-ranked order (ties
     * broken by partkey); only the per-part aggregate — not the fact
-    * table — flows through the rank window. The global ORDER BY window is
-    * acceptable here because its input is the part dimension (n_parts
-    * rows), never the 100 TB lineitem side; contrast `text_rare_score`,
-    * where the ranked set is itself huge and uses the range-sort path.
+    * table — flows through the running sum.
+    *
+    * Scale shape (r10 — formerly a partition-less cumulative window over
+    * the part dimension): the running share is the two-level distributed
+    * prefix sum ([[Ranking.withPrefixSum]], the `t_peak_concurrency`
+    * sweep-line decomposition) — range-sort on (rev desc, partkey), one
+    * exact BigDecimal subtotal per partition to the driver, offsets
+    * broadcast back, partitions scan in parallel. Bit-identical to the
+    * global window (decimal addition is exact and associative) with no
+    * single-task wall at 10⁹ parts.
     */
   val aAbcClass: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
@@ -1419,12 +1454,9 @@ object Advanced {
     val rev = li
       .groupBy($"l_partkey".as("p_partkey"))
       .agg(sum(($"l_quantity" * $"l_extendedprice").cast(dec18)).as("rev"))
-    val byRev = Window.orderBy($"rev".desc, $"p_partkey")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    rev
-      .withColumn("cum", sum($"rev").over(byRev))
-      .withColumn("total", sum($"rev").over(Window.partitionBy()))
-      .withColumn("cum_share", ($"cum".cast("double") / $"total".cast("double")))
+    val (withCum, total) = Ranking.withPrefixSum(rev, "rev", "cum")($"rev".desc, $"p_partkey")
+    withCum
+      .withColumn("cum_share", ($"cum".cast("double") / lit(total.doubleValue)))
       .select(
         $"p_partkey",
         $"rev".cast("double").as("revenue"),

@@ -618,6 +618,15 @@ object StreamQueries {
     * later-arriving smaller id does not retro-flag earlier docs), which
     * the cross-batch spec pins. Shared by the driver query and the
     * MemoryStream spec.
+    *
+    * ID-ORDER CONTRACT (r9 ADVICE): flags point from the LARGER doc_id to
+    * the smaller bucket representative — so with ingest ids assigned
+    * monotonically (the normal landing-zone shape: ids minted at arrival),
+    * "flagged" = "arrived after an earlier near-dup", exactly the gate a
+    * writer wants. If ids are NOT arrival-ordered, a late doc with a
+    * smaller id lands unflagged and silently BECOMES the representative
+    * for future arrivals; deployments with non-monotonic ids should mint
+    * a monotonic ingest_id upstream and run the gate on that.
     */
   private[streaming] def nearDedupFlags(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -693,16 +702,23 @@ object StreamQueries {
 
   /** One probe micro-batch against the cell-partitioned index — shared
     * by the driver query and the batching-independence spec.
+    *
+    * Exactly-once under retry (r9 ADVICE): foreachBatch is at-least-once,
+    * so a retried micro-batch after a partial write would DUPLICATE rows
+    * in a plain-append sink. Each batch therefore writes (overwrite) its
+    * own `batch=<id>/` subdirectory — the batchId is stable across
+    * retries, so a replay replaces the partial output instead of
+    * appending next to it; readers glob the parent.
     */
   private[streaming] def annServeBatchFn(
       idxPath: String,
       cents: Array[Array[Double]],
       outDir: String
-  ): (DataFrame, Long) => Unit = { (batch, _) =>
+  ): (DataFrame, Long) => Unit = { (batch, batchId) =>
     if (!batch.isEmpty)
       graft.sim.Similarity
         .ivfProbeIndexBatch(batch.sparkSession, idxPath, cents, batch, k = 5, nprobe = 16)
-        .write.mode("append").parquet(outDir)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     ()
   }
 
@@ -742,6 +758,7 @@ object StreamQueries {
     try q.awaitTermination()
     finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
     val res = s.read.parquet(out)
+      .drop("batch") // the per-batch idempotence subdirs, not result data
       .orderBy($"probe_id", $"rank")
       .localCheckpoint(true)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out).getParentFile)

@@ -120,10 +120,14 @@ object TextAnalysis {
     * brief) — not SQL-expressible; locked by TextSpec instead.
     */
   val textLangIdNgram: Q = (s, d) => {
-    val scoreFn = udf((text: String) => NgramLangId.classify(text))
+    // the native `lang_id` expression (SqlLibrary.LangId) wraps the same
+    // [[NgramLangId.classify]] kernel — codegen'd, so the scan stays in
+    // whole-stage codegen (r10: replaced the interpreted Scala UDF)
+    graft.functions.GraftFunctions.register(s)
     Tables
       .documents(s, d)
-      .select($"doc_id", $"lang".as("labeled_lang"), scoreFn($"text").as("ngram_lang"))
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        graft.functions.GraftFunctions.langId($"text").as("ngram_lang"))
       .orderBy($"doc_id")
   }
 
@@ -1605,23 +1609,26 @@ object TextAnalysis {
   /** Zipf's-law fit — the one-number health check of a corpus's token
     * distribution (natural text slopes ≈ −1; synthetic or
     * template-heavy corpora flatten): OLS of ln(freq) on ln(rank) over
-    * the frequency-ranked vocabulary. Ranks ride a vocabulary-sized
-    * window (the rank itself is deterministic: freq desc, token asc);
-    * both logs are one libm call each, rounded ONCE at 9 dp, and the
+    * the frequency-ranked vocabulary. Ranks are the RANGE-PARTITIONED
+    * sort + zipWithIndex ([[graft.queries.Ranking.withGlobalRank]], the
+    * exact shape `text_rare_score` adopted in round 2 — r10 removed this
+    * file's last vocabulary-sized partition-less window); the rank is
+    * deterministic (freq desc, token asc).
+    * Both logs are one libm call each, rounded ONCE at 9 dp, and the
     * moment sums ride DECIMAL(38,18) casts of the per-row products —
     * the m_trend_ols closed form on the rounded coordinates, so slope,
     * intercept and R² replay exactly. Corpus-sized work is one token
     * count shuffle; everything after is vocab-sized.
     */
   val textZipfFit: Q = (s, d) => {
-    val rankW = org.apache.spark.sql.expressions.Window.orderBy($"freq".desc, $"token")
-    val dec   = org.apache.spark.sql.types.DecimalType(38, 18)
-    Tables
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val freq = Tables
       .documents(s, d)
       .select(explode(split($"text", " ")).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("freq"))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
+    graft.queries.Ranking
+      .withGlobalRank(freq, "rank")($"freq".desc, $"token")
       .select(
         round(log($"rank".cast("double")), 9).as("x"),
         round(log($"freq".cast("double")), 9).as("y")

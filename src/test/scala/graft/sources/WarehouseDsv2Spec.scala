@@ -189,4 +189,43 @@ class WarehouseDsv2Spec extends SparkSpec {
       graft.etl.QbCustomersEtl.run(spark, s"${ZoloPipeline.fixturesDir}/qb_customers.json").count())
     assert(spark.read.parquet(s"$root/ref/items").count() > 0)
   }
+
+  test("model write-back round trip: model_meta / model_holt / model_simp_avg land and read back") {
+    // the reference's model tables (create_model_meta_table.py:19-29,
+    // create_model_holt_table.py, create_model_simp_avg_table.py;
+    // to_sql(if_exists='append') at arima_models.py:225-241,
+    // holt_model.py:223, simp_avg_model.py:223): forecast output lands
+    // through the DSv2 write face shaped exactly like those tables, a
+    // later append accumulates, and catalog SQL reads it all back.
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmp("zolo-models") + "/wh"
+    spark.conf.set("spark.sql.catalog.zolo_mrt", classOf[WarehouseCatalog].getName)
+    spark.conf.set("spark.sql.catalog.zolo_mrt.root", root)
+    val sf  = "/root/testdata/sf0.001"
+    val fs  = lit("2001-06-04 00:00:00").cast("timestamp")
+    val meta = graft.forecast.ForecastJobs.arimaJob(spark, sf).withColumn("forecast_start", fs)
+    val holt = graft.forecast.ForecastJobs.holtJob(spark, sf, takeWeeks = 20).withColumn("forecast_start", fs)
+    val ses  = graft.forecast.ForecastJobs.sesJob(spark, sf).withColumn("forecast_start", fs)
+    meta.writeTo("zolo_mrt.models.model_meta").create()
+    holt.writeTo("zolo_mrt.models.model_holt").create()
+    ses.writeTo("zolo_mrt.models.model_simp_avg").create()
+    // reference shape: column-for-column
+    assert(spark.table("zolo_mrt.models.model_meta").columns.toSeq ==
+      Seq("profile_name", "best_config", "mse", "prediction", "std_error",
+        "lower_bound", "upper_bound", "forecast_start"))
+    assert(spark.table("zolo_mrt.models.model_holt").columns.toSeq ==
+      Seq("profile_name", "mse", "prediction", "forecast_start"))
+    // read-back equals what was written
+    val back = spark.sql(
+      "SELECT * FROM zolo_mrt.models.model_meta ORDER BY profile_name").collect().toSeq
+    assert(back.nonEmpty && back == meta.orderBy(col("profile_name")).collect().toSeq)
+    // a second weekly run appends (if_exists='append' semantics)
+    ses.writeTo("zolo_mrt.models.model_simp_avg").append()
+    assert(spark.table("zolo_mrt.models.model_simp_avg").count() == 2 * ses.count())
+    // the consumer follow-up: "what did we forecast for week X?"
+    val wk = spark.sql(
+      """SELECT COUNT(*) FROM zolo_mrt.models.model_meta
+        |WHERE forecast_start = TIMESTAMP '2001-06-04 00:00:00'""".stripMargin).head().getLong(0)
+    assert(wk == back.size.toLong)
+  }
 }

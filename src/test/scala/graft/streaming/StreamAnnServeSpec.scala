@@ -36,10 +36,18 @@ class StreamAnnServeSpec extends SparkSpec {
       mem.addData(b2.toSeq: _*); q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.read.parquet(out)
+    def readOut() = spark.read.parquet(out).drop("batch")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val streamed = readOut()
     val batch = graft.sim.Similarity.ivfIndexTopK(spark, sf0001, k = 5, nCells = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
     assert(streamed.length == 50 && streamed.toSeq == batch.toSeq)
+
+    // at-least-once retry: replaying a batchId must REPLACE its subdir,
+    // not append beside it (foreachBatch redelivery after partial write)
+    val replay = probeRows.take(5).toSeq
+    val replayDf = replay.toDF("probe_id", "pv")
+    StreamQueries.annServeBatchFn(idxPath, cents, out)(replayDf, 0L)
+    assert(readOut().toSeq == streamed.toSeq, "batch retry duplicated sink rows")
   }
 }
