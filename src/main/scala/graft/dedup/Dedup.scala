@@ -690,6 +690,16 @@ object Dedup {
     * candidate set — coincide (modulo engine-side hash64 collisions,
     * absent on these corpora).
     *
+    * Bucket-key parity (r9 ADVICE): this face buckets on the RAW
+    * signature-slice string; [[minhashPairs]] buckets on hash64 of it. A
+    * hash64 collision on the library side merges two unrelated buckets —
+    * which can only ADD candidates there (the verify stage drops them)
+    * unless the merged bucket trips the size cap, in which case the
+    * library path can drop pairs this face keeps. On 64-bit keys that is
+    * a ~2⁻⁶⁴-per-pair event; a deployment needing strict face parity at
+    * fleet scale should bucket both sides on the same key (hash64(bkey)
+    * via the registered function).
+    *
     * Plan shape: a CTE is not a materialization barrier in Spark, so the
     * textbook bucket SELF-JOIN would recompute the `minhash_sig` pass
     * once per branch (the whole corpus scanned twice). Instead buckets

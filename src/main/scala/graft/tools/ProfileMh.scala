@@ -13,6 +13,17 @@ object ProfileMh {
       Dedup.minhashPairs(docs, 0.5).count()
       println(f"[mh] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // A/B the bench/driver shape (judge r10 #6): same plan plus the
+    // boundary-oracle signature dump (parquet write + read-back) that
+    // replaced the persist when OracleIo landed — the suspected source
+    // of the 0.93 s (r3) → ~1.4 s (r9 official) creep
+    val dump = java.nio.file.Files.createTempDirectory("graft-mh-ab").toString + "/sigs"
+    for (i <- 1 to 4) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Dedup.minhashPairs(docs, 0.5, sigDump = Some(dump)).count()
+      println(f"[mh+dump] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
