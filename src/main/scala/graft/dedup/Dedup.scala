@@ -727,7 +727,7 @@ object Dedup {
          |  SELECT b, bkey, collect_list(doc_id) AS ids
          |  FROM bands GROUP BY b, bkey
          |  HAVING count(*) <= $maxBucketSize),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT DISTINCT doc_a, doc_b FROM buckets
          |  LATERAL VIEW explode(ids) ta AS doc_a
          |  LATERAL VIEW explode(ids) tb AS doc_b
@@ -1194,19 +1194,19 @@ object Dedup {
        |fp AS (SELECT doc_id, unnest(list_distinct(wm)) AS f FROM wins),
        |ok AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= $maxBucketSize),
        |capped AS (SELECT fp.* FROM fp JOIN ok USING (f)),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(COUNT(*) AS BIGINT) AS shared_fps
        |  FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |sel AS (SELECT doc_a, doc_b FROM pairs WHERE shared_fps >= $winnowMinShared)""".stripMargin
+       |sel AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs WHERE shared_fps >= $winnowMinShared)""".stripMargin
 
   /** Min-label connected components over `sel`, as recursive CTEs: `reach`
     * is the transitive closure (doc_id, reachable id); MIN over it is
     * exactly the converged min-label of the Spark CC loop.
     */
   private val winnowCcCte: String =
-    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM sel
+    """edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM sel
       |          UNION SELECT doc_b, doc_a FROM sel),
       |reach AS (
       |  SELECT src AS doc_id, src AS r FROM edges
@@ -1231,7 +1231,7 @@ object Dedup {
        |  FROM sigs, range(0, $numBands) bi),
        |bok AS (SELECT band_id, band_hash FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize),
        |bcap AS (SELECT bands.* FROM bands JOIN bok USING (band_id, band_hash)),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bcap a JOIN bcap b
        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
@@ -1247,7 +1247,7 @@ object Dedup {
        |    len(list_intersect(sa.sh, sb.sh))
        |      / nullif(len(list_distinct(list_concat(sa.sh, sb.sh))), 0) AS jaccard
        |  FROM cand c JOIN shing sa ON c.doc_a = sa.doc_id JOIN shing sb ON c.doc_b = sb.doc_id),
-       |sel AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5)""".stripMargin
+       |sel AS MATERIALIZED (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5)""".stripMargin
 
   /** DuckDB replay of [[Hashing.hash64]] — FNV-1a over UTF-16 bytes with
     * a seed fold and the splitmix64 finisher — in HUGEINT mod-2⁶⁴
@@ -1342,7 +1342,7 @@ object Dedup {
        |mrows AS (SELECT doc_id, r.range AS sd, bs FROM sh, range(0, $numPerms) r),
        |${hash64ReplaySql("m", "mrows", "doc_id")},
        |sigs AS (SELECT doc_id, sd, MIN(hh) AS sig FROM m6 GROUP BY doc_id, sd),
-       |sigp AS (
+       |sigp AS MATERIALIZED (
        |  SELECT d.doc_id,
        |    $sigCols
        |  FROM documents d LEFT JOIN sigs ON d.doc_id = sigs.doc_id
@@ -1381,7 +1381,7 @@ object Dedup {
        |bands AS ($bandSrcs),
        |bok AS (SELECT band_id, bkey FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize),
        |bcap AS (SELECT bands.* FROM bands JOIN bok USING (band_id, bkey)),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bcap a JOIN bcap b
        |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -1612,7 +1612,7 @@ object Dedup {
          |  SELECT doc_id, simhash, bi.range AS seg_id,
          |    (simhash >> CAST(bi.range * 16 AS INT)) & 65535 AS seg
          |  FROM sh, range(0, 4) bi),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |  FROM segs a JOIN segs b

@@ -1008,7 +1008,7 @@ object SeriesAnalysis {
     * verbatim minus its ORDER BY.
     */
   private val gapCte =
-    """gap AS (
+    """gap AS MATERIALIZED (
       |  WITH weekly AS (
       |    SELECT profile_name, week_date,
       |      CAST(SUM(CAST(l_quantity * p_retailprice / 100.0 AS DECIMAL(18,6))) AS DOUBLE) AS weight
@@ -1514,7 +1514,7 @@ object SeriesAnalysis {
         |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |    round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
         |  FROM mo),
-        |th AS (
+        |th AS MATERIALIZED (
         |  SELECT x.profile_name, x.i, ab.n, ab.slope, ab.intercept,
         |    2.0 * x.weight - (ab.intercept + ab.slope * x.i) AS x
         |  FROM idx x JOIN ab USING (profile_name)),
@@ -1591,9 +1591,12 @@ object SeriesAnalysis {
     // the Q assembly over the ACF subquery: rounded ρ̂ in, DECIMAL term
     // sum, once-rounded Q, flag off the rounded value (m_cusum rule)
     "m_ljung_box" ->
-      s"""WITH $gapCte,
+      // the outer spine CTE is renamed gap_lb: acfSql nests its own
+      // `gap`, and DuckDB rejects shadowing between a MATERIALIZED CTE
+      // and a same-named nested one (fine for plain CTEs)
+      s"""WITH ${gapCte.replace("gap AS MATERIALIZED", "gap_lb AS MATERIALIZED")},
         |cnt AS (SELECT profile_name, CAST(COUNT(*) AS BIGINT) AS n
-        |        FROM gap GROUP BY profile_name),
+        |        FROM gap_lb GROUP BY profile_name),
         |a AS (SELECT * FROM ($acfSql) x),
         |t AS (
         |  SELECT a.profile_name, n,
