@@ -727,7 +727,7 @@ object Dedup {
          |  SELECT b, bkey, collect_list(doc_id) AS ids
          |  FROM bands GROUP BY b, bkey
          |  HAVING count(*) <= $maxBucketSize),
-         |cand AS MATERIALIZED (
+         |cand AS (
          |  SELECT DISTINCT doc_a, doc_b FROM buckets
          |  LATERAL VIEW explode(ids) ta AS doc_a
          |  LATERAL VIEW explode(ids) tb AS doc_b
