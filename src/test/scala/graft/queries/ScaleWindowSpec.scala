@@ -130,6 +130,35 @@ class ScaleWindowSpec extends SparkSpec {
     assert(cms.forall(_.getInt(3) == 1), "CMS one-sided guarantee est >= exact violated")
   }
 
+  test("whole surface: every partition-less window in every driver query plan is bounded-input") {
+    // The systemic gate behind the five r10 fixes: build EVERY batch
+    // driver query (streaming rows excluded — stateful plans don't take
+    // WindowExec) and assert any partition-less WindowExec left in the
+    // pre-AQE physical plan belongs to the bounded-input whitelist. A
+    // new query with a corpus-sized global window fails here before it
+    // ever ships.
+    val bounded = Map(
+      "a_benford"            -> "9 leading-digit rows",
+      "a_bootstrap_ci"       -> "B=40 resample means",
+      "a_chi2"               -> "contingency cells (flag x status)",
+      "a_quantile_sketch"    -> "log-gamma sketch buckets",
+      "e_survival_km"        -> "day-grain durations (calendar-bounded)",
+      "t_peak_concurrency"   -> "day-grain offsets (calendar-bounded)",
+      "text_weighted_sample" -> "k=50 rows after TakeOrdered limit"
+    )
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!name.startsWith("s_stream")) {
+        val w =
+          try partitionlessWindows(fn(spark, sf0001).queryExecution.sparkPlan)
+          finally spark.catalog.clearCache()
+        if (w.nonEmpty && !bounded.contains(name)) offenders += name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unwhitelisted partition-less WindowExec in: ${offenders.mkString(", ")}")
+  }
+
   test("Ranking.ntileFromRank matches the builtin ntile contract across n and k") {
     for (n <- Seq(1L, 4L, 5L, 7L, 23L, 100L); k <- Seq(2, 5, 7)) {
       val viaSpark = spark.range(1, n + 1).toDF("rn")
