@@ -51,20 +51,24 @@ object Verify {
       slowFirst.flatMap(n => picked.get(n).map(n -> _)) ++
         picked.filterNot { case (n, _) => slowFirst.contains(n) }
     def runOne(sess: SparkSession, name: String,
-               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               clearCache: Boolean): Unit = {
       val t0 = System.nanoTime()
       try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // intra-query persists (LSH sigs, winnow index, fixture views, …)
-      // serve branches of ONE plan; dropping them between queries
-      // bounds executor storage over the sweep. The cacheManager is
-      // CONTEXT-shared, so this may also drop a concurrent query's
-      // cached branch mid-flight — Spark recomputes from lineage,
-      // so that costs time at worst, never rows.
-      sess.catalog.clearCache()
+      // NO per-query clearCache while workers run concurrently (r10
+      // review): the cacheManager is CONTEXT-shared and an eviction
+      // mid-materialization of another thread's cached branch is the
+      // same race the gapfillJob fix closed — and a partially-emptied
+      // JOIN input would produce a wrong-but-non-empty dump the empties
+      // backstop cannot see. Cached blocks are storage-evictable (LRU)
+      // under memory pressure, so skipping the clear trades bounded
+      // extra storage for correctness isolation; the sequential retry
+      // pass clears freely (it is the only runner).
+      if (clearCache) sess.catalog.clearCache()
       System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
@@ -78,7 +82,7 @@ object Verify {
         SparkSession.setActiveSession(sess)
         var item = queue.poll()
         while (item != null) {
-          runOne(sess, item._1, item._2)
+          runOne(sess, item._1, item._2, clearCache = false)
           item = queue.poll()
         }
       })
@@ -94,16 +98,24 @@ object Verify {
     // corpus legitimately dumps 0 rows, so any empty dump is re-run
     // SEQUENTIALLY — a legitimately-empty result would just rewrite
     // itself identically.
+    // an unreadable dump dir (write job died after mkdir, before any
+    // part file committed) must count as a retry candidate, not crash
+    // the sweep — an uncaught throw here would discard every result and
+    // zero the round's correctness (r10 review)
+    def dumpEmpty(name: String): Boolean =
+      try spark.read.parquet(s"$outDir/$name").isEmpty
+      catch { case _: Throwable => true }
     val empties = ordered.collect {
-      case (name, fn) if new java.io.File(s"$outDir/$name").exists() &&
-        spark.read.parquet(s"$outDir/$name").isEmpty => (name, fn)
+      case (name, fn) if new java.io.File(s"$outDir/$name").exists() && dumpEmpty(name) =>
+        (name, fn)
     }
+    spark.catalog.clearCache() // pool done: reclaim the whole sweep's caches at once
     if (empties.nonEmpty) {
       System.err.println(s"[verify] retrying ${empties.size} empty dump(s) sequentially: " +
         empties.map(_._1).mkString(","))
       val sess = spark.newSession()
       SparkSession.setActiveSession(sess)
-      empties.foreach { case (name, fn) => runOne(sess, name, fn) }
+      empties.foreach { case (name, fn) => runOne(sess, name, fn, clearCache = true) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

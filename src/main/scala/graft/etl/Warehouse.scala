@@ -49,16 +49,20 @@ object Warehouse {
     * side for LeftAnti, so "broadcast the small batch" is not available;
     * a bucketed target makes the existing side shuffle-free instead.
     */
-  def appendDedup(spark: SparkSession, df: DataFrame, path: String, key: String): Unit = {
-    val fresh =
-      if (pathExists(spark, path)) {
-        // no distinct(): the anti-join only tests existence — a distinct
-        // would pay an extra shuffle of the target's key column per batch
-        val existing = spark.read.parquet(path).select(col(key).as("__existing_key"))
-        df.join(existing, df(key) <=> existing("__existing_key"), "left_anti")
-      } else df
-    fresh.write.mode(SaveMode.Append).parquet(path)
-  }
+  def appendDedup(spark: SparkSession, df: DataFrame, path: String, key: String): Unit =
+    dedupFresh(spark, df, path, key).write.mode(SaveMode.Append).parquet(path)
+
+  /** The dedup half of [[appendDedup]], shared with
+    * [[ingestBatchAudited]] (one implementation — the NULL-safe-join and
+    * no-distinct subtleties live here only).
+    */
+  private def dedupFresh(spark: SparkSession, df: DataFrame, path: String, key: String): DataFrame =
+    if (pathExists(spark, path)) {
+      // no distinct(): the anti-join only tests existence — a distinct
+      // would pay an extra shuffle of the target's key column per batch
+      val existing = spark.read.parquet(path).select(col(key).as("__existing_key"))
+      df.join(existing, df(key) <=> existing("__existing_key"), "left_anti")
+    } else df
 
   /** The ingest commit: batch → [[appendDedup]] → watermark advance.
     * Single-writer protocol (like the reference's one cron pipeline,
@@ -90,9 +94,15 @@ object Warehouse {
     * warehouse it describes. `rows_landed` counts what actually LANDED
     * (post-dedup): under crash-replay the audit shows 0 for an
     * already-landed window instead of re-advertising the duplicate
-    * batch. Commit order is data → audit → watermark, so a crash at any
-    * point replays the window and the audit stays truthful (at worst one
-    * extra 0-row audit line). Returns the landed count.
+    * batch. Commit order is data → audit → watermark; the audit never
+    * OVERcounts (a crash before the data commit replays and re-counts),
+    * but a crash in the window between the data commit and the audit
+    * append loses that window's count — the replay dedups to 0 and
+    * lands a 0-row line, so SUM(rows_landed) can undercount the table.
+    * That is the same non-atomicity the reference's log lines carry
+    * (`square_ETL.py:235` logs after the load commits); the audit is
+    * load TELEMETRY — reconciliation queries belong on the warehouse
+    * table itself (`q_dq_checks`). Returns the landed count.
     *
     * Scale note: the count rides a persist of the deduped batch (one
     * batch-sized cache, never the target table); on a real cluster the
@@ -109,11 +119,7 @@ object Warehouse {
       hwm: java.sql.Timestamp,
       auditPath: String
   ): Long = {
-    val fresh =
-      if (pathExists(spark, dataPath)) {
-        val existing = spark.read.parquet(dataPath).select(col(key).as("__existing_key"))
-        batch.join(existing, batch(key) <=> existing("__existing_key"), "left_anti")
-      } else batch
+    val fresh = dedupFresh(spark, batch, dataPath, key)
     fresh.persist()
     val n =
       try {

@@ -1103,11 +1103,13 @@ object Advanced {
           ($"pair_cnt".cast("double") / $"c1".cast("double")).as("confidence"),
           ($"pair_cnt".cast("double") * lit(nOrders.toDouble) /
             ($"c1".cast("double") * $"c2".cast("double"))).as("lift"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy($"lift".desc, $"p1", $"p2")).cast("int"))
-        .filter($"rank" <= basketTopK)
+        // r10: rank-top-K via TakeOrderedAndProject + bounded K-row fetch
+        // ([[Ranking.topKRanked]]) — the global row_number window here was
+        // ITEM-PAIR-sized (quadratic in basket width at 100 TB) and hid
+        // behind the eager checkpoint until the listener plan gate caught
+        // it; output columns and hashes unchanged
+        .transform(df => Ranking.topKRanked(df, basketTopK, "rank")($"lift".desc, $"p1", $"p2"))
         .orderBy($"rank")
-        .localCheckpoint(eager = true)
     } finally ip.unpersist()
   }
 
@@ -1168,15 +1170,13 @@ object Advanced {
     try {
       val g = counts.agg(sum($"cnt").as("total"), count(lit(1)).as("nkeys")).head()
       val (total, nkeys) = (g.getLong(0), g.getLong(1))
-      // bounded top-10: ORDER BY + LIMIT plans as TakeOrderedAndProject
-      // (per-partition heaps), then the rank is a zipWithIndex over the
-      // ten surviving rows — r10 replaced the partition-less row_number
-      // window that funneled every key count through one task
-      Ranking
-        .withGlobalRank(counts.orderBy($"cnt".desc, $"l_partkey").limit(10), "rn")(
-          $"cnt".desc, $"l_partkey")
+      // bounded top-10 via [[Ranking.topKRanked]]: TakeOrderedAndProject
+      // + a 10-row bounded driver fetch with ranks attached locally —
+      // r10 replaced the partition-less row_number window that funneled
+      // every key count through one task
+      Ranking.topKRanked(counts, 10, "rank")($"cnt".desc, $"l_partkey")
         .select(
-          $"rn".cast("int").as("rank"),
+          $"rank",
           $"l_partkey",
           $"cnt",
           // `div`, not `/`: Spark's slash is true division (double) even
@@ -1184,7 +1184,6 @@ object Advanced {
           expr(s"cnt * 1000000L div ${total}L").as("share_ppm"),
           expr(s"cnt * 1000L * ${nkeys}L div ${total}L").as("skew_x1000"))
         .orderBy($"rank")
-        .localCheckpoint(eager = true)
     } finally counts.unpersist()
   }
 

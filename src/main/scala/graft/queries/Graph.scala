@@ -84,7 +84,7 @@ object Graph {
     * the unipartite projection of the order↔part graph (the bipartite
     * part↔supplier edges above are triangle-free by construction).
     */
-  private def coEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coEdges(s: SparkSession, d: String): DataFrame = {
     val ip = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct()
     ip.as("a")
       .join(
@@ -198,12 +198,16 @@ object Graph {
     * once-rounded at 9 dp into DECIMAL(20,9) and decimal-summed; a
     * common neighbor has deg ≥ 2, so the ln never sees 1.
     */
-  val gAdamicAdar: Q = (s, d) => adamicAdarBuild(s, d, checkpoint = true)
+  val gAdamicAdar: Q = (s, d) => adamicAdarBuild(s, d)
 
   /** checkpoint=false returns the un-materialized plan for PlanSpec. */
-  private[graft] def adamicAdarBuild(s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
-    val e = coEdges(s, d).persist()
-    try {
+  /** The lazy candidate relation (u, v, n_common, aa_dec) — split out so
+    * the PlanSpec broadcast assertion can see the join plan: the shipped
+    * query collapses everything to a K-row LOCAL relation via
+    * [[graft.queries.Ranking.topKRanked]], so the wedge join is only
+    * plannable here.
+    */
+  private[graft] def adamicAdarCandidates(s: SparkSession, d: String, e: DataFrame): DataFrame = {
       val adj = e
         .select($"u".as("a"), $"v".as("b"))
         .unionAll(e.select($"v".as("a"), $"u".as("b")))
@@ -224,19 +228,22 @@ object Graph {
           count(lit(1)).as("n_common"),
           sum(round(lit(1.0) / log($"deg".cast("double")), 9).cast("decimal(20,9)")).as("aa_dec"))
       // drop already-linked pairs (both orientations live in adj)
-      val newLinks = cand.join(
-        adj.select($"a".as("u"), $"b".as("v")), Seq("u", "v"), "left_anti")
-      newLinks
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy($"aa_dec".desc, $"u", $"v")).cast("int"))
-        .filter($"rank" <= aaTopK)
+      cand.join(adj.select($"a".as("u"), $"b".as("v")), Seq("u", "v"), "left_anti")
+  }
+
+  private[graft] def adamicAdarBuild(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d).persist()
+    try
+      // r10: rank-top-K via TakeOrderedAndProject + bounded K-row fetch
+      // (graft.queries.Ranking.topKRanked) — the global row_number window
+      // here was CANDIDATE-PAIR-sized (every wedge endpoint pair) and hid
+      // behind the eager checkpoint until the listener plan gate caught
+      // it; output columns and hashes unchanged.
+      graft.queries.Ranking
+        .topKRanked(adamicAdarCandidates(s, d, e), aaTopK, "rank")($"aa_dec".desc, $"u", $"v")
         .select($"rank", $"u", $"v", $"n_common", $"aa_dec".cast("double").as("aa"))
-        .orderBy($"rank") match {
-          case df if checkpoint => df.localCheckpoint(eager = true)
-          case df               => df
-        }
-    } finally e.unpersist()
+        .orderBy($"rank")
+    finally e.unpersist()
   }
 
   val lpRounds = 4

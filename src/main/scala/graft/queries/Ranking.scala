@@ -61,6 +61,25 @@ object Ranking {
       .cast("int")
   }
 
+  /** Global top-k with a 1-based rank attached: ORDER BY + LIMIT k —
+    * which Catalyst plans as TakeOrderedAndProject (per-partition k-row
+    * heaps, driver merges P·k rows) — then a k-row bounded driver fetch
+    * appends the rank locally. The scale-safe replacement for
+    * `row_number().over(Window.orderBy(...)) <= k`: no relation-sized
+    * single-task sort anywhere, and the result is a k-row local
+    * relation. The order must be total for a deterministic rank.
+    */
+  def topKRanked(df: DataFrame, k: Int, rankCol: String)(order: Column*): DataFrame = {
+    val top = df.orderBy(order: _*).limit(k).collect()
+    val schema = StructType(
+      df.schema.fields :+ StructField(rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(top.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1))
+      }: _*),
+      schema)
+  }
+
   /** Exact global running DECIMAL sum over a total order — the two-level
     * distributed prefix sum (the `t_peak_concurrency` sweep-line
     * decomposition, generalized): (1) range-sort on the order, (2) one
@@ -72,7 +91,11 @@ object Ranking {
     * task ever sees more than its own range.
     *
     * Returns the input columns + `cumCol` (DECIMAL(38, scale-of-input))
-    * plus the exact grand total. The value column must be DECIMAL.
+    * plus the exact grand total. The value column must be DECIMAL and
+    * NON-NULL: a window sum emits NULL until the first non-null value,
+    * while a running accumulator would emit 0 — rather than silently
+    * diverge from the contract, a null value fails fast (every current
+    * caller feeds a groupBy sum, which is never null).
     */
   def withPrefixSum(df: DataFrame, valueCol: String, cumCol: String)(
       order: Column*
@@ -88,7 +111,8 @@ object Ranking {
           var acc = zero
           it.foreach { r =>
             val v = r.getDecimal(vIdx)
-            if (v != null) acc = acc.add(v)
+            require(v != null, s"withPrefixSum: NULL in value column '$valueCol' — see scaladoc")
+            acc = acc.add(v)
           }
           Iterator((i, acc))
         }
@@ -106,7 +130,8 @@ object Ranking {
             var acc = bcOff.value(i)
             it.map { r =>
               val v = r.getDecimal(vIdx)
-              if (v != null) acc = acc.add(v)
+              require(v != null, s"withPrefixSum: NULL in value column '$valueCol' — see scaladoc")
+              acc = acc.add(v)
               Row.fromSeq(r.toSeq :+ acc)
             }
           },

@@ -136,10 +136,15 @@ object Similarity {
     */
   def trainCentroids(s: SparkSession, e: DataFrame, nCells: Int, iters: Int): Array[Array[Double]] = {
     import s.implicits._
-    // persist the decoded corpus: every Lloyd iteration (and the seed
-    // collect) re-reads it — uncached that's iters+1 full scans+decodes,
-    // the dominant cost of IVF training at scale
-    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].persist()
+    // pin the decoded corpus: every Lloyd iteration (and the seed
+    // collect) re-reads it — unpinned that's iters+1 full scans+decodes,
+    // the dominant cost of IVF training at scale. localCheckpoint, not
+    // persist (r10): several ANN driver queries build this IDENTICAL
+    // canonical plan, and Dataset.persist entries are shared context-wide
+    // by plan — a concurrent query's unpersist mid-iteration is the
+    // gapfillJob empty-stage race. Checkpoint blocks are private to this
+    // invocation.
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].localCheckpoint()
     // seed from the nCells SMALLEST ids present — not `id < nCells`, which
     // assumes dense ids from 0 and silently under-seeds filtered inputs
     // (ann_ivf_append_topk trains on the even half: `< 16` found only 8
@@ -192,7 +197,7 @@ object Similarity {
       }
     }
     cents
-    } finally ds.unpersist() // finally: a failed Lloyd iteration must not leak the corpus cache
+    } finally () // checkpoint blocks are reclaimed by the ContextCleaner once ds is unreferenced
   }
 
   /** Adaptive hier cutover (judge r7 next-round #2): above this many
@@ -868,7 +873,10 @@ object Similarity {
   ): Array[Array[Array[Double]]] = {
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Double])] =
       org.apache.spark.sql.Encoders.product[(Long, Array[Double])]
-    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].persist()
+    // localCheckpoint, not persist: identical canonical plan to the IVF
+    // trainer's corpus pin — see the r10 note there (shared CacheManager
+    // entries + a concurrent unpersist = the empty-stage race)
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].localCheckpoint()
     try {
       val seeds = ds.orderBy(col("vec_id")).limit(ksub).collect().sortBy(_._1).map(_._2)
       require(seeds.nonEmpty, "trainPqCodebooks: empty input")
@@ -915,7 +923,7 @@ object Similarity {
         }
       }
       books
-    } finally ds.unpersist()
+    } finally () // checkpoint blocks are reclaimed by the ContextCleaner once ds is unreferenced
   }
 
   /** Product-quantization ANN: encode the corpus to m small codes

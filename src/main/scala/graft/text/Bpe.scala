@@ -69,7 +69,12 @@ object Bpe {
     * over the segmented vocabulary.
     */
   def trainMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
-    val wf = wordFreq(s, dir).persist()
+    // localCheckpoint, not persist (r10): text_bpe_train and
+    // text_bpe_encode both build this IDENTICAL word-frequency plan, so
+    // persist() entries are shared context-wide and the first finisher's
+    // unpersist races the other's merge rounds (the gapfillJob
+    // empty-stage mechanism). Checkpoint blocks are invocation-private.
+    val wf = wordFreq(s, dir).localCheckpoint()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val out    = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -94,7 +99,7 @@ object Bpe {
         out    += ((r, w.getString(0), w.getString(1), w.getLong(2)))
       }
       out.toSeq
-    } finally wf.unpersist()
+    } finally () // checkpoint blocks reclaimed by the ContextCleaner once wf is unreferenced
   }
 
   /** Driver query: the learned merge table. */

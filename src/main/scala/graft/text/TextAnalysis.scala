@@ -171,37 +171,19 @@ object TextAnalysis {
     * billions of tokens and must never be broadcast.
     */
   val textRareScore: Q = (s, d) => {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docs = Tables.documents(s, d)
     val freq = docs
       .select(explode(toks).as("token"))
       .groupBy($"token")
       .agg(count(lit(1)).as("freq"))
-    // persist the sorted vocab RDD: zipWithIndex launches a
-    // partition-count job over the full aggregate+sort lineage, and the
-    // final join would otherwise re-execute that lineage from scratch —
-    // two vocabulary aggregations per query (r3 self-review). RDD-level
-    // persist is reclaimed by the ContextCleaner once unreferenced and
-    // never enters the cacheManager.
-    val sortedVocab = freq
-      .orderBy($"freq".desc, $"token")
-      .select($"token")
-      .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize (token, rank) eagerly, then free the vocab RDD
-    // deterministically — relying on the driver GC-ing the reference kept
-    // the full aggregate+sort lineage cached across a long sweep (r3
-    // ADVICE); the checkpoint holds only the two-column ranked vocab
-    val ranked =
-      try
-        s.createDataFrame(
-          sortedVocab
-            .zipWithIndex()
-            .map { case (r, i) => Row(r.getString(0), i + 1L) },
-          StructType(Seq(StructField("token", StringType), StructField("rank", LongType)))
-        ).localCheckpoint()
-      finally sortedVocab.unpersist()
+    // global rank via the shared range-sort + zipWithIndex helper (this
+    // query pioneered the pattern in r2; r10 review consolidated the
+    // three inline copies onto graft.queries.Ranking). The helper's
+    // eager checkpoint keeps the r3 discipline: the vocab sort runs
+    // once, the join below reads the pinned two-pass result.
+    val ranked = graft.queries.Ranking
+      .withGlobalRank(freq, "rank")($"freq".desc, $"token")
+      .select($"token", $"rank")
     docs
       .select($"doc_id", explode(toks).as("token"))
       .join(ranked, "token")
@@ -369,22 +351,13 @@ object TextAnalysis {
     * on the computed position.
     */
   val textQuantileNorm: Q = (s, d) => {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
     val n_ = docs.count()
-    val sortedCorpus = docs
-      .orderBy($"n_chars", $"doc_id")
-      .select($"n_chars")
-      .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val target =
-      try
-        s.createDataFrame(
-          sortedCorpus.zipWithIndex().map { case (r, i) => Row(i + 1L, r.getLong(0)) },
-          StructType(Seq(StructField("gidx", LongType), StructField("norm_score", LongType)))
-        ).localCheckpoint()
-      finally sortedCorpus.unpersist()
+    // global rank via the shared range-sort + zipWithIndex helper (r10
+    // review: one implementation of the pattern, not three)
+    val target = graft.queries.Ranking
+      .withGlobalRank(docs.select($"n_chars", $"doc_id"), "gidx")($"n_chars", $"doc_id")
+      .select($"gidx", $"n_chars".as("norm_score"))
     val bySrc = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"n_chars", $"doc_id")
     docs

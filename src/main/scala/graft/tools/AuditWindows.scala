@@ -1,9 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.window.WindowExec
+import graft.plans.WindowAudit
 
 /** One-off audit: build EVERY driver query at the given SF and list the
   * partition-less WindowExec nodes in its pre-AQE physical plan — the
@@ -16,25 +14,12 @@ object AuditWindows {
     val spark = GraftSession.local(16, "graft-audit-windows")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def windows(p: SparkPlan): Seq[WindowExec] = {
-      val here = p match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-        case _                                        => Nil
-      }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case other                    => other.children
-      }
-      here ++ kids.flatMap(windows)
-    }
-
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (name.startsWith("s_stream")) println(s"[skip ] $name (streaming)")
       else
         try {
           val df  = fn(spark, sfDir)
-          val w   = windows(df.queryExecution.sparkPlan)
+          val w   = WindowAudit.partitionless(df.queryExecution.sparkPlan)
           if (w.nonEmpty)
             println(s"[WINDW] $name: ${w.size} partition-less — " +
               w.map(_.orderSpec.map(_.child.toString).mkString("+")).mkString(" | "))

@@ -113,7 +113,8 @@ object DumpPlans {
         "The seed set broadcasts into the adjacency scan, wedge enumeration is " +
           "|S|·d̄² (seed-side only, not the full graph's Σdeg²), and the top-k window " +
           "runs over the already-aggregated candidate table.",
-        fmt(graft.queries.Graph.adamicAdarBuild(spark, sf, checkpoint = false))
+        fmt(graft.queries.Graph.adamicAdarCandidates(
+          spark, sf, graft.queries.Graph.coEdges(spark, sf)))
       )
     )
     val md = new StringBuilder

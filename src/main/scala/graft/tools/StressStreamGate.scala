@@ -47,6 +47,16 @@ object StressStreamGate {
       .repartitionByRange(parts, $"doc_id")
       .sortWithinPartitions($"doc_id")
       .write.mode("overwrite").parquet(s"$work/docs")
+    // FileStreamSource orders files by MODIFICATION TIME, and parallel
+    // write tasks commit in arbitrary order — restamp the range files
+    // (part-00000 holds the lowest id range) with strictly increasing
+    // mtimes so batch order follows doc_id order, honoring the gate's
+    // monotonic-ingest-id contract (r10 review)
+    new java.io.File(s"$work/docs").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 60000L) }
 
     // ground truth for the state-size claim: occupied band buckets
     val corpus = spark.read.parquet(s"$work/docs")
@@ -57,7 +67,9 @@ object StressStreamGate {
       .distinct()
       .count()
 
-    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    // listener events arrive on the bus thread — a concurrent queue plus
+    // a size-stability poll below replaces the racy fixed sleep
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -65,7 +77,7 @@ object StressStreamGate {
         val p = e.progress
         if (p.numInputRows > 0) {
           val state = p.stateOperators.map(_.numRowsTotal).sum
-          batches += ((p.batchId, p.numInputRows, p.batchDuration, state))
+          batches.add((p.batchId, p.numInputRows, p.batchDuration, state))
         }
       }
     })
@@ -84,16 +96,24 @@ object StressStreamGate {
     q.awaitTermination()
     val wall  = (System.nanoTime() - t0) / 1e9
     val flags = spark.table("stress_sgate_sink").select($"doc_id").distinct().count()
-    // listener events are delivered async — settle before reading
-    Thread.sleep(2000)
-
+    // listener events are delivered async — poll until the queue is
+    // stable for a full second (bounded at 30 s)
+    var last = -1
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (batches.size != last && System.nanoTime() < deadline) {
+      last = batches.size; Thread.sleep(1000)
+    }
+    val rows = {
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq.sortBy(_._1)
+    }
     println(
-      f"- s_stream_near_dedup at ${nDocs * mult} docs (mult=$mult, ${batches.size} micro-batches): " +
-        f"$flags flagged docs in $wall%.1f s; final state ${batches.lastOption.map(_._4).getOrElse(-1L)} " +
+      f"- s_stream_near_dedup at ${nDocs * mult} docs (mult=$mult, ${rows.size} micro-batches): " +
+        f"$flags flagged docs in $wall%.1f s; final state ${rows.lastOption.map(_._4).getOrElse(-1L)} " +
         f"rows vs $occupiedBuckets occupied band buckets (corpus rows: ${nDocs * mult} — state is " +
         "bucket-count-sized, not corpus-sized)")
     println("- per micro-batch (batchId, inputRows, batchDurationMs, stateRowsTotal): " +
-      batches.map { case (b, r, d, s) => s"($b, $r, ${d}ms, $s)" }.mkString(" "))
+      rows.map { case (b, r, d, s) => s"($b, $r, ${d}ms, $s)" }.mkString(" "))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     spark.stop()

@@ -186,7 +186,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("g_adamic_adar: the seed set broadcasts into the wedge join") {
-    val p = plan(graft.queries.Graph.adamicAdarBuild(spark, sf0001, checkpoint = false))
+    // the shipped query collapses to a K-row local relation (topKRanked
+    // bounded fetch), so the wedge-join plan is asserted on the lazy
+    // candidate relation it ranks
+    val p = plan(graft.queries.Graph.adamicAdarCandidates(
+      spark, sf0001, graft.queries.Graph.coEdges(spark, sf0001)))
     assert(p.contains("BroadcastExchange"), s"seed set not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }

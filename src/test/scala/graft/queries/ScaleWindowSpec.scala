@@ -17,21 +17,10 @@ import org.apache.spark.sql.types.DecimalType
 class ScaleWindowSpec extends SparkSpec {
 
   import org.apache.spark.sql.execution.SparkPlan
-  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
   import org.apache.spark.sql.execution.window.WindowExec
 
-  private def partitionlessWindows(p: SparkPlan): Seq[WindowExec] = {
-    val here = p match {
-      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-      case _                                        => Nil
-    }
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case other                    => other.children
-    }
-    here ++ kids.flatMap(partitionlessWindows)
-  }
+  private def partitionlessWindows(p: SparkPlan): Seq[WindowExec] =
+    graft.plans.WindowAudit.partitionless(p)
 
   /** Materializes, then asserts the executed plan kept no global window.
     * zipWithIndex/prefix-sum stages live in separate jobs the rank
@@ -136,7 +125,12 @@ class ScaleWindowSpec extends SparkSpec {
     // WindowExec) and assert any partition-less WindowExec left in the
     // pre-AQE physical plan belongs to the bounded-input whitelist. A
     // new query with a corpus-sized global window fails here before it
-    // ever ships.
+    // ever ships. A QueryExecutionListener additionally walks every plan
+    // EXECUTED during construction (r10 review): a global window hidden
+    // behind an eager localCheckpoint never reaches the returned plan,
+    // so eager executions are gated too — today none may contain a
+    // partition-less window at all (extend with an eager whitelist if a
+    // bounded case ever appears).
     val bounded = Map(
       "a_benford"            -> "9 leading-digit rows",
       "a_bootstrap_ci"       -> "B=40 resample means",
@@ -146,17 +140,47 @@ class ScaleWindowSpec extends SparkSpec {
       "t_peak_concurrency"   -> "day-grain offsets (calendar-bounded)",
       "text_weighted_sample" -> "k=50 rows after TakeOrdered limit"
     )
+    // eager executions with a partition-less window on PROVABLY bounded
+    // input (the lazy whitelist's counterpart): text_heaps_fit's running
+    // sums ride the ≤100-row checkpoint-bucket table
+    val eagerBounded = Set("text_heaps_fit")
+    @volatile var building: String = "<init>"
+    val eagerHits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit =
+        if (partitionlessWindows(qe.executedPlan).nonEmpty) eagerHits.add(building)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!name.startsWith("s_stream")) {
-        val w =
-          try partitionlessWindows(fn(spark, sf0001).queryExecution.sparkPlan)
-          finally spark.catalog.clearCache()
-        if (w.nonEmpty && !bounded.contains(name)) offenders += name
+    try
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!name.startsWith("s_stream")) {
+          building = name
+          val w =
+            try partitionlessWindows(fn(spark, sf0001).queryExecution.sparkPlan)
+            finally spark.catalog.clearCache()
+          if (w.nonEmpty && !bounded.contains(name)) offenders += name
+          // keep attribution tight for the whitelisted eager case: let
+          // its async listener events land while `building` still names it
+          if (eagerBounded.contains(name)) Thread.sleep(300)
+        }
       }
+    finally {
+      Thread.sleep(1000) // listener bus is async — settle before reading
+      spark.listenerManager.unregister(listener)
     }
     assert(offenders.isEmpty,
       s"unwhitelisted partition-less WindowExec in: ${offenders.mkString(", ")}")
+    val eagerOffenders = {
+      import scala.jdk.CollectionConverters._
+      eagerHits.asScala.toSet -- eagerBounded
+    }
+    assert(eagerOffenders.isEmpty,
+      s"partition-less WindowExec EXECUTED during construction of: " +
+        s"$eagerOffenders (attribution ±1 query — listener is async)")
   }
 
   test("Ranking.ntileFromRank matches the builtin ntile contract across n and k") {

@@ -46,26 +46,9 @@ class SweeplineSpec extends SparkSpec {
   }
 
   test("the only partition-less window in the plan is the day-grain level") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.window.WindowExec
-    // TreeNode.collect stops at QueryStageExec when AQE has re-planned —
-    // descend through adaptive wrappers explicitly (TopKSpec precedent)
-    def windows(p: SparkPlan): Seq[WindowExec] = {
-      val here = p match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-        case _                                        => Nil
-      }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case other                    => other.children
-      }
-      here ++ kids.flatMap(windows)
-    }
     val df = Advanced.tPeakConcurrency(spark, sf0001)
     df.collect() // materialize so AQE finalizes every stage
-    val partitionless = windows(df.queryExecution.executedPlan)
+    val partitionless = graft.plans.WindowAudit.partitionless(df.queryExecution.executedPlan)
     // exactly one unpartitioned window — the day-offset running sum whose
     // input is the per-day aggregate (calendar-bounded), recognizable by
     // its day-grain ordering column
