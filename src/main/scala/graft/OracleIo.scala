@@ -25,4 +25,23 @@ object OracleIo {
 
   /** The path the oracle SQL must reference (driver gate SF). */
   def sqlDir: String = "/tmp/graft_oracle_io/sf0.01"
+
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Serialized, once-per-JVM boundary-table write. Four driver queries
+    * dump the IDENTICAL `minhash_sigs` table (the signature pass is
+    * deterministic over the same corpus), and under the concurrent
+    * Verify sweep two of them could overwrite the directory while a
+    * sibling's self-join was mid-read — `overwrite` deletes the dir
+    * first, so the reader sees missing part files (r11 ADVICE, the
+    * file-level cousin of the shared-persist CacheManager race).
+    * `computeIfAbsent` gives both mutual exclusion and memoization: the
+    * first caller writes while later callers block, then everyone reads
+    * the settled table. CONTRACT: the path must functionally determine
+    * the content (all writers of one path produce the same rows) — true
+    * for every OracleIo table, whose paths are keyed by sf dir and
+    * produced by deterministic stages.
+    */
+  def writeOnce(path: String)(write: => Unit): Unit =
+    written.computeIfAbsent(path, _ => { write; java.lang.Boolean.TRUE })
 }

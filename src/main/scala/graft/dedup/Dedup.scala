@@ -138,7 +138,11 @@ object Dedup {
     // bench query is unaffected beyond a /tmp write.
     val (sigs, cleanup): (DataFrame, () => Unit) = sigDump match {
       case Some(path) =>
-        minhashSignatures(docs).write.mode("overwrite").parquet(path)
+        // writeOnce (r11): four driver queries dump this identical table;
+        // see [[graft.OracleIo.writeOnce]] for the concurrent-sweep race
+        graft.OracleIo.writeOnce(path) {
+          minhashSignatures(docs).write.mode("overwrite").parquet(path)
+        }
         (docs.sparkSession.read.parquet(path), () => ())
       case None =>
         val s = minhashSignatures(docs).persist()
@@ -209,7 +213,9 @@ object Dedup {
     // same boundary-oracle dump option as [[minhashPairs]]
     val (sh, cleanup): (DataFrame, () => Unit) = sigDump match {
       case Some(path) =>
-        simhash(docs).write.mode("overwrite").parquet(path)
+        graft.OracleIo.writeOnce(path) {
+          simhash(docs).write.mode("overwrite").parquet(path)
+        }
         (docs.sparkSession.read.parquet(path), () => ())
       case None =>
         val s = simhash(docs).persist()

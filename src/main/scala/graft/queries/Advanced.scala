@@ -1083,8 +1083,11 @@ object Advanced {
   val basketMinSupport = 3
   val basketTopK       = 20
   val eBasketRules: Q = (s, d) => {
-    val ip = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct().persist()
-    try {
+    // localCheckpoint, not persist (r11): plan-identical to gCfTopK's
+    // `ip` (Graph.scala) — a shared persist() entry races under the
+    // concurrent Verify sweep (the gapfillJob empty-stage mechanism).
+    val ip = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey").distinct().localCheckpoint()
+    locally {
       val nOrders = ip.select($"l_orderkey").distinct().count()
       val item    = ip.groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
       val pairs = ip.as("a")
@@ -1110,7 +1113,7 @@ object Advanced {
         // it; output columns and hashes unchanged
         .transform(df => Ranking.topKRanked(df, basketTopK, "rank")($"lift".desc, $"p1", $"p2"))
         .orderBy($"rank")
-    } finally ip.unpersist()
+    }
   }
 
   /** Inactivity sessionization via the NATIVE session_window TVF — the

@@ -104,8 +104,14 @@ object Graph {
     * Σ deg² and dies on the first popular part).
     */
   private[queries] def triangleStats(e0: DataFrame): (Long, Long) = {
-    val e = e0.persist()
-    try {
+    // localCheckpoint, not persist (r11): gTriangles, gAdamicAdar and
+    // gKCore all pin the IDENTICAL coEdges canonical plan, so under the
+    // concurrent Verify sweep a shared persist() entry is yanked by the
+    // first finisher's unpersist mid-run of the others — the gapfillJob
+    // empty-stage race. Checkpoint blocks are invocation-private; the
+    // derived deg/de persists below become private with it.
+    val e = e0.localCheckpoint()
+    locally {
       val deg = e
         .select($"u".as("node"))
         .unionAll(e.select($"v".as("node")))
@@ -132,7 +138,7 @@ object Graph {
           } finally de.unpersist()
         (tri, wedges)
       } finally deg.unpersist()
-    } finally e.unpersist()
+    }
   }
 
   /** Triangle census of the co-purchase graph: count, wedge count, and
@@ -159,12 +165,17 @@ object Graph {
     */
   val gHops: Q = (s, d) => {
     val e = coEdges(s, d)
+    // localCheckpoint, not persist (r11): this doubled-edge plan is
+    // canonically IDENTICAL to gLabelProp's `bi`, so a shared persist()
+    // entry races under the concurrent Verify sweep (see triangleStats).
+    // The checkpoint keeps the repartition's hash partitioning, so every
+    // round's frontier join still reuses it.
     val bi = e
       .select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
       .repartition(s.sparkContext.defaultParallelism, $"src")
-      .persist()
-    try {
+      .localCheckpoint()
+    locally {
       var reached = Tables
         .part(s, d)
         .filter($"p_brand" === hopSeedBrand)
@@ -180,7 +191,7 @@ object Graph {
           .localCheckpoint()
       }
       reached.select($"node", $"hop".as("min_hops")).orderBy($"node")
-    } finally bi.unpersist()
+    }
   }
 
   val aaTopK = 20
@@ -232,18 +243,18 @@ object Graph {
   }
 
   private[graft] def adamicAdarBuild(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d).persist()
-    try
-      // r10: rank-top-K via TakeOrderedAndProject + bounded K-row fetch
-      // (graft.queries.Ranking.topKRanked) — the global row_number window
-      // here was CANDIDATE-PAIR-sized (every wedge endpoint pair) and hid
-      // behind the eager checkpoint until the listener plan gate caught
-      // it; output columns and hashes unchanged.
-      graft.queries.Ranking
-        .topKRanked(adamicAdarCandidates(s, d, e), aaTopK, "rank")($"aa_dec".desc, $"u", $"v")
-        .select($"rank", $"u", $"v", $"n_common", $"aa_dec".cast("double").as("aa"))
-        .orderBy($"rank")
-    finally e.unpersist()
+    // localCheckpoint, not persist (r11): same shared-coEdges-plan race
+    // as triangleStats — see the note there.
+    val e = coEdges(s, d).localCheckpoint()
+    // r10: rank-top-K via TakeOrderedAndProject + bounded K-row fetch
+    // (graft.queries.Ranking.topKRanked) — the global row_number window
+    // here was CANDIDATE-PAIR-sized (every wedge endpoint pair) and hid
+    // behind the eager checkpoint until the listener plan gate caught
+    // it; output columns and hashes unchanged.
+    graft.queries.Ranking
+      .topKRanked(adamicAdarCandidates(s, d, e), aaTopK, "rank")($"aa_dec".desc, $"u", $"v")
+      .select($"rank", $"u", $"v", $"n_common", $"aa_dec".cast("double").as("aa"))
+      .orderBy($"rank")
   }
 
   val lpRounds = 4
@@ -264,12 +275,14 @@ object Graph {
     */
   val gLabelProp: Q = (s, d) => {
     val e = coEdges(s, d)
+    // localCheckpoint, not persist (r11): plan-identical to gHops's `bi`
+    // — see the race note there.
     val bi = e
       .select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
       .repartition(s.sparkContext.defaultParallelism, $"src")
-      .persist()
-    try {
+      .localCheckpoint()
+    locally {
       var labels = bi
         .select($"src".as("node"))
         .distinct()
@@ -297,7 +310,7 @@ object Graph {
           count(lit(1)).over(sz).as("community_size")
         )
         .orderBy($"node")
-    } finally bi.unpersist()
+    }
   }
 
   val ssspRounds = 6
@@ -383,8 +396,10 @@ object Graph {
     * shrinks, and localCheckpoint cuts the 8-round lineage.
     */
   val gKCore: Q = (s, d) => {
-    val e = coEdges(s, d).persist()
-    try {
+    // localCheckpoint, not persist (r11): same shared-coEdges-plan race
+    // as triangleStats — see the note there.
+    val e = coEdges(s, d).localCheckpoint()
+    locally {
       var alive = e
         .select($"u".as("node"))
         .union(e.select($"v".as("node")))
@@ -409,7 +424,7 @@ object Graph {
         .groupBy($"node")
         .agg(count(lit(1)).as("core_degree"))
         .orderBy($"node")
-    } finally e.unpersist()
+    }
   }
 
   /** Item-item collaborative filtering — the recommender primitive over
@@ -425,12 +440,16 @@ object Graph {
     */
   val cfK = 5
   val gCfTopK: Q = (s, d) => {
+    // localCheckpoint, not persist (r11): this order↔part plan is
+    // canonically IDENTICAL to eBasketRules' `ip` (Advanced.scala), so a
+    // shared persist() entry races under the concurrent Verify sweep
+    // (see triangleStats).
     val ip = Tables
       .lineitem(s, d)
       .select($"l_orderkey", $"l_partkey")
       .distinct()
-      .persist()
-    try {
+      .localCheckpoint()
+    locally {
       val deg = ip.groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("deg"))
       val co = ip
         .as("a")
@@ -464,7 +483,7 @@ object Graph {
         .filter($"rank" <= cfK)
         .orderBy($"item", $"rank")
         .localCheckpoint()
-    } finally ip.unpersist()
+    }
   }
 
   /** Degree assortativity — the one-number "do hubs link to hubs"

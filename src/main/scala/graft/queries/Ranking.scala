@@ -63,21 +63,25 @@ object Ranking {
 
   /** Global top-k with a 1-based rank attached: ORDER BY + LIMIT k —
     * which Catalyst plans as TakeOrderedAndProject (per-partition k-row
-    * heaps, driver merges P·k rows) — then a k-row bounded driver fetch
-    * appends the rank locally. The scale-safe replacement for
-    * `row_number().over(Window.orderBy(...)) <= k`: no relation-sized
-    * single-task sort anywhere, and the result is a k-row local
-    * relation. The order must be total for a deterministic rank.
+    * heaps, driver merges P·k rows) — then a `row_number()` window over
+    * the SAME total order ranks the surviving ≤k rows. That window is
+    * partition-less but provably bounded (its input is the limit's
+    * single ≤k-row partition), so it is whitelisted per-caller in
+    * ScaleWindowSpec, like `text_weighted_sample`. The scale-safe
+    * replacement for `row_number().over(Window.orderBy(...)) <= k`: no
+    * relation-sized single-task sort anywhere.
+    *
+    * LAZY (r11 ADVICE): the previous version collected the k rows at
+    * DataFrame-construction time, so plan-only callers (AuditWindows,
+    * PlanSpec) paid full execution; now construction is pure plan. The
+    * order must be total for a deterministic rank.
     */
   def topKRanked(df: DataFrame, k: Int, rankCol: String)(order: Column*): DataFrame = {
-    val top = df.orderBy(order: _*).limit(k).collect()
-    val schema = StructType(
-      df.schema.fields :+ StructField(rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(top.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1))
-      }: _*),
-      schema)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    df.orderBy(order: _*)
+      .limit(k)
+      .withColumn(rankCol, row_number().over(Window.orderBy(order: _*)))
   }
 
   /** Exact global running DECIMAL sum over a total order — the two-level

@@ -19,8 +19,12 @@ class ScaleWindowSpec extends SparkSpec {
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec
 
+  /** Partition-less windows that are NOT provably bounded by a limit
+    * node — rank-after-top-k (Ranking.topKRanked) single-tasks only k
+    * rows and is auto-exempt via WindowAudit.boundedInput.
+    */
   private def partitionlessWindows(p: SparkPlan): Seq[WindowExec] =
-    graft.plans.WindowAudit.partitionless(p)
+    graft.plans.WindowAudit.unbounded(p)
 
   /** Materializes, then asserts the executed plan kept no global window.
     * zipWithIndex/prefix-sum stages live in separate jobs the rank
@@ -163,13 +167,15 @@ class ScaleWindowSpec extends SparkSpec {
             try partitionlessWindows(fn(spark, sf0001).queryExecution.sparkPlan)
             finally spark.catalog.clearCache()
           if (w.nonEmpty && !bounded.contains(name)) offenders += name
-          // keep attribution tight for the whitelisted eager case: let
-          // its async listener events land while `building` still names it
-          if (eagerBounded.contains(name)) Thread.sleep(300)
+          // deterministic attribution (r11 ADVICE): drain the listener
+          // bus before advancing `building`, so every async event fired
+          // during THIS query's construction lands while `building`
+          // still names it — no ±1-query sleep heuristics
+          org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
         }
       }
     finally {
-      Thread.sleep(1000) // listener bus is async — settle before reading
+      org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
       spark.listenerManager.unregister(listener)
     }
     assert(offenders.isEmpty,
@@ -180,7 +186,7 @@ class ScaleWindowSpec extends SparkSpec {
     }
     assert(eagerOffenders.isEmpty,
       s"partition-less WindowExec EXECUTED during construction of: " +
-        s"$eagerOffenders (attribution ±1 query — listener is async)")
+        s"$eagerOffenders (attribution exact — bus drained per query)")
   }
 
   test("Ranking.ntileFromRank matches the builtin ntile contract across n and k") {
