@@ -132,6 +132,38 @@ object ZoloPipeline {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
 
+  /** The reference's ACTUAL load path is SQLAlchemy→Postgres
+    * (`square_ETL.py:232-233` `to_sql`); [[modelRoundTrip]] proves the
+    * DSv2/parquet face, this proves the LIVE JDBC face against a real
+    * database — embedded Derby, the one RDBMS on Spark's own classpath —
+    * end to end: model output → `Warehouse.writeJdbc` (batched multi-row
+    * INSERTs, Spark's DerbyDialect DDL) → `Warehouse.readJdbc` → the
+    * same rows. The oracle is identical to `wh_model_roundtrip`'s (the
+    * m_ses_forecast replay + the deterministic stamp), so a type
+    * mangled by the dialect round-trip (string↔CLOB, double↔DOUBLE
+    * PRECISION, timestamp) fails the hash. In-memory DB per sf dir:
+    * re-runs Overwrite (drop/create), concurrent queries never share it.
+    * The single-connection read is fine for a model table (rows =
+    * profiles); bulk extracts go through `readJdbcPartitioned` —
+    * spec-covered in WarehouseJdbcSpec.
+    */
+  def jdbcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    // keep Derby's log out of the repo cwd
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    val sf  = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val url = s"jdbc:derby:memory:graft_models_$sf;create=true"
+    val out = graft.forecast.ForecastJobs
+      .sesJob(spark, dir)
+      .withColumn("forecast_start", lit("2001-06-04 00:00:00").cast("timestamp"))
+      .select("profile_name", "mse", "prediction", "forecast_start")
+    Warehouse.writeJdbc(out, url, "model_simp_avg", org.apache.spark.sql.SaveMode.Overwrite)
+    Warehouse
+      .readJdbc(spark, url, "model_simp_avg")
+      .orderBy("profile_name")
+      .localCheckpoint()
+  }
+
   /** S11's data half as a driver row: three audited ingests of the
     * corpus event stream — window 1, window 2, then a crash-replay of
     * window 2 that the dedup anti-join reduces to zero rows — and the
@@ -276,6 +308,7 @@ object ZoloPipeline {
     "zolo_weekly_demand" -> ((s, _) => weeklyDemand(s)),
     "sql_wh_demand" -> ((s, _) => weeklyDemandViaCatalog(s)),
     "wh_model_roundtrip" -> ((s, d) => modelRoundTrip(s, d)),
+    "wh_jdbc_roundtrip" -> ((s, d) => jdbcRoundTrip(s, d)),
     "wh_ingest_audit" -> ((s, d) => ingestAudit(s, d))
   )
 
@@ -381,6 +414,13 @@ object ZoloPipeline {
     // deterministic stamp — the oracle is the m_ses_forecast replay
     // (recursive SES fold in SQL) wrapped with the same literal
     "wh_model_roundtrip" ->
+      s"""SELECT profile_name, mse, prediction,
+         |  TIMESTAMP '2001-06-04 00:00:00' AS forecast_start
+         |FROM (${graft.forecast.ForecastJobs.oracles("m_ses_forecast")}) t
+         |ORDER BY profile_name""".stripMargin,
+    // the LIVE JDBC (Derby) round trip must return the SAME rows as the
+    // DSv2 one — identical oracle; a dialect type mangle fails the hash
+    "wh_jdbc_roundtrip" ->
       s"""SELECT profile_name, mse, prediction,
          |  TIMESTAMP '2001-06-04 00:00:00' AS forecast_start
          |FROM (${graft.forecast.ForecastJobs.oracles("m_ses_forecast")}) t

@@ -276,6 +276,118 @@ object StreamQueries {
   /** Cumulative-spend milestone level per user is the custom state — one
     * Long of cents, folded across micro-batches by the state store.
     */
+  final case class WinRow(
+      ws_us: Long, we_us: Long, event_type: String, total_value: Double, n_events: Long)
+  final case class WinForecast(
+      event_type: String, ws_us: Long, we_us: Long, total_value: Double, n_events: Long,
+      forecast_next: Double)
+
+  /** SES smoothing factor for the streaming forecast — the reference's
+    * fixed α (`lib.py:83-87`, M7). */
+  private[streaming] val streamSesAlpha = 0.6
+
+  /** The reference's aspirational "Quittin Time" workload
+    * (`README.md:19-20`): a rolling 30-minute-ahead sales forecast as
+    * events stream in. Two chained streaming hops, each individually
+    * scale-safe — the shape a real deployment would run as bronze →
+    * silver:
+    *
+    *  1. 30-minute tumbling totals per market (event_type) in APPEND
+    *     mode with a 1-hour watermark, landed to a parquet bronze table:
+    *     only windows the final watermark (max event time − 1 h) has
+    *     FINALIZED are emitted, so the result is deterministic and the
+    *     oracle replays the cutoff. This hop shuffles corpus-sized data
+    *     once, keyed (window, market) — partial aggregation map-side.
+    *  2. A per-market SES(α=0.6) state machine over the finalized
+    *     windows (`flatMapGroupsWithState`): fold the level across
+    *     windows in window order, emit the 30-minute-ahead prediction at
+    *     each window close. State = one Double per market — bounded by
+    *     the market universe; the hop's input is WINDOW rows
+    *     (calendar-bounded), not events.
+    *
+    * Same single-batch in-group sort contract as [[streamState]] (the
+    * bounded replay lands hop 2 in one AvailableNow batch; a live
+    * deployment folds in arrival order = window-close order, since hop 1
+    * only releases finalized windows — watermark order IS window order
+    * there). The SES fold is sequential IEEE doubles over DECIMAL-summed
+    * window totals, so the DuckDB `list_reduce` replay is bit-exact.
+    *
+    * The SINGLE-operator variant — window bookkeeping + SES level + a
+    * late-drop counter in one `flatMapGroupsWithState` — lives in
+    * [[SalesMonitor.forecastNext]] (MemoryStream-spec'd, multi-batch);
+    * the driver query runs the two-hop shape because hop 1's shuffle
+    * aggregation distributes the raw event volume across tasks, while a
+    * market-keyed single operator would funnel corpus/|markets| events
+    * through each state task.
+    */
+  val streamForecast: Q = (s, d) => {
+    import s.implicits.{newDoubleEncoder, newStringEncoder, newProductEncoder}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sforecast")
+    val (bronze, ck1, ck2) = (s"$tmp/windows", s"$tmp/ck1", s"$tmp/ck2")
+    try {
+      val q1 = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "30 minutes").as("w"), $"event_type")
+        .agg(
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
+          count(lit(1)).as("n_events"))
+        .select(
+          unix_micros($"w.start").as("ws_us"), unix_micros($"w.end").as("we_us"),
+          $"event_type", $"total_value", $"n_events")
+        .writeStream
+        .format("parquet")
+        .option("path", bronze)
+        .option("checkpointLocation", ck1)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+      val bronzeSchema = StructType(Seq(
+        StructField("ws_us", LongType), StructField("we_us", LongType),
+        StructField("event_type", StringType), StructField("total_value", DoubleType),
+        StructField("n_events", LongType)))
+      val forecasts = s.readStream
+        .schema(bronzeSchema)
+        .parquet(bronze)
+        .as[WinRow]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (market: String, rows: Iterator[WinRow], state: GroupState[Double]) =>
+            val sorted = rows.toArray.sortBy(_.ws_us)
+            var lvl    = state.getOption
+            val out    = Array.newBuilder[WinForecast]
+            sorted.foreach { w =>
+              val next = lvl match {
+                case None    => w.total_value // SES init: level = first obs
+                case Some(l) => streamSesAlpha * w.total_value + (1 - streamSesAlpha) * l
+              }
+              lvl = Some(next)
+              out += WinForecast(market, w.ws_us, w.we_us, w.total_value, w.n_events, next)
+            }
+            lvl.foreach(state.update)
+            out.result().iterator
+        }
+      val q2 = forecasts.toDF().writeStream
+        .format("memory")
+        .queryName("s_stream_forecast_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      val out = s.table("s_stream_forecast_sink")
+        .select(
+          $"event_type",
+          timestamp_micros($"ws_us").as("window_start"),
+          timestamp_micros($"we_us").as("window_end"),
+          $"total_value", $"n_events", $"forecast_next")
+        .orderBy($"event_type", $"window_start")
+        .localCheckpoint()
+      s.catalog.dropTempView("s_stream_forecast_sink")
+      out
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
   final case class PurchaseEvt(user_id: Long, event_id: Long, ts_us: Long, vc: Long)
   final case class MilestoneRow(
       user_id: Long, event_id: Long, ts_us: Long, milestone: Long, cum_value: Double
@@ -812,6 +924,7 @@ object StreamQueries {
     "s_stream_upsert"   -> streamUpsert,
     "s_stream_topk"     -> streamTopK,
     "s_stream_windows"  -> streamWindows,
+    "s_stream_forecast" -> streamForecast,
     "s_stream_sessions" -> streamSessions,
     "s_stream_join"     -> streamJoin,
     "s_stream_join_outer" -> streamJoinOuter,
@@ -1018,6 +1131,40 @@ object StreamQueries {
         |    (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS INT) AS rank
         |  FROM c) t
         |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
+    // the Quittin Time replay: 30-min totals, the 1-hour-watermark
+    // finalization cutoff (only windows with end <= max(ts) - 1h were
+    // released by the append-mode hop), then the per-market prefix SES
+    // fold — forecast_next at window i = list_reduce over totals 1..i,
+    // the same first-obs-init fold the engine's state machine runs
+    "s_stream_forecast" ->
+      s"""WITH cut AS (
+         |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm FROM events),
+         |w AS (
+         |  SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT w.* FROM w, cut WHERE window_start + INTERVAL 30 MINUTE <= wm),
+         |ser AS (
+         |  SELECT event_type,
+         |    list(window_start ORDER BY window_start) AS wss,
+         |    list(total_value ORDER BY window_start) AS xs,
+         |    list(n_events ORDER BY window_start) AS ns
+         |  FROM fin GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type,
+         |    unnest(wss) AS window_start,
+         |    unnest(xs) AS total_value,
+         |    unnest(ns) AS n_events,
+         |    unnest([ list_reduce(xs[1:i],
+         |               (acc, x) -> $streamSesAlpha * x + (1 - $streamSesAlpha) * acc)
+         |             for i in range(1, len(xs) + 1) ]) AS forecast_next
+         |  FROM ser)
+         |SELECT event_type, window_start,
+         |  window_start + INTERVAL 30 MINUTE AS window_end,
+         |  total_value, n_events, forecast_next
+         |FROM ex ORDER BY event_type, window_start""".stripMargin,
     "s_stream_windows" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
         |  time_bucket(INTERVAL 30 MINUTE, ts) + INTERVAL 30 MINUTE AS window_end,
