@@ -320,6 +320,37 @@ object StreamQueries {
     * market-keyed single operator would funnel corpus/|markets| events
     * through each state task.
     */
+  /** Hop 2 of [[streamForecast]], reusable for the multi-batch
+    * MemoryStream spec: per-market SES(α) fold over finalized window
+    * rows, emitting the 30-min-ahead prediction at each window close.
+    * State = one Double level per market; windows sort by start WITHIN a
+    * batch (hop 1 releases them in watermark = window order across
+    * batches, so the cross-batch fold order is the window order).
+    */
+  private[streaming] def sesOverWindows(
+      src: org.apache.spark.sql.Dataset[WinRow]): org.apache.spark.sql.Dataset[WinForecast] = {
+    val s = src.sparkSession
+    import s.implicits.{newDoubleEncoder, newStringEncoder, newProductEncoder}
+    src
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (market: String, rows: Iterator[WinRow], state: GroupState[Double]) =>
+          val sorted = rows.toArray.sortBy(_.ws_us)
+          var lvl    = state.getOption
+          val out    = Array.newBuilder[WinForecast]
+          sorted.foreach { w =>
+            val next = lvl match {
+              case None    => w.total_value // SES init: level = first obs
+              case Some(l) => streamSesAlpha * w.total_value + (1 - streamSesAlpha) * l
+            }
+            lvl = Some(next)
+            out += WinForecast(market, w.ws_us, w.we_us, w.total_value, w.n_events, next)
+          }
+          lvl.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   val streamForecast: Q = (s, d) => {
     import s.implicits.{newDoubleEncoder, newStringEncoder, newProductEncoder}
     val tmp = java.nio.file.Files.createTempDirectory("graft-sforecast")
@@ -346,27 +377,8 @@ object StreamQueries {
         StructField("ws_us", LongType), StructField("we_us", LongType),
         StructField("event_type", StringType), StructField("total_value", DoubleType),
         StructField("n_events", LongType)))
-      val forecasts = s.readStream
-        .schema(bronzeSchema)
-        .parquet(bronze)
-        .as[WinRow]
-        .groupByKey(_.event_type)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (market: String, rows: Iterator[WinRow], state: GroupState[Double]) =>
-            val sorted = rows.toArray.sortBy(_.ws_us)
-            var lvl    = state.getOption
-            val out    = Array.newBuilder[WinForecast]
-            sorted.foreach { w =>
-              val next = lvl match {
-                case None    => w.total_value // SES init: level = first obs
-                case Some(l) => streamSesAlpha * w.total_value + (1 - streamSesAlpha) * l
-              }
-              lvl = Some(next)
-              out += WinForecast(market, w.ws_us, w.we_us, w.total_value, w.n_events, next)
-            }
-            lvl.foreach(state.update)
-            out.result().iterator
-        }
+      val forecasts = sesOverWindows(
+        s.readStream.schema(bronzeSchema).parquet(bronze).as[WinRow])
       val q2 = forecasts.toDF().writeStream
         .format("memory")
         .queryName("s_stream_forecast_sink")
