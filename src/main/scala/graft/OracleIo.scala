@@ -38,9 +38,13 @@ object OracleIo {
     * `computeIfAbsent` gives both mutual exclusion and memoization: the
     * first caller writes while later callers block, then everyone reads
     * the settled table. CONTRACT: the path must functionally determine
-    * the content (all writers of one path produce the same rows) — true
-    * for every OracleIo table, whose paths are keyed by sf dir and
-    * produced by deterministic stages.
+    * the content (all writers of one path produce the same rows) FOR
+    * THE LIFE OF THE JVM. Paths key on the sf-dir BASENAME, so that
+    * holds only while basenames are unique and corpora immutable within
+    * a process — the driver/Verify/Bench shape. A tool that REBUILDS a
+    * corpus under the same dir mid-JVM must delete the matching
+    * [[dir]] first (StressR11's corpus builder does), else it reads the
+    * previous build's memoized tables.
     */
   def writeOnce(path: String)(write: => Unit): Unit =
     written.computeIfAbsent(path, _ => { write; java.lang.Boolean.TRUE })

@@ -1167,27 +1167,30 @@ object Advanced {
     * size regardless of corpus.
     */
   val qSkewReport: Q = (s, d) => {
+    // localCheckpoint, not persist/unpersist (r11 review): topKRanked
+    // went LAZY, so a try-finally unpersist would run before the
+    // returned plan ever materializes — leaving the key aggregation to
+    // recompute uncached at execution. The checkpoint pins the rollup
+    // for both the scalar head() below and the shipped top-k plan.
     val counts = Tables.lineitem(s, d)
       .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
-      .persist()
-    try {
-      val g = counts.agg(sum($"cnt").as("total"), count(lit(1)).as("nkeys")).head()
-      val (total, nkeys) = (g.getLong(0), g.getLong(1))
-      // bounded top-10 via [[Ranking.topKRanked]]: TakeOrderedAndProject
-      // + a 10-row bounded driver fetch with ranks attached locally —
-      // r10 replaced the partition-less row_number window that funneled
-      // every key count through one task
-      Ranking.topKRanked(counts, 10, "rank")($"cnt".desc, $"l_partkey")
-        .select(
-          $"rank",
-          $"l_partkey",
-          $"cnt",
-          // `div`, not `/`: Spark's slash is true division (double) even
-          // on longs; div keeps the ppm/ratio in exact integer space
-          expr(s"cnt * 1000000L div ${total}L").as("share_ppm"),
-          expr(s"cnt * 1000L * ${nkeys}L div ${total}L").as("skew_x1000"))
-        .orderBy($"rank")
-    } finally counts.unpersist()
+      .localCheckpoint()
+    val g = counts.agg(sum($"cnt").as("total"), count(lit(1)).as("nkeys")).head()
+    val (total, nkeys) = (g.getLong(0), g.getLong(1))
+    // bounded top-10 via [[Ranking.topKRanked]]: TakeOrderedAndProject
+    // + a rank window over the limit's ≤10 rows — r10 replaced the
+    // partition-less row_number window that funneled every key count
+    // through one task
+    Ranking.topKRanked(counts, 10, "rank")($"cnt".desc, $"l_partkey")
+      .select(
+        $"rank",
+        $"l_partkey",
+        $"cnt",
+        // `div`, not `/`: Spark's slash is true division (double) even
+        // on longs; div keeps the ppm/ratio in exact integer space
+        expr(s"cnt * 1000000L div ${total}L").as("share_ppm"),
+        expr(s"cnt * 1000L * ${nkeys}L div ${total}L").as("skew_x1000"))
+      .orderBy($"rank")
   }
 
   /** k-anonymity audit — the governance gate before a dataset release

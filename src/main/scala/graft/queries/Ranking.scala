@@ -66,10 +66,11 @@ object Ranking {
     * heaps, driver merges P·k rows) — then a `row_number()` window over
     * the SAME total order ranks the surviving ≤k rows. That window is
     * partition-less but provably bounded (its input is the limit's
-    * single ≤k-row partition), so it is whitelisted per-caller in
-    * ScaleWindowSpec, like `text_weighted_sample`. The scale-safe
-    * replacement for `row_number().over(Window.orderBy(...)) <= k`: no
-    * relation-sized single-task sort anywhere.
+    * single ≤k-row partition): `WindowAudit.boundedInput` recognizes the
+    * shape STRUCTURALLY, so callers need no per-query whitelist entry in
+    * ScaleWindowSpec. The scale-safe replacement for
+    * `row_number().over(Window.orderBy(...)) <= k`: no relation-sized
+    * single-task sort anywhere.
     *
     * LAZY (r11 ADVICE): the previous version collected the k rows at
     * DataFrame-construction time, so plan-only callers (AuditWindows,

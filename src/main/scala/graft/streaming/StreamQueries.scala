@@ -379,24 +379,27 @@ object StreamQueries {
         StructField("n_events", LongType)))
       val forecasts = sesOverWindows(
         s.readStream.schema(bronzeSchema).parquet(bronze).as[WinRow])
-      val q2 = forecasts.toDF().writeStream
-        .format("memory")
-        .queryName("s_stream_forecast_sink")
-        .outputMode("append")
-        .option("checkpointLocation", ck2)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q2.awaitTermination()
-      val out = s.table("s_stream_forecast_sink")
-        .select(
-          $"event_type",
-          timestamp_micros($"ws_us").as("window_start"),
-          timestamp_micros($"we_us").as("window_end"),
-          $"total_value", $"n_events", $"forecast_next")
-        .orderBy($"event_type", $"window_start")
-        .localCheckpoint()
-      s.catalog.dropTempView("s_stream_forecast_sink")
-      out
+      // drop the memory-sink view in a finally (r11 review): it buffers
+      // every emitted row on the driver heap, and a failure between
+      // start() and here would otherwise leak it for the sweep JVM's life
+      try {
+        val q2 = forecasts.toDF().writeStream
+          .format("memory")
+          .queryName("s_stream_forecast_sink")
+          .outputMode("append")
+          .option("checkpointLocation", ck2)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+        s.table("s_stream_forecast_sink")
+          .select(
+            $"event_type",
+            timestamp_micros($"ws_us").as("window_start"),
+            timestamp_micros($"we_us").as("window_end"),
+            $"total_value", $"n_events", $"forecast_next")
+          .orderBy($"event_type", $"window_start")
+          .localCheckpoint()
+      } finally s.catalog.dropTempView("s_stream_forecast_sink")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
 

@@ -17,11 +17,14 @@ object ProfileMh {
     // boundary-oracle signature dump (parquet write + read-back) that
     // replaced the persist when OracleIo landed — the suspected source
     // of the 0.93 s (r3) → ~1.4 s (r9 official) creep
-    val dump = java.nio.file.Files.createTempDirectory("graft-mh-ab").toString + "/sigs"
+    val dumpRoot = java.nio.file.Files.createTempDirectory("graft-mh-ab").toString
     for (i <- 1 to 4) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      Dedup.minhashPairs(docs, 0.5, sigDump = Some(dump)).count()
+      // per-iteration path (r11 review): writeOnce memoizes per path for
+      // the JVM, so a fixed path would make runs 2+ skip the signature
+      // write this loop exists to profile
+      Dedup.minhashPairs(docs, 0.5, sigDump = Some(s"$dumpRoot/sigs_$i")).count()
       println(f"[mh+dump] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

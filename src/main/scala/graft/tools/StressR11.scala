@@ -59,15 +59,22 @@ object StressR11 {
           maxTaskMs.getAndAccumulate(m.executorRunTime, math.max)
         }
     })
-    def measured[A](label: String)(f: => A): (A, Double, Long, Long) = {
-      shuffleBytes.set(0L); maxTaskMs.set(0L)
-      val (r, wall) = t(f)
-      // listener events are async: poll until the counters are stable
-      // (the StressStreamGate precedent) before reading them
+    // listener events are async: poll until the counters are stable
+    // (the StressStreamGate precedent)
+    def settle(): Unit = {
       var last = (-1L, -1L)
       var cur  = (shuffleBytes.get(), maxTaskMs.get())
       while (cur != last) { last = cur; Thread.sleep(200); cur = (shuffleBytes.get(), maxTaskMs.get()) }
-      val out = (r, wall, cur._1, cur._2)
+    }
+    def measured[A](label: String)(f: => A): (A, Double, Long, Long) = {
+      // settle BEFORE the reset too (r11 review): a preceding unmeasured
+      // warm run's straggler task-end events would otherwise land after
+      // the reset and pollute this run's counters
+      settle()
+      shuffleBytes.set(0L); maxTaskMs.set(0L)
+      val (r, wall) = t(f)
+      settle()
+      val out = (r, wall, shuffleBytes.get(), maxTaskMs.get())
       println(f"- $label: wall $wall%.1f s, shuffle ${out._3 / 1e6}%.0f MB, max task ${out._4 / 1e3}%.1f s")
       out
     }
@@ -82,6 +89,11 @@ object StressR11 {
     val d   = new java.io.File(dir)
     if (!new java.io.File(s"$dir/_READY").exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(d)
+      // a rebuilt corpus invalidates any boundary-oracle dumps derived
+      // from the previous build under the same basename (writeOnce's
+      // per-path contract assumes path ⇒ content)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(graft.OracleIo.dir(dir)))
       d.mkdirs()
       val (_, tLi) = t {
         // repartition: a 10× warehouse holds 10× FILES, not one 10×-sized
@@ -152,7 +164,12 @@ object StressR11 {
     }
 
     Seq("m_arima_forecast", "j_range_binned", "dedup_minhash_pairs").foreach { q =>
-      run(q, dir1, warm = true) // JIT/codegen warmup, untimed
+      // warm on BASE, not dir1 (r11 review): OracleIo.writeOnce memoizes
+      // the signature boundary dump per path, so a dir1 warm pass would
+      // consume dir1's one-time dump write and the measured ×1 pass
+      // would skip the signature UDF the ×10 pass pays — base's path is
+      // distinct, leaving ×1 and ×10 with symmetric first-touch work
+      run(q, base, warm = true) // JIT/codegen warmup, untimed
       run(q, dir1)              // ×1 floor: same layout, 4 part files
       run(q, dirN)              // ×10: 40 part files
     }

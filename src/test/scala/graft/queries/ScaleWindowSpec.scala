@@ -141,8 +141,11 @@ class ScaleWindowSpec extends SparkSpec {
       "a_chi2"               -> "contingency cells (flag x status)",
       "a_quantile_sketch"    -> "log-gamma sketch buckets",
       "e_survival_km"        -> "day-grain durations (calendar-bounded)",
-      "t_peak_concurrency"   -> "day-grain offsets (calendar-bounded)",
-      "text_weighted_sample" -> "k=50 rows after TakeOrdered limit"
+      "t_peak_concurrency"   -> "day-grain offsets (calendar-bounded)"
+      // NO entry for rank-after-limit shapes (text_weighted_sample,
+      // topKRanked callers): WindowAudit.boundedInput proves those
+      // structurally, and a whitelist entry would exempt the query's
+      // WHOLE plan — a future unbounded window in it must still fail
     )
     // eager executions with a partition-less window on PROVABLY bounded
     // input (the lazy whitelist's counterpart): text_heaps_fit's running

@@ -9,7 +9,7 @@ import org.scalacheck.rng.Seed
 /** Multi-byte / UTF-8 properties for the row-local text kernels (judge
   * r10 next-round #6): the BPE/winnow ORACLES pin their corpora to ASCII
   * lowercase, but a 100 TB crawl hits CJK, Cyrillic, emoji (surrogate
-  * pairs), combining marks and controls on day one — these properties
+  * pairs), combining marks and controls on day one \u2014 these properties
   * pin that `lang_id`, the tokenizer kernels and the normalizers neither
   * throw nor drift from their declared SQL-equivalent semantics on such
   * input. All checks run THROUGH the SQL expressions (codegen path), not
@@ -21,7 +21,7 @@ class Utf8KernelSpec extends SparkSpec {
 
   graft.functions.GraftFunctions.register(spark)
 
-  /** scalatest/scalacheck bridge is not in the offline cache — the raw
+  /** scalatest/scalacheck bridge is not in the offline cache \u2014 the raw
     * Gen + seed loop from PropertySpec.
     */
   private def forSamples[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
@@ -45,7 +45,7 @@ class Utf8KernelSpec extends SparkSpec {
   private val genHostile: Gen[String] = {
     val atoms = Gen.oneOf(
       Gen.alphaNumStr.map(_.take(8)),
-      Gen.oneOf("é", "à", "ü", "ß", "ç", "ñ"),
+      Gen.oneOf("\u00e9", "\u00e0", "\u00fc", "\u00df", "\u00e7", "\u00f1"),
       Gen.oneOf(cjk, zhong, hangul, cyrillic, greek, arabic),
       Gen.oneOf(rocket, thumbsUp, flagZwj, "\ud835\udd4a"),
       Gen.oneOf(combE, combA),
@@ -53,7 +53,7 @@ class Utf8KernelSpec extends SparkSpec {
     )
     // size-capped by ATOM count, never char truncation: a char-level
     // take() could split a surrogate pair, and a lone surrogate's UTF-8
-    // round trip is replacement-char territory — that would test the
+    // round trip is replacement-char territory \u2014 that would test the
     // comparison harness, not the kernels
     Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, atoms)).map(_.mkString(" "))
   }
@@ -74,7 +74,7 @@ class Utf8KernelSpec extends SparkSpec {
     }
     // the accent range U+00E0-U+00FF SURVIVES cleanup (French/Spanish
     // diacritics are signal, not noise)
-    val fr = "le défilé à côté de la fenêtre et les églises"
+    val fr = "le d\u00e9fil\u00e9 \u00e0 c\u00f4t\u00e9 de la fen\u00eatre et les \u00e9glises"
     assert(NgramLangId.classify(fr) == "fr")
   }
 
@@ -107,7 +107,7 @@ class Utf8KernelSpec extends SparkSpec {
       val b = one(call_function("shingles3", $"t"), s).getSeq[String](0)
       assert(a == b, "shingles must be deterministic")
     }
-    val txt = s"$cjk no $zhong tekisuto $rocket données françaises"
+    val txt = s"$cjk no $zhong tekisuto $rocket donn\u00e9es fran\u00e7aises"
     val self = spark.range(1)
       .select(call_function("jaccard_shingles", lit(txt), lit(txt)).as("j"))
       .head().getDouble(0)
@@ -115,10 +115,10 @@ class Utf8KernelSpec extends SparkSpec {
   }
 
   test("text_normalize query shape: non-ASCII maps to whitespace, never mangled bytes") {
-    // only the encoders — the full bundle's $ clashes with graft.syntax's
+    // only the encoders \u2014 the full bundle's $ clashes with graft.syntax's
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val docs = Seq(
-      (1L, "Héllo WÖRLD 42"),
+      (1L, "H\u00e9llo W\u00d6RLD 42"),
       (2L, s"$cjk text${rocket}with emoji"),
       (3L, "tab\tand\nnewline"),
       (4L, s"${combA}ccent combining") // decomposed: base 'a' survives, mark strips
