@@ -69,6 +69,13 @@ object Bench {
         spark.catalog.clearCache()
         name -> r
       }.toMap
+    // full UNTIMED warmup pass (r11): the one-liner above warms Spark's
+    // read/agg path but not the query kernels — graft.tools.ArimaProbe
+    // measured m_arima_forecast converging 18.96 / 4.94 / 4.80 / 3.78 s
+    // across passes, so a 3-pass min starting cold was sampling the JIT
+    // curve's tail, not steady state. One discarded pass moves every
+    // timed pass onto the plateau the bench is documented to measure.
+    timeAll()
     // min-of-3 (judge r3 #5): sub-2s rows drifted ±30% between rounds
     // under two-pass min; a third pass settles the steady state on the
     // record. Keep any successful measurement — a transient failure in
