@@ -55,6 +55,16 @@ object Warehouse {
   /** The dedup half of [[appendDedup]], shared with
     * [[ingestBatchAudited]] (one implementation — the NULL-safe-join and
     * no-distinct subtleties live here only).
+    *
+    * CONTRACT (pinned by r11 review + ZoloWarehouseSpec): the key is a
+    * BATCH-MEMBERSHIP key, not a row key — a batch may legitimately
+    * carry MANY rows per key (detail tables keyed by their header id:
+    * all of an order's line rows land together, and a replayed order
+    * drops them together via the anti-join). Therefore no within-batch
+    * dropDuplicates here: collapsing rows per key would silently eat
+    * detail lines. A caller whose key IS a row key and whose upstream
+    * can double-deliver the same row inside one window pre-dedups the
+    * batch itself (ZoloWarehouseSpec's square details do exactly that).
     */
   private def dedupFresh(spark: SparkSession, df: DataFrame, path: String, key: String): DataFrame =
     if (pathExists(spark, path)) {

@@ -76,8 +76,8 @@ object ZoloPipeline {
   def weeklyDemandViaCatalog(spark: SparkSession): DataFrame = {
     val tmp  = java.nio.file.Files.createTempDirectory("graft-whsql")
     val root = tmp.toString + "/wh"
-    loadWarehouse(spark, root)
-    val cat = catalogFor(spark, root)
+    loadWarehouse(spark, root, ephemeral = true)
+    val cat = catalogFor(spark, root, ephemeral = true)
     // longest-name-first so *_details qualifies before its header prefix;
     // the lookbehind keeps already-qualified and aliased references intact
     val qualify = Seq(
@@ -117,8 +117,8 @@ object ZoloPipeline {
   def modelRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp  = java.nio.file.Files.createTempDirectory("graft-models")
     val root = tmp.toString + "/wh"
-    val cat  = catalogFor(spark, root)
-    import org.apache.spark.sql.functions.{lit, col}
+    val cat  = catalogFor(spark, root, ephemeral = true)
+    import org.apache.spark.sql.functions.lit
     try {
       graft.forecast.ForecastJobs
         .sesJob(spark, dir)
@@ -203,8 +203,9 @@ object ZoloPipeline {
     * ([[registerAll]]) stays view-based — loads write bytes, queries
     * don't, so the driver's zolo_* hashes are untouched by this path.
     */
-  def loadWarehouse(spark: SparkSession, root: String, dir: String = fixturesDir): Unit = {
-    val cat = catalogFor(spark, root)
+  def loadWarehouse(spark: SparkSession, root: String, dir: String = fixturesDir,
+      ephemeral: Boolean = false): Unit = {
+    val cat = catalogFor(spark, root, ephemeral)
     val (sqTrans, sqDetails) = SquareEtl.run(spark, s"$dir/square_payments.json")
     val (shTrans, shDetails) = ShopifyEtl.run(spark, s"$dir/shopify_orders.json")
     val (qbTrans, qbDetails) = QuickbooksEtl.run(spark, s"$dir/qb_invoices.json")
@@ -253,7 +254,7 @@ object ZoloPipeline {
     * (hash-collision) case where even that name is taken by another
     * root.
     */
-  private def catalogFor(spark: SparkSession, root: String): String = {
+  private def catalogFor(spark: SparkSession, root: String, ephemeral: Boolean = false): String = {
     def ensure(name: String): Option[String] = {
       // always (re)point the conf at the requested root: if the catalog
       // is not yet instantiated this takes effect; if it IS cached the
@@ -265,9 +266,16 @@ object ZoloPipeline {
         case _                                                       => None
       }
     }
-    ensure("zolo").orElse(ensure("zolo_" + Integer.toHexString(root.hashCode))).getOrElse {
+    val perRoot = "zolo_" + Integer.toHexString(root.hashCode)
+    // ephemeral roots (temp dirs the caller deletes afterwards) must
+    // NEVER claim the preferred 'zolo' name (r11 review): Spark caches
+    // v2 catalog instances by name for the session, so a later durable
+    // warehouse asking for 'zolo' would silently keep writing into the
+    // deleted temp root. They use the per-root hashed name only.
+    val candidates = if (ephemeral) Seq(perRoot) else Seq("zolo", perRoot)
+    candidates.view.flatMap(ensure(_)).headOption.getOrElse {
       sys.error(
-        s"loadWarehouse: catalog names 'zolo' and the derived per-root name are both " +
+        s"catalogFor: candidate catalog names (${candidates.mkString(", ")}) are all " +
           s"bound to other roots in this session; cannot address warehouse at $root")
     }
   }

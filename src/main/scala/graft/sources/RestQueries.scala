@@ -152,14 +152,18 @@ object RestQueries {
   /** The mapPartitions count-then-pages Shopify extraction (kept as the
     * spec-covered sibling of the DSv2 path; `shopify_ETL.py:70-88`).
     */
-  def shopifyExtractPages(spark: SparkSession, base: String, user: String, pass: String): DataFrame = {
+  def shopifyExtractPages(spark: SparkSession, base: String, user: String, pass: String,
+      pageSize: Int): DataFrame = {
+    // pageSize is the caller's contract (r11 review): the fixture specs
+    // pass 2 to exercise multi-page assembly on a 3-order fixture, while
+    // a real endpoint caller passes the API's limit (50/250) — the old
+    // hardcoded 2 would have turned a 100k-order book into 50k requests
     val cfg   = HttpConf().withBasicAuth(user, pass)
     val range = s"created_at_min=${enc(begin)}&created_at_max=${enc(end)}"
     val countUrl = s"$base/admin/orders/count.json?$range"
     val count    = countOf(Http.get(Http.newClient(), countUrl, cfg).body, "count", countUrl)
-    val limit = 2
-    val urls = (1 to math.ceil(count / limit.toDouble).toInt)
-      .map(k => s"$base/admin/orders.json?$range&limit=$limit&page=$k")
+    val urls = (1 to math.ceil(count / pageSize.toDouble).toInt)
+      .map(k => s"$base/admin/orders.json?$range&limit=$pageSize&page=$k")
     val bodies = RestSource.fetchPages(spark, urls, cfg, parallelism = 8).localCheckpoint(true)
     val envelope = StructType(Seq(StructField("orders", ArrayType(ZoloSchemas.shopifyOrder))))
     RestSource.recordsFromEnvelopePages(bodies, envelope, "orders")

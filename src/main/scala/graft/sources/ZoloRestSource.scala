@@ -119,6 +119,44 @@ object ZoloRestEntity {
   final case class PagePartition(pages: Seq[Int], lo: String, hi: String)            extends InputPartition
   final case class OffsetPartition(startPositions: Seq[Int], lo: String, hi: String) extends InputPartition
 
+  /** Shared STARTPOSITION offset paging for the QuickBooks query API
+    * (r11 review: QbInvoices and QbCustomers carried near-verbatim
+    * copies of the count→pages math and the per-page fetch loop — a fix
+    * to the `p * pageSize + 1` arithmetic in one would silently leave
+    * the other stale). Entities supply only their count and select SQL.
+    */
+  private[sources] trait QbOffsetPaging { self: ZoloRestEntity =>
+    /** `select count(*) …` for the pushed window. */
+    protected def countSql(lo: String, hi: String): String
+    /** `select * …` for the pushed window, WITHOUT the paging suffix. */
+    protected def selectSql(lo: String, hi: String): String
+
+    protected final def queryUrl(opts: ZoloRestOptions, sql: String): String =
+      s"${opts.url}/v3/company/${opts.realm}/query?query=${enc(sql)}"
+
+    final def planPartitions(opts: ZoloRestOptions, lo: String, hi: String): Array[InputPartition] = {
+      val count = ZoloRest.countRequest(
+        queryUrl(opts, countSql(lo, hi)), "QueryResponse.totalCount", opts)
+      val pages = math.ceil(count / opts.pageSize.toDouble).toInt
+      (0 until pages)
+        .map(p => p * opts.pageSize + 1)
+        .grouped(math.max(1, opts.pagesPerPartition))
+        .map(g => OffsetPartition(g, lo, hi): InputPartition)
+        .toArray
+    }
+
+    final def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
+      val op     = p.asInstanceOf[OffsetPartition]
+      val client = Http.newClient()
+      op.startPositions.iterator.map { s =>
+        Http.get(client,
+          queryUrl(opts,
+            s"${selectSql(op.lo, op.hi)} STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
+          opts.httpConf).body
+      }.toVector
+    }
+  }
+
   case object SquarePayments extends ZoloRestEntity {
     val name           = "square_payments"
     val schema         = ZoloSchemas.squarePayment
@@ -179,7 +217,7 @@ object ZoloRestEntity {
     }
   }
 
-  case object QbInvoices extends ZoloRestEntity {
+  case object QbInvoices extends ZoloRestEntity with QbOffsetPaging {
     val name           = "qb_invoices"
     val schema         = ZoloSchemas.qbInvoice
     val rangeColumn    = "TxnDate"
@@ -187,31 +225,8 @@ object ZoloRestEntity {
     val envelopePath   = Seq("QueryResponse", "Invoice")
 
     private def where(lo: String, hi: String) = s"where TxnDate > '$lo' and TxnDate < '$hi'"
-    private def queryUrl(opts: ZoloRestOptions, sql: String) =
-      s"${opts.url}/v3/company/${opts.realm}/query?query=${enc(sql)}"
-
-    def planPartitions(opts: ZoloRestOptions, lo: String, hi: String): Array[InputPartition] = {
-      val count = ZoloRest.countRequest(
-        queryUrl(opts, s"select count(*) from Invoice ${where(lo, hi)}"),
-        "QueryResponse.totalCount", opts)
-      val pages = math.ceil(count / opts.pageSize.toDouble).toInt
-      (0 until pages)
-        .map(p => p * opts.pageSize + 1)
-        .grouped(math.max(1, opts.pagesPerPartition))
-        .map(g => OffsetPartition(g, lo, hi): InputPartition)
-        .toArray
-    }
-
-    def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
-      val op     = p.asInstanceOf[OffsetPartition]
-      val client = Http.newClient()
-      op.startPositions.iterator.map { s =>
-        Http.get(client,
-          queryUrl(opts,
-            s"select * from Invoice ${where(op.lo, op.hi)} STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
-          opts.httpConf).body
-      }.toVector
-    }
+    protected def countSql(lo: String, hi: String)  = s"select count(*) from Invoice ${where(lo, hi)}"
+    protected def selectSql(lo: String, hi: String) = s"select * from Invoice ${where(lo, hi)}"
   }
 
   /** The S4 full-refresh dimension (`qb_customers_ETL.py:58-105`): an
@@ -219,7 +234,7 @@ object ZoloRestEntity {
     * entity whose reference contract has no date predicate, so
     * `unboundedOk` and no range column participates.
     */
-  case object QbCustomers extends ZoloRestEntity {
+  case object QbCustomers extends ZoloRestEntity with QbOffsetPaging {
     val name                    = "qb_customers"
     val schema                  = ZoloSchemas.qbCustomer
     val rangeColumn             = "" // no range predicate exists for this entity
@@ -227,29 +242,8 @@ object ZoloRestEntity {
     override val unboundedOk    = true
     val envelopePath            = Seq("QueryResponse", "Customer")
 
-    private def queryUrl(opts: ZoloRestOptions, sql: String) =
-      s"${opts.url}/v3/company/${opts.realm}/query?query=${enc(sql)}"
-
-    def planPartitions(opts: ZoloRestOptions, lo: String, hi: String): Array[InputPartition] = {
-      val count = ZoloRest.countRequest(
-        queryUrl(opts, "select count(*) from Customer"), "QueryResponse.totalCount", opts)
-      val pages = math.ceil(count / opts.pageSize.toDouble).toInt
-      (0 until pages)
-        .map(p => p * opts.pageSize + 1)
-        .grouped(math.max(1, opts.pagesPerPartition))
-        .map(g => OffsetPartition(g, lo, hi): InputPartition)
-        .toArray
-    }
-
-    def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
-      val op     = p.asInstanceOf[OffsetPartition]
-      val client = Http.newClient()
-      op.startPositions.iterator.map { s =>
-        Http.get(client,
-          queryUrl(opts, s"select * from Customer STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
-          opts.httpConf).body
-      }.toVector
-    }
+    protected def countSql(lo: String, hi: String)  = "select count(*) from Customer"
+    protected def selectSql(lo: String, hi: String) = "select * from Customer"
   }
 }
 

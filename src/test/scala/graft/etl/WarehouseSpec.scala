@@ -63,6 +63,23 @@ class WarehouseSpec extends SparkSpec {
     assert(out.map(_.getString(0)).sorted.toSeq == Seq("p1", "p2", "p3"))
   }
 
+  test("appendDedup keys are batch-membership keys: multi-row keys land whole, replay drops whole") {
+    // detail tables key on their HEADER id — one order's many line rows
+    // must all land in one batch, and a replayed order must drop them
+    // all (r11 review pinned this contract; collapsing rows per key
+    // would silently eat detail lines)
+    val dir = tmp() + "/t"
+    val batch = Seq(("o1", "line1"), ("o1", "line2"), ("o2", "line1")).toDF("order_id", "item")
+    Warehouse.appendDedup(spark, batch, dir, "order_id")
+    assert(spark.read.parquet(dir).count() == 3)
+    // replay of o1 plus a new order: o1's rows drop wholesale, o3 lands
+    val replay = Seq(("o1", "line1"), ("o1", "line2"), ("o3", "line1")).toDF("order_id", "item")
+    Warehouse.appendDedup(spark, replay, dir, "order_id")
+    val out = spark.read.parquet(dir).collect()
+    assert(out.length == 4)
+    assert(out.count(_.getString(0) == "o1") == 2)
+  }
+
   test("compaction rewrites many small files into the target count, content preserved") {
     val dir = tmp() + "/t"
     (1 to 20).foreach(i => Warehouse.append(Seq((i, s"v$i")).toDF("id", "v"), dir))

@@ -137,7 +137,7 @@ class ZoloRestDsv2Spec extends SparkSpec {
       // 4 fixture orders in range / page size 2 -> 2 page partitions
       assert(scan.toBatch.planInputPartitions().length == 2)
       val viaDsv2    = df.localCheckpoint(true).orderBy("id").collect()
-      val viaHelpers = RestQueries.shopifyExtractPages(spark, base, "sh-key", "sh-pass")
+      val viaHelpers = RestQueries.shopifyExtractPages(spark, base, "sh-key", "sh-pass", pageSize = 2)
         .orderBy("id").collect()
       assert(viaDsv2.map(_.toSeq).toSeq == viaHelpers.map(_.toSeq).toSeq)
     }
