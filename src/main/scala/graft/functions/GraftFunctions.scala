@@ -147,6 +147,10 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("forecast_hw", series, period)
   def forecastCroston(series: Column): Column =
     org.apache.spark.sql.functions.call_function("forecast_croston", series)
+  def minhashEst(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_est", a, b)
+  def zvalue16(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("zvalue16", a, b)
 }
 
 /** Hamming distance between two 64-bit signatures. ExpectsInputTypes so a

@@ -34,6 +34,10 @@ object SqlKernels {
     * code path per function.
     */
   def minhashSig(t: UTF8String, k: Int): ArrayData = {
+    // clean error, not a NegativeArraySizeException from inside generated
+    // code (the forecast_hw period-guard discipline, r11 review); k = 0
+    // would also silently hand minhash_est an empty signature
+    require(k >= 1, s"minhash_sig: k must be >= 1, got $k")
     val sig = Hashing.minhashSignatureOfText(t.toString, k)
     new GenericArrayData(sig.map(l => l: Any))
   }
@@ -196,11 +200,6 @@ object SqlKernels {
     }
   }
 
-  /** Croston's intermittent-demand method
-    * ([[graft.forecast.SeriesAnalysis.crostonFold]] — α=0.2): (demand
-    * level, interval estimate, forecast = z/p, SBA-corrected 0.9·z/p).
-    * Null for an all-zero series.
-    */
   /** Estimated Jaccard from two MinHash signatures — the fraction of
     * agreeing components (the estimator banding approximates; stored-sig
     * comparison is the cheap path when signatures are materialized and
@@ -237,6 +236,11 @@ object SqlKernels {
     spread(a) | (spread(b) << 1)
   }
 
+  /** Croston's intermittent-demand method
+    * ([[graft.forecast.SeriesAnalysis.crostonFold]] — α=0.2): (demand
+    * level, interval estimate, forecast = z/p, SBA-corrected 0.9·z/p).
+    * Null for an all-zero series.
+    */
   def forecastCroston(xs: ArrayData): InternalRow = {
     val arr = seriesOrNull(xs)
     if (arr == null) return null

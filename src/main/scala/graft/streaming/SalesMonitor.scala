@@ -140,16 +140,13 @@ object SalesMonitor {
       .toDF()
   }
 
-  /** Batch-mode equivalence shape: the same windowedSales plan applied to
-    * a static frame gives the golden result the streaming output must
-    * converge to (used by StreamingSpec).
+  /** Batch-mode equivalence shape: LITERALLY [[windowedSales]] applied
+    * to a static frame (withWatermark is a documented no-op on batch
+    * DataFrames), so the golden result StreamingSpec converges against
+    * shares the streaming plan by construction instead of by a
+    * hand-maintained copy (r11 review: the duplicated agg body could
+    * silently drift from the streaming one and invalidate the gate).
     */
   def windowedSalesBatch(payments: DataFrame): DataFrame =
-    payments
-      .groupBy(window($"created_at", "30 minutes").as("w"), $"market")
-      .agg(
-        sum($"dollars".cast("decimal(18,2)")).cast("double").as("dollars"),
-        count(lit(1)).as("n_payments")
-      )
-      .select($"w.start".as("window_start"), $"w.end".as("window_end"), $"market", $"dollars", $"n_payments")
+    windowedSales(payments)
 }

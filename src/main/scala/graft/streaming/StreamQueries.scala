@@ -157,7 +157,11 @@ object StreamQueries {
       .start()
     try q.awaitTermination()
     finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
-    s.table("s_stream_join_sink")
+    // pin + drop, like streamJoinOuter (r11 review): the memory sink
+    // buffers the full join output on the driver heap for the JVM's
+    // life, and a lazy handle over the temp view silently re-reads
+    // whatever later replaces the name
+    val out = s.table("s_stream_join_sink")
       .select(
         $"v_user".as("user_id"),
         $"v_id".as("view_id"),
@@ -166,6 +170,9 @@ object StreamQueries {
         $"p_ts".as("purchase_ts")
       )
       .orderBy($"user_id", $"view_id", $"purchase_id")
+      .localCheckpoint()
+    s.catalog.dropTempView("s_stream_join_sink")
+    out
   }
 
   /** Stream-stream LEFT OUTER interval join — the semantics the inner
@@ -615,6 +622,11 @@ object StreamQueries {
         sum($"wtot").cast("double").as("sw"),
         sum(($"wtot" * $"wtot").cast("decimal(38,6)")).cast("double").as("sww")
       )
+      // n > 1: a type with ONE historical window has no variance — the
+      // (n - 1) divisor would yield NULL σ on Spark (non-ANSI ÷0) but
+      // inf on DuckDB (IEEE), silently diverging the gate (r11 review);
+      // no baseline ⇒ the type drops from the monitor on both engines
+      .filter($"n" > 1)
       .select(
         $"event_type",
         round($"sw" / $"n", 6).as("mean_total"),
@@ -1033,7 +1045,7 @@ object StreamQueries {
         |  SELECT event_type,
         |    round(sw / n, 6) AS mean_total,
         |    round(sqrt((sww - sw * sw / n) / (n - 1)), 6) AS sigma_total
-        |  FROM st)
+        |  FROM st WHERE n > 1)
         |SELECT w.ws AS window_start, w.ws + INTERVAL 30 MINUTE AS window_end,
         |  w.event_type, CAST(w.wtot AS DOUBLE) AS total_value,
         |  sx.mean_total, sx.sigma_total,
