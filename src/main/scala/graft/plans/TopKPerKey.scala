@@ -79,6 +79,15 @@ final case class TopKPerKeyExec(
     val partExprs = partitionExprs
     val sortOrder = order
     val numOutputRows = longMetric("numOutputRows")
+    // MEMORY CONTRACT (r11 review): the heaps live on-heap OUTSIDE
+    // Spark's memory manager — per task they hold ≤ k rows per DISTINCT
+    // in-partition key, so a near-unique partition key (top-1 per user
+    // over billions of users) would OOM where the vanilla window's
+    // spilling sort survives. The operator targets bounded-cardinality
+    // keys (its whole win is k·|keys| ≪ n); this guard turns the OOM
+    // into an actionable error at a configurable key-count ceiling.
+    val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.maxKeysPerTask", (4 << 20).toString).toLong
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(partExprs, schema)
       val rowOrd  = new LazilyGeneratedOrdering(sortOrder, schema)
@@ -96,6 +105,12 @@ final case class TopKPerKeyExec(
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            if (heaps.size >= maxKeys)
+              throw new IllegalStateException(
+                s"TopKPerKey: more than $maxKeys distinct keys in one task — the " +
+                  "bounded-heap operator holds k rows per key on-heap and is built for " +
+                  "bounded-cardinality keys; raise spark.graft.topk.maxKeysPerTask, " +
+                  "repartition harder, or use the vanilla window (spilling sort) instead")
             val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
             heaps.put(key.copy(), h)
             h
@@ -118,12 +133,19 @@ final case class TopKPerKeyExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, part, ord, child) =>
+      // floating-point keys normalize like Window's partitionSpec does
+      // (r11 review; applied HERE because the Column-API path hands the
+      // logical node unresolved attributes — at planning time they are
+      // resolved): UnsafeRow byte-equality would otherwise split 0.0 vs
+      // -0.0 and NaN bit patterns into separate heaps. Idempotent on the
+      // SQL-rewrite path, whose spec the optimizer already normalized.
+      val np = part.map(org.apache.spark.sql.GraftSqlBridge.normalizeFloats)
       // partial trim below, exact stage above; EnsureRequirements places
       // the hash exchange between them (the partial stage requires
       // nothing), so only ≤ k rows per (mapper, key) are shuffled
       TopKPerKeyExec(
-        k, part, ord, partial = false,
-        TopKPerKeyExec(k, part, ord, partial = true, planLater(child))
+        k, np, ord, partial = false,
+        TopKPerKeyExec(k, np, ord, partial = true, planLater(child))
       ) :: Nil
     case _ => Nil
   }
@@ -165,12 +187,27 @@ object TopKRewrite extends Rule[LogicalPlan] {
               part, order, child, _))
           if order.nonEmpty && part.nonEmpty &&
             !child.isInstanceOf[TopKPerKey] => // idempotent under FixedPoint batches
-        rankBound(cond, al.exprId) match {
+        // CONJUNCTIVE form supported too (r11 review): `rn <= k AND
+        // other_pred` is the common SQL shape, since non-key predicates
+        // cannot be pushed below the Window. Trimming to per-key top-k
+        // below the window is lossless for ANY residual conjunct — the
+        // window recomputes identical ranks over the trimmed rows and
+        // the UNTOUCHED Filter still applies every original predicate.
+        // Disjunctions (`rn <= k OR x`) never match: a disjunct can keep
+        // rows of rank > k. Multiple rank bounds take the tightest.
+        val bounds = splitConjuncts(cond).flatMap(rankBound(_, al.exprId))
+        bounds.reduceOption(math.min) match {
           case Some(k) if k >= 1 && k <= maxRewriteK =>
             f.copy(child = w.copy(child = TopKPerKey(k, part, order, child)))
           case _ => f
         }
     }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private def rankBound(cond: Expression, rn: ExprId): Option[Int] = cond match {
@@ -207,6 +244,13 @@ object TopK {
     * bottom-k to a caller expecting the documented "top" (r3 self-review).
     */
   def perKey(df: DataFrame, keys: Seq[Column], ordering: Seq[Column], k: Int): DataFrame = {
+    // fail at the API, not deep in the planner (r11 review): empty keys
+    // die later inside ClusteredDistribution's internal require (global
+    // top-k is orderBy+limit, not this operator), and k <= 0 would build
+    // heaps that never admit a row — an empty result with no error
+    require(keys.nonEmpty,
+      "TopK.perKey: keys must be non-empty — for GLOBAL top-k use orderBy(...).limit(k)")
+    require(k >= 1, s"TopK.perKey: k must be >= 1, got $k")
     val spark = df.sparkSession
     install(spark)
     val part = keys.map(c => GraftSqlBridge.expr(spark, c))

@@ -37,22 +37,42 @@ object SkewJoin {
       salts: Int
   ): DataFrame = {
     require(salts > 0)
+    // collision-free salt column (r11 review): a hardcoded "__salt" would
+    // silently replace — and then drop — a caller's same-named column
+    val saltCol = Iterator.from(0).map {
+      case 0 => "__graft_salt"
+      case i => s"__graft_salt_$i"
+    }.find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
     // the salt must vary WITHIN a key and be DETERMINISTIC under task
     // recomputation: monotonically_increasing_id reassigns values when a
     // lost map task is recomputed, so a fetch-failure retry could route
     // the same logical row to a different salt than copies already
     // fetched — duplicated/lost join rows (the SPARK-23207 class; r3
-    // self-review). A full-row hash is stable under recomputation;
+    // self-review). A row hash is stable under recomputation;
     // bit-identical hot rows collide onto one salt, which only matters
     // if the skew IS duplicate identical rows (then they carry no
     // distinguishing payload anyway).
+    //
+    // Only HASHABLE columns feed the hash (r11 review): xxhash64 rejects
+    // MapType at analysis, so a map-typed payload column would fail the
+    // whole join that runs fine unsalted. If nothing but unhashable
+    // payload exists beyond the key, the key alone still yields a
+    // correct (if spread-less) salt.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val saltSrc  = if (hashCols.nonEmpty) hashCols else Array(col(key))
     val saltedBig = big.withColumn(
-      "__salt",
-      pmod(xxhash64(struct(scala.collection.immutable.ArraySeq.unsafeWrapArray(big.columns.map(col)): _*)), lit(salts.toLong)).cast("int")
+      saltCol,
+      pmod(xxhash64(struct(scala.collection.immutable.ArraySeq.unsafeWrapArray(saltSrc): _*)), lit(salts.toLong)).cast("int")
     )
-    val saltedSmall = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    val saltedSmall = small.withColumn(saltCol, explode(sequence(lit(0), lit(salts - 1))))
     saltedBig
-      .join(saltedSmall, Seq(key, "__salt"), "inner")
-      .drop("__salt")
+      .join(saltedSmall, Seq(key, saltCol), "inner")
+      .drop(saltCol)
   }
 }

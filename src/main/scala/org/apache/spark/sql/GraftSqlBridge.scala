@@ -19,4 +19,13 @@ object GraftSqlBridge {
 
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Float normalization for custom-operator grouping keys (private[sql]
+    * in Catalyst): -0.0 → 0.0 and canonical NaN bits, so UnsafeRow
+    * byte-equality groups like Window/Aggregate do.
+    */
+  def normalizeFloats(
+      e: org.apache.spark.sql.catalyst.expressions.Expression
+  ): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -47,6 +47,60 @@ class TopKSpec extends SparkSpec {
     spark.catalog.dropTempView("tk_orders")
   }
 
+  test("TopKRewrite: conjunctive filter (rn <= k AND pred) rewrites, residual pred kept") {
+    // the common SQL shape — non-key predicates can't be pushed below the
+    // Window, so they ride the same Filter as the rank bound (r11 review)
+    TopK.install(spark)
+    graft.tables.Tables.orders(spark, sf0001).createOrReplaceTempView("tk_orders3")
+    val sql =
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM tk_orders3)
+        |WHERE rn <= 3 AND rn <= 2 AND o_totalprice > 1000.0
+        |ORDER BY o_custkey, rn""".stripMargin
+    val off = spark.sql(sql).collect()
+    spark.conf.set(TopKRewrite.confKey, "true")
+    try {
+      val on   = spark.sql(sql)
+      val rows = on.collect()
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      // tightest bound wins: the heap is k=2, not 3
+      assert(plan.contains("TopKPerKey 2") || plan.toLowerCase.contains("topkperkey, 2") ||
+        on.queryExecution.optimizedPlan.toString.contains("TopKPerKey 2") ||
+        on.queryExecution.optimizedPlan.toString.contains("topkperkey(2") ||
+        on.queryExecution.optimizedPlan.collect {
+          case t: TopKPerKey => t.k }.headOption.contains(2))
+      assert(rows.map(_.toSeq).toSeq == off.map(_.toSeq).toSeq)
+      // disjunction must NOT rewrite: an OR branch can keep rank > k rows
+      val orPlan = spark.sql(sql.replace("rn <= 3 AND rn <= 2 AND", "rn <= 2 OR"))
+        .queryExecution.executedPlan.toString
+      assert(!orPlan.contains("TopKPerKey"), orPlan)
+    } finally spark.conf.unset(TopKRewrite.confKey)
+    spark.catalog.dropTempView("tk_orders3")
+  }
+
+  test("perKey groups 0.0 and -0.0 float keys as one key, like the window") {
+    val df = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (0.0, 3L, 3.0), (1.5, 4L, 2.0))
+      .toDF("bucket", "id", "score")
+    val got = TopK.perKey(df, Seq(col("bucket")), Seq(col("score").desc, col("id").asc), 2)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._2)
+    // one logical key for ±0.0 -> its top-2 by score is ids 1,2; key 1.5 keeps id 4
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 4L), got.toSeq)
+  }
+
+  test("perKey fails fast on empty keys and non-positive k") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq.empty, Seq(col("b").desc), 2)
+    }
+    intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq(col("a")), Seq(col("b").desc), 0)
+    }
+  }
+
   test("TopKRewrite: non-matching shapes are left alone") {
     TopK.install(spark)
     graft.tables.Tables.orders(spark, sf0001).createOrReplaceTempView("tk_orders2")
