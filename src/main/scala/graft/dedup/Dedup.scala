@@ -464,12 +464,18 @@ object Dedup {
     //    hash asc) just keeps the rare-token concentration that makes it
     //    cheap.
     graft.functions.GraftFunctions.register(s)
+    // localCheckpoint, not persist (r11 review): dedup_containment builds
+    // the IDENTICAL canonical plan (shingles3 is a registered native
+    // expression, so unlike udf{} lambdas the two queries' persists
+    // canonicalize equal and share one CacheManager entry) — the first
+    // finisher's unpersist would race the sibling mid-materialization
+    // under the concurrent Verify sweep.
     val docs = Tables
       .documents(s, d)
       .select($"doc_id", graft.functions.GraftFunctions.shingles3($"text").as("sh"))
       .filter(size($"sh") > 0)
-      .persist()
-    try {
+      .localCheckpoint()
+    locally {
       val post = docs
         .select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
         .select($"doc_id", $"n", xxhash64($"tok").as("tok"))
@@ -564,7 +570,7 @@ object Dedup {
         )
         .orderBy($"doc_a", $"doc_b")
         .localCheckpoint()
-    } finally docs.unpersist()
+    }
   }
 
   /** Containment threshold t = 4/5 as a rational — integer arithmetic on
@@ -605,11 +611,13 @@ object Dedup {
     // candidate-verification argument there; verification below is the
     // exact array_intersect on the full shingle sets)
     graft.functions.GraftFunctions.register(input.sparkSession)
+    // localCheckpoint, not persist (r11 review): plan-identical to
+    // dedupPpjoinPairs' shingled frame — see the race note there.
     val docs = input
       .select($"doc_id", graft.functions.GraftFunctions.shingles3($"text").as("sh"))
       .filter(size($"sh") > 0)
-      .persist()
-    try {
+      .localCheckpoint()
+    locally {
       val post = docs
         .select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
         .select($"doc_id", $"n", xxhash64($"tok").as("tok"))
@@ -678,7 +686,7 @@ object Dedup {
         )
         .orderBy($"doc_a", $"doc_b")
         .localCheckpoint()
-    } finally docs.unpersist()
+    }
   }
 
   val dedupMinhashSignatures: Q = (s, d) =>
@@ -1243,9 +1251,7 @@ object Dedup {
        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |shing AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(w) >= 3
-       |      THEN list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)])
-       |      ELSE [] END AS sh
+       |    $shingleListSql AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
        |  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)),
        |verified AS (
@@ -1307,6 +1313,20 @@ object Dedup {
        |${p}6 AS (SELECT $key, sd, xor(${u2s("z")}, CAST(z // 2147483648 AS BIGINT)) AS hh FROM ${p}5)""".stripMargin
   }
 
+  /** THE parity-critical DuckDB fragment (r11 review: it existed in five
+    * hand-maintained copies — a future tweak to the n-gram width or the
+    * empty rule applied to four of five would silently desync one
+    * oracle): the word-3-gram shingle list over a split-words column
+    * `w`, matching [[Hashing.shingleSet]] char-for-char.
+    */
+  // a def, not a val: some consuming oracle vals are defined ABOVE this
+  // point and object vals initialize top-down — a val here would
+  // interpolate as null into them (caught by the gate on first run)
+  private def shingleListSql: String =
+    """CASE WHEN len(w) >= 3
+      |      THEN list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)])
+      |      ELSE [] END""".stripMargin
+
   /** UTF-16 units of `s` flattened to (lo, hi) byte pairs — the exact
     * stream [[Hashing.hash64]] folds. BMP-only like the winnow replay
     * (the corpus is ASCII; astral chars would be one code point here vs
@@ -1323,9 +1343,7 @@ object Dedup {
        |  SELECT doc_id, $bytesOf AS bs
        |  FROM (
        |    SELECT doc_id, unnest(
-       |      CASE WHEN len(w) >= 3
-       |        THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
-       |        ELSE [] END) AS s
+       |      $shingleListSql) AS s
        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u)""".stripMargin
 
   /** Full independent replay of the MinHash signature table: shingle →
@@ -1351,9 +1369,7 @@ object Dedup {
     // values, measured 1.6× fewer HUGEINT folds at sf0.01.
     s"""shi AS (
        |  SELECT doc_id, unnest(
-       |    CASE WHEN len(w) >= 3
-       |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
-       |      ELSE [] END) AS s
+       |    $shingleListSql) AS s
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
        |shu AS (SELECT s, $bytesOf AS bs FROM (SELECT DISTINCT s FROM shi) d),
        |mrows AS (SELECT s, r.range AS sd, bs FROM shu, range(0, $numPerms) r),
@@ -1417,9 +1433,7 @@ object Dedup {
        |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |shing AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(w) >= 3
-       |      THEN list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)])
-       |      ELSE [] END AS sh
+       |    $shingleListSql AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
        |  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)),
        |verified AS (
@@ -1609,9 +1623,7 @@ object Dedup {
       s"""WITH $minhashCandCte,
          |shx AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(w) >= 3
-         |      THEN list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)])
-         |      ELSE [] END AS sh
+         |    $shingleListSql AS sh
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
          |ex AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

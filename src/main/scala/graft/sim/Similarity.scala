@@ -150,8 +150,9 @@ object Similarity {
     // (ann_ivf_append_topk trains on the even half: `< 16` found only 8
     // seeds and built a half-granular "16-cell" index; r3 self-review).
     // Identical seeds on dense-id corpora, so existing results are
-    // unchanged.
-    try {
+    // unchanged. (Checkpoint blocks are reclaimed by the ContextCleaner
+    // once ds is unreferenced — no finally needed since the r10
+    // persist→localCheckpoint swap.)
     var cents: Array[Array[Double]] =
       ds.orderBy(col("vec_id")).limit(nCells).collect().sortBy(_._1).map(_._2)
     require(cents.nonEmpty, "trainCentroids: empty input — no vectors to seed centroids from")
@@ -197,7 +198,6 @@ object Similarity {
       }
     }
     cents
-    } finally () // checkpoint blocks are reclaimed by the ContextCleaner once ds is unreferenced
   }
 
   /** Adaptive hier cutover (judge r7 next-round #2): above this many
@@ -876,8 +876,10 @@ object Similarity {
     // localCheckpoint, not persist: identical canonical plan to the IVF
     // trainer's corpus pin — see the r10 note there (shared CacheManager
     // entries + a concurrent unpersist = the empty-stage race)
+    // checkpoint blocks are reclaimed by the ContextCleaner once ds is
+    // unreferenced — no finally needed since the r10 swap
     val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].localCheckpoint()
-    try {
+    locally {
       val seeds = ds.orderBy(col("vec_id")).limit(ksub).collect().sortBy(_._1).map(_._2)
       require(seeds.nonEmpty, "trainPqCodebooks: empty input")
       val dim = seeds(0).length
@@ -923,7 +925,7 @@ object Similarity {
         }
       }
       books
-    } finally () // checkpoint blocks are reclaimed by the ContextCleaner once ds is unreferenced
+    }
   }
 
   /** Product-quantization ANN: encode the corpus to m small codes
