@@ -654,12 +654,15 @@ object ForecastJobs {
       .agg(sum((col("l_quantity") * col("p_retailprice") / lit(100.0))
         .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("wdec"))
     val byProf = Window.partitionBy(col("profile_name"))
+    // localCheckpoint, not persist (r11 review): the same shared-plan
+    // unpersist race gapfillJob's r10 note describes — wk feeds four
+    // downstream consumers and the old finally-unpersist raced siblings
     val wk = wkAll
       .withColumn("n", count(lit(1)).over(byProf))
       .filter(col("n") > 8)
       .drop("n")
-      .persist()
-    try {
+      .localCheckpoint()
+    locally {
       // degenerate-corpus guard (r5 ADVICE): with no >8-week profile the
       // totals collect below is NULL and sesForecast has no input — fail
       // with a message instead of an NPE deep in the fold
@@ -707,7 +710,7 @@ object ForecastJobs {
           round(lit(topPred), 6).as("top_pred")
         )
         .orderBy(col("profile_name"))
-    } finally wk.unpersist()
+    }
   }
 
   final case class ConformalRow(

@@ -363,11 +363,10 @@ object Models {
     while (j < phi.length) { fNext += phi(j) * w(n - 1 - j); j += 1 }
     j = 0
     while (j < theta.length) { fNext += theta(j) * eps(n - 1 - j); j += 1 }
-    var fc = fNext
-    var series = xs
-    var k = 0
-    while (k < d) { fc += series.last; series = diff(series, 1); k += 1 }
-    fc
+    // ONE undifferencing loop ([[integrateForecast]]) — r11 review: an
+    // inline copy here could silently desync the HR/CSS path from the
+    // MLE path the oracle pins
+    integrateForecast(xs, d, fNext)
   }
 
   /** Fit ARMA(p,q)+intercept on a (possibly differenced) series via

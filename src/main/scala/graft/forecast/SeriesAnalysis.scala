@@ -139,11 +139,18 @@ object SeriesAnalysis {
     * tiny per-profile result. No per-lag scan — the fact-side cost is the
     * gap-filled rollup once.
     */
-  def acfJob(s: SparkSession, dir: String): DataFrame = {
+  def acfJob(s: SparkSession, dir: String): DataFrame =
+    acfCore(ForecastJobs.gapfillJob(s, dir))
+
+  /** ACF over a caller-supplied gap-filled frame — split out so
+    * [[ljungBoxJob]] can share ONE gapfill (r11 review: it built the
+    * eagerly-checkpointed gapfill pipeline twice, doubling the query's
+    * dominant fact-scan cost; the binsegJob/binsegCore pattern).
+    */
+  private[forecast] def acfCore(gap: DataFrame): DataFrame = {
     val ord = Window.partitionBy($"profile_name").orderBy($"week_date")
 
-    val base = ForecastJobs
-      .gapfillJob(s, dir)
+    val base = gap
       .withColumn(
         "mu",
         sum($"weight".cast(dec)).over(Window.partitionBy($"profile_name")).cast("double") /
@@ -227,11 +234,13 @@ object SeriesAnalysis {
     * rounds).
     */
   def ljungBoxJob(s: SparkSession, dir: String): DataFrame = {
-    val n = ForecastJobs
-      .gapfillJob(s, dir)
+    // ONE gapfill for both the n count and the ACF (r11 review): each
+    // gapfillJob call eagerly checkpoints the whole fact rollup
+    val gap = ForecastJobs.gapfillJob(s, dir)
+    val n = gap
       .groupBy($"profile_name")
       .agg(count(lit(1)).as("n"))
-    val q = acfJob(s, dir)
+    val q = acfCore(gap)
       .join(n, Seq("profile_name"))
       .withColumn("term", ($"acf" * $"acf" / ($"n" - $"lag")).cast(dec))
       .groupBy($"profile_name", $"n")
@@ -261,14 +270,6 @@ object SeriesAnalysis {
   // in BOTH engines, complements as 0.7/0.9/0.8 literals (never 1-α); an
   // optimized-parameter path would follow the holtFit grid pattern
 
-  /** Additive Holt–Winters with fixed (α,β,γ) = (0.3,0.1,0.2), period 13 —
-    * the triple-exponential member the reference's model set (SES, Holt,
-    * ARIMA) stops short of. Standard init on the first two seasons
-    * (level = season-1 mean, trend = season-over-season mean shift / m,
-    * seasonals = season-1 deviations), recursion thereafter; h=1 forecast
-    * = level + trend + matching seasonal. Same flatMapGroups shape as the
-    * other per-profile models.
-    */
   /** Fixed-parameter additive Holt-Winters fold (α=0.3, β=0.1, γ=0.2;
     * sequential left folds mirrored by the oracle's recursive CTE) —
     * shared by [[holtWintersJob]] and the SQL face (`forecast_hw`) so
@@ -304,6 +305,14 @@ object SeriesAnalysis {
     }
   }
 
+  /** Additive Holt–Winters with fixed (α,β,γ) = (0.3,0.1,0.2), period 13 —
+    * the triple-exponential member the reference's model set (SES, Holt,
+    * ARIMA) stops short of. Standard init on the first two seasons
+    * (level = season-1 mean, trend = season-over-season mean shift / m,
+    * seasonals = season-1 deviations), recursion thereafter; h=1 forecast
+    * = level + trend + matching seasonal. Same flatMapGroups shape as the
+    * other per-profile models.
+    */
   def holtWintersJob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = hwPeriod
