@@ -141,12 +141,15 @@ object Bpe {
     * block ending in seg$R (word, freq, syms) and w1..wR winners.
     */
   private def trainCtes: String = {
+    // the reduce already yields the '·'-joined string — no identity
+    // string_split→array_to_string round trip around it (r11 review: the
+    // wrapper re-split and re-joined the whole vocabulary per round, and
+    // read as if it were load-bearing)
     val fold =
-      """array_to_string(string_split(
-        |      list_reduce(syms, (acc, s) -> CASE
+      """list_reduce(syms, (acc, s) -> CASE
         |        WHEN list_last(string_split(acc, '·')) = mx AND s = my
         |        THEN left(acc, length(acc) - length(mx)) || mx || my
-        |        ELSE acc || '·' || s END), '·'), '·')""".stripMargin
+        |        ELSE acc || '·' || s END)""".stripMargin
     val rounds = (1 to bpeMerges).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT syms[i] AS mx, syms[i + 1] AS my, SUM(freq) AS c

@@ -30,18 +30,25 @@ object Chunking {
   val chunkTokens = 40
   val chunkStride = 32 // 8-token overlap between consecutive chunks
 
+  /** ONE sliding-window chunk expression (r11 review: textChunk and
+    * pipeCurate carried verbatim copies; a stride/tail change missing one
+    * would silently desync the two queries): windows of [[chunkTokens]]
+    * tokens every [[chunkStride]], 1-based slice, empty tails filtered by
+    * the callers.
+    */
+  private def chunkWindows(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(chunkStride)),
+      start => slice(toks, start + 1, lit(chunkTokens))
+    )
+
   val textChunk: Q = (s, d) => {
     val toks = split($"text", " ")
     Tables
       .documents(s, d)
       .select(
         $"doc_id",
-        posexplode(
-          transform(
-            sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(chunkStride)),
-            start => slice(toks, start + 1, lit(chunkTokens))
-          )
-        ).as(Seq("chunk_idx", "chunk"))
+        posexplode(chunkWindows(toks)).as(Seq("chunk_idx", "chunk"))
       )
       .filter(size($"chunk") > 0)
       .select(
@@ -136,12 +143,7 @@ object Chunking {
       $"doc_id",
       $"lang",
       $"n_tokens",
-      explode(
-        transform(
-          sequence(lit(0), greatest($"n_tokens" - 1, lit(0)), lit(chunkStride)),
-          start => slice($"toks", start + 1, lit(chunkTokens))
-        )
-      ).as("chunk")
+      explode(chunkWindows($"toks")).as("chunk")
     )
     chunks
       .filter(size($"chunk") > 0)
@@ -177,11 +179,7 @@ object Chunking {
     }
     val docs = Tables
       .documents(s, d)
-      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
-      .withColumn(
-        "split",
-        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
-      )
+      .withColumn("split", TextAnalysis.splitAssign($"text"))
     val grams = docs.select($"doc_id", $"split", explode(gramsUdf($"text")).as("gram"))
     val capped = graft.dedup.Dedup
       .capBuckets(grams, Seq("gram"), graft.dedup.Dedup.maxBucketSize)
@@ -212,11 +210,7 @@ object Chunking {
       .partitionBy(md5($"text".cast("binary")))
     Tables
       .documents(s, d)
-      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
-      .withColumn(
-        "split",
-        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
-      )
+      .withColumn("split", TextAnalysis.splitAssign($"text"))
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
       .withColumn("keep", ($"doc_id" === min($"doc_id").over(byHash)).cast("long"))
       .withColumn(

@@ -57,12 +57,18 @@ object Retrieval {
     val avgdl  = corpus.getLong(1).toDouble / nDocs.toDouble
     val df_ = tfd.groupBy($"token").agg(count(lit(1)).as("df"))
     // query = the DISTINCT terms of each probe doc
-    val scores = tfd
+    val probeTerms = tfd
       .filter($"doc_id" < bmProbes)
       .select($"doc_id".as("probe_id"), $"token")
+    // broadcast only the PROBE-term slice of the df table (r11 review):
+    // df_ itself is vocabulary-sized — billions of tokens at the scale
+    // the header advertises — and only the probe docs' terms survive the
+    // join anyway; the semi-join bounds the broadcast by probe vocabulary
+    val dfProbe = df_.join(probeTerms.select($"token").distinct(), Seq("token"), "left_semi")
+    val scores = probeTerms
       .join(tfd.select($"doc_id", $"token", $"tf", $"dl"), Seq("token"))
       .filter($"doc_id" =!= $"probe_id")
-      .join(df_.hint("broadcast"), Seq("token"))
+      .join(dfProbe.hint("broadcast"), Seq("token"))
       .select(
         $"probe_id",
         $"doc_id",

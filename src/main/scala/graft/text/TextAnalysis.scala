@@ -371,7 +371,12 @@ object TextAnalysis {
         // to the corpus median position by convention
         expr(s"CASE WHEN n = 1 THEN ${(n_ + 1) / 2}L " +
           s"ELSE 1L + ((r - 1L) * ${n_ - 1}L * 2L + (n - 1L)) div ((n - 1L) * 2L) END"))
-      .join(target.hint("broadcast"), Seq("gidx"))
+      // NO broadcast hint (r11 review): `target` carries one row per
+      // DOCUMENT — corpus-sized, the class this file's rare-score note
+      // forbids shipping whole. gidx is uniform, so the plain shuffle
+      // join is the scale-safe shape (AQE still broadcasts at gate SF
+      // where it genuinely fits).
+      .join(target, Seq("gidx"))
       .select($"doc_id", $"source", $"n_chars".as("raw_score"), $"r".as("src_rank"), $"norm_score")
       .orderBy($"doc_id")
       .localCheckpoint(eager = true)
@@ -736,14 +741,22 @@ object TextAnalysis {
     * (stable across runs, engines, partitionings; rand()-based splits
     * are none of those). 16 hex buckets ⇒ 14/1/1 ≈ 87.5/6.25/6.25.
     */
+  /** THE content-hash train/val/test assignment — one definition (r11
+    * review: it lived in five verbatim copies across TextAnalysis and
+    * Chunking; a bucket-rule change missing one would silently desync
+    * splits that are documented to share the same assignment). md5 first
+    * hex nibble: 'e' → val, 'f' → test, else train (≈ 87.5/6.25/6.25) —
+    * deterministic on content, reproducible on any engine.
+    */
+  private[text] def splitAssign(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = substring(md5(text.cast("binary")), 1, 1)
+    when(b === "e", "val").when(b === "f", "test").otherwise("train")
+  }
+
   val textSplitAssign: Q = (s, d) =>
     Tables
       .documents(s, d)
-      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
-      .withColumn(
-        "split",
-        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
-      )
+      .withColumn("split", splitAssign($"text"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
       .orderBy($"split")
@@ -912,22 +925,20 @@ object TextAnalysis {
     * type-stable — sequence with a negative span would reverse).
     */
   private def wordGrams(docs: DataFrame, ns: Seq[Int]): DataFrame = {
-    val gramArr = filter(
-      flatten(
-        transform(
-          lit(ns.toArray),
-          n =>
-            transform(
-              sequence(lit(1), $"m"),
-              i => struct(n.as("n"), i.as("start"), array_join(slice($"ws", i, n), " ").as("g"))
-            )
-        )
-      ),
-      x => x("start") <= $"m" - x("n") + 1
-    )
+    // row-local UDF, not nested Catalyst lambdas (r11 review): the
+    // transform-over-sequence formulation ran interpreted per element —
+    // here ×|ns| heavier than textOovRate's single-n instance. Same
+    // (n, start, gram) rows: starts 1..m-n+1, 1-based, space-joined.
+    val nsLocal = ns.toArray
+    val gramsUdf = udf { (ws: Seq[String]) =>
+      val m = ws.length
+      nsLocal.flatMap { n =>
+        (1 to m - n + 1).map(start => (n, start, ws.slice(start - 1, start - 1 + n).mkString(" ")))
+      }
+    }
     docs
-      .select($"doc_id", explode(gramArr).as("x"))
-      .select($"doc_id", $"x.n".as("n"), $"x.start".as("start"), $"x.g".as("g"))
+      .select($"doc_id", explode(gramsUdf($"ws")).as("x"))
+      .select($"doc_id", $"x._1".as("n"), $"x._2".as("start"), $"x._3".as("g"))
   }
 
   /** (doc_id, p, wlen) for every 1-based word position. */
@@ -1147,22 +1158,23 @@ object TextAnalysis {
     * billions of grams and must shuffle, never broadcast (same rule as
     * `text_rare_score`).
     */
+  /** Row-local word-trigram builder (r11 review): the transform/sequence
+    * Catalyst-lambda formulation runs interpreted per element — 8-25×
+    * slower, the round-1/2 precedent pipeDecontaminate/textTopNgrams
+    * already follow. Same values as
+    * `transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))`.
+    */
+  private val triGramUdf = udf { (w: Seq[String]) =>
+    Array.tabulate(math.max(0, w.length - 2))(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+  }
+
   val textOovRate: Q = (s, d) => {
     val grams = Tables
       .documents(s, d)
-      .withColumn("b", substring(md5($"text".cast("binary")), 1, 1))
-      .withColumn(
-        "split",
-        when($"b" === "e", "val").when($"b" === "f", "test").otherwise("train")
-      )
+      .withColumn("split", splitAssign($"text"))
       .withColumn("w", toks)
       .filter(size($"w") >= 3)
-      .select(
-        $"split",
-        explode(
-          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")
-        ).as("gram")
-      )
+      .select($"split", explode(triGramUdf($"w")).as("gram"))
       .persist()
     try {
       val vocab = grams.filter($"split" === "train").select($"gram").distinct()
@@ -1208,11 +1220,7 @@ object TextAnalysis {
     import s.implicits._
     Tables
       .documents(s, d)
-      .withColumn("b", substring(md5(col("text").cast("binary")), 1, 1))
-      .withColumn(
-        "split",
-        when(col("b") === "e", "val").when(col("b") === "f", "test").otherwise("train")
-      )
+      .withColumn("split", splitAssign(col("text")))
       .select(col("split"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"))
       .agg(
