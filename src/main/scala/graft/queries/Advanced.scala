@@ -20,20 +20,28 @@ object Advanced {
     * one per-user sort for the lag, reused by the running sum; the final
     * per-session rollup shuffles on (user, session).
     */
-  val wSessionize: Q = (s, d) => {
+  /** ONE lag/cumsum sessionization core (r11 review: w_sessionize and
+    * t_peak_concurrency carried the block verbatim — a gap or tie-order
+    * change touching one site would silently diverge their session
+    * definitions): per-user 30-minute-gap sessions as
+    * (user_id, session_id, ts, value) rows, microsecond-exact gap
+    * compare (unix_timestamp truncates to seconds; DuckDB's epoch()
+    * keeps fractions — integer micros compare identically on both).
+    */
+  private def sessionized(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables
-      .events(s, d)
-      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+    ev.withColumn("prev_ts", lag($"ts", 1).over(byUser))
       .withColumn(
         "new_session",
-        // microsecond-exact gap: unix_timestamp truncates to seconds and
-        // DuckDB's epoch() keeps fractions — a 1800.6 s gap would
-        // classify differently; integer micros compare identically
         ($"prev_ts".isNull ||
           unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L).cast("int")
       )
       .withColumn("session_id", sum($"new_session").over(byUser))
+      .select($"user_id", $"session_id", $"ts", $"value")
+  }
+
+  val wSessionize: Q = (s, d) => {
+    sessionized(Tables.events(s, d))
       .groupBy($"user_id", $"session_id")
       .agg(
         min($"ts").as("session_start"),
@@ -63,16 +71,7 @@ object Advanced {
     * the transition stream; PlanSpec-style gating lives in AdvancedSpec.
     */
   val tPeakConcurrency: Q = (s, d) => {
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val sess = Tables
-      .events(s, d)
-      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-      .withColumn(
-        "new_session",
-        ($"prev_ts".isNull ||
-          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L).cast("int")
-      )
-      .withColumn("session_id", sum($"new_session").over(byUser))
+    val sess = sessionized(Tables.events(s, d))
       .groupBy($"user_id", $"session_id")
       .agg(min($"ts").as("st"), (max($"ts") + expr("INTERVAL 30 MINUTES")).as("en"))
     // checkpointed: deltas feeds both the day-offset aggregate and the
@@ -340,15 +339,18 @@ object Advanced {
       .select(
         $"node".as("src"),
         $"own_qty".as("src_qty"),
-        // five levels (partkeys reach 5 digits at sf0.1 — r6 self-review:
-        // the 4-level array silently dropped the 10000s from their root),
-        // keeping the node itself even when it is 0 (partkey 0 exists;
-        // its ancestor chain collapses to [0] after the distinct)
+        // ALL 19 decimal levels — a Long has at most 19 digits — instead
+        // of a per-scale-factor constant (r11 review: the r6 bump from 4
+        // to 5 levels fixed sf0.1's 5-digit keys, and sf1's 6-digit keys
+        // would have silently dropped from their upper ancestors again;
+        // depth-19 is data-independent, and divisions past the key's own
+        // digit count yield 0, which the filter drops). Node 0 keeps
+        // itself (partkey 0 exists; its chain collapses after distinct).
         explode(
           array_distinct(
             filter(
-              array($"node", expr("node div 10"), expr("node div 100"),
-                expr("node div 1000"), expr("node div 10000")),
+              array((0 to 18).map(i =>
+                expr(s"node div ${BigInt(10).pow(i)}L")): _*),
               a => a > 0 || a === $"node"
             )
           )
@@ -2090,7 +2092,7 @@ object Advanced {
         |anc AS (
         |  SELECT o.node AS src, o.own_qty AS src_qty, a.node
         |  FROM own o, LATERAL (SELECT unnest(list_distinct([x for x in
-        |    [o.node, o.node // 10, o.node // 100, o.node // 1000, o.node // 10000]
+        |    [o.node // 1, o.node // 10, o.node // 100, o.node // 1000, o.node // 10000, o.node // 100000, o.node // 1000000, o.node // 10000000, o.node // 100000000, o.node // 1000000000, o.node // 10000000000, o.node // 100000000000, o.node // 1000000000000, o.node // 10000000000000, o.node // 100000000000000, o.node // 1000000000000000, o.node // 10000000000000000, o.node // 100000000000000000, o.node // 1000000000000000000]
         |    if x > 0 or x = o.node])) AS node) a),
         |roll AS (
         |  SELECT node,

@@ -193,7 +193,14 @@ object Matching {
     * on both engines rather than risking divide-by-zero divergence.
     */
   val eAbTest: Q = (s, d) => {
-    val ev = Tables.events(s, d).withColumn("grp", ($"event_id" % 2).cast("int"))
+    // value.isNotNull (r11 review): COUNT(when(grp===0, 1)) counts EVERY
+    // row while SUM skips nulls, so a null-valued event would bias the
+    // means and variances identically on both engines — the oracle could
+    // never catch it. Same filter abValueCounts already applies; no null
+    // values exist in the current corpora, so results are unchanged.
+    val ev = Tables.events(s, d)
+      .filter($"value".isNotNull)
+      .withColumn("grp", ($"event_id" % 2).cast("int"))
     val agg = ev
       .groupBy($"event_type")
       .agg(
@@ -502,7 +509,8 @@ object Matching {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
         |FROM c ORDER BY cohort_month, age""".stripMargin,
     "e_ab_test" ->
-      """WITH g AS (SELECT event_type, event_id % 2 AS grp, value FROM events),
+      """WITH g AS (SELECT event_type, event_id % 2 AS grp, value FROM events
+        |  WHERE value IS NOT NULL),
         |agg AS (
         |  SELECT event_type,
         |    COUNT(CASE WHEN grp = 0 THEN 1 END) AS n_a,

@@ -393,7 +393,12 @@ object Relational {
       .withColumn("wk", floor(datediff($"week_date", lit("1995-01-02").cast("date")) / 7).cast("long"))
       .withColumn("fy", (lit(1995L) + floor($"wk" / 52)).cast("int"))
       .withColumn("wiy", ($"wk" % 52).cast("int"))
-      .withColumn("fq", ($"wiy" / 13).cast("int") + 1)
+      // floor, not truncate-toward-zero (r11 review): for a week before
+      // the 1995-01-02 anchor (wiy < 0) cast(int) rounds toward zero
+      // while the oracle's // floors — and fy on the line above already
+      // floors; the corpus min shipdate sits exactly ON the anchor, so
+      // current values are unchanged
+      .withColumn("fq", floor($"wiy" / 13).cast("int") + 1)
       .withColumn("wq", $"wiy" % 13)
       .withColumn(
         "fp",
