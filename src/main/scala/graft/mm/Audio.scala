@@ -263,7 +263,10 @@ object Audio {
   def vadActiveBlock(id: Long, frame: Int): Boolean = (id + frame / 4) % 3 != 0
   def vadSample(id: Long, j: Int): Int = {
     val f = j / vadFrameLen
-    if (vadActiveBlock(id, f)) (((id * 7919 + j.toLong * 104729) % 65536) - 32768).toInt
+    // active branch IS AudioSynth.sample (r11 review: a verbatim inline
+    // copy of the constants could silently drift from the synth the
+    // decode oracles replay)
+    if (vadActiveBlock(id, f)) AudioSynth.sample(id, j)
     else (((id * 7919 + j.toLong * 104729) % 257) - 128).toInt
   }
 

@@ -114,30 +114,8 @@ object Jpeg {
     * signature-matched `javax.imageio` JPEG reader and the decoded
     * raster (schema = [[Multimodal.decodedSchema]] with img_id).
     */
-  val mmDecodeJpeg: Q = (s, _) => {
-    val schema = StructType(
-      Seq(
-        StructField("img_id", LongType),
-        StructField("width", IntegerType),
-        StructField("height", IntegerType),
-        StructField("channels", IntegerType),
-        StructField("format", StringType),
-        StructField("pix_sum", LongType),
-        StructField("mean_intensity", LongType)
-      )
-    )
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    jpegBlobs(s)
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id             = r.getLong(0)
-          val (img, fmt)     = Multimodal.ImageCodec.decode(r.getAs[Array[Byte]](1))
-          val (w, h, c, sum) = Multimodal.ImageCodec.stats(img)
-          Row(id, w, h, c, fmt, sum, sum / (w.toLong * h * c))
-        }
-      }(enc)
-      .orderBy($"img_id")
-  }
+  val mmDecodeJpeg: Q = (s, _) =>
+    Multimodal.decodeStats(jpegBlobs(s), "img_id").orderBy($"img_id")
 
   /** aHash over the decoded JPEG rasters — identical pipeline to
     * [[Multimodal.mmAhash]] (8×8 NN resample of band 0, integer-mean

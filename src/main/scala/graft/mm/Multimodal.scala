@@ -204,15 +204,16 @@ object Multimodal {
     )
   )
 
-  /** REAL batch decode via mapPartitions: `ImageIO` parses the actual
-    * PNG/BMP bytes; every output column comes from the decoder (the
-    * format from the signature-matched reader). The oracle re-derives
-    * the same numbers from the `doc_id` arithmetic alone — codec-free —
-    * so a decode that read anything wrong hash-fails.
+  /** ONE decode→stats pipeline over any (id, blob) frame (r11 review:
+    * Jpeg.mmDecodeJpeg carried a verbatim copy with img_id for doc_id —
+    * a change to the stats/mean rule would have had to land twice). The
+    * id column keeps the CALLER'S name so output schemas are unchanged.
     */
-  val mmDecode: Q = (s, d) => {
-    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
-    imageBlobs(s, d)
+  private[mm] def decodeStats(blobs: org.apache.spark.sql.DataFrame, idCol: String): org.apache.spark.sql.DataFrame = {
+    val schema = StructType(
+      StructField(idCol, LongType) +: decodedSchema.fields.toSeq.drop(1))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs
       .mapPartitions { rows =>
         rows.map { r =>
           val id          = r.getLong(0)
@@ -221,8 +222,16 @@ object Multimodal {
           Row(id, w, h, c, fmt, sum, sum / (w.toLong * h * c))
         }
       }(enc)
-      .orderBy($"doc_id")
   }
+
+  /** REAL batch decode via mapPartitions: `ImageIO` parses the actual
+    * PNG/BMP bytes; every output column comes from the decoder (the
+    * format from the signature-matched reader). The oracle re-derives
+    * the same numbers from the `doc_id` arithmetic alone — codec-free —
+    * so a decode that read anything wrong hash-fails.
+    */
+  val mmDecode: Q = (s, d) =>
+    decodeStats(imageBlobs(s, d), "doc_id").orderBy($"doc_id")
 
   /** Frame sampling — the video analog: treat the blob as fixed-size
     * frame blocks, emit every `stride`-th block with its offset (the

@@ -117,7 +117,11 @@ object Cdc {
     * `valid_to > t` excludes the closed old version).
     */
   val eScd2Asof: Q = (s, d) => {
-    val iv = eScd2(s, d).select($"user_id", $"version", $"status", $"valid_from")
+    // pinned (r11 review): iv feeds both the spine aggregate and the
+    // starts branch — unpinned, the whole SCD2 window/aggregate chain
+    // re-ran per branch (the wMergeUpsert precedent). localCheckpoint,
+    // per the r10 CacheManager-race discipline; one row per interval.
+    val iv = eScd2(s, d).select($"user_id", $"version", $"status", $"valid_from").localCheckpoint()
     val spine = iv
       .groupBy($"user_id")
       .agg(min($"valid_from").as("vf0"), max($"valid_from").as("vfn"))

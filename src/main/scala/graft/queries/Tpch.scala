@@ -515,10 +515,14 @@ object Tpch {
       .select($"l_orderkey", $"l_suppkey")
       .distinct()
       .join(perOrder, $"l_orderkey" === $"po_orderkey")
-      .groupBy($"l_suppkey")
-      .agg(count(lit(1)).as("numwait"))
+      // GROUP BY s_name, like the TPC-H spec and the oracle (r11 review:
+      // grouping by suppkey disagreed with the oracle's per-name rollup
+      // whenever two suppliers share a name — names are data, not keys;
+      // the generator's Supplier#N convention merely hid the dependency)
       .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
         $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
       .select($"s_name", $"numwait")
       .orderBy($"numwait".desc, $"s_name")
       .limit(100)
