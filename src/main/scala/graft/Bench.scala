@@ -53,6 +53,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
     val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    // loud, not silent (r11 review): a headline name drifting out of
+    // SparkEntry.queries would otherwise shrink total_sec and read as a
+    // fake floor improvement against prior rounds' 14-query totals
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty,
+      s"Bench.headline names missing from SparkEntry.queries: ${missing.mkString(", ")}")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => all || headline.contains(n) }
     // timed passes in stable order, keep the per-query minimum: JIT and

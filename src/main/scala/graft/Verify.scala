@@ -105,10 +105,13 @@ object Verify {
     def dumpEmpty(name: String): Boolean =
       try spark.read.parquet(s"$outDir/$name").isEmpty
       catch { case _: Throwable => true }
-    val empties = ordered.collect {
-      case (name, fn) if new java.io.File(s"$outDir/$name").exists() && dumpEmpty(name) =>
-        (name, fn)
-    }
+    // no exists() pre-filter (r11 review): a concurrent-run failure that
+    // THROWS before the write creates the dir (instead of landing an
+    // empty dump) must also reach the sequential retry — dumpEmpty
+    // already treats a missing/unreadable path as a retry candidate, and
+    // a deterministic failure just fails once more, sequentially and
+    // loudly
+    val empties = ordered.collect { case (name, fn) if dumpEmpty(name) => (name, fn) }
     spark.catalog.clearCache() // pool done: reclaim the whole sweep's caches at once
     if (empties.nonEmpty) {
       System.err.println(s"[verify] retrying ${empties.size} empty dump(s) sequentially: " +

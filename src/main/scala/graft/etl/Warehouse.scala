@@ -9,9 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The reference's `config.yml` watermark (`square_ETL.py:17-22,53-56`) is
   * replaced by a tiny watermark parquet table read at job start and
-  * overwritten post-load — same at-least-once semantics, but paired with
-  * [[appendDedup]] the pipeline becomes effectively-once (the reference has
-  * no dedup at all; SURVEY §3.1 step 5 notes the duplicate-row hazard).
+  * APPENDED to post-load (r11 review corrected this doc: it said
+  * "overwritten") — [[readWatermark]] takes the per-pipeline MAX, so the
+  * mark is monotonic and the append is crash-safe (no delete window).
+  * Consequences an operator must know: writing an OLDER mark cannot roll
+  * the pipeline back (the max still wins — use [[rollbackWatermark]],
+  * which rewrites the table, for deliberate reprocessing), and the table
+  * grows one row per load until [[compact]]-style maintenance trims it.
+  * Paired with [[appendDedup]] the pipeline is effectively-once (the
+  * reference has no dedup at all; SURVEY §3.1 step 5 notes the
+  * duplicate-row hazard).
   */
 object Warehouse {
 
@@ -255,5 +262,25 @@ object Warehouse {
       .write
       .mode(SaveMode.Append)
       .parquet(path)
+  }
+
+  /** Deliberate reprocessing: REWRITE the watermark table with every mark
+    * for `pipeline` above `to` removed, so the next [[readWatermark]]
+    * returns ≤ `to` and the ingest replays from there (appendDedup keeps
+    * the replay effectively-once). Unlike the append path this rewrites
+    * the whole (tiny) table and is NOT crash-atomic — it is an
+    * operator-initiated maintenance action, run while the single-writer
+    * pipeline is stopped, exactly like [[compact]].
+    */
+  def rollbackWatermark(
+      spark: SparkSession, path: String, pipeline: String, to: java.sql.Timestamp): Unit = {
+    if (!pathExists(spark, path)) return
+    val kept = spark.read.parquet(path)
+      .filter(!($"pipeline" === pipeline && $"high_water_mark" > to))
+      .collect() // watermark tables are rows-per-load tiny by contract
+    import spark.implicits._
+    kept.map(r => (r.getAs[String]("pipeline"), r.getAs[java.sql.Timestamp]("high_water_mark")))
+      .toSeq.toDF("pipeline", "high_water_mark")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

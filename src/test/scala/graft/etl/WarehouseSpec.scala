@@ -144,6 +144,22 @@ class WarehouseSpec extends SparkSpec {
       .contains(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
   }
 
+  test("rollbackWatermark rewrites the table so an older mark governs again") {
+    val dir = tmp() + "/wm"
+    val t1  = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val t2  = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    Warehouse.writeWatermark(spark, dir, "events", t1)
+    Warehouse.writeWatermark(spark, dir, "events", t2)
+    Warehouse.writeWatermark(spark, dir, "other", t2)
+    // append+MAX semantics: writing an older mark does NOT roll back
+    Warehouse.writeWatermark(spark, dir, "events", t1)
+    assert(Warehouse.readWatermark(spark, dir, "events").contains(t2))
+    // the explicit maintenance path does — and only for the named pipeline
+    Warehouse.rollbackWatermark(spark, dir, "events", t1)
+    assert(Warehouse.readWatermark(spark, dir, "events").contains(t1))
+    assert(Warehouse.readWatermark(spark, dir, "other").contains(t2))
+  }
+
   test("watermark table roundtrip keeps the high-water mark per pipeline") {
     val dir = tmp() + "/wm"
     assert(Warehouse.readWatermark(spark, dir, "square").isEmpty)
