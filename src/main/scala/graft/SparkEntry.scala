@@ -35,7 +35,7 @@ object SparkEntry {
       graft.queries.Cdc.queries, graft.queries.RuntimeFilter.queries, graft.queries.Glm.queries,
       ForecastJobs.queries, graft.forecast.SeriesAnalysis.queries, ZoloPipeline.queries,
       TextAnalysis.queries, graft.text.Chunking.queries, graft.text.Bpe.queries,
-      graft.text.Retrieval.queries, Dedup.queries,
+      graft.text.Retrieval.queries, graft.text.WebCurate.queries, Dedup.queries,
       Similarity.queries, graft.sim.HierIvf.queries, graft.sim.Pca.queries, Multimodal.queries, graft.mm.Jpeg.queries,
       graft.mm.Audio.queries,
       graft.streaming.StreamQueries.queries,
@@ -54,7 +54,7 @@ object SparkEntry {
     Relational.oracles ++ graft.queries.Tpch.oracles ++ graft.queries.Advanced.oracles ++ graft.queries.Matching.oracles ++
       graft.queries.AsofJoin.oracles ++ graft.queries.ZOrder.oracles ++ graft.queries.Graph.oracles ++ graft.queries.Cdc.oracles ++ graft.queries.RuntimeFilter.oracles ++ graft.queries.Glm.oracles ++ ForecastJobs.oracles ++ graft.forecast.SeriesAnalysis.oracles ++
       ZoloPipeline.oracles ++ TextAnalysis.oracles ++ graft.text.Chunking.oracles ++ graft.text.Bpe.oracles ++
-      graft.text.Retrieval.oracles ++
+      graft.text.Retrieval.oracles ++ graft.text.WebCurate.oracles ++
       Dedup.oracles ++ Similarity.oraclesWithNative ++ graft.sim.HierIvf.oracles ++ graft.sim.Pca.oracles ++ Multimodal.oracles ++
       graft.mm.Jpeg.oracles ++ graft.mm.Audio.oracles ++
       graft.streaming.StreamQueries.oracles ++ graft.sources.RestQueries.oracles ++
