@@ -70,7 +70,10 @@ object WebCurate {
     val tail   = noFrag.substr(length(head) + 1, lit(1 << 20))
     val head2 = regexp_replace(
       regexp_replace(
-        regexp_replace(lower(head), "://www\\.", "://"),
+        // (www\.)+ not www\.: strip ALL leading www. repetitions in one
+        // pass, or canon('://www.www.x') would keep shrinking per pass —
+        // idempotence is the property the dedup keys rely on
+        regexp_replace(lower(head), "://(www\\.)+", "://"),
         "^(https://.*):443$", "$1"
       ),
       "^(http://.*):80$", "$1"
@@ -189,7 +192,7 @@ object WebCurate {
       #pieces AS (
       #  SELECT doc_id,
       #    regexp_replace(regexp_replace(regexp_replace(lower(head),
-      #      '://www\.', '://'), '^(https://.*):443$', '\1'),
+      #      '://(www\.)+', '://'), '^(https://.*):443$', '\1'),
       #      '^(http://.*):80$', '\1') AS head2,
       #    regexp_extract(substr(nofrag, length(head) + 1), '^[^?]*') AS path,
       #    substr(substr(nofrag, length(head) + 1),

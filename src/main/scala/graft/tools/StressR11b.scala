@@ -158,6 +158,41 @@ object StressR11b {
       run(q, dir1)              // ×1 floor: same layout/file granularity
       run(q, dirN)              // ×10
     }
+
+    // BPE's training state is the DISTINCT-word table, so the two ways a
+    // corpus can grow measure different claims: the perturbed ×10 above
+    // injects replica-unique tokens — the word table itself grows ~10×
+    // (the adversarial bound: train is linear in distinct words) — while
+    // a VERBATIM ×10 replica keeps the word table constant and measures
+    // the realistic Zipf/Heaps shape: only the one corpus scan feeding
+    // the word-frequency rollup grows, every merge round stays
+    // vocabulary-sized.
+    val dirV = {
+      val dir = s"/tmp/graft_stress_r11b_x${mult}v"
+      if (!new java.io.File(s"$dir/_READY").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(graft.OracleIo.dir(dir)))
+        new java.io.File(dir).mkdirs()
+        graft.tables.Tables
+          .documents(spark, base)
+          .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+          .select(
+            (($"doc_id" * mult) + $"rep").as("doc_id"),
+            $"text", $"lang", $"source", $"n_chars")
+          .repartition(4 * mult)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings").foreach { tbl =>
+          java.nio.file.Files.createSymbolicLink(
+            java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
+            java.nio.file.Paths.get(s"$base/$tbl.parquet"))
+        }
+        new java.io.File(s"$dir/_READY").createNewFile()
+      }
+      dir
+    }
+    run("text_bpe_encode", dirV) // ×10 verbatim: constant word table
     spark.stop()
   }
 }

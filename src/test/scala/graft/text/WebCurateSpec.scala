@@ -51,6 +51,35 @@ class WebCurateSpec extends SparkSpec {
     ))
   }
 
+  test("canon is total and idempotent on arbitrary messy URL-ish strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // URL-shaped and garbage alike: schemes, hosts, ports, utm runs,
+    // repeated slashes, fragments, plus raw fragments of those pieces
+    val piece = Gen.oneOf(
+      Gen.oneOf("http://", "HTTPS://", "ftp://", "//", ""),
+      Gen.oneOf("WWW.", "www.", ""),
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(":80", ":443", ":8080", ""),
+      Gen.oneOf("/", "//", "///", "/a/b", "/A//B/"),
+      Gen.oneOf("?", "&", "?utm_x=1", "&utm_=", "?a=1&utm_b=2&c=3", "?utm_a=1&utm_b=2"),
+      Gen.oneOf("#", "#frag", "##x", "")
+    )
+    val messy = Gen.listOfN(6, piece).map(_.mkString)
+    val urls = (1 to 300).flatMap(i => messy(Gen.Parameters.default, Seed(i.toLong)))
+    val out = urls.toDF("u")
+      .select(
+        WebCurate.canonUrl(col("u")).as("c1"),
+        WebCurate.canonUrl(WebCurate.canonUrl(col("u"))).as("c2")
+      )
+      .collect()
+    assert(out.length == urls.length)
+    out.foreach { r =>
+      assert(r.getString(0) != null)
+      assert(r.getString(0) == r.getString(1), s"not idempotent: ${r.getString(0)}")
+    }
+  }
+
   test("dedup_paragraph keeps only the first corpus-wide occurrence") {
     val dir  = java.nio.file.Files.createTempDirectory("graft-para").toString
     val para = (1 to 8).map(i => s"w$i").mkString(" ")
