@@ -1,8 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.dedup.Hashing
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import graft.tools.StressUtil.{cachedDir, symlinkTables, time}
 import org.apache.spark.sql.functions._
 
 /** Batch-scale linearity probe for the three heaviest headline families
@@ -39,45 +38,15 @@ import org.apache.spark.sql.functions._
   */
 object StressR11 {
 
-  private def t[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_STRESS_MULT", "10").toInt
     val spark = GraftSession.local(32, "graft-stress-r11")
     import spark.implicits._
 
-    // shuffle-bytes + straggler probe: shared bus, reset between runs
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    val maxTaskMs    = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        Option(te.taskMetrics).foreach { m =>
-          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          maxTaskMs.getAndAccumulate(m.executorRunTime, math.max)
-        }
-    })
-    // listener events are async: poll until the counters are stable
-    // (the StressStreamGate precedent)
-    def settle(): Unit = {
-      var last = (-1L, -1L)
-      var cur  = (shuffleBytes.get(), maxTaskMs.get())
-      while (cur != last) { last = cur; Thread.sleep(200); cur = (shuffleBytes.get(), maxTaskMs.get()) }
-    }
-    def measured[A](label: String)(f: => A): (A, Double, Long, Long) = {
-      // settle BEFORE the reset too (r11 review): a preceding unmeasured
-      // warm run's straggler task-end events would otherwise land after
-      // the reset and pollute this run's counters
-      settle()
-      shuffleBytes.set(0L); maxTaskMs.set(0L)
-      val (r, wall) = t(f)
-      settle()
-      val out = (r, wall, shuffleBytes.get(), maxTaskMs.get())
-      println(f"- $label: wall $wall%.1f s, shuffle ${out._3 / 1e6}%.0f MB, max task ${out._4 / 1e3}%.1f s")
-      out
-    }
+    val meter = new StressUtil.Meter(spark)
+    def measured[A](label: String)(f: => A): (A, Double, Long, Long) =
+      meter.measured(label)(f)
 
     // ------------------------------------------------------- corpus dirs
     // The ×1 floor is ALSO a rewritten dir (4 part files) so file
@@ -85,67 +54,35 @@ object StressR11 {
     // comparing against the single-file base dir would conflate data
     // volume with input-split parallelism (the first probe did).
     def buildDir(mult: Int): String = {
-    val dir = s"/tmp/graft_stress_r11_x$mult"
-    val d   = new java.io.File(dir)
-    if (!new java.io.File(s"$dir/_READY").exists()) {
-      org.apache.commons.io.FileUtils.deleteQuietly(d)
-      // a rebuilt corpus invalidates any boundary-oracle dumps derived
-      // from the previous build under the same basename (writeOnce's
-      // per-path contract assumes path ⇒ content)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(graft.OracleIo.dir(dir)))
-      d.mkdirs()
-      val (_, tLi) = t {
-        // repartition: a 10× warehouse holds 10× FILES, not one 10×-sized
-        // file — without this the whole replica landed in one part file
-        // and every downstream scan ran 1-2 input splits (the first probe
-        // measured j_range_binned single-task-bound for exactly that
-        // reason, max task ≈ wall)
-        graft.tables.Tables
-          .lineitem(spark, base)
-          .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
-          .drop("rep")
-          .repartition(4 * mult)
-          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      }
-      val perturb = udf { (text: String, docId: Long, rep: Int) =>
-        if (rep % 50 == 0) text
-        else {
-          val words = text.split(' ')
-          val sb = new StringBuilder(text.length * 2)
-          var i = 0
-          while (i < words.length) {
-            sb.append(words(i)).append(' ')
-            if (i % 2 == 1) {
-              sb.append('h')
-              sb.append(java.lang.Long.toHexString(Hashing.hash64(s"$docId:$rep:$i")))
-              sb.append(' ')
-            }
-            i += 1
-          }
-          sb.result().trim
+      val dir = s"/tmp/graft_stress_r11_x$mult"
+      cachedDir(dir, base) {
+        val (_, tLi) = time {
+          // repartition: a 10× warehouse holds 10× FILES, not one
+          // 10×-sized file — without this the whole replica landed in one
+          // part file and every downstream scan ran 1-2 input splits (the
+          // first probe measured j_range_binned single-task-bound for
+          // exactly that reason, max task ≈ wall)
+          graft.tables.Tables
+            .lineitem(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .drop("rep")
+            .repartition(4 * mult)
+            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         }
-      }
-      val (_, tDocs) = t {
-        graft.tables.Tables
-          .documents(spark, base)
-          .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
-          .select(
-            (($"doc_id" * mult) + $"rep").as("doc_id"),
-            perturb($"text", $"doc_id", $"rep").as("text"),
-            $"lang", $"source", $"n_chars")
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      }
-      Seq("region", "nation", "customer", "supplier", "part", "orders", "events", "embeddings")
-        .foreach { tbl =>
-          java.nio.file.Files.createSymbolicLink(
-            java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
-            java.nio.file.Paths.get(s"$base/$tbl.parquet"))
+        val (_, tDocs) = time {
+          graft.tables.Tables
+            .documents(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .select(
+              (($"doc_id" * mult) + $"rep").as("doc_id"),
+              StressUtil.perturb($"text", $"doc_id", $"rep").as("text"),
+              $"lang", $"source", $"n_chars")
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         }
-      new java.io.File(s"$dir/_READY").createNewFile()
-      println(f"- corpus ×$mult build: lineitem $tLi%.1f s, documents $tDocs%.1f s")
-    } else println(s"- corpus ×$mult cached")
-    dir
+        symlinkTables(dir, base,
+          Seq("region", "nation", "customer", "supplier", "part", "orders", "events", "embeddings"))
+        println(f"- corpus ×$mult build: lineitem $tLi%.1f s, documents $tDocs%.1f s")
+      }
     }
 
     println(f"### r11 batch 10x stress (base=$base)")
