@@ -152,7 +152,16 @@ object Dedup {
     // leaked cache would survive Verify's per-query catch (r3 self-review)
     val cand =
       try {
-        val allBands = sigs.select(
+        // content-less docs (< 3 words) carry the shingle kernel's
+        // all-sentinel signature: their 3-shingle Jaccard is UNDEFINED
+        // (empty sets — the verify division would be 0/0) and their
+        // shared sentinel bands would bucket every such doc with every
+        // other (chaos probe r11). Excluded from banding; the dump above
+        // still carries every doc, so the sigs oracle trust chain is
+        // unchanged. least(sig0..sig15) = MaxValue ⟺ all-sentinel.
+        val eligible = sigs.filter(
+          least((0 until numPerms).map(i => col(s"sig$i")): _*) < lit(Long.MaxValue))
+        val allBands = eligible.select(
           $"doc_id",
           posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
             .as(Seq("band_id", "band_hash"))
@@ -1242,7 +1251,9 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, bi.range AS band_id,
        |    [band0, band1, band2, band3][bi.range + 1] AS band_hash
-       |  FROM sigs, range(0, $numBands) bi),
+       |  FROM sigs, range(0, $numBands) bi
+       |  WHERE least(${(0 until numPerms).map(i => s"sig$i").mkString(", ")})
+       |    < ${Long.MaxValue}),
        |bok AS (SELECT band_id, band_hash FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucketSize),
        |bcap AS (SELECT bands.* FROM bands JOIN bok USING (band_id, band_hash)),
        |cand AS MATERIALIZED (

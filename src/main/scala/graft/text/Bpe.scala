@@ -122,7 +122,10 @@ object Bpe {
   val textBpeEncode: Q = (s, d) => {
     val merges = trainMerges(s, d).map(t => (t._2, t._3))
     val encU = udf { (text: String) =>
-      val words  = text.split(" ", -1).toSeq.filter(_.nonEmpty)
+      // null text encodes to the empty sequence (chaos probe r11)
+      val words =
+        if (text == null) Seq.empty[String]
+        else text.split(" ", -1).toSeq.filter(_.nonEmpty)
       val pieces = words.map(w => applyMerges(w, merges))
       (words.length, pieces.map(_.length).sum, pieces.map(_.mkString("·")).mkString("·"))
     }

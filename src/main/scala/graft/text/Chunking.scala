@@ -76,7 +76,9 @@ object Chunking {
       .select(
         col("doc_id"),
         (col("doc_id") % packBuckets).as("bucket"),
-        size(split(col("text"), " ")).as("nt")
+        // null text packs as a 0-token doc, not a NOT_NULL encoder
+        // violation (chaos probe r11)
+        coalesce(size(split(col("text"), " ")), lit(0)).as("nt")
       )
       .as[(Long, Long, Int)]
       .groupByKey(_._2)
@@ -172,8 +174,9 @@ object Chunking {
   val pipeDecontaminate: Q = (s, d) => {
     val gramsUdf = udf { (text: String) =>
       // limit -1 keeps trailing empty tokens, matching the oracle's
-      // string_split (and the repo's split(" ", -1) convention)
-      val w = text.split(" ", -1)
+      // string_split (and the repo's split(" ", -1) convention); null
+      // text has no grams (chaos probe r11)
+      val w = if (text == null) Array.empty[String] else text.split(" ", -1)
       if (w.length < 8) Array.empty[String]
       else Array.tabulate(w.length - 7)(i => w.slice(i, i + 8).mkString(" ")).distinct
     }

@@ -825,7 +825,11 @@ object TextAnalysis {
         $"doc_id",
         size(toks).as("n_tokens"),
         (length(regexp_replace($"text", " ", "")) / size(toks)).as("mean_word_len"),
-        (length(regexp_replace($"text", "[A-Za-z0-9 ]", "")) / length($"text")).as("symbol_ratio"),
+        // empty text ⇒ ratio undefined, not ANSI DIVIDE_BY_ZERO (chaos
+        // probe r11); the n_tokens>=50 rule already fails such docs
+        when(length($"text") > 0,
+          length(regexp_replace($"text", "[A-Za-z0-9 ]", "")) / length($"text"))
+          .as("symbol_ratio"),
         size(array_intersect(array_distinct(toks), lit(stopwords.toArray))).as("n_stopwords"),
         maxTokRatio($"text").as("max_token_ratio")
       )
@@ -918,6 +922,12 @@ object TextAnalysis {
       .withColumn("ws", split($"text", " "))
       .withColumn("m", size($"ws"))
       .withColumn("charsum", length(regexp_replace($"text", " ", "")))
+      // content-less docs (null / empty / whitespace-only text) carry no
+      // gram signal and their charsum=0 would divide-by-zero the
+      // repetition/dup-span fractions; a crawl corpus contains them on
+      // day one (chaos probe r11) — excluded here, once, for every
+      // gram-analytics consumer
+      .filter($"charsum" > 0)
 
   /** One row per (doc_id, n, start, gram) for every n in `ns` — built
     * row-locally (transform over sequence, ONE explode); starts past
@@ -931,7 +941,9 @@ object TextAnalysis {
     // (n, start, gram) rows: starts 1..m-n+1, 1-based, space-joined.
     val nsLocal = ns.toArray
     val gramsUdf = udf { (ws: Seq[String]) =>
-      val m = ws.length
+      // wordedDocs filters content-less docs, but stay total on null
+      // (chaos probe r11): a null token array has no grams
+      val m = if (ws == null) 0 else ws.length
       nsLocal.flatMap { n =>
         (1 to m - n + 1).map(start => (n, start, ws.slice(start - 1, start - 1 + n).mkString(" ")))
       }
@@ -1088,6 +1100,10 @@ object TextAnalysis {
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     val top = Tables
       .documents(s, d)
+      // A-Res weights must be positive: a zero/null-weight doc has
+      // sampling probability 0 by definition (and would ANSI
+      // divide-by-zero; chaos probe r11)
+      .filter($"n_chars" > 0)
       .select(
         $"doc_id",
         $"n_chars",

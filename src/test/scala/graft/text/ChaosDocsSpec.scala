@@ -1,0 +1,37 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Totality gate over the adversarial documents corpus (null / empty /
+  * whitespace-only / single-char / multi-byte / control-char / 5000-token
+  * texts, null source — [[graft.tools.ChaosProbe.chaosRows]]): every
+  * documents-reading driver query must run to completion. The fixture
+  * corpus contains none of these shapes, so the oracle gate cannot see a
+  * UDF that NPEs on null text or an ANSI DIVIDE_BY_ZERO on an empty token
+  * stream — a crawl-scale corpus contains all of them on day one. The
+  * chaos probe originally caught 10 (four UDF NPEs, a null-encoder
+  * violation in text_pack, five divide-by-zeros across the minhash family
+  * / gopher rules / weighted sampling); this pins their fixes.
+  */
+class ChaosDocsSpec extends SparkSpec {
+
+  test("every documents-reading query is total on the chaos corpus") {
+    val dir = graft.tools.ChaosProbe.buildChaosDir(spark, sf0001)
+    val failures = graft.tools.ChaosProbe.docQueries.flatMap { name =>
+      // NO clearCache here: suites share one JVM-wide session and run
+      // concurrently, so a whole-catalog clear evicts OTHER suites'
+      // pinned state mid-test (observed: DedupSpec's incremental-CC /
+      // ppjoin / kmv assertions); the chaos corpus is 9 rows and any
+      // persists its queries take are invocation-private checkpoints
+      val r = scala.util.Try {
+        graft.SparkEntry.queries(name)(spark, dir).collect().length
+      }
+      r.failed.toOption.map { e =>
+        var root: Throwable = e
+        while (root.getCause != null && root.getCause != root) root = root.getCause
+        s"$name: ${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").linesIterator.take(1).mkString}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -8,11 +8,22 @@ import org.apache.spark.sql.functions._
   * conditionals ⇒ every term ≤ 0), and determinism on duplicate text
   * (identical docs must get bit-identical scores).
   */
-class PerplexitySpec extends SparkSpec {
+class PerplexitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   lazy val out  = TextAnalysis.textPerplexity(spark, sf0001).cache()
   lazy val docs = graft.tables.Tables.documents(spark, sf0001).cache()
+
+  // the session is JVM-shared across suites: a suite-level cache left
+  // behind trips every later cacheManager.isEmpty hygiene assertion
+  // (latent until r11's chaos session ran the suites in a fresh order —
+  // the full alphabetical run always scheduled dedup/forecast/sim
+  // BEFORE text, so the leak was invisible)
+  override def afterAll(): Unit = {
+    out.unpersist()
+    docs.unpersist()
+    super.afterAll()
+  }
 
   test("every multi-token document is scored with n_bigrams = tokens - 1") {
     val expected = docs
