@@ -703,7 +703,9 @@ object Advanced {
     Tables
       .events(s, d)
       .withColumn("mean_v", sumV / n)
-      .withColumn("var_v", (sumV2 - sumV * sumV / n) / (n - lit(1)))
+      // n=1 groups have no sample variance (n-1 = 0 would ANSI
+      // divide-by-zero; chaos probe r11) — they can't have outliers
+      .withColumn("var_v", when(n > 1, (sumV2 - sumV * sumV / n) / (n - lit(1))))
       // a degenerate (constant-value) type has no outliers by definition;
       // without the guard, cancellation can push var_v epsilon-negative —
       // Spark's sqrt yields NaN while DuckDB ERRORS, crashing the oracle
@@ -1918,7 +1920,7 @@ object Advanced {
         |SELECT event_id, event_type, value,
         |  round((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1)), 6) AS z_score
         |FROM m
-        |WHERE (sv2 - sv * sv / n) / (n - 1) > 0
+        |WHERE n > 1 AND (sv2 - sv * sv / n) / (n - 1) > 0
         |  AND abs((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1))) > 3.0
         |ORDER BY event_id""".stripMargin,
     "e_funnel" ->

@@ -279,6 +279,9 @@ object Matching {
       .withColumn("dsc", abs($"fa" * $"nb" - $"fb" * $"na"))
       .groupBy($"event_type", $"na", $"nb")
       .agg(max($"dsc").as("d_scaled"))
+      // a two-sample test needs both samples: one-sided groups are
+      // untestable, not a divide-by-zero (chaos probe r11)
+      .filter($"na" > 0 && $"nb" > 0)
       .select(
         $"event_type",
         $"na".as("n_a"),
@@ -310,6 +313,8 @@ object Matching {
       .withColumn("r2a", $"ca" * (lit(2L) * $"less" + $"ca" + $"cb" + lit(1L)))
       .groupBy($"event_type")
       .agg(sum($"ca").as("na"), sum($"cb").as("nb"), sum($"r2a").as("sr2a"))
+      // same two-sample requirement as e_ks_test (chaos probe r11)
+      .filter($"na" > 0 && $"nb" > 0)
       .select(
         $"event_type",
         $"na".as("n_a"),
@@ -450,7 +455,7 @@ object Matching {
         |  SELECT event_type, na AS n_a, nb AS n_b,
         |    round(CAST(d_scaled AS DOUBLE) / (na * nb), 6) AS d_stat,
         |    round(1.358 * sqrt((na + nb) / CAST(na * nb AS DOUBLE)), 6) AS crit_05
-        |  FROM d)
+        |  FROM d WHERE na > 0 AND nb > 0)
         |SELECT *, CAST(d_stat > crit_05 AS INT) AS reject_05
         |FROM o ORDER BY event_type""".stripMargin,
     // doubled tie-average ranks keep everything integer until the final
@@ -475,7 +480,7 @@ object Matching {
         |  (na * nb * 2 + na * (na + 1) - sr2a) / 2.0 AS u_a,
         |  round(((na * nb * 2 + na * (na + 1) - sr2a) - na * nb)
         |    / (2.0 * sqrt((na * nb * (na + nb + 1)) / 12.0)), 6) AS z_stat
-        |FROM ag ORDER BY event_type""".stripMargin,
+        |FROM ag WHERE na > 0 AND nb > 0 ORDER BY event_type""".stripMargin,
     "j_fuzzy_match" ->
       """WITH n AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name),
         |p AS (SELECT p_name, cnt, string_split(p_name, ' ')[-1] AS blk FROM n)

@@ -51,5 +51,48 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** The corpus' vector dimensionality, inferred ONCE per dir as the
+    * MODAL embedding length (count desc, size asc tie-break) over valid
+    * rows and memoized — the self-configuring stand-in for the dimension
+    * a production vector store declares in config. One 1-row aggregate
+    * per (dir) per JVM; Bench's warmup pass absorbs it.
+    */
+  private val embDimCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  def embeddingDim(s: SparkSession, d: String): Int =
+    embDimCache.computeIfAbsent(
+      d,
+      _ =>
+        embeddingsRaw(s, d)
+          .where(col("embedding").isNotNull)
+          .groupBy(org.apache.spark.sql.functions.size(col("embedding")).as("n"))
+          .count()
+          .orderBy(col("count").desc, col("n").asc)
+          .head()
+          .getInt(0)
+    )
+
+  def embeddingsRaw(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Embeddings with the vector-space contract ENFORCED: non-null,
+    * corpus-dimensional, all components finite. Every vector-math
+    * consumer reads through this — a crawl-scale embedding table
+    * contains null / truncated / NaN / Inf rows on day one (chaos probe
+    * r11: they NPE'd k-means seeding, AIOOBE'd the PCA accumulator, and
+    * poisoned kNN scores), and the kernels' contract is a clean fixed-dim
+    * space, enforced once at the scan, not per kernel. Row-local
+    * (map-only); the `exists` lambda runs interpreted but short-circuits
+    * — at true 100 TB scale this single predicate would graduate to a
+    * codegen Expression like `lang_id`.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dim = embeddingDim(s, d)
+    embeddingsRaw(s, d)
+      .where(
+        col("embedding").isNotNull &&
+          size(col("embedding")) === lit(dim) &&
+          !exists(col("embedding"), x => isnan(x) || abs(x) > lit(Float.MaxValue))
+      )
+  }
 }

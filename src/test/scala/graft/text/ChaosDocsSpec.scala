@@ -15,9 +15,8 @@ import graft.SparkSpec
   */
 class ChaosDocsSpec extends SparkSpec {
 
-  test("every documents-reading query is total on the chaos corpus") {
-    val dir = graft.tools.ChaosProbe.buildChaosDir(spark, sf0001)
-    val failures = graft.tools.ChaosProbe.docQueries.flatMap { name =>
+  private def assertTotal(dir: String, queries: Seq[String]): Unit = {
+    val failures = queries.flatMap { name =>
       // NO clearCache here: suites share one JVM-wide session and run
       // concurrently, so a whole-catalog clear evicts OTHER suites'
       // pinned state mid-test (observed: DedupSpec's incremental-CC /
@@ -33,5 +32,23 @@ class ChaosDocsSpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every documents-reading query is total on the chaos corpus") {
+    assertTotal(
+      graft.tools.ChaosProbe.buildChaosDir(spark, sf0001),
+      graft.tools.ChaosProbe.docQueries)
+  }
+
+  test("every embeddings-reading query is total on the chaos vectors") {
+    assertTotal(
+      graft.tools.ChaosProbe.buildEmbChaosDir(spark, sf0001),
+      graft.tools.ChaosProbe.embQueries)
+  }
+
+  test("every events-reading query is total on the chaos events") {
+    assertTotal(
+      graft.tools.ChaosProbe.buildEventChaosDir(spark, sf0001),
+      graft.tools.ChaosProbe.eventQueries)
   }
 }
