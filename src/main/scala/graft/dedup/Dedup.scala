@@ -745,7 +745,8 @@ object Dedup {
          |  SELECT doc_id, b,
          |    concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
          |              x -> CAST(x AS STRING))) AS bkey
-         |  FROM sigs LATERAL VIEW explode(sequence(0, ${numBands - 1})) t AS b),
+         |  FROM sigs LATERAL VIEW explode(sequence(0, ${numBands - 1})) t AS b
+         |  WHERE array_min(sig) < ${Long.MaxValue}L),
          |buckets AS (
          |  SELECT b, bkey, collect_list(doc_id) AS ids
          |  FROM bands GROUP BY b, bkey
@@ -1431,7 +1432,9 @@ object Dedup {
     val bandSrcs = (0 until numBands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => s"CAST(sig$j AS VARCHAR)").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, concat_ws(',', $slice) AS bkey FROM sigp"
+      // same all-sentinel exclusion as the engine face (content-less docs)
+      s"""SELECT doc_id, $b AS band_id, concat_ws(',', $slice) AS bkey FROM sigp
+         | WHERE least(${(0 until numPerms).map(i => s"sig$i").mkString(", ")}) < ${Long.MaxValue}""".stripMargin
     }.mkString(" UNION ALL ")
     s"""WITH sigp AS (
        |  SELECT * FROM read_parquet('${graft.OracleIo.sqlDir}/minhash_sigs/*.parquet')),

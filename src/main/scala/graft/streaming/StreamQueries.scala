@@ -881,7 +881,10 @@ object StreamQueries {
     val out = java.nio.file.Files.createTempDirectory("graft-sannserve-out").toString + "/hits"
     val idxPath = graft.sim.Similarity.scratchDir("sindex", d)
     val cents   = graft.sim.Similarity.writeIvfIndex(s, d, idxPath, nCells = 16, iters = 3)
-    val schema  = graft.tables.Tables.embeddings(s, d).schema
+    // raw scan: only the parquet schema is needed (identical on the raw
+    // and validated views), and the validated view runs an eager modal-dim
+    // aggregate this metadata read shouldn't pay (r11 review)
+    val schema  = graft.tables.Tables.embeddingsRaw(s, d).schema
     val probes = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")

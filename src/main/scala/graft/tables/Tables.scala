@@ -68,8 +68,14 @@ object Tables {
           .groupBy(org.apache.spark.sql.functions.size(col("embedding")).as("n"))
           .count()
           .orderBy(col("count").desc, col("n").asc)
-          .head()
-          .getInt(0)
+          .limit(1)
+          .collect()
+          .headOption
+          // no non-null vectors at all ⇒ dim 0: the validated view is
+          // empty rather than every consumer crashing on head() (r11
+          // review)
+          .map(_.getInt(0))
+          .getOrElse(0)
     )
 
   def embeddingsRaw(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -16,20 +16,29 @@ import graft.SparkSpec
 class ChaosDocsSpec extends SparkSpec {
 
   private def assertTotal(dir: String, queries: Seq[String]): Unit = {
+    // NO blanket clearCache per query: the session is JVM-shared, so a
+    // whole-catalog clear would evict other suites' pinned state. A
+    // query that THROWS mid-run, however, can leak its persist past the
+    // finally-unpersist (r11 review) — detect it, report it as its own
+    // failure, and clear so one regression doesn't cascade into every
+    // later suite's cacheManager.isEmpty hygiene assertion.
+    // a pre-existing entry is not attributable to any query here
+    if (!spark.sharedState.cacheManager.isEmpty) spark.catalog.clearCache()
     val failures = queries.flatMap { name =>
-      // NO clearCache here: suites share one JVM-wide session and run
-      // concurrently, so a whole-catalog clear evicts OTHER suites'
-      // pinned state mid-test (observed: DedupSpec's incremental-CC /
-      // ppjoin / kmv assertions); the chaos corpus is 9 rows and any
-      // persists its queries take are invocation-private checkpoints
       val r = scala.util.Try {
         graft.SparkEntry.queries(name)(spark, dir).collect().length
       }
+      val leaked =
+        if (spark.sharedState.cacheManager.isEmpty) None
+        else {
+          spark.catalog.clearCache()
+          Some(s"$name: leaked cacheManager entries")
+        }
       r.failed.toOption.map { e =>
         var root: Throwable = e
         while (root.getCause != null && root.getCause != root) root = root.getCause
         s"$name: ${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").linesIterator.take(1).mkString}"
-      }
+      } ++ leaked
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
