@@ -288,9 +288,14 @@ object Advanced {
     val n = Window.partitionBy(lit(1))
     Tables
       .orders(s, d)
+      // Benford's law is defined on the first SIGNIFICANT digit of a
+      // magnitude: null/zero values have none, and a negative value's
+      // leading '-' is not a digit (chaos probe r11) — abs + filter,
+      // mirrored in the oracle
+      .filter($"o_totalprice".isNotNull && $"o_totalprice" =!= 0)
       .select(
         substring(
-          ($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long").cast("string"),
+          abs($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long").cast("string"),
           1, 1
         ).cast("int").as("digit")
       )
@@ -2111,9 +2116,9 @@ object Advanced {
     // SAME rounded value on both engines
     "a_benford" ->
       """WITH dg AS (
-        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  SELECT CAST(substr(CAST(CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
         |    AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders),
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0),
         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM dg GROUP BY digit),
         |t AS (SELECT *, CAST((SELECT SUM(n_obs) FROM c) AS BIGINT) AS n_total FROM c),
         |e AS (

@@ -79,6 +79,10 @@ object Matching {
       org.apache.spark.sql.Encoders.product[(Long, Double, Int)]
     val pts = Tables
       .part(s, d)
+      // dominance over a null dimension is undefined, and the tuple
+      // encoder rejects nulls outright (chaos probe r11) — mirrored in
+      // the oracle
+      .filter($"p_partkey".isNotNull && $"p_retailprice".isNotNull && $"p_size".isNotNull)
       .select($"p_partkey", $"p_retailprice", $"p_size")
       .as[(Long, Double, Int)]
     val local = pts
@@ -491,9 +495,13 @@ object Matching {
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
         |ORDER BY name_a, name_b""".stripMargin,
     "a_skyline" ->
-      """SELECT p_partkey, p_retailprice, p_size FROM part p
+      """WITH pt AS (
+        |  SELECT p_partkey, p_retailprice, p_size FROM part
+        |  WHERE p_partkey IS NOT NULL AND p_retailprice IS NOT NULL
+        |    AND p_size IS NOT NULL)
+        |SELECT p_partkey, p_retailprice, p_size FROM pt p
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM part q
+        |  SELECT 1 FROM pt q
         |  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size <= p.p_size
         |    AND (q.p_retailprice > p.p_retailprice OR q.p_size < p.p_size))
         |ORDER BY p_partkey""".stripMargin,

@@ -154,6 +154,62 @@ object ChaosProbe {
     dir
   }
 
+  /** Relational chaos: every mutated table keeps ~40 real rows for
+    * signal, then appends, for EVERY column, two rows with that column
+    * NULLed (corrupt extracts null anything, keys included), plus
+    * zeroed and negated variants of every numeric column (divide-by-zero
+    * and sign-assumption probes). Schema-generic — no hand-written row
+    * literals to drift from the real tables.
+    */
+  private def mutateTable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val base = df.limit(40).localCheckpoint(true)
+    val nulled = df.schema.fields.map { f =>
+      base.limit(2).withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val numeric = df.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val zeroed  = numeric.map(f => base.limit(2).withColumn(f.name, lit(0).cast(f.dataType)))
+    val negated = numeric.map(f =>
+      base.limit(2).withColumn(f.name, (lit(-1) * org.apache.spark.sql.functions.col(f.name)).cast(f.dataType)))
+    (Seq(base) ++ nulled ++ zeroed ++ negated).reduce(_ unionAll _)
+  }
+
+  def buildRelChaosDir(spark: org.apache.spark.sql.SparkSession, base: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-rel").toString
+    Seq("lineitem", "orders", "part", "customer", "supplier").foreach { tbl =>
+      mutateTable(graft.tables.Tables.t(spark, base, tbl))
+        .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
+    }
+    Seq("region", "nation", "events", "documents", "embeddings").foreach { tbl =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
+        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
+    }
+    dir
+  }
+
+  /** Batch queries over the relational tables (TPC-H, analytics, joins,
+    * windows, forecast, series) — everything not already covered by the
+    * docs/emb/events modes and not fixture-driven (zolo/REST) or
+    * streaming.
+    */
+  def relQueries: Seq[String] =
+    (graft.queries.Relational.queries.keys ++ graft.queries.Tpch.queries.keys ++
+      graft.queries.Advanced.queries.keys ++ graft.queries.Matching.queries.keys ++
+      graft.queries.AsofJoin.queries.keys ++ graft.queries.ZOrder.queries.keys ++
+      graft.queries.Graph.queries.keys ++ graft.queries.Cdc.queries.keys ++
+      graft.queries.RuntimeFilter.queries.keys ++ graft.queries.Glm.queries.keys ++
+      graft.forecast.ForecastJobs.queries.keys ++ graft.forecast.SeriesAnalysis.queries.keys)
+      .toSeq.distinct.sorted
+      .filterNot(eventQueries.toSet)
+      .filterNot(_.startsWith("s_stream"))
+      // m_reconcile's >8-week-history `require` is its DOCUMENTED loud
+      // failure mode on degenerate corpora (r5 ADVICE guard) — a
+      // data-volume precondition, not a corruption crash; the 40-row
+      // chaos tables cannot clear it by construction
+      .filterNot(_ == "m_reconcile")
+
   def buildEventChaosDir(spark: org.apache.spark.sql.SparkSession, base: String): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-chaos-ev").toString
     spark
@@ -176,6 +232,7 @@ object ChaosProbe {
       case "docs"   => (buildChaosDir(spark, base), docQueries)
       case "emb"    => (buildEmbChaosDir(spark, base), embQueries)
       case "events" => (buildEventChaosDir(spark, base), eventQueries)
+      case "rel"    => (buildRelChaosDir(spark, base), relQueries)
     }
     var ok, bad = 0
     queries.foreach { name =>

@@ -60,4 +60,10 @@ class ChaosDocsSpec extends SparkSpec {
       graft.tools.ChaosProbe.buildEventChaosDir(spark, sf0001),
       graft.tools.ChaosProbe.eventQueries)
   }
+
+  test("every relational query is total on the mutated TPC-H tables") {
+    assertTotal(
+      graft.tools.ChaosProbe.buildRelChaosDir(spark, sf0001),
+      graft.tools.ChaosProbe.relQueries)
+  }
 }
