@@ -189,17 +189,22 @@ object Audio {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     audioBlobs(s, d)
       .mapPartitions { rows =>
-        rows.map { r =>
-          val id            = r.getLong(0)
-          val (sr, ch, xs)  = WavCodec.decode(r.getAs[Array[Byte]](1))
-          val frames        = xs.length / ch
-          val (peak, sum)   = absStats(xs)
-          Row(
-            id, sr, ch, frames,
-            frames.toLong * 1000L / sr,
-            peak, sum,
-            sum * 1000L / xs.length
-          )
+        // undecodable blobs are skipped, not crashed on — the standard
+        // corrupt-media semantic (chaos probe r11); fixture blobs decode
+        // 100%, so the oracle row set is unchanged
+        rows.flatMap { r =>
+          scala.util.Try {
+            val id            = r.getLong(0)
+            val (sr, ch, xs)  = WavCodec.decode(r.getAs[Array[Byte]](1))
+            val frames        = xs.length / ch
+            val (peak, sum)   = absStats(xs)
+            Row(
+              id, sr, ch, frames,
+              frames.toLong * 1000L / sr,
+              peak, sum,
+              sum * 1000L / xs.length
+            )
+          }.toOption
         }
       }(enc)
       .orderBy($"doc_id")
@@ -233,17 +238,20 @@ object Audio {
     val enc = org.apache.spark.sql.Encoders.row(resampledSchema)
     audioBlobs(s, d)
       .mapPartitions { rows =>
-        rows.map { r =>
-          val id           = r.getLong(0)
-          val (sr, ch, xs) = WavCodec.decode(r.getAs[Array[Byte]](1))
-          val frames       = xs.length / ch
-          val kept = Array.range(0, frames, decimation).flatMap { f =>
-            (0 until ch).map(c => xs(f * ch + c))
-          }
-          val rebytes        = WavCodec.encode(sr / decimation, ch, kept)
-          val (sr2, c2, ys)  = WavCodec.decode(rebytes)
-          val (peak, sum)    = absStats(ys)
-          Row(id, frames, sr2, ys.length / c2, peak, sum)
+        // same skip-on-undecodable contract as mmAudioDecode (chaos r11)
+        rows.flatMap { r =>
+          scala.util.Try {
+            val id           = r.getLong(0)
+            val (sr, ch, xs) = WavCodec.decode(r.getAs[Array[Byte]](1))
+            val frames       = xs.length / ch
+            val kept = Array.range(0, frames, decimation).flatMap { f =>
+              (0 until ch).map(c => xs(f * ch + c))
+            }
+            val rebytes        = WavCodec.encode(sr / decimation, ch, kept)
+            val (sr2, c2, ys)  = WavCodec.decode(rebytes)
+            val (peak, sum)    = absStats(ys)
+            Row(id, frames, sr2, ys.length / c2, peak, sum)
+          }.toOption
         }
       }(enc)
       .orderBy($"doc_id")
@@ -379,16 +387,19 @@ object Audio {
     audioBlobs(s, d)
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val id           = r.getLong(0)
-          val (_, ch, xs)  = WavCodec.decode(r.getAs[Array[Byte]](1))
-          val x            = Array.tabulate(n)(f => xs(f * ch).toDouble)
-          bins.map { k =>
+          // skip-on-undecodable, as mmAudioDecode (chaos r11)
+          val decoded = scala.util.Try {
+            val id          = r.getLong(0)
+            val (_, ch, xs) = WavCodec.decode(r.getAs[Array[Byte]](1))
+            (id, Array.tabulate(n)(f => xs(f * ch).toDouble))
+          }.toOption
+          decoded.toSeq.flatMap { case (id, x) => bins.map { k =>
             val c  = coefs(k)
             var s1 = 0.0; var s2 = 0.0; var j = 0
             while (j < n) { val s0 = x(j) + c * s1 - s2; s2 = s1; s1 = s0; j += 1 }
             val power = s1 * s1 + s2 * s2 - c * s1 * s2
             Row(id, k, math.floor(power).toLong)
-          }
+          } }
         }
       }(enc)
       .orderBy($"doc_id", $"bin")

