@@ -369,6 +369,12 @@ object StreamQueries {
         .agg(
           sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
           count(lit(1)).as("n_events"))
+        // a window whose every value is undefined (NaN try-casts to a
+        // null decimal) has no observation for the SES fold — drop it
+        // rather than violate WinRow's non-null total (chaos r11 round
+        // 6; SQL SUM ignores nulls, so mixed windows keep their defined
+        // total and the fixture corpus — no NaN — is unchanged)
+        .filter($"total_value".isNotNull)
         .select(
           unix_micros($"w.start").as("ws_us"), unix_micros($"w.end").as("we_us"),
           $"event_type", $"total_value", $"n_events")
@@ -739,10 +745,22 @@ object StreamQueries {
       .start()
     try q.awaitTermination()
     finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
-    val out = s.read.parquet(tbl)
-      .select($"user_id", $"last_event_id", $"last_ts", $"last_type", $"last_value", $"n_events")
-      .orderBy($"user_id")
-      .localCheckpoint(true)
+    // an event source that yields zero micro-batches never creates the
+    // state table (chaos r11 round 6) — an empty profile table IS the
+    // correct converged state of an empty stream, not a crash
+    val out =
+      if (new java.io.File(tbl).exists())
+        s.read.parquet(tbl)
+          .select($"user_id", $"last_event_id", $"last_ts", $"last_type", $"last_value", $"n_events")
+          .orderBy($"user_id")
+          .localCheckpoint(true)
+      else
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("user_id", LongType), StructField("last_event_id", LongType),
+            StructField("last_ts", TimestampType), StructField("last_type", StringType),
+            StructField("last_value", DoubleType), StructField("n_events", LongType))))
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(tbl).getParentFile)
     out
@@ -885,11 +903,18 @@ object StreamQueries {
     // and validated views), and the validated view runs an eager modal-dim
     // aggregate this metadata read shouldn't pay (r11 review)
     val schema  = graft.tables.Tables.embeddingsRaw(s, d).schema
+    // the probe stream reads RAW (a serving request is untrusted input),
+    // so the vector-space contract is enforced HERE: malformed probes
+    // (null / wrong-dim / non-finite — chaos r11 round 6 NPE'd the cell
+    // router on a null vector) are rejected at the endpoint, exactly as
+    // a production serving gate would 400 them
+    val dim = graft.tables.Tables.embeddingDim(s, d)
     val probes = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(d)
       .filter($"vec_id" < 10)
+      .filter(graft.tables.Tables.vectorContract($"embedding", dim))
       .select($"vec_id".as("probe_id"),
         transform($"embedding", x => x.cast("double")).as("pv"))
     val q = probes.writeStream
@@ -899,10 +924,22 @@ object StreamQueries {
       .start()
     try q.awaitTermination()
     finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
-    val res = s.read.parquet(out)
-      .drop("batch") // the per-batch idempotence subdirs, not result data
-      .orderBy($"probe_id", $"rank")
-      .localCheckpoint(true)
+    // zero accepted probes ⇒ zero micro-batch writes ⇒ the hits dir was
+    // never created (chaos r11 round 6: an empty — or fully rejected —
+    // ingest window is a legitimate serving state, not a crash): an
+    // empty typed result stands in for the missing parquet
+    val res =
+      if (new java.io.File(out).exists())
+        s.read.parquet(out)
+          .drop("batch") // the per-batch idempotence subdirs, not result data
+          .orderBy($"probe_id", $"rank")
+          .localCheckpoint(true)
+      else
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("probe_id", LongType), StructField("neighbor_id", LongType),
+            StructField("cosine", DoubleType), StructField("rank", IntegerType))))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out).getParentFile)
     res
   }
@@ -1175,7 +1212,9 @@ object StreamQueries {
          |    CAST(COUNT(*) AS BIGINT) AS n_events
          |  FROM events GROUP BY 1, 2),
          |fin AS (
-         |  SELECT w.* FROM w, cut WHERE window_start + INTERVAL 30 MINUTE <= wm),
+         |  SELECT w.* FROM w, cut
+         |  WHERE window_start + INTERVAL 30 MINUTE <= wm
+         |    AND total_value IS NOT NULL),
          |ser AS (
          |  SELECT event_type,
          |    list(window_start ORDER BY window_start) AS wss,

@@ -92,13 +92,20 @@ object Tables {
     * codegen Expression like `lang_id`.
     */
   def embeddings(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val dim = embeddingDim(s, d)
-    embeddingsRaw(s, d)
-      .where(
-        col("embedding").isNotNull &&
-          size(col("embedding")) === lit(dim) &&
-          !exists(col("embedding"), x => isnan(x) || abs(x) > lit(Float.MaxValue))
-      )
+    embeddingsRaw(s, d).where(vectorContract(org.apache.spark.sql.functions.col("embedding"), dim))
+  }
+
+  /** The contract predicate itself, reusable wherever vectors arrive
+    * OUTSIDE the [[embeddings]] scan — e.g. the streaming ANN serving
+    * path, whose probe stream reads raw and must reject malformed probe
+    * requests the way any serving endpoint does (chaos probe r11 round
+    * 6: a null probe vector NPE'd the probe-cell router).
+    */
+  def vectorContract(vec: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    vec.isNotNull &&
+      size(vec) === lit(dim) &&
+      !exists(vec, x => isnan(x) || abs(x) > lit(Float.MaxValue))
   }
 }

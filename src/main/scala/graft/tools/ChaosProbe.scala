@@ -4,6 +4,8 @@ import graft.GraftSession
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Totality probe over an adversarial documents corpus: null / empty /
   * whitespace-only / single-char / multi-byte (CJK, emoji, combining
   * marks) / control-char / very-long texts, plus a null source. A real
@@ -229,6 +231,89 @@ object ChaosProbe {
     dir
   }
 
+  /** The full streaming surface — chaos-gated separately from the batch
+    * modes because the stream paths read their tables RAW over
+    * `readStream` (the ann-serve probe stream bypasses the
+    * `Tables.embeddings` vector-space contract; the ingest-gate /
+    * near-dedup doc streams bypass nothing but had never seen a null
+    * text through the STREAMING kernels and state stores).
+    */
+  def streamQueries: Seq[String] =
+    graft.streaming.StreamQueries.queries.keys.toSeq.sorted
+
+  /** One dir with ALL THREE adversarial tables (events, documents,
+    * embeddings) so each streaming query meets the chaos variant of
+    * whichever table it streams; TPC-H dims symlinked for the IVF
+    * index-build side. Each chaos table lands as a SINGLE FILE named
+    * `<tbl>.parquet` — the corpus layout the stream sources'
+    * `pathGlobFilter` expects (a `<tbl>.parquet/` part-file DIRECTORY
+    * matches the glob on none of its files, silently emptying the
+    * stream — the first probe run measured that, not chaos behavior).
+    */
+  /** Land `df` as the SINGLE FILE `<dir>/<tbl>.parquet` — the corpus
+    * layout the stream sources' `pathGlobFilter` expects (a
+    * `<tbl>.parquet/` part-file DIRECTORY matches the glob on none of
+    * its files, silently emptying the stream).
+    */
+  private def writeSingleFile(
+      df: org.apache.spark.sql.DataFrame, dir: String, tbl: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-chaos-$tbl").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for $tbl"))
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$tbl.parquet"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  def buildStreamChaosDir(spark: org.apache.spark.sql.SparkSession, base: String): String = {
+    val dim = graft.tables.Tables.embeddingDim(spark, base)
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-stream").toString
+    writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.parallelize(chaosEventRows, 2), eventSchema),
+      dir, "events")
+    writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.parallelize(chaosRows, 2), schema),
+      dir, "documents")
+    writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.parallelize(chaosEmbRows(dim), 2), embSchema),
+      dir, "embeddings")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { tbl =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
+        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
+    }
+    dir
+  }
+
+  /** The zero-micro-batch corpus: events and documents EMPTY (an empty
+    * ingest window is a legitimate steady state of any landing zone),
+    * embeddings = the base corpus minus the probe-id range (the serving
+    * index builds normally, but the probe stream yields zero accepted
+    * requests) — so every streaming query runs its never-wrote-output
+    * path: ann-serve's missing hits dir, upsert's never-created state
+    * table, forecast's windowless bronze.
+    */
+  def buildEmptyStreamDir(spark: org.apache.spark.sql.SparkSession, base: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-sempty").toString
+    writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema), dir, "events")
+    writeSingleFile(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), dir, "documents")
+    writeSingleFile(
+      graft.tables.Tables.embeddingsRaw(spark, base)
+        .where(org.apache.spark.sql.functions.col("vec_id") >= 10),
+      dir, "embeddings")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { tbl =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
+        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val base  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val mode  = sys.env.getOrElse("SPARK_GRAFT_CHAOS_MODE", "docs")
@@ -238,6 +323,8 @@ object ChaosProbe {
       case "emb"    => (buildEmbChaosDir(spark, base), embQueries)
       case "events" => (buildEventChaosDir(spark, base), eventQueries)
       case "rel"    => (buildRelChaosDir(spark, base), relQueries)
+      case "stream"      => (buildStreamChaosDir(spark, base), streamQueries)
+      case "streamempty" => (buildEmptyStreamDir(spark, base), streamQueries)
     }
     var ok, bad = 0
     queries.foreach { name =>

@@ -66,4 +66,20 @@ class ChaosDocsSpec extends SparkSpec {
       graft.tools.ChaosProbe.buildRelChaosDir(spark, sf0001),
       graft.tools.ChaosProbe.relQueries)
   }
+
+  test("every streaming query is total on the chaos stream tables") {
+    assertTotal(
+      graft.tools.ChaosProbe.buildStreamChaosDir(spark, sf0001),
+      graft.tools.ChaosProbe.streamQueries)
+  }
+
+  test("every streaming query is total on a zero-micro-batch stream") {
+    // events/documents empty, probe ids absent: every query runs its
+    // never-wrote-output path (ann-serve's missing hits dir, upsert's
+    // never-created state table) — an empty ingest window is a steady
+    // state of any landing zone, not a crash
+    assertTotal(
+      graft.tools.ChaosProbe.buildEmptyStreamDir(spark, sf0001),
+      graft.tools.ChaosProbe.streamQueries)
+  }
 }
