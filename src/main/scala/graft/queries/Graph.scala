@@ -131,10 +131,24 @@ object Graph {
           .persist()
         val tri =
           try {
-            de.select($"src".as("u"), $"dst".as("v"))
-              .join(de.select($"src".as("v"), $"dst".as("w")), "v")
-              .join(de.select($"src".as("u"), $"dst".as("w")), Seq("u", "w"), "left_semi")
-              .count()
+            // out×out wedges, NOT the u→v→w path join (r11c stress: the
+            // path form keys the wedge join on v, whose work is
+            // in(v)·out(v) — in-degree is unbounded on hubs, so the hot
+            // key's pairs all land in ONE task; the ×10 run measured a
+            // 37.7 s straggler holding half the wall). Generating both
+            // wedge legs from the SAME src bounds per-key work by the
+            // orientation's O(√m) out-degree cap — balanced by
+            // construction. Each triangle a<b<c (orientation order) is
+            // found exactly once, at its unique out-degree-2 apex a; the
+            // closing edge b–c sits in `de` in whichever direction the
+            // (degree, id) order gave it, so both sides normalize the
+            // pair by plain node order for the semi-join probe.
+            val cand = de.as("a")
+              .join(de.as("b"), col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+              .select(col("a.dst").as("x"), col("b.dst").as("y"))
+            val closing = de.select(
+              least($"src", $"dst").as("x"), greatest($"src", $"dst").as("y"))
+            cand.join(closing, Seq("x", "y"), "left_semi").count()
           } finally de.unpersist()
         (tri, wedges)
       } finally deg.unpersist()
