@@ -54,7 +54,12 @@ object SquareEtl {
     * branch only when `> 7`... i.e. to 'other', as in the reference).
     */
   def withMarket(details: DataFrame): DataFrame = {
-    val local = to_timestamp($"created_at") - expr("INTERVAL 7 HOURS") // T1+T2
+    // try_to_timestamp, not to_timestamp (chaos r11 round 7): a live API
+    // ships malformed timestamps, and ANSI to_timestamp fails the whole
+    // job on the first one — undefined rows carry a null local time
+    // instead (their date/market derivations null-propagate). Fixture
+    // timestamps all parse, so the oracle row set is unchanged.
+    val local = try_to_timestamp($"created_at") - expr("INTERVAL 7 HOURS") // T1+T2
     val d     = details
       .withColumn("created_at_local", local)
       .withColumn("trans_date", to_date($"created_at_local")) // T3

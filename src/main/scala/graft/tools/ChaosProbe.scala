@@ -314,23 +314,128 @@ object ChaosProbe {
     dir
   }
 
+  /** Adversarial API payloads per zolo source — the shapes a live REST
+    * endpoint returns on day one that the bundled fixtures never show:
+    * missing / null / garbage timestamps, null or empty nested arrays,
+    * null structs, negative amounts (refunds), null ids, non-numeric
+    * numeric strings, and one syntactically TRUNCATED line per file
+    * (Spark's PERMISSIVE mode must null it out, not fail the read).
+    */
+  def chaosSquareLines: Seq[String] = Seq(
+    // missing created_at entirely
+    """{"id":"x1","device":{"name":"reg9"},"itemizations":[{"quantity":1.0,"item_variation_name":"12oz bag","item_detail":{"item_variation_id":"sq-101"},"total_money":{"amount":1200},"modifiers":[]}],"tender":[{"tendered_money":{"amount":1200},"change_back_money":{"amount":0}}]}""",
+    // garbage timestamp
+    """{"id":"x2","created_at":"not-a-timestamp","device":{"name":"reg9"},"itemizations":[{"quantity":1.0,"item_variation_name":"5lb bag","item_detail":{"item_variation_id":"sq-102"},"total_money":{"amount":6500},"modifiers":[]}],"tender":[]}""",
+    // null device / itemizations / tender
+    """{"id":"x3","created_at":"2019-06-10T10:00:00Z","device":null,"itemizations":null,"tender":null}""",
+    // empty itemizations, null money structs in tender
+    """{"id":"x4","created_at":"2019-06-10T11:00:00Z","device":{"name":"d9"},"itemizations":[],"tender":[{"tendered_money":null,"change_back_money":null}]}""",
+    // null leaf fields inside an itemization
+    """{"id":"x5","created_at":"2019-06-10T12:00:00Z","device":{"name":"d9"},"itemizations":[{"quantity":null,"item_variation_name":null,"item_detail":null,"total_money":{"amount":null},"modifiers":[{"name":null}]}],"tender":[{"tendered_money":{"amount":-500},"change_back_money":{"amount":0}}]}""",
+    // null id, refund quantities/amounts
+    """{"id":null,"created_at":"2019-06-10T13:00:00Z","device":{"name":"d9"},"itemizations":[{"quantity":-2.0,"item_variation_name":"12oz bag","item_detail":{"item_variation_id":"sq-101"},"total_money":{"amount":-2400},"modifiers":[]}],"tender":[{"tendered_money":{"amount":0},"change_back_money":{"amount":0}}]}""",
+    // truncated line
+    """{"id":"x6","created_at":"2019-06-10T14:00:00Z","device":{"name":"d9"},"itemizations":[{"quantity":"""
+  )
+
+  def chaosShopifyLines: Seq[String] = Seq(
+    """{"id":null,"created_at":null,"line_items":null,"shipping_lines":null}""",
+    """{"id":6001,"created_at":"garbage-date","line_items":[{"quantity":"x","variant_id":null,"price":"abc"}],"shipping_lines":[{"price":null}]}""",
+    """{"id":6002,"created_at":"2019-06-21T10:00:00Z","line_items":[],"shipping_lines":[]}""",
+    """{"id":6003,"created_at":"2019-06-21T11:00:00Z","line_items":[{"quantity":"-1","variant_id":9001,"price":"-14.50"}],"shipping_lines":[{"price":"7.25"},{"price":"1.00"}]}""",
+    """{"id":6004"""
+  )
+
+  def chaosQbInvoiceLines: Seq[String] = Seq(
+    """{"DocNumber":null,"TxnDate":null,"CustomerRef":null,"Line":null}""",
+    """{"DocNumber":"inv-x","TxnDate":"13/45/2019","CustomerRef":{"value":null},"Line":[]}""",
+    """{"DocNumber":"inv-y","TxnDate":"2019-06-21","CustomerRef":{"value":"c102"},"Line":[{"Id":null,"SalesItemLineDetail":null},{"Id":"2","SalesItemLineDetail":{"ItemRef":null,"Qty":null,"UnitPrice":null}}]}""",
+    """{"DocNumber":"inv-z","TxnDate":"2019-06-22","CustomerRef":{"value":"c103"},"Line":[{"Id":"1","SalesItemLineDetail":{"ItemRef":{"value":"qb-201"},"Qty":-5.0,"UnitPrice":-9.5}}]}""",
+    """{"DocNumber":"inv-w""""
+  )
+
+  def chaosQbCustomerLines: Seq[String] = Seq(
+    """{"Id":null,"CompanyName":null,"PrimaryPhone":null,"ShipAddr":null,"MetaData":null}""",
+    """{"Id":"c999","CompanyName":"X","PrimaryPhone":{"FreeFormNumber":null},"ShipAddr":{"Line1":null,"City":null,"CountrySubDivisionCode":null,"PostalCode":null},"MetaData":{"CreateTime":"not-a-time"}}""",
+    """{"Id":"c998"""
+  )
+
+  /** Chaos fixtures dir: each zolo JSONL = the REAL fixture lines (signal
+    * + regression anchor) plus the adversarial lines; CSV seeds copied
+    * verbatim.
+    */
+  def buildZoloChaosDir(): String = {
+    val src = java.nio.file.Paths.get(graft.etl.ZoloPipeline.fixturesDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos-zolo")
+    def mutate(name: String, extra: Seq[String]): Unit = {
+      val real = java.nio.file.Files.readString(src.resolve(name)).stripLineEnd
+      java.nio.file.Files.writeString(dir.resolve(name), (real +: extra).mkString("\n"))
+    }
+    mutate("square_payments.json", chaosSquareLines)
+    mutate("shopify_orders.json", chaosShopifyLines)
+    mutate("qb_invoices.json", chaosQbInvoiceLines)
+    mutate("qb_customers.json", chaosQbCustomerLines)
+    Seq("items.csv", "coffee_profiles.csv").foreach { f =>
+      java.nio.file.Files.copy(src.resolve(f), dir.resolve(f))
+    }
+    dir.toString
+  }
+
+  /** The zolo ETL surface driven by the chaos fixtures — named thunks
+    * rather than driver-query names because the zolo queries pin the
+    * bundled fixtures dir; the SAME transform stacks run here against
+    * the adversarial payloads, ending with the full weekly-demand SQL
+    * over chaos-derived views. Callers must clearCache() afterwards:
+    * registerAllForce persists the chaos views, and the next zolo driver
+    * query's registerAll re-registers the real fixtures once the cache
+    * check fails.
+    */
+  def zoloChecks(dir: String): Seq[(String, org.apache.spark.sql.SparkSession => Long)] = Seq(
+    "zolo_square_etl" -> { s =>
+      val (t, dt) = graft.etl.SquareEtl.run(s, s"$dir/square_payments.json")
+      t.count() + dt.count()
+    },
+    "zolo_shopify_etl" -> { s =>
+      val (t, dt) = graft.etl.ShopifyEtl.run(s, s"$dir/shopify_orders.json")
+      t.count() + dt.count()
+    },
+    "zolo_qb_etl" -> { s =>
+      val (t, dt) = graft.etl.QuickbooksEtl.run(s, s"$dir/qb_invoices.json")
+      t.count() + dt.count()
+    },
+    "zolo_qbc_etl" -> { s =>
+      graft.etl.QbCustomersEtl.run(s, s"$dir/qb_customers.json").count()
+    },
+    "zolo_weekly_demand" -> { s =>
+      graft.etl.ZoloPipeline.registerAllForce(s, dir)
+      try graft.analytics.WeeklyDemand.run(s).count()
+      finally s.catalog.clearCache()
+    }
+  )
+
   def main(args: Array[String]): Unit = {
     val base  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val mode  = sys.env.getOrElse("SPARK_GRAFT_CHAOS_MODE", "docs")
     val spark = GraftSession.local(8, "graft-chaos-probe")
-    val (dir, queries) = mode match {
-      case "docs"   => (buildChaosDir(spark, base), docQueries)
-      case "emb"    => (buildEmbChaosDir(spark, base), embQueries)
-      case "events" => (buildEventChaosDir(spark, base), eventQueries)
-      case "rel"    => (buildRelChaosDir(spark, base), relQueries)
-      case "stream"      => (buildStreamChaosDir(spark, base), streamQueries)
-      case "streamempty" => (buildEmptyStreamDir(spark, base), streamQueries)
-    }
-    var ok, bad = 0
-    queries.foreach { name =>
-      val r = scala.util.Try {
-        graft.SparkEntry.queries(name)(spark, dir).collect().length
+    val checks: Seq[(String, () => Long)] =
+      if (mode == "zolo") {
+        val dir = buildZoloChaosDir()
+        zoloChecks(dir).map { case (n, f) => (n, () => f(spark)) }
+      } else {
+        val (dir, queries) = mode match {
+          case "docs"        => (buildChaosDir(spark, base), docQueries)
+          case "emb"         => (buildEmbChaosDir(spark, base), embQueries)
+          case "events"      => (buildEventChaosDir(spark, base), eventQueries)
+          case "rel"         => (buildRelChaosDir(spark, base), relQueries)
+          case "stream"      => (buildStreamChaosDir(spark, base), streamQueries)
+          case "streamempty" => (buildEmptyStreamDir(spark, base), streamQueries)
+        }
+        queries.map(n =>
+          (n, () => graft.SparkEntry.queries(n)(spark, dir).collect().length.toLong))
       }
+    var ok, bad = 0
+    checks.foreach { case (name, thunk) =>
+      val r = scala.util.Try(thunk())
       if (!spark.sharedState.cacheManager.isEmpty) {
         println(s"- LEAK  $name left cacheManager entries behind")
         spark.catalog.clearCache()

@@ -73,6 +73,24 @@ class ChaosDocsSpec extends SparkSpec {
       graft.tools.ChaosProbe.streamQueries)
   }
 
+  test("the zolo ETL surface is total on adversarial API payloads") {
+    // malformed timestamps, non-numeric numeric strings, null/empty
+    // nested arrays and structs, truncated JSON lines — shapes a live
+    // REST endpoint returns that the bundled fixtures never show
+    val dir = graft.tools.ChaosProbe.buildZoloChaosDir()
+    val failures = graft.tools.ChaosProbe.zoloChecks(dir).flatMap { case (name, f) =>
+      scala.util.Try(f(spark)).failed.toOption.map { e =>
+        var root: Throwable = e
+        while (root.getCause != null && root.getCause != root) root = root.getCause
+        s"$name: ${root.getClass.getSimpleName}: ${Option(root.getMessage).getOrElse("").linesIterator.take(1).mkString}"
+      }
+    }
+    // the weekly-demand check registered chaos views; clear them so the
+    // next zolo consumer re-registers the real fixtures
+    spark.catalog.clearCache()
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("every streaming query is total on a zero-micro-batch stream") {
     // events/documents empty, probe ids absent: every query runs its
     // never-wrote-output path (ann-serve's missing hits dir, upsert's
