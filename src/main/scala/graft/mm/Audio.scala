@@ -185,30 +185,49 @@ object Audio {
     * non-negative, so Spark's truncating long division and DuckDB's //
     * agree).
     */
-  val mmAudioDecode: Q = (s, d) => {
+  /** Decode-or-skip for an untrusted blob column: None on null bytes or
+    * a codec failure — the standard corrupt-media semantic (chaos probe
+    * r11) — and ONLY on those (the Try is scoped to the codec call, so a
+    * post-decode kernel bug still fails loudly instead of masquerading
+    * as an undecodable row; r11 review). Shared by the three decode
+    * kernels and the corrupt-blob spec.
+    */
+  private[mm] def tryDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    if (bytes == null) None
+    else scala.util.Try(WavCodec.decode(bytes)).toOption
+
+  /** The decode kernel over any (doc_id, blob) frame — factored from the
+    * driver query so the corrupt-blob spec can feed it adversarial bytes
+    * (the generated corpus is always decodable, so the skip paths were
+    * otherwise untestable; r11 review).
+    */
+  private[mm] def decodeTable(blobs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
-    audioBlobs(s, d)
+    blobs
       .mapPartitions { rows =>
-        // undecodable blobs are skipped, not crashed on — the standard
-        // corrupt-media semantic (chaos probe r11); fixture blobs decode
-        // 100%, so the oracle row set is unchanged
+        // undecodable blobs are skipped, not crashed on; fixture blobs
+        // decode 100%, so the oracle row set is unchanged. Decodable but
+        // EMPTY clips (zero samples) are skipped EXPLICITLY — duration
+        // and mean stats are undefined on them
         rows.flatMap { r =>
-          scala.util.Try {
-            val id            = r.getLong(0)
-            val (sr, ch, xs)  = WavCodec.decode(r.getAs[Array[Byte]](1))
-            val frames        = xs.length / ch
-            val (peak, sum)   = absStats(xs)
-            Row(
-              id, sr, ch, frames,
-              frames.toLong * 1000L / sr,
-              peak, sum,
-              sum * 1000L / xs.length
-            )
-          }.toOption
+          val id = r.getLong(0)
+          tryDecode(r.getAs[Array[Byte]](1)).filter(_._3.nonEmpty).map {
+            case (sr, ch, xs) =>
+              val frames      = xs.length / ch
+              val (peak, sum) = absStats(xs)
+              Row(
+                id, sr, ch, frames,
+                frames.toLong * 1000L / sr,
+                peak, sum,
+                sum * 1000L / xs.length
+              )
+          }
         }
       }(enc)
       .orderBy($"doc_id")
   }
+
+  val mmAudioDecode: Q = (s, d) => decodeTable(audioBlobs(s, d))
 
   /** Frame decimation factor for the resample query: keep every 4th
     * frame (all channels of it) — the integer-exact stand-in for "16 kHz
@@ -234,28 +253,36 @@ object Audio {
     * decode→decimate→encode→decode chain must be lossless for the
     * arithmetic oracle to match (same discipline as mm_resize).
     */
-  val mmAudioResample: Q = (s, d) => {
+  /** Resample kernel over any (doc_id, blob) frame — factored like
+    * [[decodeTable]] for the corrupt-blob spec.
+    */
+  private[mm] def resampleTable(blobs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(resampledSchema)
-    audioBlobs(s, d)
+    blobs
       .mapPartitions { rows =>
-        // same skip-on-undecodable contract as mmAudioDecode (chaos r11)
+        // same skip-on-undecodable contract as mmAudioDecode; clips with
+        // no samples, or a rate below the decimation factor (the output
+        // rate would be 0), are EXPLICITLY undefined for resampling
         rows.flatMap { r =>
-          scala.util.Try {
-            val id           = r.getLong(0)
-            val (sr, ch, xs) = WavCodec.decode(r.getAs[Array[Byte]](1))
-            val frames       = xs.length / ch
-            val kept = Array.range(0, frames, decimation).flatMap { f =>
-              (0 until ch).map(c => xs(f * ch + c))
+          val id = r.getLong(0)
+          tryDecode(r.getAs[Array[Byte]](1))
+            .filter { case (sr, _, xs) => xs.nonEmpty && sr >= decimation }
+            .map { case (sr, ch, xs) =>
+              val frames = xs.length / ch
+              val kept = Array.range(0, frames, decimation).flatMap { f =>
+                (0 until ch).map(c => xs(f * ch + c))
+              }
+              val rebytes       = WavCodec.encode(sr / decimation, ch, kept)
+              val (sr2, c2, ys) = WavCodec.decode(rebytes)
+              val (peak, sum)   = absStats(ys)
+              Row(id, frames, sr2, ys.length / c2, peak, sum)
             }
-            val rebytes        = WavCodec.encode(sr / decimation, ch, kept)
-            val (sr2, c2, ys)  = WavCodec.decode(rebytes)
-            val (peak, sum)    = absStats(ys)
-            Row(id, frames, sr2, ys.length / c2, peak, sum)
-          }.toOption
         }
       }(enc)
       .orderBy($"doc_id")
   }
+
+  val mmAudioResample: Q = (s, d) => resampleTable(audioBlobs(s, d))
 
   /** VAD synth + tunables (interpolated into the oracle): mono clips of
     * 1024..2816 samples in 64-sample frames; 4-frame blocks alternate
@@ -379,21 +406,25 @@ object Audio {
     )
   )
 
-  val mmAudioGoertzel: Q = (s, d) => {
+  /** Goertzel kernel over any (doc_id, blob) frame — factored like
+    * [[decodeTable]] for the corrupt-blob spec.
+    */
+  private[mm] def goertzelTable(blobs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val enc  = org.apache.spark.sql.Encoders.row(goertzelSchema)
     val bins = goertzelBins
     val coefs = goertzelCoefs
     val n = goertzelN
-    audioBlobs(s, d)
+    blobs
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          // skip-on-undecodable, as mmAudioDecode (chaos r11)
-          val decoded = scala.util.Try {
-            val id          = r.getLong(0)
-            val (_, ch, xs) = WavCodec.decode(r.getAs[Array[Byte]](1))
-            (id, Array.tabulate(n)(f => xs(f * ch).toDouble))
-          }.toOption
-          decoded.toSeq.flatMap { case (id, x) => bins.map { k =>
+          // skip-on-undecodable, as mmAudioDecode; clips shorter than
+          // the n-sample analysis window are EXPLICITLY skipped (the
+          // fixed-length Goertzel is undefined on them)
+          val id = r.getLong(0)
+          val decoded = tryDecode(r.getAs[Array[Byte]](1))
+            .filter { case (_, ch, xs) => xs.length / ch >= n }
+            .map { case (_, ch, xs) => Array.tabulate(n)(f => xs(f * ch).toDouble) }
+          decoded.toSeq.flatMap { x => bins.map { k =>
             val c  = coefs(k)
             var s1 = 0.0; var s2 = 0.0; var j = 0
             while (j < n) { val s0 = x(j) + c * s1 - s2; s2 = s1; s1 = s0; j += 1 }
@@ -404,6 +435,8 @@ object Audio {
       }(enc)
       .orderBy($"doc_id", $"bin")
   }
+
+  val mmAudioGoertzel: Q = (s, d) => goertzelTable(audioBlobs(s, d))
 
   val queries: Map[String, Q] = Map(
     "mm_audio_decode"   -> mmAudioDecode,

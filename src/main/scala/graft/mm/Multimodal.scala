@@ -222,14 +222,19 @@ object Multimodal {
         // is unchanged
         rows.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          if (bytes == null) None
-          else
-            scala.util.Try {
-              val id             = r.getLong(0)
-              val (img, fmt)     = ImageCodec.decode(bytes)
-              val (w, h, c, sum) = ImageCodec.stats(img)
-              Row(id, w, h, c, fmt, sum, sum / (w.toLong * h * c))
-            }.toOption
+          val id    = r.getLong(0)
+          // Try scoped to the CODEC call only (r11 review): a
+          // post-decode stats bug must fail loudly, not masquerade as an
+          // undecodable row. Decodable zero-pixel images are skipped
+          // EXPLICITLY — mean intensity is undefined on them.
+          val decoded =
+            if (bytes == null) None
+            else scala.util.Try(ImageCodec.decode(bytes)).toOption
+          decoded.flatMap { case (img, fmt) =>
+            val (w, h, c, sum) = ImageCodec.stats(img)
+            if (w.toLong * h * c == 0L) None
+            else Some(Row(id, w, h, c, fmt, sum, sum / (w.toLong * h * c)))
+          }
         }
       }(enc)
   }

@@ -46,12 +46,8 @@ object ChaosProbe {
     spark
       .createDataFrame(spark.sparkContext.parallelize(chaosRows, 2), schema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "embeddings").foreach { tbl =>
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
-        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
-    }
+    StressUtil.symlinkTables(dir, base, Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings"))
     dir
   }
 
@@ -152,12 +148,8 @@ object ChaosProbe {
     spark
       .createDataFrame(spark.sparkContext.parallelize(chaosEmbRows(dim), 2), embSchema)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents").foreach { tbl =>
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
-        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
-    }
+    StressUtil.symlinkTables(dir, base, Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents"))
     dir
   }
 
@@ -188,11 +180,7 @@ object ChaosProbe {
       mutateTable(graft.tables.Tables.t(spark, base, tbl))
         .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
     }
-    Seq("region", "nation", "events", "documents", "embeddings").foreach { tbl =>
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
-        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
-    }
+    StressUtil.symlinkTables(dir, base, Seq("region", "nation", "events", "documents", "embeddings"))
     dir
   }
 
@@ -222,12 +210,8 @@ object ChaosProbe {
     spark
       .createDataFrame(spark.sparkContext.parallelize(chaosEventRows, 2), eventSchema)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { tbl =>
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
-        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
-    }
+    StressUtil.symlinkTables(dir, base, Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings"))
     dir
   }
 
@@ -241,31 +225,31 @@ object ChaosProbe {
   def streamQueries: Seq[String] =
     graft.streaming.StreamQueries.queries.keys.toSeq.sorted
 
-  /** One dir with ALL THREE adversarial tables (events, documents,
-    * embeddings) so each streaming query meets the chaos variant of
-    * whichever table it streams; TPC-H dims symlinked for the IVF
-    * index-build side. Each chaos table lands as a SINGLE FILE named
-    * `<tbl>.parquet` — the corpus layout the stream sources'
-    * `pathGlobFilter` expects (a `<tbl>.parquet/` part-file DIRECTORY
-    * matches the glob on none of its files, silently emptying the
-    * stream — the first probe run measured that, not chaos behavior).
-    */
   /** Land `df` as the SINGLE FILE `<dir>/<tbl>.parquet` — the corpus
     * layout the stream sources' `pathGlobFilter` expects (a
     * `<tbl>.parquet/` part-file DIRECTORY matches the glob on none of
-    * its files, silently emptying the stream).
+    * its files, silently emptying the stream — the first stream-chaos
+    * probe run measured exactly that, not chaos behavior).
     */
   private def writeSingleFile(
       df: org.apache.spark.sql.DataFrame, dir: String, tbl: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-chaos-$tbl").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no part file written for $tbl"))
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $tbl"))
+      finally listing.close()
     java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$tbl.parquet"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  /** One dir with ALL THREE adversarial tables (events, documents,
+    * embeddings) so each streaming query meets the chaos variant of
+    * whichever table it streams; TPC-H dims symlinked for the IVF
+    * index-build side.
+    */
   def buildStreamChaosDir(spark: org.apache.spark.sql.SparkSession, base: String): String = {
     val dim = graft.tables.Tables.embeddingDim(spark, base)
     val dir = java.nio.file.Files.createTempDirectory("graft-chaos-stream").toString
@@ -278,12 +262,8 @@ object ChaosProbe {
     writeSingleFile(
       spark.createDataFrame(spark.sparkContext.parallelize(chaosEmbRows(dim), 2), embSchema),
       dir, "embeddings")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { tbl =>
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
-        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
-    }
+    StressUtil.symlinkTables(dir, base,
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
     dir
   }
 
@@ -305,12 +285,8 @@ object ChaosProbe {
       graft.tables.Tables.embeddingsRaw(spark, base)
         .where(org.apache.spark.sql.functions.col("vec_id") >= 10),
       dir, "embeddings")
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { tbl =>
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
-        java.nio.file.Paths.get(s"$base/$tbl.parquet"))
-    }
+    StressUtil.symlinkTables(dir, base,
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
     dir
   }
 

@@ -42,7 +42,7 @@ object StressR11c {
 
     def buildDir(mult: Int): String = {
       val dir = s"/tmp/graft_stress_r11c_x$mult"
-      cachedDir(dir, base) {
+      cachedDir(dir, base, recipe = "part-scaled-v2") {
         val (_, t) = time {
           graft.tables.Tables
             .lineitem(spark, base)
@@ -54,10 +54,23 @@ object StressR11c {
             .repartition(4 * mult)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         }
+        // part scales WITH the graph keys: g_adamic_adar/g_hops seed from
+        // p_brand parts, and an unscaled part table would leave the
+        // replica keyspace almost seedless — the probe would measure a
+        // degenerate wedge frontier, not data scaling (r11c self-review)
+        val (_, tp) = time {
+          graft.tables.Tables
+            .part(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .withColumn("p_partkey", $"p_partkey" * mult + $"rep")
+            .drop("rep")
+            .repartition(math.max(4, mult / 2))
+            .write.mode("overwrite").parquet(s"$dir/part.parquet")
+        }
         symlinkTables(dir, base,
-          Seq("region", "nation", "customer", "supplier", "part", "orders",
+          Seq("region", "nation", "customer", "supplier", "orders",
             "events", "documents", "embeddings"))
-        println(f"- corpus ×$mult build: lineitem $t%.1f s")
+        println(f"- corpus ×$mult build: lineitem $t%.1f s, part $tp%.1f s")
       }
     }
 
@@ -76,7 +89,10 @@ object StressR11c {
       spark.catalog.clearCache()
     }
 
-    Seq("g_pagerank", "g_triangles", "g_adamic_adar", "g_label_prop").foreach { q =>
+    val qs = sys.env.get("SPARK_GRAFT_STRESS_QUERIES")
+      .map(_.split(',').toSeq)
+      .getOrElse(Seq("g_pagerank", "g_triangles", "g_adamic_adar", "g_label_prop"))
+    qs.foreach { q =>
       run(q, base, warm = true) // JIT/codegen warmup, untimed
       run(q, dir1)              // ×1 floor: same layout/file granularity
       run(q, dirN)              // ×mult

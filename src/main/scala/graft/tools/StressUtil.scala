@@ -84,16 +84,21 @@ object StressUtil {
     * same basename — writeOnce's per-path contract assumes path ⇒
     * content).
     */
-  def cachedDir(dir: String, base: String)(build: => Unit): String = {
+  def cachedDir(dir: String, base: String, recipe: String = "")(build: => Unit): String = {
     val ready = java.nio.file.Paths.get(s"$dir/_READY")
+    // the key is base dir + build RECIPE (r11 review: a recipe change —
+    // e.g. r11c starting to scale the part table alongside lineitem —
+    // must invalidate dirs built by the old code, or the "fixed" probe
+    // silently measures the stale corpus)
+    val key = if (recipe.isEmpty) base else s"$base#$recipe"
     val valid = java.nio.file.Files.exists(ready) &&
-      java.nio.file.Files.readString(ready).trim == base
+      java.nio.file.Files.readString(ready).trim == key
     if (!valid) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(graft.OracleIo.dir(dir)))
       new java.io.File(dir).mkdirs()
       build
-      java.nio.file.Files.writeString(ready, base)
+      java.nio.file.Files.writeString(ready, key)
     } else println(s"- corpus ${new java.io.File(dir).getName} cached")
     dir
   }
