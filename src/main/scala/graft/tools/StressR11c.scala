@@ -37,6 +37,13 @@ object StressR11c {
     val base  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult  = sys.env.getOrElse("SPARK_GRAFT_STRESS_MULT", "10").toInt
     val spark = GraftSession.local(32, "graft-stress-r11c")
+    // fleet-emulation knob: a 1000-executor cluster runs a ×100 corpus
+    // with cluster-scaled shuffle.partitions, not this box's 32 — the
+    // override lets the probe measure that granularity directly (the
+    // per-partition footprint shrinks; max task should drop in kind)
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+    }
     import spark.implicits._
     val meter = new StressUtil.Meter(spark)
 
