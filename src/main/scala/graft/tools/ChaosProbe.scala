@@ -351,9 +351,19 @@ object ChaosProbe {
     mutate("shopify_orders.json", chaosShopifyLines)
     mutate("qb_invoices.json", chaosQbInvoiceLines)
     mutate("qb_customers.json", chaosQbCustomerLines)
-    Seq("items.csv", "coffee_profiles.csv").foreach { f =>
-      java.nio.file.Files.copy(src.resolve(f), dir.resolve(f))
-    }
+    // CSV seeds get adversarial rows too (short/long rows, non-numeric
+    // numerics, quoted commas, an empty line, a null-ish id) — they flow
+    // into the weekly-demand check through the same registerAllForce
+    mutate("items.csv", Seq(
+      "Chaos Blend,\"12oz, bagged\",9901,sq-901,qb-901,9901,coffee,whole bean,not-a-weight,1",
+      "Short Row,only-three,9902",
+      "Long Row,12oz bag,9903,sq-903,qb-903,9903,coffee,whole bean,0.75,1,EXTRA,COLUMNS",
+      "",
+      ",,,,,,,,,"))
+    mutate("coffee_profiles.csv", Seq(
+      "99,Chaos,medium,not-a-bool,0,Brazil,natural,abc,,,,,,",
+      "100,\"Comma, Name\",light,1,1,Ethiopia,washed,100.0,,,,,,",
+      ",,,,,,,,,,,,,"))
     dir.toString
   }
 
