@@ -132,8 +132,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle SQL is authored against the gate SF; retarget its artifact
+    // paths (boundary dumps, golden-fixture CSVs) to THIS sweep's SF so
+    // the dumped oracles are valid at any testdata scale (identity at
+    // sf0.01 — the driver-facing file is unchanged).
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(OracleIo.retarget(v, sfDir))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

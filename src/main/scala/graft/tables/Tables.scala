@@ -52,31 +52,42 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
 
-  /** The corpus' vector dimensionality, inferred ONCE per dir as the
-    * MODAL embedding length (count desc, size asc tie-break) over valid
-    * rows and memoized — the self-configuring stand-in for the dimension
-    * a production vector store declares in config. One 1-row aggregate
-    * per (dir) per JVM; Bench's warmup pass absorbs it.
+  /** The corpus' vector dimensionality, inferred as the MODAL embedding
+    * length (count desc, size asc tie-break) over valid rows and
+    * memoized per (dir, embeddings-file mtime) — the self-configuring
+    * stand-in for the dimension a production vector store declares in
+    * config. The mtime in the key means a tool/test that REBUILDS a
+    * corpus under a reused path gets a fresh inference instead of the
+    * previous build's dim silently dropping every vector via the
+    * contract filter (r11 ADVICE). The aggregate runs OUTSIDE any map
+    * lock — computeIfAbsent would hold the hash-bin lock for a whole
+    * Spark job; two racing threads may both compute the (deterministic)
+    * value and putIfAbsent keeps one. One 1-row aggregate per corpus
+    * generation per JVM; Bench's warmup pass absorbs it.
     */
   private val embDimCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
-  def embeddingDim(s: SparkSession, d: String): Int =
-    embDimCache.computeIfAbsent(
-      d,
-      _ =>
-        embeddingsRaw(s, d)
-          .where(col("embedding").isNotNull)
-          .groupBy(org.apache.spark.sql.functions.size(col("embedding")).as("n"))
-          .count()
-          .orderBy(col("count").desc, col("n").asc)
-          .limit(1)
-          .collect()
-          .headOption
-          // no non-null vectors at all ⇒ dim 0: the validated view is
-          // empty rather than every consumer crashing on head() (r11
-          // review)
-          .map(_.getInt(0))
-          .getOrElse(0)
-    )
+  def embeddingDim(s: SparkSession, d: String): Int = {
+    val key = s"$d@${new java.io.File(s"$d/embeddings.parquet").lastModified}"
+    val cached = embDimCache.get(key)
+    if (cached != null) cached
+    else {
+      val dim = embeddingsRaw(s, d)
+        .where(col("embedding").isNotNull)
+        .groupBy(org.apache.spark.sql.functions.size(col("embedding")).as("n"))
+        .count()
+        .orderBy(col("count").desc, col("n").asc)
+        .limit(1)
+        .collect()
+        .headOption
+        // no non-null vectors at all ⇒ dim 0: the validated view is
+        // empty rather than every consumer crashing on head() (r11
+        // review)
+        .map(_.getInt(0))
+        .getOrElse(0)
+      val prev = embDimCache.putIfAbsent(key, dim)
+      if (prev != null) prev else dim
+    }
+  }
 
   def embeddingsRaw(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -314,7 +314,7 @@ object Chunking {
     "text_pack" ->
       s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, doc_id % $packBuckets AS bucket,
-         |    CAST(len(string_split(text, ' ')) AS INT) AS nt
+         |    COALESCE(CAST(len(string_split(text, ' ')) AS INT), 0) AS nt
          |  FROM documents),
          |ordered AS (
          |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),

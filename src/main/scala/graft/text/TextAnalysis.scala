@@ -1732,7 +1732,8 @@ object TextAnalysis {
       |  SELECT doc_id, string_split(text, ' ') AS ws,
       |    len(string_split(text, ' ')) AS m,
       |    length(replace(text, ' ', '')) AS charsum
-      |  FROM documents)""".stripMargin
+      |  FROM documents
+      |  WHERE length(replace(text, ' ', '')) > 0)""".stripMargin
   private val wordPositionsCte =
     """positions AS (
       |  SELECT d.doc_id, i.i AS p, length(d.ws[i.i]) AS wlen
@@ -2107,7 +2108,7 @@ object TextAnalysis {
         |          md5(CAST(doc_id AS VARCHAR))[i]) - 1
         |        for i in range(1, 9)], (a, b) -> a * 16 + b) + 0.5) / 4294967296.0)
         |      / CAST(n_chars AS DOUBLE), 9) AS skey
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, skey,
         |  CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS INT) AS rank
         |FROM sc QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
@@ -2192,7 +2193,9 @@ object TextAnalysis {
          |m AS (
          |  SELECT doc_id, text, n_tokens,
          |    length(replace(text, ' ', '')) / n_tokens AS mean_word_len,
-         |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text) AS symbol_ratio,
+         |    CASE WHEN length(text) > 0 THEN
+         |      length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text)
+         |    END AS symbol_ratio,
          |    len(list_intersect(list_distinct(w), [$stopList])) AS n_stopwords,
          |    list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x))))
          |      / CAST(n_tokens AS DOUBLE) AS max_token_ratio

@@ -80,6 +80,13 @@ class AqeParitySpec extends SparkSpec {
   }
 
   test("headline + custom-operator queries return identical rows with AQE off") {
+    // SEQUENTIAL-EXECUTION DEPENDENCY (r11 ADVICE): this toggles
+    // spark.sql.adaptive.enabled on the JVM-shared session, which is
+    // safe only because sbt runs forked suites sequentially
+    // (testForkedParallel defaults to false). Enabling parallel suite
+    // execution would run other suites' queries with AQE off mid-test —
+    // if that ever changes, route config-mutating suites through a
+    // shared session-level lock (or a private SparkSession.newSession).
     val conf = spark.conf
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
