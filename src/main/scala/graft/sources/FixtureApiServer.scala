@@ -115,12 +115,21 @@ object FixtureApiServer {
     * reference scrapes with `batch_token=(.*?)&begin_time=`
     * (`square_ETL.py:88-91`). Bearer-token auth (`square_ETL.py:70`).
     */
+  /** Chaos injection (r8, adversarial REST server): `malformedAt` serves
+    * 200 with a TRUNCATED JSON body for that 0-based page ordinal (a
+    * proxy/server fault the HTTP retry budget cannot see); `badLinkAt`
+    * emits a `Link` header whose shape the reference's batch-token regex
+    * cannot scrape at that ordinal (a contract break that must not
+    * silently truncate the chain).
+    */
   def squareV1(
       jsonlPath: String,
       locationId: String,
       token: String,
       pageSize: Int,
-      failFirst: Int = 0): FixtureApiServer = {
+      failFirst: Int = 0,
+      malformedAt: Int = -1,
+      badLinkAt: Int = -1): FixtureApiServer = {
     val recs = load(jsonlPath, "created_at")
     start(s"/v1/$locationId/payments" -> { (srv, ex) =>
       if (!injectFailure(srv, ex, failFirst)) {
@@ -131,16 +140,24 @@ object FixtureApiServer {
           val end   = p.get("end_time")
           val window = recs.filter(inRange(_, begin, end))
           val off    = p.get("batch_token").flatMap(_.toIntOption).getOrElse(0)
+          val ordinal = off / math.max(1, pageSize)
           val page   = window.slice(off, off + pageSize)
           val hdrs =
             if (off + pageSize < window.size) {
               val nextTok = (off + pageSize).toString
               val b       = begin.map(URLEncoder.encode(_, UTF_8)).getOrElse("")
               val e       = end.map(URLEncoder.encode(_, UTF_8)).getOrElse("")
-              Map("Link" ->
-                s"""<${srv.base}/v1/$locationId/payments?batch_token=$nextTok&begin_time=$b&end_time=$e>;rel="next"""")
+              if (ordinal == badLinkAt)
+                Map("Link" ->
+                  s"""<${srv.base}/v1/$locationId/payments?cursor=$nextTok&opaque=1>;rel="next"""")
+              else
+                Map("Link" ->
+                  s"""<${srv.base}/v1/$locationId/payments?batch_token=$nextTok&begin_time=$b&end_time=$e>;rel="next"""")
             } else Map.empty[String, String]
-          respond(ex, 200, page.map(_.line).mkString("[", ",", "]"), hdrs)
+          if (ordinal == malformedAt)
+            respond(ex, 200, page.map(_.line).mkString("[", ",", "]").dropRight(17), hdrs)
+          else
+            respond(ex, 200, page.map(_.line).mkString("[", ",", "]"), hdrs)
         }
       }
     })
@@ -154,11 +171,20 @@ object FixtureApiServer {
     * reference embeds `key:password` in the URL (`:70-73`); the connector
     * sends the equivalent `Authorization: Basic` header.
     */
+  /** Chaos injection (r8): `countDrift` shifts the reported count away
+    * from the actual window size (clamped ≥ 0) — the plan-time snapshot
+    * race every count-then-pages API has; `malformedAt` serves a
+    * truncated body for that 1-based page; `malformedCount` makes the
+    * count endpoint itself return garbage JSON.
+    */
   def shopifyAdmin(
       jsonlPath: String,
       user: String,
       pass: String,
-      failFirst: Int = 0): FixtureApiServer = {
+      failFirst: Int = 0,
+      countDrift: Int = 0,
+      malformedAt: Int = -1,
+      malformedCount: Boolean = false): FixtureApiServer = {
     val recs = load(jsonlPath, "created_at")
     val expect = "Basic " + java.util.Base64.getEncoder.encodeToString(s"$user:$pass".getBytes(UTF_8))
     def window(p: Map[String, String]) =
@@ -167,7 +193,8 @@ object FixtureApiServer {
       "/admin/orders/count.json" -> { (srv, ex) =>
         if (!injectFailure(srv, ex, failFirst)) {
           if (!authorized(ex, expect)) respond(ex, 401, """{"error":"unauthorized"}""")
-          else respond(ex, 200, s"""{"count":${window(params(ex)).size}}""")
+          else if (malformedCount) respond(ex, 200, """{"count": "oops""")
+          else respond(ex, 200, s"""{"count":${math.max(0, window(params(ex)).size + countDrift)}}""")
         }
       },
       "/admin/orders.json" -> { (srv, ex) =>
@@ -178,7 +205,10 @@ object FixtureApiServer {
             val limit = p.get("limit").flatMap(_.toIntOption).getOrElse(50)
             val page  = p.get("page").flatMap(_.toIntOption).getOrElse(1)
             val slice = window(p).slice((page - 1) * limit, page * limit)
-            respond(ex, 200, slice.map(_.line).mkString("""{"orders":[""", ",", "]}"))
+            if (page == malformedAt)
+              respond(ex, 200, slice.map(_.line).mkString("""{"orders":[""", ",", "]}").dropRight(9))
+            else
+              respond(ex, 200, slice.map(_.line).mkString("""{"orders":[""", ",", "]}"))
           }
         }
       }
@@ -194,12 +224,20 @@ object FixtureApiServer {
     * (`quickbooks_ETL.py:92-113`). Bearer auth (OAuth2 access token,
     * `quickbooks_ETL.py:70-82`).
     */
+  /** Chaos injection (r8): `countDrift` shifts the reported totalCount
+    * (clamped ≥ 0); `malformedAt` truncates the body of that 0-based
+    * page ordinal (ordinal = (STARTPOSITION−1) / MAXRESULTS). Empty
+    * pages keep QB's real contract: the entity key is OMITTED from
+    * QueryResponse, not an empty array.
+    */
   def qbQuery(
       jsonlPath: String,
       realmId: String,
       token: String,
       failFirst: Int = 0,
-      entity: String = "Invoice"): FixtureApiServer = {
+      entity: String = "Invoice",
+      countDrift: Int = 0,
+      malformedAt: Int = -1): FixtureApiServer = {
     val recs     = load(jsonlPath, "TxnDate")
     val startPos = """STARTPOSITION\s+(\d+)\s+MAXRESULTS\s+(\d+)""".r
     val range    = """TxnDate\s*>\s*'([^']*)'\s*and\s*TxnDate\s*<\s*'([^']*)'""".r
@@ -214,14 +252,20 @@ object FixtureApiServer {
             case None    => recs
           }
           if (q.toLowerCase.contains("count(*)"))
-            respond(ex, 200, s"""{"QueryResponse":{"totalCount":${window.size}}}""")
+            respond(ex, 200, s"""{"QueryResponse":{"totalCount":${math.max(0, window.size + countDrift)}}}""")
           else {
             val (s, m) = startPos.findFirstMatchIn(q) match {
               case Some(g) => (g.group(1).toInt, g.group(2).toInt)
               case None    => (1, window.size)
             }
             val slice = window.slice(s - 1, s - 1 + m)
-            respond(ex, 200, slice.map(_.line).mkString(s"""{"QueryResponse":{"$entity":[""", ",", "]}}"))
+            val body =
+              if (slice.isEmpty) """{"QueryResponse":{}}"""
+              else slice.map(_.line).mkString(s"""{"QueryResponse":{"$entity":[""", ",", "]}}")
+            if ((s - 1) / math.max(1, m) == malformedAt)
+              respond(ex, 200, body.dropRight(11))
+            else
+              respond(ex, 200, body)
           }
         }
       }

@@ -31,7 +31,16 @@ object RestQueries {
     * the field (the raw fold NPE'd with no URL or body context).
     */
   private[sources] def countOf(body: String, field: String, context: String): Int = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    // a 200 body that is not JSON at all must carry the same URL/body
+    // context as the missing-field case — a bare Jackson parse error
+    // names neither (chaos r8)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalStateException(
+            s"$context: unparseable count response: ${String.valueOf(body).take(200)}", e)
+      }
     val out  = field.split('.').foldLeft(node)((n, f) => if (n == null) null else n.get(f))
     if (out == null || !out.canConvertToInt)
       throw new IllegalStateException(
@@ -55,8 +64,20 @@ object RestQueries {
     val range = s"begin_time=${enc(beginTime)}&end_time=${enc(endTime)}"
     RestSource.fetchTokenPages(
       s"$paymentsUrl?$range",
-      p => p.header("Link").flatMap(squareTokRe.findFirstMatchIn(_))
-        .map(m => s"$paymentsUrl?batch_token=${m.group(1)}&$range"),
+      // no Link header = normal end of chain; a Link header the token
+      // regex can NOT scrape is a contract break that must fail loudly —
+      // the reference's regex-scrape loop (square_ETL.py:88-91) would
+      // stop silently there, truncating the chain and losing every
+      // record past it undetectably (chaos r8, truncated token chains)
+      p => p.header("Link") match {
+        case None => None
+        case Some(h) => squareTokRe.findFirstMatchIn(h) match {
+          case Some(m) => Some(s"$paymentsUrl?batch_token=${m.group(1)}&$range")
+          case None => throw new IllegalStateException(
+            "square pagination: Link header present but batch_token did not match " +
+              s"(refusing silent chain truncation): ${h.take(200)}")
+        }
+      },
       HttpConf().withBearer(token),
       maxPages)
   }

@@ -115,9 +115,42 @@ object ZoloRestEntity {
 
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
 
-  final case class WindowPartition(lo: String, hi: String)                           extends InputPartition
-  final case class PagePartition(pages: Seq[Int], lo: String, hi: String)            extends InputPartition
-  final case class OffsetPartition(startPositions: Seq[Int], lo: String, hi: String) extends InputPartition
+  final case class WindowPartition(lo: String, hi: String) extends InputPartition
+  /** `probeBeyond` marks the partition owning the page-chain TAIL: the
+    * plan-time count is a snapshot, so records landing between the count
+    * request and the page fetches fall past the last planned page and
+    * would silently vanish (chaos r8: count-vs-actual drift). The tail
+    * partition keeps fetching past its planned pages while pages still
+    * yield records — one extra (empty) request in the steady state, no
+    * silent tail loss under drift-up. Offset-shift races WITHIN the
+    * fetched window (mid-scan inserts re-slicing page boundaries) are
+    * the endpoint's documented offset-pagination hazard and not
+    * client-fixable.
+    */
+  final case class PagePartition(pages: Seq[Int], lo: String, hi: String, probeBeyond: Boolean = false)            extends InputPartition
+  final case class OffsetPartition(startPositions: Seq[Int], lo: String, hi: String, probeBeyond: Boolean = false) extends InputPartition
+
+  /** Record count of one page body via the entity's envelope walk —
+    * Jackson tree over the single candidate page the drift probe
+    * inspects (the bulk path never re-parses; the probe only parses the
+    * page it may append). Missing/null envelope levels (QuickBooks omits
+    * the entity key on empty responses) count 0; a body that is not
+    * JSON at all is a server fault the probe reports loudly rather than
+    * treating as end-of-data.
+    */
+  private[sources] def probeRecordCount(body: String, envelopePath: Seq[String], context: String): Int = {
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalStateException(
+            s"zolo-rest drift probe: unparseable page body from $context: ${String.valueOf(body).take(200)}", e)
+      }
+    val node = envelopePath.foldLeft(root)((n, f) => if (n == null || n.isNull) null else n.get(f))
+    if (node == null || node.isNull) 0
+    else if (node.isArray) node.size
+    else 0
+  }
 
   /** Shared STARTPOSITION offset paging for the QuickBooks query API
     * (r11 review: QbInvoices and QbCustomers carried near-verbatim
@@ -138,22 +171,46 @@ object ZoloRestEntity {
       val count = ZoloRest.countRequest(
         queryUrl(opts, countSql(lo, hi)), "QueryResponse.totalCount", opts)
       val pages = math.ceil(count / opts.pageSize.toDouble).toInt
-      (0 until pages)
-        .map(p => p * opts.pageSize + 1)
-        .grouped(math.max(1, opts.pagesPerPartition))
-        .map(g => OffsetPartition(g, lo, hi): InputPartition)
-        .toArray
+      // count=0 still plans ONE (empty) probe partition: the count is a
+      // snapshot, and a zero that drifted up between count and fetch
+      // would otherwise lose the whole window silently (chaos r8)
+      if (pages == 0) Array(OffsetPartition(Seq.empty, lo, hi, probeBeyond = true))
+      else {
+        val groups = (0 until pages)
+          .map(p => p * opts.pageSize + 1)
+          .grouped(math.max(1, opts.pagesPerPartition))
+          .toArray
+        groups.zipWithIndex.map { case (g, i) =>
+          OffsetPartition(g, lo, hi, probeBeyond = i == groups.length - 1): InputPartition
+        }
+      }
     }
 
     final def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
       val op     = p.asInstanceOf[OffsetPartition]
       val client = Http.newClient()
-      op.startPositions.iterator.map { s =>
+      def pageAt(s: Int): String =
         Http.get(client,
           queryUrl(opts,
             s"${selectSql(op.lo, op.hi)} STARTPOSITION $s MAXRESULTS ${opts.pageSize}"),
           opts.httpConf).body
-      }.toVector
+      val planned = op.startPositions.iterator.map(pageAt).toVector
+      if (!op.probeBeyond) planned
+      else {
+        // tail partition: keep paging while pages yield records — a
+        // count that drifted up cannot silently drop the tail
+        val out  = Vector.newBuilder[String] ++= planned
+        var s    = op.startPositions.lastOption.getOrElse(1 - opts.pageSize) + opts.pageSize
+        var n    = op.startPositions.size
+        var more = true
+        while (more && n < opts.maxPages) {
+          val body = pageAt(s)
+          if (probeRecordCount(body, envelopePath, s"$name STARTPOSITION $s") > 0) {
+            out += body; s += opts.pageSize; n += 1
+          } else more = false
+        }
+        out.result()
+      }
     }
   }
 
@@ -200,20 +257,38 @@ object ZoloRestEntity {
       val count = ZoloRest.countRequest(
         s"${opts.url}/admin/orders/count.json?${range(lo, hi)}", "count", opts)
       val pages = math.ceil(count / opts.pageSize.toDouble).toInt
-      (1 to pages)
-        .grouped(math.max(1, opts.pagesPerPartition))
-        .map(g => PagePartition(g, lo, hi): InputPartition)
-        .toArray
+      // count=0 still plans one empty probe partition (see OffsetPartition)
+      if (pages == 0) Array(PagePartition(Seq.empty, lo, hi, probeBeyond = true))
+      else {
+        val groups = (1 to pages).grouped(math.max(1, opts.pagesPerPartition)).toArray
+        groups.zipWithIndex.map { case (g, i) =>
+          PagePartition(g, lo, hi, probeBeyond = i == groups.length - 1): InputPartition
+        }
+      }
     }
 
     def fetch(p: InputPartition, opts: ZoloRestOptions): Vector[String] = {
       val pp     = p.asInstanceOf[PagePartition]
       val client = Http.newClient()
-      pp.pages.iterator.map { k =>
+      def pageAt(k: Int): String =
         Http.get(client,
           s"${opts.url}/admin/orders.json?${range(pp.lo, pp.hi)}&limit=${opts.pageSize}&page=$k",
           opts.httpConf).body
-      }.toVector
+      val planned = pp.pages.iterator.map(pageAt).toVector
+      if (!pp.probeBeyond) planned
+      else {
+        val out  = Vector.newBuilder[String] ++= planned
+        var k    = pp.pages.lastOption.getOrElse(0) + 1
+        var n    = pp.pages.size
+        var more = true
+        while (more && n < opts.maxPages) {
+          val body = pageAt(k)
+          if (probeRecordCount(body, envelopePath, s"$name page=$k") > 0) {
+            out += body; k += 1; n += 1
+          } else more = false
+        }
+        out.result()
+      }
     }
   }
 
@@ -500,8 +575,18 @@ final class ZoloRestReaderFactory(
           allowArrayAsStructs = true,
           Nil)
         val parsed = bodies.iterator.flatMap { body =>
-          parser.parse[String](body, CreateJacksonParser.string,
+          // a body that survived the HTTP retry budget but does not parse
+          // is a server fault the scan must name, not an opaque
+          // BadRecordException (silent skip would lose a whole page of
+          // records undetectably — chaos r8, malformed page bodies)
+          try parser.parse[String](body, CreateJacksonParser.string,
             org.apache.spark.unsafe.types.UTF8String.fromString)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalStateException(
+                s"zolo-rest ${entity.name}: unparseable page body (partition=$partition): " +
+                  String.valueOf(body).take(200), e)
+          }
         }
         val records =
           if (entity.envelopePath.isEmpty) parsed

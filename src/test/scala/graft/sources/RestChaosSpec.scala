@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.ZoloPipeline
+import org.apache.spark.sql.DataFrame
+
+/** Chaos round 8 — the REST DSv2 source itself (judge r11 next-round
+  * #6). Chaos r7 drove adversarial PAYLOADS through the file-ETL
+  * stacks; this suite attacks ZoloRestSource's own failure surface on
+  * the real wire: count-vs-actual page drift (the plan-time count is a
+  * snapshot of a moving table), malformed page bodies that survive the
+  * HTTP retry budget, truncated/unscrapeable batch-token chains, and a
+  * count endpoint returning garbage. Contract pinned here:
+  *
+  *  - count drift (up, down, all-the-way-to-zero) must change NOTHING
+  *    about the scanned record set — the tail partition's probe-beyond
+  *    loop recovers records past the last planned page, and over-planned
+  *    pages come back empty harmlessly;
+  *  - structural garbage (unparseable body, unscrapeable Link) fails
+  *    LOUDLY with the entity and page named — a silent skip or silent
+  *    chain stop is undetectable data loss.
+  */
+class RestChaosSpec extends SparkSpec {
+
+  private val b  = "2019-01-01T00:00:00Z"
+  private val e  = "2020-01-01T00:00:00Z"
+  private val fx = ZoloPipeline.fixturesDir
+
+  private def ids(df: DataFrame, col: String): Seq[Any] =
+    df.select(col).collect().map(_.get(0)).sortBy(_.toString).toSeq
+
+  private def messages(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur = t
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  private def shopifyIds(srv: FixtureApiServer): Seq[Any] =
+    ids(RestQueries.shopifyDsv2Records(spark, srv.base, "u", "p", b, e, pageSize = 2)
+      .localCheckpoint(true), "id")
+
+  private def qbIds(srv: FixtureApiServer): Seq[Any] =
+    ids(RestQueries.qbDsv2Records(spark, srv.base, "R", "t", b, e, pageSize = 2)
+      .localCheckpoint(true), "DocNumber")
+
+  private lazy val shopifyBaseline: Seq[Any] = {
+    val srv = FixtureApiServer.shopifyAdmin(s"$fx/shopify_orders.json", "u", "p")
+    try shopifyIds(srv) finally srv.stop()
+  }
+  private lazy val qbBaseline: Seq[Any] = {
+    val srv = FixtureApiServer.qbQuery(s"$fx/qb_invoices.json", "R", "t")
+    try qbIds(srv) finally srv.stop()
+  }
+
+  test("shopify count drift-down: probe-beyond recovers the unplanned tail") {
+    val srv = FixtureApiServer.shopifyAdmin(s"$fx/shopify_orders.json", "u", "p", countDrift = -2)
+    try assert(shopifyIds(srv) == shopifyBaseline && shopifyBaseline.size == 4)
+    finally srv.stop()
+  }
+
+  test("shopify count drifted to zero: the empty probe partition still scans everything") {
+    val srv = FixtureApiServer.shopifyAdmin(s"$fx/shopify_orders.json", "u", "p", countDrift = -100)
+    try assert(shopifyIds(srv) == shopifyBaseline)
+    finally srv.stop()
+  }
+
+  test("shopify count drift-up: over-planned pages come back empty, record set exact") {
+    val srv = FixtureApiServer.shopifyAdmin(s"$fx/shopify_orders.json", "u", "p", countDrift = +5)
+    try assert(shopifyIds(srv) == shopifyBaseline)
+    finally srv.stop()
+  }
+
+  test("quickbooks count drifted to zero: probe partition recovers all invoices") {
+    val srv = FixtureApiServer.qbQuery(s"$fx/qb_invoices.json", "R", "t", countDrift = -100)
+    try assert(qbIds(srv) == qbBaseline && qbBaseline.size == 3)
+    finally srv.stop()
+  }
+
+  test("quickbooks count drift-up: empty QueryResponse pages (entity key omitted) are harmless") {
+    val srv = FixtureApiServer.qbQuery(s"$fx/qb_invoices.json", "R", "t", countDrift = +5)
+    try assert(qbIds(srv) == qbBaseline)
+    finally srv.stop()
+  }
+
+  test("square malformed page body fails loudly with entity + page context") {
+    val srv = FixtureApiServer.squareV1(s"$fx/square_payments.json",
+      locationId = "L", token = "t", pageSize = 3, malformedAt = 0)
+    try {
+      val ex = intercept[Throwable] {
+        RestQueries.squareDsv2Records(spark, s"${srv.base}/v1/L/payments", "t", b, e, nSlices = 2)
+          .collect()
+      }
+      assert(messages(ex).contains("unparseable page body"), messages(ex))
+      assert(messages(ex).contains("square_payments"), messages(ex))
+    } finally srv.stop()
+  }
+
+  test("quickbooks malformed page body fails loudly, not a silent page skip") {
+    val srv = FixtureApiServer.qbQuery(s"$fx/qb_invoices.json", "R", "t", malformedAt = 0)
+    try {
+      val ex = intercept[Throwable] {
+        RestQueries.qbDsv2Records(spark, srv.base, "R", "t", b, e, pageSize = 2).collect()
+      }
+      assert(messages(ex).contains("unparseable page body"), messages(ex))
+    } finally srv.stop()
+  }
+
+  test("square unscrapeable Link header refuses silent chain truncation") {
+    // one window chain (nSlices=1) over 8 records at 3/page: page 0
+    // carries a Link the batch-token regex cannot scrape — the reference's
+    // regex loop would stop there and silently lose 5 records
+    val srv = FixtureApiServer.squareV1(s"$fx/square_payments.json",
+      locationId = "L", token = "t", pageSize = 3, badLinkAt = 0)
+    try {
+      val ex = intercept[Throwable] {
+        RestQueries.squareDsv2Records(spark, s"${srv.base}/v1/L/payments", "t", b, e, nSlices = 1)
+          .collect()
+      }
+      assert(messages(ex).contains("refusing silent chain truncation"), messages(ex))
+    } finally srv.stop()
+  }
+
+  test("garbage count body fails at planning time naming the count URL") {
+    val srv = FixtureApiServer.shopifyAdmin(s"$fx/shopify_orders.json", "u", "p",
+      malformedCount = true)
+    try {
+      val ex = intercept[Throwable] {
+        RestQueries.shopifyDsv2Records(spark, srv.base, "u", "p", b, e, pageSize = 2).collect()
+      }
+      assert(messages(ex).contains("count.json"), messages(ex))
+    } finally srv.stop()
+  }
+}
