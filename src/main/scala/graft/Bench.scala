@@ -18,7 +18,16 @@ object Bench {
 
   /** Headline set: the most expensive / most representative query per
     * family (relational agg+join, windows, events, forecast, dedup, ANN,
-    * text) — the ones whose plans matter at 100 TB.
+    * text, graph, multimodal, web curation) — the ones whose plans
+    * matter at 100 TB.
+    *
+    * WIDENED in r12 (judge r11 next-round #3): the first 14 rows are the
+    * historical set every BENCH_r01..r11 total was computed over; the
+    * last four pin the graph / multimodal / web / BPE families so their
+    * cross-round drift shows up in BENCH_rN, not only in ad-hoc stress
+    * runs. Totals are therefore NOT comparable to pre-r12 totals —
+    * compare per-query, or sum the first 14 (BENCH_LOCAL §r12 records
+    * both).
     */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary",
@@ -34,8 +43,16 @@ object Bench {
     "dedup_minhash_pairs",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "text_rare_score"
+    "text_rare_score",
+    // r12 additions
+    "g_pagerank",
+    "mm_scene_cut",
+    "dedup_paragraph",
+    "text_bpe_encode"
   )
+
+  /** The pre-r12 headline rows, for cross-round total comparability. */
+  val headlineLegacy: Seq[String] = headline.take(14)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,8 +123,11 @@ object Bench {
       else errs.toSeq.sortBy(_._1).map { case (k, m) => s""""$k":"$m"""" }
         .mkString(""","errors":{""", ",", "}")
     val total = ok.values.sum
+    // the pre-r12 14-query sum, so cross-round trend lines survive the
+    // r12 headline widening (BENCH_r01..r11 totals were over these rows)
+    val legacy = ok.collect { case (k, v) if headlineLegacy.contains(k) => v }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total_sec","value":${f(total)},"unit":"sec","queries":$qs$errJson,"sf":$sfNum}""")
+    println(s"""{"metric":"total_sec","value":${f(total)},"unit":"sec","legacy14":${f(legacy)},"queries":$qs$errJson,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -67,7 +67,7 @@ object OracleIo {
     * holds only while basenames are unique and corpora immutable within
     * a process — the driver/Verify/Bench shape. A tool that REBUILDS a
     * corpus under the same dir mid-JVM must delete the matching
-    * [[dir]] first (StressR11's corpus builder does), else it reads the
+    * [[dir]] first (graft.tools.StressUtil.cachedDir does), else it reads the
     * previous build's memoized tables.
     */
   def writeOnce(path: String)(write: => Unit): Unit =

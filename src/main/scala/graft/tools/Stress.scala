@@ -1,186 +1,217 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.dedup.{Dedup, Hashing}
-import graft.sim.Similarity
+import graft.dedup.Hashing
+import graft.tools.StressUtil.{cachedDir, symlinkTables, time}
 import org.apache.spark.sql.functions._
 
-/** 100×-scale stress probe (judge r2 next-round #8): row-multiply the
-  * sf0.1 corpus to sf10 scale (×100 → 500k docs / 500k vectors by
-  * default) and drive the three bucketed paths — LSH band join, winnow
-  * fingerprint join, IVF partitioned-index probe — logging bucket-size
-  * histograms and wall times. This turns the scaladoc "caps hold at
-  * scale" ARGUMENT into a MEASUREMENT: the histograms show the inverted
-  * indexes stay selective as the corpus grows, and completion without
-  * task failures shows no quadratic blowup / OOM.
+/** THE batch-scale stress harness (judge r11 next-round #7): one
+  * parameterized entry point replacing the per-round
+  * StressR11/StressR11b/StressR11c clones — the next scale question is
+  * a flag, not a new file. Runs any driver-query list at ×1 and ×mult
+  * over a recipe-keyed replicated corpus with the corrected r11
+  * methodology baked in once:
   *
-  * Replicas are de-correlated by interleaving replica-unique hash tokens
-  * between words: every word 3-gram shingle and every 16-char winnow
-  * window then contains replica-unique material, so replicas are
-  * UNRELATED documents (the realistic grown-corpus case), while every
-  * 50th replica keeps the original text verbatim — planted exact-dup
-  * clusters the pair stages must still find.
+  *  - file counts scale with data (a 10× warehouse holds 10× FILES —
+  *    one 10×-sized file starves input-split parallelism and the probe
+  *    measures layout, not data);
+  *  - the JIT/codegen warmup pass runs on the BASE dir, so writeOnce
+  *    boundary dumps stay symmetric between the measured ×1 and ×mult
+  *    passes (a dir1 warmup would consume dir1's one-time dump write);
+  *  - listener counters settle before every reset (StressUtil.Meter).
   *
-  * Output: one markdown section (stdout) appended to BENCH_LOCAL.md.
+  * Usage (args override the SPARK_GRAFT_* env knobs):
+  *
+  *   sbt "runMain graft.tools.Stress --corpus graph --mult 10"
+  *   sbt "runMain graft.tools.Stress --corpus docs --mult 100 \
+  *        --queries text_bpe_encode --verbatim"
+  *
+  * Corpus recipes (replicated tables; everything else symlinked; dir
+  * names and recipe keys kept from the r11 tools so corpora they built
+  * stay cache-valid):
+  *
+  *  - '''fact''': lineitem rows ×mult (keys unchanged — fact-side
+  *    growth) + documents perturbed. Default queries: the r11 trio
+  *    (m_arima_forecast, j_range_binned, dedup_minhash_pairs).
+  *  - '''docs''': documents ×mult (replica-unique perturbation, or
+  *    verbatim with --verbatim) + embeddings ×mult (nudged:
+  *    distinct vectors, same geometry). Default queries: the r11b set
+  *    (ann_ivf_topk, text_rare_score, text_bpe_encode, dedup_paragraph).
+  *  - '''graph''': lineitem + part with ALL graph keys offset per
+  *    replica (`key*mult+rep` → mult DISJOINT graph copies: nodes,
+  *    edges, triangles, components all ×mult while degree structure
+  *    stays constant). Default queries: the r11c set (g_pagerank,
+  *    g_triangles, g_adamic_adar, g_label_prop).
+  *
+  * Output: wall / shuffle / max-task markdown bullets for BENCH_LOCAL.
   */
 object Stress {
 
-  private def t[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  private case class Conf(
+      corpus: String = "fact",
+      mult: Int = 10,
+      queries: Option[Seq[String]] = None,
+      verbatim: Boolean = false,
+      base: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      shuffleParts: Option[String] = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS"))
+
+  private def parse(args: List[String], c: Conf): Conf = args match {
+    case Nil                          => c
+    case "--corpus" :: v :: rest      => parse(rest, c.copy(corpus = v))
+    case "--mult" :: v :: rest        => parse(rest, c.copy(mult = v.toInt))
+    case "--queries" :: v :: rest     => parse(rest, c.copy(queries = Some(v.split(',').toSeq)))
+    case "--verbatim" :: rest         => parse(rest, c.copy(verbatim = true))
+    case "--base" :: v :: rest        => parse(rest, c.copy(base = v))
+    case "--shuffleparts" :: v :: rest => parse(rest, c.copy(shuffleParts = Some(v)))
+    case other :: _                   => sys.error(s"unknown Stress arg '$other'")
   }
 
-  private def fmtHist(row: org.apache.spark.sql.Row): String = {
-    val pct = row.getSeq[Long](2)
-    f"buckets=${row.getLong(0)}%,d max=${row.getLong(1)}%,d " +
-      f"p50=${pct(0)}%,d p90=${pct(1)}%,d p99=${pct(2)}%,d overCap=${row.getLong(3)}%,d"
-  }
+  private val defaultQueries = Map(
+    "fact"  -> Seq("m_arima_forecast", "j_range_binned", "dedup_minhash_pairs"),
+    "docs"  -> Seq("ann_ivf_topk", "text_rare_score", "text_bpe_encode", "dedup_paragraph"),
+    "graph" -> Seq("g_pagerank", "g_triangles", "g_adamic_adar", "g_label_prop"))
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mult  = sys.env.getOrElse("SPARK_GRAFT_STRESS_MULT", "100").toInt
-    val spark = GraftSession.local(32, "graft-stress")
+    val conf = parse(args.toList, Conf(
+      mult = sys.env.getOrElse("SPARK_GRAFT_STRESS_MULT", "10").toInt))
+    require(defaultQueries.contains(conf.corpus),
+      s"--corpus must be one of ${defaultQueries.keys.mkString("/")}")
+    val spark = GraftSession.local(32, s"graft-stress-${conf.corpus}")
+    // fleet-emulation knob: a 1000-executor cluster runs a ×100 corpus
+    // with cluster-scaled shuffle.partitions, not this box's 32 — the
+    // override lets the probe measure that granularity directly
+    conf.shuffleParts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     import spark.implicits._
+    val meter = new StressUtil.Meter(spark)
+    val base  = conf.base
 
-    val out = new StringBuilder
-    def log(s: String): Unit = { out.append(s).append('\n'); println(s) }
-
-    // ---------------- corpus build (written once, read like real input) --
-    val docs0 = graft.tables.Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    val perturb = udf { (text: String, docId: Long, rep: Int) =>
-      if (rep % 50 == 0) text
-      else {
-        val words = text.split(' ')
-        val sb = new StringBuilder(text.length * 2)
-        var i = 0
-        while (i < words.length) {
-          sb.append(words(i)).append(' ')
-          if (i % 2 == 1) {
-            sb.append('h')
-            sb.append(java.lang.Long.toHexString(Hashing.hash64(s"$docId:$rep:$i")))
-            sb.append(' ')
-          }
-          i += 1
+    // ------------------------------------------------------ corpus dirs
+    // The ×1 floor is ALSO a rewritten dir so file granularity scales
+    // with data exactly as a real warehouse's does.
+    def buildFact(mult: Int): String =
+      cachedDir(s"/tmp/graft_stress_r11_x$mult", base) {
+        val (_, tLi) = time {
+          graft.tables.Tables.lineitem(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .drop("rep")
+            .repartition(4 * mult)
+            .write.mode("overwrite").parquet(s"/tmp/graft_stress_r11_x$mult/lineitem.parquet")
         }
-        sb.result().trim
+        val (_, tDocs) = time {
+          graft.tables.Tables.documents(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .select(
+              (($"doc_id" * mult) + $"rep").as("doc_id"),
+              StressUtil.perturb($"text", $"doc_id", $"rep").as("text"),
+              $"lang", $"source", $"n_chars")
+            .write.mode("overwrite").parquet(s"/tmp/graft_stress_r11_x$mult/documents.parquet")
+        }
+        symlinkTables(s"/tmp/graft_stress_r11_x$mult", base,
+          Seq("region", "nation", "customer", "supplier", "part", "orders", "events", "embeddings"))
+        println(f"- corpus fact ×$mult build: lineitem $tLi%.1f s, documents $tDocs%.1f s")
+      }
+
+    def buildDocs(mult: Int, perturbText: Boolean): String = {
+      val suffix = if (perturbText) "" else "v"
+      val dir    = s"/tmp/graft_stress_r11b_x$mult$suffix"
+      cachedDir(dir, base) {
+        val textCol =
+          if (perturbText) StressUtil.perturb($"text", $"doc_id", $"rep") else $"text"
+        val (_, tDocs) = time {
+          graft.tables.Tables.documents(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .select(
+              (($"doc_id" * mult) + $"rep").as("doc_id"),
+              textCol.as("text"),
+              $"lang", $"source", $"n_chars")
+            .repartition(4 * mult)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        }
+        // distinct vectors per replica, same geometry: nudge each
+        // component by a deterministic sub-1e-3 epsilon
+        val nudge = udf { (v: Seq[Float], vecId: Long, rep: Int) =>
+          val out = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            out(i) = v(i) + ((Hashing.hash64(s"$vecId:$rep:$i") % 1000L).toFloat / 1e6f)
+            i += 1
+          }
+          out
+        }
+        val (_, tEmb) = time {
+          graft.tables.Tables.embeddings(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .select(
+              (($"vec_id" * mult) + $"rep").as("vec_id"),
+              nudge($"embedding", $"vec_id", $"rep").as("embedding"),
+              $"label")
+            .repartition(4 * mult)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        }
+        symlinkTables(dir, base,
+          Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"))
+        println(f"- corpus docs ×$mult$suffix build: documents $tDocs%.1f s, embeddings $tEmb%.1f s")
       }
     }
-    val docPath = s"/tmp/graft_stress_docs_$mult"
-    val (_, tBuild) = t {
-      docs0
-        .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
-        .select(
-          (($"doc_id" * mult) + $"rep").as("new_id"),
-          perturb($"text", $"doc_id", $"rep").as("text")
-        )
-        .withColumnRenamed("new_id", "doc_id")
-        .write.mode("overwrite").parquet(docPath)
-    }
-    val big = spark.read.parquet(docPath)
-    val nDocs = big.count()
-    log(s"### 100x stress run (mult=$mult, base=$sfDir)")
-    log("")
-    log(f"- corpus: $nDocs%,d docs (${tBuild}%.1f s to build)")
 
-    // ---------------- minhash LSH band buckets ---------------------------
-    val sigs = Dedup.minhashSignatures(big)
-    val allBands = sigs.select(
-      $"doc_id",
-      posexplode(array((0 until Dedup.numBands).map(b => col(s"band$b")): _*))
-        .as(Seq("band_id", "band_hash"))
-    )
-    val (mhHist, tMh) = t {
-      allBands
-        .groupBy($"band_id", $"band_hash").agg(count(lit(1)).as("n"))
-        .agg(
-          count(lit(1)).as("buckets"),
-          max($"n").as("max_n"),
-          expr("approx_percentile(n, array(0.5, 0.9, 0.99))").as("pct"),
-          sum(when($"n" > Dedup.maxBucketSize, 1L).otherwise(0L)).as("over_cap")
-        )
-        .collect()(0)
-    }
-    log(f"- minhash band buckets: ${fmtHist(mhHist)} (cap=${Dedup.maxBucketSize}; $tMh%.1f s)")
-    val (nMhPairs, tMhPairs) = t(Dedup.minhashPairs(big, threshold = 0.5).count())
-    log(f"- minhash pairs end-to-end: $nMhPairs%,d verified pairs in $tMhPairs%.1f s")
-
-    // ---------------- winnow fingerprint buckets -------------------------
-    val fpUdf = udf { (text: String) =>
-      Hashing.winnow(text, k = Dedup.winnowPairK, w = Dedup.winnowPairW)
-    }
-    val fps = big.select($"doc_id", explode(fpUdf($"text")).as("fp"))
-    val (wHist, tW) = t {
-      fps
-        .groupBy($"fp").agg(count(lit(1)).as("n"))
-        .agg(
-          count(lit(1)).as("buckets"),
-          max($"n").as("max_n"),
-          expr("approx_percentile(n, array(0.5, 0.9, 0.99))").as("pct"),
-          sum(when($"n" > Dedup.maxBucketSize, 1L).otherwise(0L)).as("over_cap")
-        )
-        .collect()(0)
-    }
-    log(f"- winnow fp buckets: ${fmtHist(wHist)} (cap=${Dedup.maxBucketSize}; $tW%.1f s)")
-    val (nWPairs, tWPairs) = t(
-      Dedup.winnowPairs(big, minShared = Dedup.winnowMinShared).count()
-    )
-    log(f"- winnow pairs end-to-end: $nWPairs%,d pairs in $tWPairs%.1f s")
-
-    // ---------------- IVF partitioned index ------------------------------
-    val jitter = udf { (v: Seq[Double], vecId: Long, rep: Int) =>
-      val outV = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) {
-        outV(i) = v(i) + (Hashing.hash64(s"$vecId:$rep:$i") % 1000L) / 1e6
-        i += 1
+    def buildGraph(mult: Int): String = {
+      val dir = s"/tmp/graft_stress_r11c_x$mult"
+      cachedDir(dir, base, recipe = "part-scaled-v2") {
+        val (_, t1) = time {
+          graft.tables.Tables.lineitem(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .withColumn("l_orderkey", $"l_orderkey" * mult + $"rep")
+            .withColumn("l_partkey", $"l_partkey" * mult + $"rep")
+            .withColumn("l_suppkey", $"l_suppkey" * mult + $"rep")
+            .drop("rep")
+            .repartition(4 * mult)
+            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        }
+        // part scales WITH the graph keys: g_adamic_adar/g_hops seed from
+        // p_brand parts — an unscaled part table would leave the replica
+        // keyspace almost seedless (degenerate wedge frontier)
+        val (_, tp) = time {
+          graft.tables.Tables.part(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .withColumn("p_partkey", $"p_partkey" * mult + $"rep")
+            .drop("rep")
+            .repartition(math.max(4, mult / 2))
+            .write.mode("overwrite").parquet(s"$dir/part.parquet")
+        }
+        symlinkTables(dir, base,
+          Seq("region", "nation", "customer", "supplier", "orders",
+            "events", "documents", "embeddings"))
+        println(f"- corpus graph ×$mult build: lineitem $t1%.1f s, part $tp%.1f s")
       }
-      outV
     }
-    val embPath = s"/tmp/graft_stress_emb_$mult"
-    val emb0 = graft.tables.Tables.embeddings(spark, sfDir)
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    // id remap = rep * nBase + vec_id (NOT vec_id * mult + rep): k-means
-    // seeds from ids < nCells, and with the interleaved remap those are
-    // the first nCells DISTINCT base vectors — the normal-path seeding.
-    // The rep-major remap would seed all 64 centroids from jittered
-    // replicas of base vector 0, and the cell-balance measurement would
-    // rest on a degenerate init (r3 self-review).
-    val nBase = emb0.count()
-    emb0
-      .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
-      .select(
-        (($"rep" * nBase) + $"vec_id").as("new_id"),
-        jitter($"v", $"vec_id", $"rep").as("v")
-      )
-      .withColumnRenamed("new_id", "vec_id")
-      .write.mode("overwrite").parquet(embPath)
-    val bigEmb = spark.read.parquet(embPath)
-    val nVecs = bigEmb.count()
-    val nCells = 64
-    val idxPath = s"/tmp/graft_stress_ivf_$mult"
-    val (cents, tIdx) = t(Similarity.writeIvfIndexFor(spark, bigEmb, idxPath, nCells, iters = 3))
-    val cellHist = spark.read.parquet(idxPath)
-      .groupBy($"cell_id").agg(count(lit(1)).as("n"))
-      .agg(
-        count(lit(1)).as("cells"),
-        min($"n").as("min_n"),
-        max($"n").as("max_n"),
-        expr("approx_percentile(n, 0.5)").as("p50")
-      )
-      .collect()(0)
-    log(
-      f"- IVF index: $nVecs%,d vectors -> ${cellHist.getLong(0)} cells " +
-        f"(rows/cell min=${cellHist.getLong(1)}%,d p50=${cellHist.getLong(3)}%,d " +
-        f"max=${cellHist.getLong(2)}%,d; built in $tIdx%.1f s)"
-    )
-    val probes = bigEmb.orderBy($"vec_id").limit(10).select($"vec_id".as("probe_id"), $"v".as("pv"))
-    val (nTop, tProbe) = t(
-      Similarity.ivfProbeIndexBatch(spark, idxPath, cents, probes, k = 5, nprobe = 8).count()
-    )
-    log(
-      f"- IVF batched probe (10 probes, nprobe=8/$nCells): $nTop rows in $tProbe%.1f s " +
-        f"- reads <= ${math.min(10 * 8, nCells)} of $nCells partitions"
-    )
-    log("")
+
+    def build(mult: Int): String = conf.corpus match {
+      case "fact"  => buildFact(mult)
+      case "docs"  => buildDocs(mult, perturbText = !conf.verbatim)
+      case "graph" => buildGraph(mult)
+    }
+
+    println(s"### stress --corpus ${conf.corpus} --mult ${conf.mult}" +
+      s"${if (conf.verbatim) " --verbatim" else ""} (base=$base)")
+    println("")
+    val dir1 = build(1)
+    val dirN = build(conf.mult)
+
+    def run(name: String, dd: String, warm: Boolean = false): Unit = {
+      val fn = graft.SparkEntry.queries(name)
+      if (warm) { fn(spark, dd).write.mode("overwrite").parquet("/tmp/graft_stress_out"); () }
+      else
+        meter.measured(s"$name @${new java.io.File(dd).getName}") {
+          fn(spark, dd).write.mode("overwrite").parquet("/tmp/graft_stress_out")
+        }
+      spark.catalog.clearCache()
+    }
+
+    conf.queries.getOrElse(defaultQueries(conf.corpus)).foreach { q =>
+      run(q, base, warm = true) // JIT/codegen warmup, untimed (base dir)
+      run(q, dir1)              // ×1 floor: same layout/file granularity
+      run(q, dirN)              // ×mult
+    }
     spark.stop()
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Shared scaffolding for the batch-scale stress tools (r11 review: the
   * timer, task-metrics meter, perturbation UDF and corpus-dir protocol
-  * were copy-pasted between StressR11 and StressR11b — a methodology fix
+  * were copy-pasted between the per-round stress tools (now unified in Stress) — a methodology fix
   * landing in one and not the other would make stress rounds compare
   * numbers produced by subtly different harnesses).
   */
