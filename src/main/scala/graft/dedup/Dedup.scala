@@ -778,12 +778,26 @@ object Dedup {
     * j=0.5 rising to 1.0 for near-identical docs — the audit makes the
     * deployed operating point a measured number instead of a formula.
     */
+  /** Recall-audit ground-truth cap: the exact all-pairs Jaccard universe
+    * is O(n²) BY DEFINITION, so the audit computes it over a
+    * deterministic doc_id sample of ~this many docs — modulus
+    * ceil(n/cap), which is 1 (the FULL corpus, results unchanged) at the
+    * gate SFs and a bounded sample beyond. This is the 100 TB shape of a
+    * recall audit: exact all-pairs over the corpus is not a computable
+    * object at scale; the audit's answer is an estimate whose sample is
+    * pinned and replayable (r12: the first sf0.1 oracle sweep measured
+    * the unbounded audit at 626 s engine-side and hours in DuckDB).
+    */
+  val recallAuditCap = 5000
+
   def lshRecallAudit(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = Tables.documents(s, d)
     val lsh = minhashPairs(docs, threshold, sigDump = Some(minhashSigPath(d)))
       .select($"doc_a", $"doc_b")
     val shUdf = udf { (text: String) => Hashing.shingleSet(text).toSeq }
-    val sh = docs.select($"doc_id", shUdf($"text").as("sh")).filter(size($"sh") > 0)
+    val mod = math.max(1L, math.ceil(docs.count() / recallAuditCap.toDouble).toLong)
+    val sh = docs.filter($"doc_id" % mod === 0)
+      .select($"doc_id", shUdf($"text").as("sh")).filter(size($"sh") > 0)
     val exact = sh.as("a")
       .join(broadcast(sh.as("b")), $"a.doc_id" < $"b.doc_id")
       .select(
@@ -1638,7 +1652,9 @@ object Dedup {
          |shx AS (
          |  SELECT doc_id,
          |    $shingleListSql AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |        WHERE doc_id % (SELECT greatest(1, CAST(ceil(COUNT(*) / $recallAuditCap.0) AS BIGINT))
+         |                        FROM documents) = 0) t),
          |ex AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id

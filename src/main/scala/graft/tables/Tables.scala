@@ -65,11 +65,16 @@ object Tables {
     * value and putIfAbsent keeps one. One 1-row aggregate per corpus
     * generation per JVM; Bench's warmup pass absorbs it.
     */
-  private val embDimCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  // java.lang.Integer values, NOT Scala Int: CHM.get on a missing key
+  // returns null, and a Scala-Int-typed map unboxes that null to 0 —
+  // which then compares != null as a boxed zero, silently caching dim 0
+  // for every corpus (r12: found by the Bench smoke, every vector
+  // dropped by the contract filter)
+  private val embDimCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
   def embeddingDim(s: SparkSession, d: String): Int = {
     val key = s"$d@${new java.io.File(s"$d/embeddings.parquet").lastModified}"
     val cached = embDimCache.get(key)
-    if (cached != null) cached
+    if (cached != null) cached.intValue
     else {
       val dim = embeddingsRaw(s, d)
         .where(col("embedding").isNotNull)
@@ -85,7 +90,7 @@ object Tables {
         .map(_.getInt(0))
         .getOrElse(0)
       val prev = embDimCache.putIfAbsent(key, dim)
-      if (prev != null) prev else dim
+      if (prev != null) prev.intValue else dim
     }
   }
 
