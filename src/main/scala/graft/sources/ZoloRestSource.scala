@@ -152,6 +152,31 @@ object ZoloRestEntity {
     else 0
   }
 
+  /** Shared probe-beyond tail (one definition for both count-then-pages
+    * entities — the r11 lesson about near-verbatim paging loops):
+    * starting from the planned bodies, keep fetching `keys` while pages
+    * yield records, stopping at the first empty page or the maxPages
+    * total-fetch cap.
+    */
+  private def probeTail(
+      planned: Vector[String],
+      maxPages: Int,
+      keys: Iterator[Int],
+      pageAt: Int => String,
+      envelopePath: Seq[String],
+      ctx: Int => String): Vector[String] = {
+    val out  = Vector.newBuilder[String] ++= planned
+    var n    = planned.size
+    var more = true
+    while (more && n < maxPages) {
+      val k    = keys.next()
+      val body = pageAt(k)
+      if (probeRecordCount(body, envelopePath, ctx(k)) > 0) { out += body; n += 1 }
+      else more = false
+    }
+    out.result()
+  }
+
   /** Shared STARTPOSITION offset paging for the QuickBooks query API
     * (r11 review: QbInvoices and QbCustomers carried near-verbatim
     * copies of the count→pages math and the per-page fetch loop — a fix
@@ -196,21 +221,9 @@ object ZoloRestEntity {
           opts.httpConf).body
       val planned = op.startPositions.iterator.map(pageAt).toVector
       if (!op.probeBeyond) planned
-      else {
-        // tail partition: keep paging while pages yield records — a
-        // count that drifted up cannot silently drop the tail
-        val out  = Vector.newBuilder[String] ++= planned
-        var s    = op.startPositions.lastOption.getOrElse(1 - opts.pageSize) + opts.pageSize
-        var n    = op.startPositions.size
-        var more = true
-        while (more && n < opts.maxPages) {
-          val body = pageAt(s)
-          if (probeRecordCount(body, envelopePath, s"$name STARTPOSITION $s") > 0) {
-            out += body; s += opts.pageSize; n += 1
-          } else more = false
-        }
-        out.result()
-      }
+      else probeTail(planned, opts.maxPages,
+        Iterator.from(op.startPositions.lastOption.getOrElse(1 - opts.pageSize) + opts.pageSize, opts.pageSize),
+        pageAt, envelopePath, s => s"$name STARTPOSITION $s")
     }
   }
 
@@ -276,19 +289,9 @@ object ZoloRestEntity {
           opts.httpConf).body
       val planned = pp.pages.iterator.map(pageAt).toVector
       if (!pp.probeBeyond) planned
-      else {
-        val out  = Vector.newBuilder[String] ++= planned
-        var k    = pp.pages.lastOption.getOrElse(0) + 1
-        var n    = pp.pages.size
-        var more = true
-        while (more && n < opts.maxPages) {
-          val body = pageAt(k)
-          if (probeRecordCount(body, envelopePath, s"$name page=$k") > 0) {
-            out += body; k += 1; n += 1
-          } else more = false
-        }
-        out.result()
-      }
+      else probeTail(planned, opts.maxPages,
+        Iterator.from(pp.pages.lastOption.getOrElse(0) + 1),
+        pageAt, envelopePath, k => s"$name page=$k")
     }
   }
 
