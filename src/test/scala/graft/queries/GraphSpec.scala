@@ -44,6 +44,22 @@ class GraphSpec extends SparkSpec {
     assert(wedges == 2L) // the two interior nodes each center one wedge
   }
 
+  test("triangleStats: staged src-bucket passes count exactly what one pass counts") {
+    // the multi-pass branch only fires past the wedge budget, so at the
+    // gate SFs it is dead code to the oracle gate — pin it on K20
+    // (oriented wedges Σ C(k,2) for k=0..19 = C(20,3) = 1140, triangles
+    // C(20,3) = 1140): a 100-wedge budget forces 12 bucket waves, whose
+    // union must equal the single-pass count exactly
+    val k20 = (for { u <- 1L to 20L; v <- (u + 1) to 20L } yield (u, v)).toDF("u", "v")
+    val (one, w1) = Graph.triangleStats(k20)
+    assert(one == 1140L, s"K20 single-pass triangles: $one")
+    spark.conf.set("spark.graft.triangles.wedgesPerPass", "100")
+    try {
+      val (staged, w2) = Graph.triangleStats(k20)
+      assert(staged == one && w2 == w1, s"staged $staged/$w2 != single-pass $one/$w1")
+    } finally spark.conf.unset("spark.graft.triangles.wedgesPerPass")
+  }
+
   test("g_hops: BFS distances on a synthetic order chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString
     // orders chain parts 10-20, 20-30, 30-40: BFS from {10} → hops 0,1,2,3
