@@ -788,7 +788,7 @@ object Dedup {
     * pinned and replayable (r12: the first sf0.1 oracle sweep measured
     * the unbounded audit at 626 s engine-side and hours in DuckDB).
     */
-  val recallAuditCap = 5000
+  val recallAuditCap = 500
 
   def lshRecallAudit(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = Tables.documents(s, d)
