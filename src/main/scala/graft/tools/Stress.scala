@@ -53,7 +53,8 @@ object Stress {
       queries: Option[Seq[String]] = None,
       verbatim: Boolean = false,
       base: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-      shuffleParts: Option[String] = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS"))
+      shuffleParts: Option[String] = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS"),
+      confs: Seq[(String, String)] = Nil)
 
   private def parse(args: List[String], c: Conf): Conf = args match {
     case Nil                          => c
@@ -63,6 +64,9 @@ object Stress {
     case "--verbatim" :: rest         => parse(rest, c.copy(verbatim = true))
     case "--base" :: v :: rest        => parse(rest, c.copy(base = v))
     case "--shuffleparts" :: v :: rest => parse(rest, c.copy(shuffleParts = Some(v)))
+    case "--conf" :: kv :: rest if kv.contains('=') =>
+      val Array(k, v) = kv.split("=", 2)
+      parse(rest, c.copy(confs = c.confs :+ (k -> v)))
     case other :: _                   => sys.error(s"unknown Stress arg '$other'")
   }
 
@@ -81,6 +85,7 @@ object Stress {
     // with cluster-scaled shuffle.partitions, not this box's 32 — the
     // override lets the probe measure that granularity directly
     conf.shuffleParts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    conf.confs.foreach { case (k, v) => spark.conf.set(k, v) }
     import spark.implicits._
     val meter = new StressUtil.Meter(spark)
     val base  = conf.base
