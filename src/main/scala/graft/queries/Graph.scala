@@ -47,8 +47,9 @@ object Graph {
 
   val gPagerank: Q = (s, d) => {
     val cpus = s.sparkContext.defaultParallelism
-    val edges = edgeList(s, d).repartition(cpus, $"src").persist()
-    // persisted too: consumed by the init + the node count
+    val edges = edgeList(s, d).repartition(cpus, $"src")
+    // persisted: consumed by the init, the node count, and the fused
+    // frame below (node-count-sized, cheap to hold)
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
     // degree-ANNOTATED edge frame, built once (judge r11 next-round #4):
     // the edges⋈outdeg join is iteration-invariant, so fusing the degree
@@ -57,6 +58,11 @@ object Graph {
     // rank table against this persisted, src-partitioned frame. The
     // contrib arithmetic stays rank/outdeg (NOT rank * precomputed
     // 1/outdeg: IEEE x/y and x*(1/y) differ, and the oracle divides).
+    // Only outdeg + edgesDeg are cached — a first cut ALSO persisted the
+    // raw edge frame, and at ×100 the three cached frames together
+    // overflowed the storage pool, so LRU eviction recomputed the edge
+    // build every round (measured 871 s vs the 317 s unfused floor);
+    // edges is a plain lazy frame consumed twice at build time instead.
     val edgesDeg = edges.join(outdeg, "src").persist()
     try {
       // every edge endpoint appears as a src (edges are undirected), so
@@ -83,7 +89,6 @@ object Graph {
         .orderBy($"node")
     } finally {
       edgesDeg.unpersist()
-      edges.unpersist()
       outdeg.unpersist()
     }
   }
