@@ -47,7 +47,7 @@ object Graph {
 
   val gPagerank: Q = (s, d) => {
     val cpus = s.sparkContext.defaultParallelism
-    val edges = edgeList(s, d).repartition(cpus, $"src")
+    val edges = edgeList(s, d).repartition(cpus, $"src").persist()
     // persisted: consumed by the init, the node count, and the fused
     // frame below (node-count-sized, cheap to hold)
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
@@ -58,16 +58,19 @@ object Graph {
     // rank table against this persisted, src-partitioned frame. The
     // contrib arithmetic stays rank/outdeg (NOT rank * precomputed
     // 1/outdeg: IEEE x/y and x*(1/y) differ, and the oracle divides).
-    // Only outdeg + edgesDeg are cached — a first cut ALSO persisted the
-    // raw edge frame, and at ×100 the three cached frames together
-    // overflowed the storage pool, so LRU eviction recomputed the edge
-    // build every round (measured 871 s vs the 317 s unfused floor);
-    // edges is a plain lazy frame consumed twice at build time instead.
+    // The raw edge frame is cached ONLY through the build (released as
+    // soon as edgesDeg materializes): holding all three frames for the
+    // whole query overflowed the ×100 storage pool, and LRU eviction
+    // recomputed the edge build every round (measured 871 s vs 587 s —
+    // BENCH_LOCAL §r12); un-caching edges entirely instead re-ran the
+    // edge build twice at ×1 and cost the bench row ~2.5 s.
     val edgesDeg = edges.join(outdeg, "src").persist()
     try {
       // every edge endpoint appears as a src (edges are undirected), so
       // the src side IS the node set — no dangling-mass term needed
       val n = outdeg.count()
+      edgesDeg.count() // materialize the fused frame off the cached build…
+      edges.unpersist() // …then release it: iterations read edgesDeg+outdeg only
       // 0.15 literally, NOT (1 - damping): IEEE 1.0 - 0.85 is
       // 0.15000000000000002 and the oracle's 0.15 would diverge
       val jump = 0.15 / n
