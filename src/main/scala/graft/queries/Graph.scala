@@ -93,6 +93,7 @@ object Graph {
     } finally {
       edgesDeg.unpersist()
       outdeg.unpersist()
+      edges.unpersist() // no-op on the success path (already released); covers error paths
     }
   }
 

@@ -129,7 +129,8 @@ object FixtureApiServer {
       pageSize: Int,
       failFirst: Int = 0,
       malformedAt: Int = -1,
-      badLinkAt: Int = -1): FixtureApiServer = {
+      badLinkAt: Int = -1,
+      benignFinalLink: Boolean = false): FixtureApiServer = {
     val recs = load(jsonlPath, "created_at")
     start(s"/v1/$locationId/payments" -> { (srv, ex) =>
       if (!injectFailure(srv, ex, failFirst)) {
@@ -143,7 +144,13 @@ object FixtureApiServer {
           val ordinal = off / math.max(1, pageSize)
           val page   = window.slice(off, off + pageSize)
           val hdrs =
-            if (off + pageSize < window.size) {
+            if (off + pageSize >= window.size && benignFinalLink)
+              // a REAL API shape: the last page still carries a Link
+              // header, just without a rel="next" leg — must read as a
+              // normal end of chain, not a truncation fault (chaos r8)
+              Map("Link" ->
+                s"""<${srv.base}/v1/$locationId/payments?begin_time=x>;rel="first"""")
+            else if (off + pageSize < window.size) {
               val nextTok = (off + pageSize).toString
               val b       = begin.map(URLEncoder.encode(_, UTF_8)).getOrElse("")
               val e       = end.map(URLEncoder.encode(_, UTF_8)).getOrElse("")

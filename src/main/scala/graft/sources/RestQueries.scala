@@ -64,18 +64,20 @@ object RestQueries {
     val range = s"begin_time=${enc(beginTime)}&end_time=${enc(endTime)}"
     RestSource.fetchTokenPages(
       s"$paymentsUrl?$range",
-      // no Link header = normal end of chain; a Link header the token
-      // regex can NOT scrape is a contract break that must fail loudly —
-      // the reference's regex-scrape loop (square_ETL.py:88-91) would
-      // stop silently there, truncating the chain and losing every
-      // record past it undetectably (chaos r8, truncated token chains)
+      // no Link header (or one without a rel="next" leg — e.g. a final
+      // page advertising only rel="first"/"prev") = normal end of chain;
+      // a NEXT link whose token the regex can NOT scrape is a contract
+      // break that must fail loudly — the reference's regex-scrape loop
+      // (square_ETL.py:88-91) would stop silently there, truncating the
+      // chain and losing every record past it undetectably (chaos r8)
       p => p.header("Link") match {
         case None => None
         case Some(h) => squareTokRe.findFirstMatchIn(h) match {
           case Some(m) => Some(s"$paymentsUrl?batch_token=${m.group(1)}&$range")
-          case None => throw new IllegalStateException(
-            "square pagination: Link header present but batch_token did not match " +
+          case None if h.contains("rel=\"next\"") => throw new IllegalStateException(
+            "square pagination: rel=\"next\" Link present but batch_token did not match " +
               s"(refusing silent chain truncation): ${h.take(200)}")
+          case None => None
         }
       },
       HttpConf().withBearer(token),

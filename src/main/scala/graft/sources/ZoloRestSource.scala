@@ -174,6 +174,13 @@ object ZoloRestEntity {
       if (probeRecordCount(body, envelopePath, ctx(k)) > 0) { out += body; n += 1 }
       else more = false
     }
+    // exiting without having SEEN an empty page means end-of-data was
+    // never confirmed — stopping silently here would be the exact tail
+    // truncation the probe exists to prevent (r12 review; the mirror of
+    // fetchTokenPages' non-termination require)
+    require(!more,
+      s"zolo-rest drift probe hit the maxPages cap ($maxPages) with pages still yielding " +
+        "records — raise option(\"maxpages\", ...) or narrow the pushed time range")
     out.result()
   }
 

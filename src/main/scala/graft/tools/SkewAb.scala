@@ -23,10 +23,17 @@ object SkewAb {
     import spark.implicits._
     val meter = new StressUtil.Meter(spark)
 
-    // same corpus dir + recipe as Stress --corpus fact
-    val dirN = StressUtil.cachedDir(s"/tmp/graft_stress_r11_x$mult", base) {
-      sys.error(s"build the fact corpus first: runMain graft.tools.Stress --corpus fact --mult $mult")
-    }
+    // same corpus dir + recipe as Stress --corpus fact. A plain
+    // existence/key check, NOT cachedDir: cachedDir deletes an invalid
+    // dir before running its build block, so routing a "must already
+    // exist" guard through it would destroy the corpus it guards (r12
+    // review).
+    val dirN  = s"/tmp/graft_stress_r11_x$mult"
+    val ready = java.nio.file.Paths.get(s"$dirN/_READY")
+    require(
+      java.nio.file.Files.exists(ready) && java.nio.file.Files.readString(ready).trim == base,
+      s"fact corpus for $base missing/stale at $dirN — build it first: " +
+        s"runMain graft.tools.Stress --corpus fact --mult $mult")
 
     val hot = graft.tables.Tables
       .lineitem(spark, dirN)

@@ -52,6 +52,7 @@ object Stress {
       mult: Int = 10,
       queries: Option[Seq[String]] = None,
       verbatim: Boolean = false,
+      hist: Boolean = false,
       base: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
       shuffleParts: Option[String] = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS"),
       confs: Seq[(String, String)] = Nil)
@@ -62,6 +63,7 @@ object Stress {
     case "--mult" :: v :: rest        => parse(rest, c.copy(mult = v.toInt))
     case "--queries" :: v :: rest     => parse(rest, c.copy(queries = Some(v.split(',').toSeq)))
     case "--verbatim" :: rest         => parse(rest, c.copy(verbatim = true))
+    case "--hist" :: rest             => parse(rest, c.copy(hist = true))
     case "--base" :: v :: rest        => parse(rest, c.copy(base = v))
     case "--shuffleparts" :: v :: rest => parse(rest, c.copy(shuffleParts = Some(v)))
     case "--conf" :: kv :: rest if kv.contains('=') =>
@@ -216,6 +218,53 @@ object Stress {
       run(q, base, warm = true) // JIT/codegen warmup, untimed (base dir)
       run(q, dir1)              // ×1 floor: same layout/file granularity
       run(q, dirN)              // ×mult
+    }
+
+    // --hist: the inverted-index bucket histograms the pre-r12 Stress
+    // logged (the "caps hold at scale" MEASUREMENT — selectivity of the
+    // LSH band buckets, winnow fingerprint buckets and IVF cells on the
+    // ×mult corpus), restored as a flag so a future cap/hashing change
+    // re-verifies with a rerun, not a rewrite.
+    if (conf.hist) {
+      import graft.dedup.{Dedup, Hashing}
+      def fmtHist(row: org.apache.spark.sql.Row): String = {
+        val pct = row.getSeq[Long](2)
+        f"buckets=${row.getLong(0)}%,d max=${row.getLong(1)}%,d " +
+          f"p50=${pct(0)}%,d p90=${pct(1)}%,d p99=${pct(2)}%,d overCap=${row.getLong(3)}%,d"
+      }
+      def bucketHist(keyed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row = keyed
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("buckets"),
+          max($"n").as("max_n"),
+          expr("approx_percentile(n, array(0.5, 0.9, 0.99))").as("pct"),
+          sum(when($"n" > Dedup.maxBucketSize, 1L).otherwise(0L)).as("over_cap"))
+        .collect()(0)
+      val docs = graft.tables.Tables.documents(spark, dirN).select($"doc_id", $"text")
+      val sigs = Dedup.minhashSignatures(docs)
+      val bands = sigs.select($"doc_id",
+        posexplode(array((0 until Dedup.numBands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "band_hash")))
+        .select(concat($"band_id", lit(":"), $"band_hash").as("k"))
+      val (mh, tMh) = time(bucketHist(bands))
+      println(f"- minhash band buckets @x${conf.mult}: ${fmtHist(mh)} (cap=${Dedup.maxBucketSize}; $tMh%.1f s)")
+      val fpUdf = udf { (text: String) =>
+        Hashing.winnow(text, k = Dedup.winnowPairK, w = Dedup.winnowPairW)
+      }
+      val (wn, tW) = time(bucketHist(docs.select(explode(fpUdf($"text")).as("k"))))
+      println(f"- winnow fp buckets @x${conf.mult}: ${fmtHist(wn)} (cap=${Dedup.maxBucketSize}; $tW%.1f s)")
+      val emb = graft.tables.Tables.embeddings(spark, dirN)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      val idxPath = s"/tmp/graft_stress_hist_ivf_x${conf.mult}"
+      val (_, tIdx) = time(graft.sim.Similarity.writeIvfIndexFor(spark, emb, idxPath, nCells = 64, iters = 3))
+      val cells = spark.read.parquet(idxPath)
+        .groupBy($"cell_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("cells"), min($"n").as("min_n"), max($"n").as("max_n"),
+          expr("approx_percentile(n, 0.5)").as("p50"))
+        .collect()(0)
+      println(f"- IVF cells @x${conf.mult}: ${cells.getLong(0)} cells, rows/cell " +
+        f"min=${cells.getLong(1)}%,d p50=${cells.getLong(3)}%,d max=${cells.getLong(2)}%,d " +
+        f"(index built in $tIdx%.1f s)")
     }
     spark.stop()
   }

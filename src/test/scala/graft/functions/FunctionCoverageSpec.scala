@@ -30,9 +30,12 @@ class FunctionCoverageSpec extends AnyFunSuite {
   private val registryFiles = Set("GraftFunctions.scala", "GraftExtensions.scala")
 
   test("every registered function is used by a main-path module and a test spec") {
-    val mains = sources("/root/repo/src/main/scala")
+    // forked tests run with cwd = the project base, so resolve the
+    // source tree from there rather than a hardcoded checkout path
+    val root = sys.props("user.dir")
+    val mains = sources(s"$root/src/main/scala")
       .filterNot { case (p, _) => registryFiles.contains(p.getFileName.toString) }
-    val tests = sources("/root/repo/src/test/scala")
+    val tests = sources(s"$root/src/test/scala")
       .filterNot { case (p, _) => p.getFileName.toString == "FunctionCoverageSpec.scala" }
     val untestedMain = GraftFunctions.builders.collect {
       case (name, _, _) if !mains.exists(_._2.contains(name)) => name

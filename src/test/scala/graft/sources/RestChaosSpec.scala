@@ -121,6 +121,16 @@ class RestChaosSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("benign final-page Link (rel=first only, no next) ends the chain normally") {
+    val srv = FixtureApiServer.squareV1(s"$fx/square_payments.json",
+      locationId = "L", token = "t", pageSize = 3, benignFinalLink = true)
+    try {
+      val n = RestQueries.squareDsv2Records(spark, s"${srv.base}/v1/L/payments", "t", b, e, nSlices = 1)
+        .count()
+      assert(n == 8L, s"expected all 8 fixture records, got $n")
+    } finally srv.stop()
+  }
+
   test("garbage count body fails at planning time naming the count URL") {
     val srv = FixtureApiServer.shopifyAdmin(s"$fx/shopify_orders.json", "u", "p",
       malformedCount = true)
