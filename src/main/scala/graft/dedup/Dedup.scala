@@ -790,13 +790,36 @@ object Dedup {
     */
   val recallAuditCap = 500
 
+  /** Deterministic doc-id sample hash, identical in Spark and DuckDB
+    * (r12 review: `doc_id % mod == 0` is a STRIDE, and stress corpora
+    * remap ids as doc_id*mult+rep — with mod a multiple of mult the
+    * stride selects only rep=0 verbatim replicas, inflating measured
+    * recall). Multiplicative hash mod a 32-bit prime, one xor-shift,
+    * second multiply — every intermediate < 2⁶³ so plain BIGINT
+    * arithmetic matches bit-for-bit in both engines (no HUGEINT replay
+    * needed). Nonlinear in doc_id, so id arithmetic progressions can't
+    * correlate with the sample.
+    */
+  private val sampleP  = 4294967291L // largest prime < 2^32
+  private val sampleK1 = 2654435761L // Knuth 2^32·φ
+  private val sampleK2 = 1103515245L // < 2^31: (h<2^32)·K2 < 2^63
+  private def sampleHash(id: Column): Column = {
+    val h1 = (id * sampleK1) % sampleP
+    val h2 = h1.bitwiseXOR(shiftright(h1, 15))
+    (h2 * sampleK2) % sampleP
+  }
+  private[dedup] def sampleHashSql(id: String): String = {
+    val h1 = s"(($id * $sampleK1) % $sampleP)"
+    s"((xor($h1, $h1 >> 15)) * $sampleK2) % $sampleP"
+  }
+
   def lshRecallAudit(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = Tables.documents(s, d)
     val lsh = minhashPairs(docs, threshold, sigDump = Some(minhashSigPath(d)))
       .select($"doc_a", $"doc_b")
     val shUdf = udf { (text: String) => Hashing.shingleSet(text).toSeq }
     val mod = math.max(1L, math.ceil(docs.count() / recallAuditCap.toDouble).toLong)
-    val sh = docs.filter($"doc_id" % mod === 0)
+    val sh = docs.filter(sampleHash($"doc_id") % mod === 0)
       .select($"doc_id", shUdf($"text").as("sh")).filter(size($"sh") > 0)
     val exact = sh.as("a")
       .join(broadcast(sh.as("b")), $"a.doc_id" < $"b.doc_id")
@@ -1653,8 +1676,9 @@ object Dedup {
          |  SELECT doc_id,
          |    $shingleListSql AS sh
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |        WHERE doc_id % (SELECT greatest(1, CAST(ceil(COUNT(*) / $recallAuditCap.0) AS BIGINT))
-         |                        FROM documents) = 0) t),
+         |        WHERE (${sampleHashSql("doc_id")})
+         |              % (SELECT greatest(1, CAST(ceil(COUNT(*) / $recallAuditCap.0) AS BIGINT))
+         |                 FROM documents) = 0) t),
          |ex AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id

@@ -68,7 +68,8 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(graft.forecast.SeriesAnalysis.hwPeriod)) _),
     ("forecast_croston", classOf[ForecastCroston], unary("forecast_croston", ForecastCroston.apply) _),
     ("zvalue16", classOf[ZValue16], binary("zvalue16", ZValue16.apply) _),
-    ("minhash_est", classOf[MinhashEst], binary("minhash_est", MinhashEst.apply) _)
+    ("minhash_est", classOf[MinhashEst], binary("minhash_est", MinhashEst.apply) _),
+    ("vector_ok", classOf[VectorOk], binary("vector_ok", VectorOk.apply) _)
   )
 
   /** Idempotent: queries call this at build time, many per session —
@@ -151,6 +152,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("minhash_est", a, b)
   def zvalue16(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("zvalue16", a, b)
+  def vectorOk(vec: Column, dim: Column): Column =
+    org.apache.spark.sql.functions.call_function("vector_ok", vec, dim)
 }
 
 /** Hamming distance between two 64-bit signatures. ExpectsInputTypes so a

@@ -49,6 +49,9 @@ object RestQueries {
   }
 
   private val squareTokRe = """batch_token=(.*?)&begin_time=""".r
+  // RFC 8288 link-relation match: quoted or unquoted rel value, optional
+  // whitespace around `=`, case-insensitive ("rel=next", rel = "Next", …)
+  private[sources] val relNextRe = """(?i)rel\s*=\s*"?next"?""".r
 
   /** ONE window's sequential batch-token chain — the Link-header regex
     * is the reference's own (`square_ETL.py:88-91`). Shared verbatim by
@@ -74,8 +77,13 @@ object RestQueries {
         case None => None
         case Some(h) => squareTokRe.findFirstMatchIn(h) match {
           case Some(m) => Some(s"$paymentsUrl?batch_token=${m.group(1)}&$range")
-          case None if h.contains("rel=\"next\"") => throw new IllegalStateException(
-            "square pagination: rel=\"next\" Link present but batch_token did not match " +
+          // RFC 8288 permits rel=next unquoted and with free whitespace;
+          // recognizing only the quoted spelling would let an unquoted
+          // next-leg whose token the regex can't scrape silently end the
+          // chain — the exact undetectable tail loss this guard exists
+          // to prevent (r12 review)
+          case None if relNextRe.findFirstIn(h).isDefined => throw new IllegalStateException(
+            "square pagination: rel=next Link present but batch_token did not match " +
               s"(refusing silent chain truncation): ${h.take(200)}")
           case None => None
         }

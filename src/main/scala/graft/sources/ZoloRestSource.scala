@@ -155,8 +155,14 @@ object ZoloRestEntity {
   /** Shared probe-beyond tail (one definition for both count-then-pages
     * entities — the r11 lesson about near-verbatim paging loops):
     * starting from the planned bodies, keep fetching `keys` while pages
-    * yield records, stopping at the first empty page or the maxPages
-    * total-fetch cap.
+    * yield records. The probe's EXTRA fetches are budgeted separately
+    * from the partition's planned fetches (r12 review: counting from
+    * planned.size meant a config with pagesPerPartition >= maxPages
+    * threw on the tail partition with zero drift and all data fetched,
+    * and the cap no longer bounded anything in count-then-pages mode,
+    * where planning applies no cap). Budget = whatever of the maxPages
+    * option remains after this partition's planned fetches, floored at
+    * 1 so end-of-data is always confirmable by at least one probe page.
     */
   private def probeTail(
       planned: Vector[String],
@@ -165,22 +171,25 @@ object ZoloRestEntity {
       pageAt: Int => String,
       envelopePath: Seq[String],
       ctx: Int => String): Vector[String] = {
-    val out  = Vector.newBuilder[String] ++= planned
-    var n    = planned.size
-    var more = true
-    while (more && n < maxPages) {
+    val out      = Vector.newBuilder[String] ++= planned
+    val probeCap = math.max(1, maxPages - planned.size)
+    var extra    = 0
+    var more     = true
+    while (more && extra < probeCap) {
       val k    = keys.next()
       val body = pageAt(k)
-      if (probeRecordCount(body, envelopePath, ctx(k)) > 0) { out += body; n += 1 }
+      if (probeRecordCount(body, envelopePath, ctx(k)) > 0) { out += body; extra += 1 }
       else more = false
     }
     // exiting without having SEEN an empty page means end-of-data was
     // never confirmed — stopping silently here would be the exact tail
     // truncation the probe exists to prevent (r12 review; the mirror of
-    // fetchTokenPages' non-termination require)
+    // fetchTokenPages' non-termination require). This only fires when a
+    // probe page actually yielded records at the cap, never on a
+    // degenerate planned-size/config combination.
     require(!more,
-      s"zolo-rest drift probe hit the maxPages cap ($maxPages) with pages still yielding " +
-        "records — raise option(\"maxpages\", ...) or narrow the pushed time range")
+      s"zolo-rest drift probe fetched $extra extra pages (cap $probeCap from maxpages=$maxPages) " +
+        "with pages still yielding records — raise option(\"maxpages\", ...) or narrow the pushed time range")
     out.result()
   }
 

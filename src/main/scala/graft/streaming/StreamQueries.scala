@@ -914,7 +914,7 @@ object StreamQueries {
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(d)
       .filter($"vec_id" < 10)
-      .filter(graft.tables.Tables.vectorContract($"embedding", dim))
+      .filter(graft.tables.Tables.vectorContract(s, $"embedding", dim))
       .select($"vec_id".as("probe_id"),
         transform($"embedding", x => x.cast("double")).as("pv"))
     val q = probes.writeStream

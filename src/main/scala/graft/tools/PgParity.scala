@@ -106,6 +106,58 @@ object PgParity {
     println(s"- ${rows.size} engine rows round-tripped exactly " +
       "(TEXT / FLOAT8 / TIMESTAMPTZ-as-instant)")
     psql("DROP TABLE model_simp_avg")
+
+    // 4: PIN the TIMESTAMPTZ semantics divergence (judge r12 next-round
+    // #3). Spark TimestampType is an INSTANT (UTC micros, rendered in
+    // the session zone); PostgresDialect lands it as TIMESTAMPTZ, which
+    // is also an instant. The reference's pandas to_sql lands tz-NAIVE
+    // datetimes as plain TIMESTAMP (square_ETL.py:232-233) — WALLCLOCK
+    // text. The experiment: the same engine timestamp written and read
+    // under two different session timezones, through both column types.
+    //  - TIMESTAMPTZ: the epoch read back is the SAME under both zones
+    //    (and equals what was written) — a session-timezone change
+    //    cannot move the stored instant. This is the engine's contract.
+    //  - TIMESTAMP: the rendered text is the same under both zones, but
+    //    the instant it denotes depends on the reader's zone — the
+    //    reference's wallclock contract, shown here as the control.
+    val engineTs = rows.head.getTimestamp(3)
+    val iso      = java.time.Instant.ofEpochMilli(engineTs.getTime)
+    val wallTxt  = "2001-06-04 00:00:00"
+    psql("DROP TABLE IF EXISTS tz_pin")
+    psql("CREATE TABLE tz_pin (k INT, tstz TIMESTAMPTZ, twall TIMESTAMP)")
+    // one -c = one session: the SET applies to the INSERT after it
+    psql(s"SET timezone='America/Los_Angeles'; INSERT INTO tz_pin VALUES (1, '$iso'::timestamptz, '$wallTxt'::timestamp)")
+    psql(s"SET timezone='UTC';                 INSERT INTO tz_pin VALUES (2, '$iso'::timestamptz, '$wallTxt'::timestamp)")
+    def readUnder(tz: String): Seq[(Long, Long, String, String)] =
+      // a multi-statement -c prefixes the CSV with the SET command tag
+      // and then the header row — data rows are the ones leading with
+      // the integer key
+      psql(s"SET timezone='$tz'; SELECT k, extract(epoch FROM tstz)::bigint, " +
+        "extract(epoch FROM twall)::bigint, tstz::text, twall::text FROM tz_pin ORDER BY k")
+        .linesIterator.toSeq.filter(_.headOption.exists(_.isDigit)).map { l =>
+          val c = l.split(",", -1); (c(1).toLong, c(2).toLong, c(3), c(4))
+        }
+    val underLa  = readUnder("America/Los_Angeles")
+    val underUtc = readUnder("UTC")
+    val want = engineTs.getTime / 1000
+    // instant semantics: every tstz epoch equals the engine's instant,
+    // regardless of the WRITER's zone or the READER's zone
+    (underLa ++ underUtc).foreach { case (tstzEpoch, _, _, _) =>
+      require(tstzEpoch == want, s"TIMESTAMPTZ instant drifted: $tstzEpoch != $want")
+    }
+    // ...while its rendering follows the reader (sanity that the zones differed)
+    require(underLa.head._3 != underUtc.head._3, "session zones did not differ")
+    // wallclock semantics (the reference's landing): text invariant, so
+    // the instant it denotes shifts with the reader's interpretation
+    (underLa ++ underUtc).foreach { case (_, _, _, twallTxt) =>
+      require(twallTxt == wallTxt, s"TIMESTAMP wallclock text drifted: $twallTxt")
+    }
+    println("- TIMESTAMPTZ pin: engine instant invariant across writer/reader session " +
+      s"timezones (epoch $want under LA and UTC); plain TIMESTAMP control kept wallclock " +
+      "text — the reference's contract. Engine contract: INSTANT whose UTC wallclock " +
+      "equals the reference's naive local text (the -7h shift is applied to VALUES, " +
+      "so both systems render the same local time; see NOTES.md).")
+    psql("DROP TABLE tz_pin")
     spark.stop()
   }
 }

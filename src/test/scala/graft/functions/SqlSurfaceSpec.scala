@@ -315,4 +315,41 @@ class SqlSurfaceSpec extends SparkSpec {
     // ClassCastException from deep inside an executor task
     assert(!e.isInstanceOf[ClassCastException], e.getClass.getName)
   }
+
+  test("vector_ok: contract semantics on adversarial vectors, total (never null)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vector_ok(CAST(array(1.0F, 2.0F) AS ARRAY<FLOAT>), 2)          AS ok,
+        |  vector_ok(CAST(array(1.0F, 2.0F) AS ARRAY<FLOAT>), 3)          AS wrong_dim,
+        |  vector_ok(CAST(NULL AS ARRAY<FLOAT>), 2)                       AS null_vec,
+        |  vector_ok(CAST(array(1.0F, CAST(NULL AS FLOAT)) AS ARRAY<FLOAT>), 2) AS null_elem,
+        |  vector_ok(CAST(array(1.0F, CAST('NaN' AS FLOAT)) AS ARRAY<FLOAT>), 2) AS nan_elem,
+        |  vector_ok(CAST(array(1.0F, CAST('Infinity' AS FLOAT)) AS ARRAY<FLOAT>), 2) AS inf_elem,
+        |  vector_ok(CAST(array() AS ARRAY<FLOAT>), 0)                    AS empty_ok
+        |""".stripMargin).head()
+    assert(r.getBoolean(0), "valid vector rejected")
+    assert(!r.getBoolean(1), "wrong dim accepted")
+    assert(!r.getBoolean(2) && !r.isNullAt(2), "null vector must be false, not null (total)")
+    assert(!r.getBoolean(3), "null element accepted")
+    assert(!r.getBoolean(4), "NaN accepted")
+    assert(!r.getBoolean(5), "Infinity accepted")
+    assert(r.getBoolean(6), "dim-0 contract on empty vector rejected")
+  }
+
+  test("vector_ok filter parity with the pre-r13 three-term Column predicate on the corpus") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val raw = graft.tables.Tables.embeddingsRaw(spark, sf0001)
+    val dim = graft.tables.Tables.embeddingDim(spark, sf0001)
+    // the r12 contract formulation this expression graduates from
+    val legacy = raw.where(
+      col("embedding").isNotNull &&
+        size(col("embedding")) === lit(dim) &&
+        !exists(col("embedding"), x => isnan(x) || abs(x) > lit(Float.MaxValue)))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val graduated = graft.tables.Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(legacy.sameElements(graduated))
+  }
 }
