@@ -119,8 +119,8 @@ object Bench {
         name -> r
       }.toMap
     // full UNTIMED warmup pass (r11): the one-liner above warms Spark's
-    // read/agg path but not the query kernels — graft.tools.ArimaProbe
-    // measured m_arima_forecast converging 18.96 / 4.94 / 4.80 / 3.78 s
+    // read/agg path but not the query kernels — the r5 arima probe
+    // (git history) measured m_arima_forecast converging 18.96 / 4.94 / 4.80 / 3.78 s
     // across passes, so a 3-pass min starting cold was sampling the JIT
     // curve's tail, not steady state. One discarded pass moves every
     // timed pass onto the plateau the bench is documented to measure.

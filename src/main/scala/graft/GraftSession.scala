@@ -25,6 +25,18 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Runtime-SQL-conf passthrough for A/B harness runs (r13: the
+    // RocksDB state-store A/B drives graft.Verify with
+    // spark.sql.streaming.stateStore.providerClass overridden — the
+    // engine code stays identical, only the session conf differs).
+    // Semicolon-separated k=v pairs; runtime confs only (static confs
+    // need builder time and belong in javaOptions -D).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
+      kvs.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
     spark
   }
 }

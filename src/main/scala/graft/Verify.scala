@@ -45,6 +45,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same runtime-conf passthrough as GraftSession (r13: lets the
+    // RocksDB A/B run the full oracle sweep under an overridden
+    // state-store provider without touching the driver contract)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
+      kvs.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
     new java.io.File(outDir).mkdirs()
     val picked = SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
     val ordered =
@@ -79,6 +88,15 @@ object Verify {
         // one private session per worker: thread-local active session so
         // SparkSession.active (DSv2 warehouse faces) resolves here too
         val sess = spark.newSession()
+        // newSession() seeds SQLConf from the context conf, NOT the
+        // parent's runtime conf.set values — re-apply the A/B overrides
+        // or the worker sessions silently run the default provider
+        sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
+          kvs.split(';').filter(_.contains('=')).foreach { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            sess.conf.set(k.trim, v.trim)
+          }
+        }
         SparkSession.setActiveSession(sess)
         var item = queue.poll()
         while (item != null) {

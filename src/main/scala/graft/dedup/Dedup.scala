@@ -514,7 +514,8 @@ object Dedup {
       // on i, so only pairs that cannot qualify are dropped, and
       // survivors still go through the exact array_intersect verify
       // below (which alone produces the output values). Measured at
-      // 100×sf0.1 (ProbePpjoinCand/StressR9): 31.0M prefix-sharing
+      // 100×sf0.1 (r9 probes, reproducible via Stress --corpus docs
+      // --queries dedup_ppjoin_pairs): 31.0M prefix-sharing
       // pairs → 25,600 bounded candidates — exactly the verified-pair
       // set, i.e. a zero-false-positive filter on that corpus — and
       // wall 304 s → 54.6 s (vs 15.4 s at 10×: sublinear, the fixed

@@ -5,8 +5,8 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** The one AQE-aware walk for partition-less WindowExec detection —
-  * shared by the ScaleWindowSpec/SweeplineSpec plan gates and the
-  * AuditWindows inventory tool (r10 review: the non-trivial adaptive
+  * shared by the ScaleWindowSpec/SweeplineSpec plan gates (r10 review:
+  * the non-trivial adaptive
   * descent was maintained in three copies). TreeNode.collect stops at
   * QueryStageExec once AQE has re-planned, so adaptive wrappers are
   * descended explicitly.

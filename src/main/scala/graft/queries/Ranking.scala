@@ -73,8 +73,8 @@ object Ranking {
     * single-task sort anywhere.
     *
     * LAZY (r11 ADVICE): the previous version collected the k rows at
-    * DataFrame-construction time, so plan-only callers (AuditWindows,
-    * PlanSpec) paid full execution; now construction is pure plan. The
+    * DataFrame-construction time, so plan-only callers (plan-audit
+    * tooling, PlanSpec) paid full execution; now construction is pure plan. The
     * order must be total for a deterministic rank.
     */
   def topKRanked(df: DataFrame, k: Int, rankCol: String)(order: Column*): DataFrame = {

@@ -48,7 +48,8 @@ import org.apache.spark.sql.functions._
   * restriction → in-cell exact cosine → rank from the dumps, so the
   * emitted result is hash-exact. Recall vs brute force is the
   * spec-measured contract (HierIvfSpec), alongside the hierarchical-vs-
-  * flat training-cost A/B in tools/StressHier.
+  * flat training-cost A/B (BENCH_LOCAL §r8; rerun via Stress --corpus
+  * docs --queries ann_ivf_hier_topk,ann_ivf_topk).
   */
 object HierIvf {
   type Q = (SparkSession, String) => DataFrame
@@ -248,7 +249,7 @@ object HierIvf {
     * [[Similarity.writeIvfIndexFor]] layout, but each row pays O(kc+kf)
     * assignment cosines instead of O(kc·kf). At 100 TB the index BUILD
     * is the operation that touches every vector — with nCells ∝ n the
-    * flat assignment term is the O(n²·d) wall StressHier measures; this
+    * flat assignment term is the O(n²·d) wall the r8 hier A/B measured; this
     * is the build path that scales. Probing is layout-compatible with
     * the flat index (same cell_id partitioning, same probe machinery).
     */

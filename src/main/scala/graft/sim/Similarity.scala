@@ -202,7 +202,7 @@ object Similarity {
 
   /** Adaptive hier cutover (judge r7 next-round #2): above this many
     * cells the flat O(n·nCells·d) train+assign term is the measured wall
-    * (StressHier: 9.4 s flat vs 3.4 s hier already at 200k vectors ×
+    * (r8 hier A/B, BENCH_LOCAL: 9.4 s flat vs 3.4 s hier already at 200k vectors ×
     * 1600 cells; 549.4 s vs 20.8 s at 2M × 16k, identical recall), so
     * [[ivfTopK]] and [[writeIvfIndexFor]] switch to the [[HierIvf]]
     * two-level path with kc = kf = ceil(√nCells) — no caller opt-in.

@@ -49,15 +49,41 @@ object StreamQueries {
   private def eventsStream(
       s: SparkSession, d: String, options: Map[String, String] = Map.empty
   ): DataFrame = {
-    val reader = options.foldLeft(
-      s.readStream.schema(eventsSchema(s, d)).option("pathGlobFilter", "events.parquet")
+    // harness knob (r13 RocksDB A/B): force a multi-micro-batch replay
+    // for the batch-split-safe queries (windows/sessions — complete-mode
+    // aggregation converges under any file→batch split) so the state
+    // store's load/commit path is exercised per batch, not once. Queries
+    // with a SINGLE-BATCH PIN (dedup/state) pass maxFilesPerTrigger
+    // explicitly and are not affected.
+    val knob = s.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+      .filterNot(_ => options.contains("maxFilesPerTrigger"))
+      .map("maxFilesPerTrigger" -> _)
+    val (path, glob) = tableStreamSource(d, "events")
+    val reader = (options ++ knob).foldLeft(
+      s.readStream.schema(eventsSchema(s, d)).option("pathGlobFilter", glob)
     ) { case (r, (k, v)) => r.option(k, v) }
-    val src = reader.parquet(d)
+    val src = reader.parquet(path)
     src.schema("ts").dataType match {
       case LongType         => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
       case _                => src
     }
+  }
+
+  /** (basePath, pathGlobFilter) for streaming a corpus table that may be
+    * FILE-shaped (driver testdata: one `events.parquet` file inside the
+    * corpus dir) or DIRECTORY-shaped (stress/warehouse corpora: an
+    * `events.parquet/` directory of part files). A file stream's path
+    * must be a directory, and `pathGlobFilter` matches LEAF file names
+    * only — so the directory shape streams from the table dir itself
+    * with a part-file glob. Found the hard way (r13): the stream-stress
+    * corpus read ZERO files under file-shape-only wiring, and an empty
+    * bounded stream completes "successfully" — the wall numbers looked
+    * plausible while measuring nothing.
+    */
+  private[streaming] def tableStreamSource(d: String, table: String): (String, String) = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    if (f.isDirectory) (f.toString, "*.parquet") else (d, s"$table.parquet")
   }
 
   /** Shared AvailableNow scaffold (r3 self-review — previously inlined
@@ -834,11 +860,12 @@ object StreamQueries {
   val streamNearDedup: Q = (s, d) => {
     val ck = java.nio.file.Files.createTempDirectory("graft-sneardup-ck").toString
     val docsSchema = graft.tables.Tables.documents(s, d).schema
+    val (docsPath, docsGlob) = tableStreamSource(d, "documents")
     val src = s.readStream
       .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
+      .option("pathGlobFilter", docsGlob)
       .option("maxFilesPerTrigger", "1000")
-      .parquet(d)
+      .parquet(docsPath)
     val q = nearDedupFlags(src).writeStream
       .format("memory")
       .queryName("s_stream_near_dedup_sink")
@@ -909,10 +936,11 @@ object StreamQueries {
     // router on a null vector) are rejected at the endpoint, exactly as
     // a production serving gate would 400 them
     val dim = graft.tables.Tables.embeddingDim(s, d)
+    val (embPath, embGlob) = tableStreamSource(d, "embeddings")
     val probes = s.readStream
       .schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(d)
+      .option("pathGlobFilter", embGlob)
+      .parquet(embPath)
       .filter($"vec_id" < 10)
       .filter(graft.tables.Tables.vectorContract(s, $"embedding", dim))
       .select($"vec_id".as("probe_id"),
@@ -959,10 +987,11 @@ object StreamQueries {
     graft.functions.GraftFunctions.register(s)
     val ck = java.nio.file.Files.createTempDirectory("graft-sgate-ck").toString
     val docsSchema = graft.tables.Tables.documents(s, d).schema
+    val (docsPath, docsGlob) = tableStreamSource(d, "documents")
     val src = s.readStream
       .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(d)
+      .option("pathGlobFilter", docsGlob)
+      .parquet(docsPath)
     val scored = src.selectExpr(
       "doc_id",
       "token_count(text) AS n_tokens",

