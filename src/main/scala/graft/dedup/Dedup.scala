@@ -804,7 +804,7 @@ object Dedup {
   private val sampleP  = 4294967291L // largest prime < 2^32
   private val sampleK1 = 2654435761L // Knuth 2^32·φ
   private val sampleK2 = 1103515245L // < 2^31: (h<2^32)·K2 < 2^63
-  private def sampleHash(id: Column): Column = {
+  private[dedup] def sampleHash(id: Column): Column = {
     val h1 = (id * sampleK1) % sampleP
     val h2 = h1.bitwiseXOR(shiftright(h1, 15))
     (h2 * sampleK2) % sampleP

@@ -286,6 +286,11 @@ object Stress {
 
     def run(name: String, dd: String, warm: Boolean = false): Unit = {
       val fn = graft.SparkEntry.queries(name)
+      // drop metrics from the PRECEDING (warmup or prior) run before
+      // measuring: the sink names repeat across runs, so a measured run
+      // that emits nothing (the r13 zero-files bug) must print NOTHING,
+      // not the previous run's numbers under its own label
+      if (conf.corpus == "stream" && !warm) stateMetrics.clear()
       if (warm) { fn(spark, dd).write.mode("overwrite").parquet("/tmp/graft_stress_out"); () }
       else
         meter.measured(s"$name @${new java.io.File(dd).getName}") {
@@ -293,7 +298,13 @@ object Stress {
         }
       if (conf.corpus == "stream" && !warm) {
         import scala.jdk.CollectionConverters._
-        stateMetrics.asScala.toSeq.sortBy(_._1).foreach { case (sink, m) =>
+        // listener delivery is async (the Meter.settle discipline):
+        // poll until the captured metrics stop changing before printing
+        def snap = stateMetrics.asScala.toMap
+        var last = Map.empty[String, String]
+        var cur  = snap
+        while (cur != last) { last = cur; Thread.sleep(300); cur = snap }
+        cur.toSeq.sortBy(_._1).foreach { case (sink, m) =>
           println(s"    state[$sink] $m")
         }
         stateMetrics.clear()
