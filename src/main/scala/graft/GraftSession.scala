@@ -25,18 +25,27 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Runtime-SQL-conf passthrough for A/B harness runs (r13: the
-    // RocksDB state-store A/B drives graft.Verify with
-    // spark.sql.streaming.stateStore.providerClass overridden — the
-    // engine code stays identical, only the session conf differs).
-    // Semicolon-separated k=v pairs; runtime confs only (static confs
-    // need builder time and belong in javaOptions -D).
+    applyExtraConfs(spark)
+    spark
+  }
+
+  /** Runtime-SQL-conf passthrough for A/B harness runs (r13: the RocksDB
+    * state-store A/B drives graft.Verify with
+    * spark.sql.streaming.stateStore.providerClass overridden — the
+    * engine code stays identical, only the session conf differs).
+    * `SPARK_GRAFT_EXTRA_CONFS` holds semicolon-separated k=v pairs;
+    * runtime confs only (static confs need builder time and belong in
+    * javaOptions -D). ONE definition (r13 review): Verify must apply the
+    * same parsing to its parent session AND each worker `newSession()`
+    * (which seeds SQLConf from the context conf, not the parent's
+    * runtime values) — a drifted copy would silently run workers on the
+    * default provider.
+    */
+  def applyExtraConfs(spark: SparkSession): Unit =
     sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
       kvs.split(';').filter(_.contains('=')).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k.trim, v.trim)
       }
     }
-    spark
-  }
 }

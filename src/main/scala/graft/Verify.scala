@@ -48,12 +48,7 @@ object Verify {
     // same runtime-conf passthrough as GraftSession (r13: lets the
     // RocksDB A/B run the full oracle sweep under an overridden
     // state-store provider without touching the driver contract)
-    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
-      kvs.split(';').filter(_.contains('=')).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      }
-    }
+    GraftSession.applyExtraConfs(spark)
     new java.io.File(outDir).mkdirs()
     val picked = SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) }
     val ordered =
@@ -91,12 +86,7 @@ object Verify {
         // newSession() seeds SQLConf from the context conf, NOT the
         // parent's runtime conf.set values — re-apply the A/B overrides
         // or the worker sessions silently run the default provider
-        sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
-          kvs.split(';').filter(_.contains('=')).foreach { kv =>
-            val Array(k, v) = kv.split("=", 2)
-            sess.conf.set(k.trim, v.trim)
-          }
-        }
+        GraftSession.applyExtraConfs(sess)
         SparkSession.setActiveSession(sess)
         var item = queue.poll()
         while (item != null) {

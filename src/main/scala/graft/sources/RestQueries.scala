@@ -50,8 +50,15 @@ object RestQueries {
 
   private val squareTokRe = """batch_token=(.*?)&begin_time=""".r
   // RFC 8288 link-relation match: quoted or unquoted rel value, optional
-  // whitespace around `=`, case-insensitive ("rel=next", rel = "Next", …)
-  private[sources] val relNextRe = """(?i)rel\s*=\s*"?next"?""".r
+  // whitespace around `=`, case-insensitive ("rel=next", rel = "Next",
+  // rel="prev next"). Token-BOUNDED (r13 review): without a boundary,
+  // rel values merely starting with "next" (rel="next-archive",
+  // rel=nextpage) — and `rel=next` text inside a link target URI —
+  // would false-positive the truncation guard and throw on a correctly
+  // completed chain. Quoted form: "next" as a space-separated list
+  // member; unquoted form: next followed by a delimiter or end.
+  private[sources] val relNextRe =
+    """(?i)rel\s*=\s*("(?:[^"]*\s)?next(?:\s[^"]*)?"|next(?=[\s,;]|$))""".r
 
   /** ONE window's sequential batch-token chain — the Link-header regex
     * is the reference's own (`square_ETL.py:88-91`). Shared verbatim by

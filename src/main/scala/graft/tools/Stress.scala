@@ -299,9 +299,13 @@ object Stress {
       if (conf.corpus == "stream" && !warm) {
         import scala.jdk.CollectionConverters._
         // listener delivery is async (the Meter.settle discipline):
-        // poll until the captured metrics stop changing before printing
+        // poll until the captured metrics stop changing before printing.
+        // Seed `last` with a value no snapshot can equal (Meter seeds
+        // (-1,-1) for the same reason — r13 review: seeding empty made
+        // an empty FIRST snapshot exit with zero sleeps, racing the
+        // listener bus and dropping or lagging the A/B's state metrics)
         def snap = stateMetrics.asScala.toMap
-        var last = Map.empty[String, String]
+        var last: Map[String, String] = null
         var cur  = snap
         while (cur != last) { last = cur; Thread.sleep(300); cur = snap }
         cur.toSeq.sortBy(_._1).foreach { case (sink, m) =>

@@ -121,6 +121,22 @@ class RestChaosSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("rel=next detection: RFC 8288 spellings match, near-miss rels and URI text do not") {
+    def hits(h: String) = RestQueries.relNextRe.findFirstIn(h).isDefined
+    // must match: the spellings RFC 8288 permits for a next leg
+    assert(hits("""<u>; rel="next""""))
+    assert(hits("""<u>; rel=next"""))
+    assert(hits("""<u>; REL = "Next""""))
+    assert(hits("""<u>; rel="prev next""""))
+    assert(hits("""<u>; rel=next, <v>; rel="first""""))
+    // must NOT match (r13 review): rel tokens merely PREFIXED next, and
+    // rel=next text inside the target URI — a throw here would fail a
+    // correctly completed chain
+    assert(!hits("""<u>; rel="next-archive""""))
+    assert(!hits("""<u>; rel=nextpage"""))
+    assert(!hits("""<https://x/?rel=next&p=2>; rel="first""""))
+  }
+
   test("benign final-page Link (rel=first only, no next) ends the chain normally") {
     val srv = FixtureApiServer.squareV1(s"$fx/square_payments.json",
       locationId = "L", token = "t", pageSize = 3, benignFinalLink = true)

@@ -132,9 +132,15 @@ def main(sf_dir: str, out_dir: str, jobs: int) -> int:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     jobs = 8
-    for i, a in enumerate(sys.argv):
-        if a == "--jobs":
-            jobs = int(sys.argv[i + 1])
-    sys.exit(main(args[0], args[1], jobs))
+    pos = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--jobs":
+            jobs = int(argv[i + 1])
+            i += 2
+        else:
+            pos.append(argv[i])
+            i += 1
+    sys.exit(main(pos[0], pos[1], jobs))
