@@ -109,14 +109,27 @@ def check_one(name: str):
     return name, "fail", lines + [f"[FAIL ] {name}: value mismatch (worst rel {worst:.2e})"]
 
 
+# Longest replays first (sf0.1 profile, r13: 550 s total CPU, max single
+# 93 s): with random order the tail query can land last on a busy pool and
+# stretch the makespan; longest-first + chunksize=1 bounds it near
+# max(longest, total/jobs). Names that disappear fall back to sorted order.
+SLOW_FIRST = [
+    "a_bootstrap_ci", "dedup_simhash", "dedup_cc_incremental",
+    "dedup_winnow_clusters", "dedup_winnow_keep", "dedup_winnow_pairs",
+    "text_langid_ngram", "s_stream_ingest_gate", "g_sssp", "text_winnow",
+    "dedup_lsh_recall", "dedup_minhash_sigs",
+]
+
+
 def main(sf_dir: str, out_dir: str, jobs: int) -> int:
     names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    ordered = [n for n in SLOW_FIRST if n in names] + [n for n in names if n not in SLOW_FIRST]
     if jobs <= 1:
         _init(sf_dir, out_dir)
-        results = [check_one(n) for n in names]
+        results = [check_one(n) for n in ordered]
     else:
         with mp.Pool(jobs, initializer=_init, initargs=(sf_dir, out_dir)) as pool:
-            results = pool.map(check_one, names)
+            results = pool.map(check_one, ordered, chunksize=1)
     n_pass = n_fail = n_skip = 0
     for name, kind, lines in sorted(results):
         for ln in lines:
