@@ -270,7 +270,9 @@ object Stress {
               "rocksdbSstFileSize"      -> "sst",
               "rocksdbTotalBytesWritten" -> "written")
               .flatMap { case (k, lbl) => custom.get(k).map(v => f"$lbl ${v / 1e6}%.0f MB") }
-            stateMetrics.put(p.name,
+            // p.name is null for unnamed queries (s_stream_forecast's
+            // first hop) — CHM.put(null, …) NPEs inside the listener bus
+            stateMetrics.put(Option(p.name).getOrElse(p.id.toString),
               f"batch ${p.batchId}: state rows $rows%,d, provider mem ${mem / 1e6}%.0f MB" +
                 (if (extras.isEmpty) "" else extras.mkString(" (", ", ", ")")))
           }
