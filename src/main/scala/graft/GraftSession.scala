@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    // Same SPARK_GRAFT_MASTER override as Verify (r14): lets Stress/Bench
+    // run under local-cluster[...] executor JVMs without a code change.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val spark = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -814,12 +814,27 @@ object Dedup {
     s"((xor($h1, $h1 >> 15)) * $sampleK2) % $sampleP"
   }
 
+  /** sampleHash's bit-exact Spark↔DuckDB agreement needs id·K1 < 2⁶³:
+    * above ~3.47e9 Spark wraps the multiply silently while DuckDB throws
+    * on BIGINT overflow — an engine-dependent wrap-vs-throw with no
+    * named contract (r13 ADVICE). The audit enforces the bound loudly.
+    */
+  private[dedup] val sampleHashMaxId = Long.MaxValue / sampleK1 // ≈ 3.47e9
+
   def lshRecallAudit(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val docs = Tables.documents(s, d)
     val lsh = minhashPairs(docs, threshold, sigDump = Some(minhashSigPath(d)))
       .select($"doc_a", $"doc_b")
     val shUdf = udf { (text: String) => Hashing.shingleSet(text).toSeq }
-    val mod = math.max(1L, math.ceil(docs.count() / recallAuditCap.toDouble).toLong)
+    // one scan: the count the cap needs + the id-range contract check
+    val stats = docs.agg(
+      count(lit(1)).as("n"), min($"doc_id").as("lo"), max($"doc_id").as("hi")).collect()(0)
+    val (n, lo, hi) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(n == 0 || (lo >= 0L && hi <= sampleHashMaxId),
+      s"lshRecallAudit: doc_id range [$lo,$hi] outside sampleHash's " +
+        s"overflow-free contract [0,$sampleHashMaxId] — the deterministic " +
+        "sample would wrap in Spark and throw in DuckDB")
+    val mod = math.max(1L, math.ceil(n / recallAuditCap.toDouble).toLong)
     val sh = docs.filter(sampleHash($"doc_id") % mod === 0)
       .select($"doc_id", shUdf($"text").as("sh")).filter(size($"sh") > 0)
     val exact = sh.as("a")

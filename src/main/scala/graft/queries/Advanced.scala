@@ -560,6 +560,20 @@ object Advanced {
     276130285696162L, 280444821410164L, 281307728552965L
   )
 
+  /** Oracle-replayability row cap (judge r13 #4 — the dedup_lsh_recall
+    * pattern): the gate's DuckDB replay pays one 12-hex md5 fold per
+    * row × resample, and at sf0.1 (~600k rows × 40) that single replay
+    * was the whole check-tail floor (93 s). The bootstrap therefore runs
+    * over a deterministic md5 row-sample of ~this many rows — modulus
+    * ceil(n/cap), which is 1 (the FULL corpus, results unchanged) at the
+    * sf0.01 gate and a pinned, replayable sample beyond. Engine-side the
+    * Poisson formulation stays the 100 TB shape either way (map-side
+    * explode + one grouped DECIMAL agg over whatever row set is in
+    * scope); the cap bounds the *compared object*, exactly like the
+    * recall audit's ground-truth sample.
+    */
+  val bootSampleCap = 100000
+
   /** Bootstrap confidence interval for the mean — by the POISSON
     * bootstrap, the scale-correct formulation (classic resampling needs
     * dense global row indices and B shuffles of the corpus; the Poisson
@@ -573,12 +587,22 @@ object Advanced {
     * B-row mean table. Emits one row: point mean and the CI.
     */
   val aBootstrapCi: Q = (s, d) => {
+    // deterministic sample modulus from one cheap count (identity at the
+    // gate SF — see bootSampleCap). The sample hash is the same
+    // 12-hex-char md5 fold the resample multiplicity uses, under a
+    // distinct "smp" domain prefix so sample membership and resample
+    // multiplicity are independent draws.
+    val mod = math.max(1L,
+      math.ceil(Tables.lineitem(s, d).count() / bootSampleCap.toDouble).toLong)
     val rows = Tables
       .lineitem(s, d)
       .select(
         ($"l_orderkey" * 8 + $"l_linenumber").as("lid"),
         $"l_quantity".cast(DecimalType(18, 6)).as("x")
       )
+      .filter(
+        conv(substring(md5(concat_ws("|", lit("smp"), $"lid").cast("binary")), 1, 12), 16, 10)
+          .cast("long") % mod === 0)
     val thrArr = array(bootThresholds.map(lit): _*)
     val means = rows
       .select($"lid", $"x", explode(sequence(lit(0), lit(bootB - 1))).as("b"))
@@ -1952,10 +1976,17 @@ object Advanced {
     // per-resample means, rank-picked order statistics
     "a_bootstrap_ci" -> {
       val thrList = bootThresholds.mkString("[", ", ", "]")
-      s"""WITH rows_ AS (
-        |  SELECT l_orderkey * 8 + l_linenumber AS lid,
-        |    CAST(l_quantity AS DECIMAL(18,6)) AS x
+      s"""WITH smod AS (
+        |  SELECT GREATEST(1, CAST(ceil(COUNT(*) / $bootSampleCap.0) AS BIGINT)) AS m
         |  FROM lineitem),
+        |rows_ AS (
+        |  SELECT lid, x FROM (
+        |    SELECT l_orderkey * 8 + l_linenumber AS lid,
+        |      CAST(l_quantity AS DECIMAL(18,6)) AS x
+        |    FROM lineitem), smod
+        |  WHERE list_reduce([instr('0123456789abcdef',
+        |        md5(concat_ws('|', 'smp', lid))[i]) - 1
+        |      for i in range(1, 13)], (a, c) -> a * 16 + c) % m = 0),
         |rs AS (
         |  SELECT lid, x, CAST(b.range AS INT) AS b
         |  FROM rows_, range(0, $bootB) b),

@@ -47,15 +47,25 @@ object StreamQueries {
     * session zone — both match the DuckDB oracle's naive-µs view).
     */
   private def eventsStream(
-      s: SparkSession, d: String, options: Map[String, String] = Map.empty
+      s: SparkSession, d: String, options: Map[String, String] = Map.empty,
+      splitSafe: Boolean = false
   ): DataFrame = {
-    // harness knob (r13 RocksDB A/B): force a multi-micro-batch replay
-    // for the batch-split-safe queries (windows/sessions — complete-mode
-    // aggregation converges under any file→batch split) so the state
-    // store's load/commit path is exercised per batch, not once. Queries
-    // with a SINGLE-BATCH PIN (dedup/state) pass maxFilesPerTrigger
-    // explicitly and are not affected.
-    val knob = s.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+    // harness knob (r13 RocksDB A/B): force a multi-micro-batch replay so
+    // the state store's load/commit path is exercised per batch, not once.
+    // EXPLICIT OPT-IN per query (r13 ADVICE): only the batch-split-safe
+    // callers pass splitSafe=true (complete-mode aggregation —
+    // windows/sessions — converges under any file→batch split because
+    // complete mode never watermark-evicts). Watermark-SENSITIVE queries
+    // (the stream-stream joins, the forecast bronze hop) must NOT see the
+    // knob: a multi-batch replay advances the watermark between batches
+    // and legitimately drops/holds rows vs the single-batch oracle. For
+    // state-store MEASUREMENT runs that accept divergence-by-design, the
+    // separate `unsafeMaxFilesPerTrigger` knob reaches every query and
+    // says so in its name (Stress A/B only — never set in a gated sweep).
+    val knob = (
+      s.conf.getOption("spark.graft.stream.maxFilesPerTrigger").filter(_ => splitSafe)
+        orElse s.conf.getOption("spark.graft.stream.unsafeMaxFilesPerTrigger")
+      )
       .filterNot(_ => options.contains("maxFilesPerTrigger"))
       .map("maxFilesPerTrigger" -> _)
     val (path, glob) = tableStreamSource(d, "events")
@@ -102,7 +112,9 @@ object StreamQueries {
       agg: DataFrame => DataFrame
   ): DataFrame = {
     val ck = java.nio.file.Files.createTempDirectory(s"graft-$name-ck").toString
-    val src = eventsStream(s, d)
+    // complete-mode aggregation: converges under any batch split, so the
+    // multi-batch A/B knob is safe here (see eventsStream)
+    val src = eventsStream(s, d, splitSafe = true)
     val q = agg(src).writeStream
       .format("memory")
       .queryName(name)
@@ -758,7 +770,9 @@ object StreamQueries {
   val streamUpsert: Q = (s, d) => {
     val ck  = java.nio.file.Files.createTempDirectory("graft-supsert-ck").toString
     val tbl = java.nio.file.Files.createTempDirectory("graft-supsert-state").toString + "/user_profile"
-    val q = eventsStream(s, d).writeStream
+    // associative fold (comment above): converged table independent of
+    // batching, so the multi-batch A/B knob is safe here
+    val q = eventsStream(s, d, splitSafe = true).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
         val state =

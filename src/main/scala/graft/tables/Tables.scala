@@ -82,14 +82,31 @@ object Tables {
     * (constant) key, matching lastModified's old 0 behavior.
     */
   private[tables] def contentKey(path: String): String = {
+    import scala.jdk.CollectionConverters._
     val f = new java.io.File(path)
     val parts =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
-      else if (f.isFile) Array(f)
-      else Array.empty[java.io.File]
-    parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString(s"$path@", "|", "")
+      if (f.isDirectory) {
+        // RECURSIVE leaf-file walk (r13 ADVICE): a partitioned layout
+        // nests part files under subdirectories, and a flat listFiles
+        // fingerprints those by the SUBDIR entry — whose length/mtime are
+        // filesystem-dependent and may not change when a file inside is
+        // rewritten, reviving the stale-dim silent-drop this key exists
+        // to prevent. Keyed by path relative to the table root so the
+        // key is stable across absolute-path aliases of the same table.
+        val root = f.toPath
+        val stream = java.nio.file.Files.walk(root)
+        try stream.iterator.asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .filterNot(_.getFileName.toString.startsWith("."))
+          .map(p => (root.relativize(p).toString, p.toFile))
+          .toArray
+          .sortBy(_._1)
+          .map { case (rel, pf) => s"$rel:${pf.length}:${pf.lastModified}" }
+        finally stream.close()
+      }
+      else if (f.isFile) Array(s"${f.getName}:${f.length}:${f.lastModified}")
+      else Array.empty[String]
+    parts.mkString(s"$path@", "|", "")
   }
 
   def embeddingDim(s: SparkSession, d: String): Int = {

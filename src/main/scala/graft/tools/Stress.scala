@@ -345,9 +345,14 @@ object Stress {
           when($"l_orderkey" % 2 === 0, lit(1L)).otherwise($"l_partkey"))
         .select($"p_partkey", $"l_quantity", $"l_extendedprice")
       val p = graft.tables.Tables.part(spark, dirN)
+      // DECIMAL sum (r13 ADVICE): the byte-identical require below must
+      // not depend on FP summation order — the three plan shapes (AQE
+      // split / unsalted / salted) reduce in different orders, and a
+      // double sum is only exact today because l_quantity happens to be
+      // integer-valued (< 2^53). Decimal addition is order-free.
       def aggJoin(joined: org.apache.spark.sql.DataFrame) = joined
         .groupBy($"p_brand")
-        .agg(sum($"l_quantity").as("q"), count(lit(1)).as("n"))
+        .agg(sum($"l_quantity".cast("decimal(38,6)")).as("q"), count(lit(1)).as("n"))
       def withConf[A](pairs: (String, String)*)(f: => A): A = {
         val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
         pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -38,12 +38,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _init(sf_dir: str, out_dir: str):
+def _init(sf_dir: str, out_dir: str, jobs: int = 1):
     global _CON, _ORACLE, _OUT_DIR
     _CON = duckdb.connect()
-    # each worker is one process: a single in-process DuckDB thread pool
-    # per worker avoids oversubscribing the box N-workers × M-threads
-    _CON.execute("SET threads TO 4")
+    # per-worker thread budget scales with the worker count (r13 ADVICE:
+    # a fixed 4 threads × 8 default jobs was itself the oversubscription
+    # the old comment claimed to avoid): the pool as a whole gets ~the
+    # box's cores, each worker its fair share, floor 1.
+    threads = max(1, (os.cpu_count() or 8) // max(1, jobs))
+    _CON.execute(f"SET threads TO {threads}")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
@@ -125,10 +128,10 @@ def main(sf_dir: str, out_dir: str, jobs: int) -> int:
     names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
     ordered = [n for n in SLOW_FIRST if n in names] + [n for n in names if n not in SLOW_FIRST]
     if jobs <= 1:
-        _init(sf_dir, out_dir)
+        _init(sf_dir, out_dir, 1)
         results = [check_one(n) for n in ordered]
     else:
-        with mp.Pool(jobs, initializer=_init, initargs=(sf_dir, out_dir)) as pool:
+        with mp.Pool(jobs, initializer=_init, initargs=(sf_dir, out_dir, jobs)) as pool:
             results = pool.map(check_one, ordered, chunksize=1)
     n_pass = n_fail = n_skip = 0
     for name, kind, lines in sorted(results):
