@@ -829,9 +829,11 @@ object Dedup {
     // one scan: the count the cap needs + the id-range contract check
     val stats = docs.agg(
       count(lit(1)).as("n"), min($"doc_id").as("lo"), max($"doc_id").as("hi")).collect()(0)
-    val (n, lo, hi) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-    require(n == 0 || (lo >= 0L && hi <= sampleHashMaxId),
-      s"lshRecallAudit: doc_id range [$lo,$hi] outside sampleHash's " +
+    val n = stats.getLong(0)
+    // lo/hi are NULL on an empty corpus — read them only behind n > 0
+    // (an empty corpus has nothing to sample and passes vacuously)
+    require(n == 0L || (stats.getLong(1) >= 0L && stats.getLong(2) <= sampleHashMaxId),
+      s"lshRecallAudit: doc_id range [${stats.get(1)},${stats.get(2)}] outside sampleHash's " +
         s"overflow-free contract [0,$sampleHashMaxId] — the deterministic " +
         "sample would wrap in Spark and throw in DuckDB")
     val mod = math.max(1L, math.ceil(n / recallAuditCap.toDouble).toLong)

@@ -94,7 +94,11 @@ object Tables {
         // to prevent. Keyed by path relative to the table root so the
         // key is stable across absolute-path aliases of the same table.
         val root = f.toPath
-        val stream = java.nio.file.Files.walk(root)
+        // FOLLOW_LINKS: stress corpora SYMLINK unchanged tables to the
+        // base dir (StressUtil.symlinkTables); without it a symlinked
+        // table root is visited as the link itself and fingerprints as
+        // zero files — the old listFiles behavior followed links
+        val stream = java.nio.file.Files.walk(root, java.nio.file.FileVisitOption.FOLLOW_LINKS)
         try stream.iterator.asScala
           .filter(p => java.nio.file.Files.isRegularFile(p))
           .filterNot(_.getFileName.toString.startsWith("."))

@@ -42,6 +42,15 @@ import org.apache.spark.sql.functions._
   *    edges, triangles, components all ×mult while degree structure
   *    stays constant). Default queries: the r11c set (g_pagerank,
   *    g_triangles, g_adamic_adar, g_label_prop).
+  *  - '''stream''' (r13/r14): events + documents ×mult with disjoint
+  *    per-replica key universes; prints per-sink state-store rows/bytes
+  *    (last batch AND cross-batch peak) — the provider A/B harness.
+  *    Default queries: the stateful streaming legs incl. the
+  *    stream-stream joins.
+  *  - '''zolo''' (r14): synthetic Square/Shopify/QuickBooks JSON at
+  *    10k×mult rows per source; measures the reference ETL chains
+  *    (explode → window → market → agg) end-to-end instead of
+  *    SparkEntry queries.
   *
   * Output: wall / shuffle / max-task markdown bullets for BENCH_LOCAL.
   */
