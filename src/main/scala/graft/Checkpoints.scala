@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage cut for iterative rounds and multi-job training pins.
+  *
+  * Default: `localCheckpoint` — blocks live on the executors that
+  * computed them, no filesystem round-trip, the right choice in local
+  * mode and on a healthy cluster. The trade is fault tolerance: the cut
+  * TRUNCATES lineage, so losing an executor destroys blocks that can no
+  * longer be recomputed and fails the whole job (Spark documents
+  * localCheckpoint as unsafe under dynamic allocation for the same
+  * reason; `ChaosProbe` mode `execkill` measures the failure directly by
+  * kill -9ing an executor JVM under local-cluster).
+  *
+  * Fleet deployments opt into reliable cuts by setting
+  * `spark.graft.iter.checkpointDir` to a fault-tolerant path (HDFS /
+  * object store). Cuts then go through `Dataset.checkpoint`: blocks are
+  * files that survive executor loss, so an executor death costs a task
+  * retry instead of the job. The conf is a runtime SQL conf (read per
+  * cut), so the A/B needs no session rebuild; results are bit-identical
+  * either way — checkpointing changes block placement, never values
+  * (ReliableCheckpointSpec pins result equality, and both paths preserve
+  * the cut plan's partitioning for the downstream joins).
+  */
+object Checkpoints {
+  val dirKey = "spark.graft.iter.checkpointDir"
+
+  def cut[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
+    val s = ds.sparkSession
+    s.conf.getOption(dirKey) match {
+      case Some(dir) =>
+        val sc = s.sparkContext
+        // setCheckpointDir mints a fresh random subdir per call — set it
+        // once per context, not once per cut
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        ds.checkpoint(eager)
+      case None => ds.localCheckpoint(eager)
+    }
+  }
+}

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * pre-partitioned on `src` and persisted, so every iteration's
   * contribution join reuses that partitioning (the cached
   * outputPartitioning satisfies the join's distribution requirement; only
-  * the tiny rank table moves per round). Each round localCheckpoints the
-  * new ranks — without the cut, round k's plan would replay rounds
+  * the tiny rank table moves per round). Each round cuts the new ranks'
+  * lineage ([[graft.Checkpoints.cut]]: localCheckpoint, or reliable
+  * checkpoint under `spark.graft.iter.checkpointDir` for executor-loss
+  * tolerance) — without the cut, round k's plan would replay rounds
   * 1..k-1 and the lineage would grow quadratically. Contributions sum in
   * DECIMAL(38,18), so the result is partitioning-invariant and the DuckDB
   * oracle (10 unrolled CTE rounds) matches hash-exactly.
@@ -74,7 +76,7 @@ object Graph {
       // 0.15 literally, NOT (1 - damping): IEEE 1.0 - 0.85 is
       // 0.15000000000000002 and the oracle's 0.15 would diverge
       val jump = 0.15 / n
-      var ranks = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+      var ranks = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
       for (_ <- 1 to iterations) {
         val contribs = edgesDeg
           .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -85,7 +87,7 @@ object Graph {
             (lit(jump) + lit(damping) *
               sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
           )
-          .localCheckpoint()
+          .cutLineage()
       }
       ranks
         .select($"node", round($"rank", 9).as("rank"))
@@ -127,7 +129,7 @@ object Graph {
     // first finisher's unpersist mid-run of the others — the gapfillJob
     // empty-stage race. Checkpoint blocks are invocation-private; the
     // derived deg/de persists below become private with it.
-    val e = e0.localCheckpoint()
+    val e = e0.cutLineage()
     locally {
       val deg = e
         .select($"u".as("node"))
@@ -232,13 +234,13 @@ object Graph {
       .select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
       .repartition(s.sparkContext.defaultParallelism, $"src")
-      .localCheckpoint()
+      .cutLineage()
     locally {
       var reached = Tables
         .part(s, d)
         .filter($"p_brand" === hopSeedBrand)
         .select($"p_partkey".as("node"), lit(0).as("hop"))
-        .localCheckpoint()
+        .cutLineage()
       for (h <- 1 to maxHops) {
         val frontier = reached.filter($"hop" === h - 1).select($"node".as("src"))
         val nxt      = bi.join(frontier, "src").select($"dst".as("node"), lit(h).as("hop"))
@@ -246,7 +248,7 @@ object Graph {
           .unionAll(nxt)
           .groupBy($"node")
           .agg(min($"hop").as("hop"))
-          .localCheckpoint()
+          .cutLineage()
       }
       reached.select($"node", $"hop".as("min_hops")).orderBy($"node")
     }
@@ -311,7 +313,7 @@ object Graph {
   private[graft] def adamicAdarBuild(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint, not persist (r11): same shared-coEdges-plan race
     // as triangleStats — see the note there.
-    val e = coEdges(s, d).localCheckpoint()
+    val e = coEdges(s, d).cutLineage()
     // r10: rank-top-K via TakeOrderedAndProject + bounded K-row fetch
     // (graft.queries.Ranking.topKRanked) — the global row_number window
     // here was CANDIDATE-PAIR-sized (every wedge endpoint pair) and hid
@@ -347,13 +349,13 @@ object Graph {
       .select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
       .repartition(s.sparkContext.defaultParallelism, $"src")
-      .localCheckpoint()
+      .cutLineage()
     locally {
       var labels = bi
         .select($"src".as("node"))
         .distinct()
         .select($"node", $"node".as("label"))
-        .localCheckpoint()
+        .cutLineage()
       for (_ <- 1 to lpRounds) {
         val nb = bi
           .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -366,7 +368,7 @@ object Graph {
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
           .select($"src".as("node"), $"label")
-          .localCheckpoint()
+          .cutLineage()
       }
       val sz = org.apache.spark.sql.expressions.Window.partitionBy($"label")
       labels
@@ -425,7 +427,7 @@ object Graph {
         .part(s, d)
         .filter($"p_brand" === hopSeedBrand)
         .select($"p_partkey".as("node"), lit(0).as("dist"))
-        .localCheckpoint()
+        .cutLineage()
       for (_ <- 1 to ssspRounds) {
         val relaxed = bi
           .join(dist.withColumnRenamed("node", "src"), "src")
@@ -434,7 +436,7 @@ object Graph {
           .unionAll(relaxed)
           .groupBy($"node")
           .agg(min($"dist").as("dist"))
-          .localCheckpoint()
+          .cutLineage()
       }
       dist.select($"node", $"dist").orderBy($"node")
     } finally bi.unpersist()
@@ -464,13 +466,13 @@ object Graph {
   val gKCore: Q = (s, d) => {
     // localCheckpoint, not persist (r11): same shared-coEdges-plan race
     // as triangleStats — see the note there.
-    val e = coEdges(s, d).localCheckpoint()
+    val e = coEdges(s, d).cutLineage()
     locally {
       var alive = e
         .select($"u".as("node"))
         .union(e.select($"v".as("node")))
         .distinct()
-        .localCheckpoint()
+        .cutLineage()
       def liveEdges = e
         .join(alive.withColumnRenamed("node", "u"), "u")
         .join(alive.withColumnRenamed("node", "v"), "v")
@@ -482,7 +484,7 @@ object Graph {
           .agg(count(lit(1)).as("deg"))
           .filter($"deg" >= kCoreK)
           .select($"node")
-          .localCheckpoint()
+          .cutLineage()
       }
       liveEdges
         .select($"u".as("node"))
@@ -514,7 +516,7 @@ object Graph {
       .lineitem(s, d)
       .select($"l_orderkey", $"l_partkey")
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     locally {
       val deg = ip.groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("deg"))
       val co = ip
@@ -548,7 +550,7 @@ object Graph {
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= cfK)
         .orderBy($"item", $"rank")
-        .localCheckpoint()
+        .cutLineage()
     }
   }
 

@@ -144,7 +144,7 @@ object Similarity {
     // by plan — a concurrent query's unpersist mid-iteration is the
     // gapfillJob empty-stage race. Checkpoint blocks are private to this
     // invocation.
-    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].localCheckpoint()
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cutLineage()
     // seed from the nCells SMALLEST ids present — not `id < nCells`, which
     // assumes dense ids from 0 and silently under-seeds filtered inputs
     // (ann_ivf_append_topk trains on the even half: `< 16` found only 8
@@ -878,7 +878,7 @@ object Similarity {
     // entries + a concurrent unpersist = the empty-stage race)
     // checkpoint blocks are reclaimed by the ContextCleaner once ds is
     // unreferenced — no finally needed since the r10 swap
-    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].localCheckpoint()
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cutLineage()
     locally {
       val seeds = ds.orderBy(col("vec_id")).limit(ksub).collect().sortBy(_._1).map(_._2)
       require(seeds.nonEmpty, "trainPqCodebooks: empty input")

@@ -10,4 +10,13 @@ object syntax {
   implicit class ColStringContext(private val sc: StringContext) extends AnyVal {
     def $(args: Any*): ColumnName = new ColumnName(sc.s(args: _*))
   }
+
+  /** [[Checkpoints.cut]] as a chainable method: localCheckpoint by
+    * default, reliable `checkpoint` when
+    * `spark.graft.iter.checkpointDir` is set (fleet fault tolerance).
+    */
+  implicit class DatasetCutOps[T](private val ds: org.apache.spark.sql.Dataset[T]) extends AnyVal {
+    def cutLineage(eager: Boolean = true): org.apache.spark.sql.Dataset[T] =
+      Checkpoints.cut(ds, eager)
+  }
 }

@@ -74,7 +74,7 @@ object Bpe {
     // persist() entries are shared context-wide and the first finisher's
     // unpersist races the other's merge rounds (the gapfillJob
     // empty-stage mechanism). Checkpoint blocks are invocation-private.
-    val wf = wordFreq(s, dir).localCheckpoint()
+    val wf = wordFreq(s, dir).cutLineage()
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val out    = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

@@ -262,7 +262,7 @@ object TextAnalysis {
         }
       }
     } else {
-      val frontier = ranked.localCheckpoint(true)
+      val frontier = ranked.cutLineage(true)
       while (i <= lmGenSteps && !dead) {
         frontier.filter($"w1" === cur).select($"w2").collect().headOption match {
           case None    => dead = true
@@ -1582,7 +1582,7 @@ object TextAnalysis {
     try {
       val n    = outw.count()
       val jump = 0.15 / n
-      var ranks = outw.select($"src".as("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+      var ranks = outw.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
       for (_ <- 1 to trIters) {
         val contribs = edges
           .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -1594,7 +1594,7 @@ object TextAnalysis {
             (lit(jump) + lit(0.85) *
               sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
           )
-          .localCheckpoint()
+          .cutLineage()
       }
       ranks.select($"node".as("word"), round($"rank", 9).as("rank")).orderBy($"word")
     } finally {

@@ -399,10 +399,97 @@ object ChaosProbe {
     }
   )
 
+  /** Executor-loss fault injection (r14). Requires a local-cluster
+    * master (separate executor JVMs — `SPARK_GRAFT_MASTER=
+    * local-cluster[2,16,*]` via spark-submit). Runs the named driver
+    * query once uninterrupted for a baseline, then again while kill -9ing
+    * one executor JVM mid-flight, and compares the sorted results.
+    *
+    * What it measures: a plain query survives via task retry (lineage
+    * intact — lost blocks recompute); a query that cut lineage with
+    * `localCheckpoint` CANNOT recover the killed executor's blocks and
+    * fails — that is [[graft.Checkpoints]]'s documented trade, and
+    * setting `spark.graft.iter.checkpointDir` (via
+    * SPARK_GRAFT_EXTRA_CONFS) flips the same query back to surviving.
+    *
+    * The kill is JOB-COUNT triggered, not wall-clock (a warm chaos run
+    * is several times faster than the cold baseline, so a fixed sleep
+    * lands after the query already finished — measured before this
+    * landed on jobs): each pagerank round is one eager-checkpoint job,
+    * so "after K jobs" deterministically lands mid-iterations, after
+    * earlier rounds' localCheckpoint blocks exist on the victim.
+    *
+    * Env: SPARK_GRAFT_CHAOS_QUERY (default g_pagerank),
+    * SPARK_GRAFT_CHAOS_KILL_AFTER_JOBS (default 8).
+    */
+  def execKill(spark: org.apache.spark.sql.SparkSession, base: String): Unit = {
+    val master = spark.sparkContext.master
+    require(master.startsWith("local-cluster"),
+      s"execkill needs separate executor JVMs (master=$master) — run via " +
+        "spark-submit with SPARK_GRAFT_MASTER=local-cluster[2,16,24576]")
+    val query     = sys.env.getOrElse("SPARK_GRAFT_CHAOS_QUERY", "g_pagerank")
+    val killAfter = sys.env.getOrElse("SPARK_GRAFT_CHAOS_KILL_AFTER_JOBS", "8").toInt
+    val jobsEnded = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobsEnded.incrementAndGet(); ()
+      }
+    })
+    def run(): Seq[String] =
+      graft.SparkEntry.queries(query)(spark, base).collect().map(_.toString).sorted.toSeq
+    def executorPids(): Seq[Long] = {
+      import scala.sys.process._
+      scala.util.Try(Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!)
+        .map(_.linesIterator.flatMap(_.trim.toLongOption).toSeq)
+        .getOrElse(Seq.empty)
+    }
+    println(s"- baseline $query …")
+    val t0 = System.nanoTime()
+    val baseline = run()
+    val baseSec = (System.nanoTime() - t0) / 1e9
+    val baselineJobs = jobsEnded.get()
+    println(f"- baseline $query rows=${baseline.size} in $baseSec%.1f s " +
+      s"($baselineJobs jobs); executors=${executorPids().size}; " +
+      s"killing one after $killAfter chaos jobs")
+    val chaos = scala.concurrent.Future {
+      val t = System.nanoTime(); val r = run(); (r, (System.nanoTime() - t) / 1e9)
+    }(scala.concurrent.ExecutionContext.global)
+    while (jobsEnded.get() - baselineJobs < killAfter && !chaos.isCompleted)
+      Thread.sleep(20L)
+    require(!chaos.isCompleted,
+      s"chaos run finished before $killAfter jobs — lower " +
+        s"SPARK_GRAFT_CHAOS_KILL_AFTER_JOBS (baseline ran ${baselineJobs} jobs)")
+    val pids = executorPids()
+    require(pids.nonEmpty, "no executor JVMs found to kill")
+    // killAll removes block-placement luck: the rank frame is tiny (AQE
+    // coalesces each round to ~1 partition), so a single-victim kill
+    // only hits the checkpoint blocks ~half the time. Killing every
+    // executor JVM is the deterministic worst case — the node(s) holding
+    // the round's blocks are certainly among the dead.
+    val killAll = sys.env.get("SPARK_GRAFT_CHAOS_KILL_ALL").contains("1")
+    val victims = if (killAll) pids else pids.take(1)
+    println(s"- kill -9 ${victims.mkString(",")} (of ${pids.size} executor JVMs) after " +
+      s"${jobsEnded.get() - baselineJobs} chaos jobs")
+    victims.foreach(v => scala.sys.process.Process(Seq("kill", "-9", v.toString)).!)
+    scala.util.Try(scala.concurrent.Await.result(
+      chaos, scala.concurrent.duration.Duration(600, "s"))) match {
+      case scala.util.Success((rows, sec)) =>
+        val same = rows == baseline
+        println(f"- SURVIVED $query rows=${rows.size} in $sec%.1f s  resultMatch=$same")
+        if (!same) println("- MISMATCH vs baseline — investigate before trusting recovery")
+      case scala.util.Failure(e) =>
+        var c: Throwable = e
+        while (c.getCause != null && c.getCause != c) c = c.getCause
+        println(s"- FAILED $query ${c.getClass.getSimpleName}: " +
+          Option(c.getMessage).getOrElse("").linesIterator.take(1).mkString.take(160))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val mode  = sys.env.getOrElse("SPARK_GRAFT_CHAOS_MODE", "docs")
     val spark = GraftSession.local(8, "graft-chaos-probe")
+    if (mode == "execkill") { execKill(spark, base); spark.stop(); return }
     val checks: Seq[(String, () => Long)] =
       if (mode == "zolo") {
         val dir = buildZoloChaosDir()
