@@ -24,6 +24,14 @@ import org.apache.spark.sql.Dataset
   * the cut plan's partitioning for the downstream joins).
   */
 object Checkpoints {
+  // Scope: the knob covers the ITERATIVE families (graph rounds,
+  // textrank, Lloyd/PQ training, BPE merges), where a lost read-back is
+  // guaranteed-fatal MID-LOOP and re-running costs O(rounds) of work.
+  // Single-shot localCheckpoint pins elsewhere (REST body pins, shared
+  // sub-plan pins) deliberately stay local: their worst case is one
+  // failed query the orchestrator re-runs, and the streaming legs
+  // recover through the engine's own state checkpoint (execkill measured
+  // s_stream_sessions hash-exact through a kill of ALL executors).
   val dirKey = "spark.graft.iter.checkpointDir"
 
   def cut[T](ds: Dataset[T], eager: Boolean = true): Dataset[T] = {
