@@ -235,6 +235,14 @@ object Warehouse {
 
   /** JDBC sink: batched multi-row INSERTs per partition (`batchsize`), vs
     * the reference's row-wise `to_sql` loop.
+    *
+    * Fleet caveat (r14 speculation probe): JDBC writes commit one
+    * transaction PER TASK with no commit-protocol coordination, so a
+    * speculative or retried duplicate attempt double-inserts — unlike
+    * the parquet sinks, whose FileOutputCommitter lets exactly one
+    * attempt commit. On a cluster with `spark.speculation=true`, either
+    * exclude the JDBC stage from speculation or make the load replay-safe
+    * the way [[ingestBatchAudited]]'s dedupKey path does.
     */
   def writeJdbc(df: DataFrame, url: String, table: String, mode: SaveMode,
       props: java.util.Properties = new java.util.Properties): Unit =

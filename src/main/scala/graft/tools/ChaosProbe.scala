@@ -485,11 +485,44 @@ object ChaosProbe {
     }
   }
 
+  /** Speculation exerciser (r14): proves aggressive task speculation
+    * actually DUPLICATES attempts on this surface (the oracle gate
+    * proves results stay exact — launch Verify separately with the same
+    * --conf set; this mode only counts). Launch via spark-submit with
+    * e.g. --conf spark.speculation=true --conf
+    * spark.speculation.quantile=0.05 --conf
+    * spark.speculation.multiplier=1.0 --conf
+    * spark.speculation.interval=100ms (static scheduler confs — env
+    * passthrough cannot set them). SPARK_GRAFT_CHAOS_QUERY holds a
+    * comma-separated query list.
+    */
+  def specCount(spark: org.apache.spark.sql.SparkSession, base: String): Unit = {
+    require(spark.sparkContext.getConf.getBoolean("spark.speculation", false),
+      "speccount without spark.speculation=true measures nothing — pass the --confs")
+    val spec  = new java.util.concurrent.atomic.AtomicInteger(0)
+    val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        total.incrementAndGet()
+        if (t.taskInfo.speculative) spec.incrementAndGet()
+        ()
+      }
+    })
+    val queries = sys.env.getOrElse("SPARK_GRAFT_CHAOS_QUERY", "g_pagerank").split(',').toSeq
+    queries.foreach { q =>
+      val (s0, t0) = (spec.get(), total.get())
+      val rows = graft.SparkEntry.queries(q)(spark, base).collect().length
+      println(s"- $q rows=$rows tasks=${total.get() - t0} speculative=${spec.get() - s0}")
+    }
+    println(s"== ${spec.get()} speculative of ${total.get()} task starts ==")
+  }
+
   def main(args: Array[String]): Unit = {
     val base  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val mode  = sys.env.getOrElse("SPARK_GRAFT_CHAOS_MODE", "docs")
     val spark = GraftSession.local(8, "graft-chaos-probe")
     if (mode == "execkill") { execKill(spark, base); spark.stop(); return }
+    if (mode == "speccount") { specCount(spark, base); spark.stop(); return }
     val checks: Seq[(String, () => Long)] =
       if (mode == "zolo") {
         val dir = buildZoloChaosDir()
