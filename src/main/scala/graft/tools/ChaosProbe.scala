@@ -467,10 +467,16 @@ object ChaosProbe {
     // executor JVM is the deterministic worst case — the node(s) holding
     // the round's blocks are certainly among the dead.
     val killAll = sys.env.get("SPARK_GRAFT_CHAOS_KILL_ALL").contains("1")
+    // SIGNAL=PWR models a PLANNED reclaim (spot interruption with
+    // decommissioning enabled): the executor drains and MIGRATES its
+    // blocks instead of vanishing — pair with
+    // spark.decommission.enabled + spark.storage.decommission.* confs.
+    // Default KILL is the unplanned hard loss.
+    val signal  = sys.env.getOrElse("SPARK_GRAFT_CHAOS_SIGNAL", "KILL")
     val victims = if (killAll) pids else pids.take(1)
-    println(s"- kill -9 ${victims.mkString(",")} (of ${pids.size} executor JVMs) after " +
+    println(s"- kill -s $signal ${victims.mkString(",")} (of ${pids.size} executor JVMs) after " +
       s"${jobsEnded.get() - baselineJobs} chaos jobs")
-    victims.foreach(v => scala.sys.process.Process(Seq("kill", "-9", v.toString)).!)
+    victims.foreach(v => scala.sys.process.Process(Seq("kill", "-s", signal, v.toString)).!)
     scala.util.Try(scala.concurrent.Await.result(
       chaos, scala.concurrent.duration.Duration(600, "s"))) match {
       case scala.util.Success((rows, sec)) =>
