@@ -18,6 +18,15 @@ import scala.jdk.CollectionConverters._
   * curated ChaosDocsSpec (documented-contract violations like BPE's
   * ASCII-only corpus are expected to fail loudly, everything else must
   * be total).
+  *
+  * Beyond the data-chaos modes (docs/emb/events/rel/stream/streamempty/
+  * zolo), SPARK_GRAFT_CHAOS_MODE selects two FAULT modes (r14, both
+  * requiring a local-cluster master via spark-submit): `execkill` —
+  * executor-loss injection with a job-count-triggered kill (`KILL` or
+  * `PWR` for decommissioning-enabled planned reclaim) and
+  * baseline-vs-chaos result compare; `speccount` — counts speculative
+  * task attempts while running named queries under aggressive
+  * speculation confs. Measured matrices: BENCH_LOCAL §r14.
   */
 object ChaosProbe {
 
