@@ -429,7 +429,9 @@ object ChaosProbe {
     * earlier rounds' localCheckpoint blocks exist on the victim.
     *
     * Env: SPARK_GRAFT_CHAOS_QUERY (default g_pagerank),
-    * SPARK_GRAFT_CHAOS_KILL_AFTER_JOBS (default 8).
+    * SPARK_GRAFT_CHAOS_KILL_AFTER_JOBS (default 8),
+    * SPARK_GRAFT_CHAOS_KILL_ALL=1 (kill every executor JVM, not one),
+    * SPARK_GRAFT_CHAOS_SIGNAL (default KILL; PWR = planned reclaim).
     */
   def execKill(spark: org.apache.spark.sql.SparkSession, base: String): Unit = {
     val master = spark.sparkContext.master
@@ -446,9 +448,14 @@ object ChaosProbe {
     })
     def run(): Seq[String] =
       graft.SparkEntry.queries(query)(spark, base).collect().map(_.toString).sorted.toSeq
+    // filter by THIS app's id: a concurrent Spark app on the same box
+    // also runs CoarseGrainedExecutorBackend JVMs, and killing those
+    // would sabotage an innocent bystander (executor command lines carry
+    // --app-id)
+    val appId = spark.sparkContext.applicationId
     def executorPids(): Seq[Long] = {
       import scala.sys.process._
-      scala.util.Try(Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!)
+      scala.util.Try(Seq("pgrep", "-f", s"CoarseGrainedExecutorBackend.*--app-id $appId").!!)
         .map(_.linesIterator.flatMap(_.trim.toLongOption).toSeq)
         .getOrElse(Seq.empty)
     }
@@ -459,7 +466,7 @@ object ChaosProbe {
     val baselineJobs = jobsEnded.get()
     println(f"- baseline $query rows=${baseline.size} in $baseSec%.1f s " +
       s"($baselineJobs jobs); executors=${executorPids().size}; " +
-      s"killing one after $killAfter chaos jobs")
+      s"killing after $killAfter chaos jobs")
     val chaos = scala.concurrent.Future {
       val t = System.nanoTime(); val r = run(); (r, (System.nanoTime() - t) / 1e9)
     }(scala.concurrent.ExecutionContext.global)
