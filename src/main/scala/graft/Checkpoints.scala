@@ -22,6 +22,14 @@ import org.apache.spark.sql.Dataset
   * either way — checkpointing changes block placement, never values
   * (ReliableCheckpointSpec pins result equality, and both paths preserve
   * the cut plan's partitioning for the downstream joins).
+  *
+  * Storage lifecycle difference worth knowing: localCheckpoint BLOCKS
+  * are reclaimed by the ContextCleaner when the Dataset is unreferenced,
+  * but reliable checkpoint FILES outlive their RDDs until the
+  * application exits (Spark only GCs them with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`) — a
+  * long-running fleet session with the knob on should set that conf or
+  * point the dir at storage with a TTL.
   */
 object Checkpoints {
   // Scope: the knob covers the ITERATIVE families (graph rounds,
