@@ -93,6 +93,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // sort-based shuffle writer (see GraftSession.shuffleWriterConf):
+      // the bypass writer's per-map-task file fan-out dominated small
+      // local exchanges and never runs at production partition counts
+      .config(GraftSession.shuffleWriterConf._1, GraftSession.shuffleWriterConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

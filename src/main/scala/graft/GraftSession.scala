@@ -11,6 +11,23 @@ import org.apache.spark.sql.SparkSession
   *   broadcast-join demotion/promotion) is the 100 TB safety net.
   */
 object GraftSession {
+  /** Force the sort-based shuffle writer even for low reduce-partition
+    * counts (r14 optimization round, guide §2.1/§6): with
+    * shuffle.partitions sized to cores (32), every exchange sat under
+    * the default bypassMergeThreshold (200) and took the bypass writer,
+    * which opens R partition files PER MAP TASK — ~1k file creates per
+    * exchange. jstack sampling of the pagerank rounds showed most
+    * executor threads inside FileOutputStream.open0/FileChannelImpl.map0
+    * instead of query work; forcing the sort writer (1 data + 1 index
+    * file per map task) measured pagerank rounds 1.2-1.3 → 0.45-0.58
+    * s/round (PrDebug A/B). At production partition counts (>200) the
+    * bypass writer never fires, so this also makes local runs exercise
+    * the same writer a 100 TB shuffle uses. Value, not a flag: writer
+    * choice is semantics-neutral.
+    */
+  val shuffleWriterConf: (String, String) =
+    ("spark.shuffle.sort.bypassMergeThreshold", "1")
+
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     // Same SPARK_GRAFT_MASTER override as Verify (r14): lets Stress/Bench
     // run under local-cluster[...] executor JVMs without a code change.
@@ -25,6 +42,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config(shuffleWriterConf._1, shuffleWriterConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

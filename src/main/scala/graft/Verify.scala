@@ -50,6 +50,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sort-based shuffle writer (see GraftSession.shuffleWriterConf)
+      .config(GraftSession.shuffleWriterConf._1, GraftSession.shuffleWriterConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,87 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway diagnosis main for the pagerank round cost (optimization
+  * round): times 10-round pagerank loops under controlled variants so
+  * the ~13 s of per-round task CPU can be attributed (decimal sum?
+  * string keys? cache scan? checkpoint?). Results of variants B-D are
+  * NOT oracle-equivalent — timing probes only.
+  */
+object PrDebug {
+  def main(args: Array[String]): Unit = {
+    // bypassMergeThreshold below the partition count forces the
+    // sort-based shuffle writer (1 data + 1 index file per map task)
+    // instead of the bypass writer (R files per map task) — the path a
+    // production >200-partition shuffle takes anyway.
+    val bypass = sys.env.getOrElse("PR_BYPASS", "200")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .appName("pr-debug")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.shuffle.sort.bypassMergeThreshold", bypass)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = spark.sparkContext.defaultParallelism
+
+    def strEdges(): DataFrame = {
+      val pairs = Tables.lineitem(spark, d)
+        .select(concat(lit("p"), $"l_partkey").as("p"), concat(lit("s"), $"l_suppkey").as("q"))
+        .distinct()
+      pairs.select($"p".as("src"), $"q".as("dst"))
+        .unionAll(pairs.select($"q".as("src"), $"p".as("dst")))
+    }
+    // long node ids: part keys as-is, supplier keys offset into a disjoint range
+    def longEdges(): DataFrame = {
+      val pairs = Tables.lineitem(spark, d)
+        .select($"l_partkey".cast("long").as("p"), ($"l_suppkey".cast("long") + 1000000000L).as("q"))
+        .distinct()
+      pairs.select($"p".as("src"), $"q".as("dst"))
+        .unionAll(pairs.select($"q".as("src"), $"p".as("dst")))
+    }
+
+    def loop(label: String, el: DataFrame, decimalSum: Boolean, rounds: Int = 10,
+             cutEvery: Int = 1): Unit = {
+      val edges = el.repartition(cpus, col("src")).persist()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+      val edgesDeg = edges.join(outdeg, "src").persist()
+      val n = outdeg.count()
+      edgesDeg.count()
+      edges.unpersist()
+      val jump = 0.15 / n
+      var ranks = outdeg.select(col("src").as("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+      val t0 = System.nanoTime()
+      for (r <- 1 to rounds) {
+        val contribs = edgesDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        val summed =
+          if (decimalSum) (lit(jump) + lit(0.85) * sum(col("contrib").cast("decimal(38,18)")).cast("double")).as("rank")
+          else (lit(jump) + lit(0.85) * sum(col("contrib"))).as("rank")
+        val next = contribs.groupBy(col("dst").as("node")).agg(summed)
+        ranks = if (r % cutEvery == 0 || r == rounds) next.localCheckpoint() else next
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"- $label: $rounds rounds in $wall%.2f s (${wall / rounds}%.3f s/round), n=$n")
+      edgesDeg.unpersist(); outdeg.unpersist()
+    }
+
+    // warmup then measured, mirroring Bench's discarded pass
+    loop("warmup (A)", strEdges(), decimalSum = true, rounds = 3)
+    loop(s"A1 bypass=$bypass str+dec", strEdges(), decimalSum = true)
+    loop(s"A2 bypass=$bypass str+dec", strEdges(), decimalSum = true)
+    loop(s"A3 bypass=$bypass str+dec", strEdges(), decimalSum = true)
+    loop(s"B1 bypass=$bypass str+dbl", strEdges(), decimalSum = false)
+    loop(s"B2 bypass=$bypass str+dbl", strEdges(), decimalSum = false)
+    spark.stop()
+  }
+}
