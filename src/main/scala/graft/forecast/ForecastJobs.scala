@@ -253,6 +253,15 @@ object ForecastJobs {
         .groupByKey(_.profile_name)
         .mapGroups((k, rows) => (k, series(rows)))
     gridBest(s, gridScored(s, seriesDs))
+      // spread the final fits BEFORE the expensive map (r14 optimization
+      // round, guide §2.6 idle capacity): the winner table is tiny, so
+      // AQE coalesces the reduceGroups exchange to ONE partition — and
+      // the HR→CSS→Kalman-MLE chain (the dominant per-profile cost, ~75
+      // ms each) then runs serially on one core (profiled: a 1.85 s
+      // single-task job inside a 650 ms 64-task grid). Round-robin over
+      // one row per profile puts each MLE fit in its own task; the
+      // eager-checkpoint + orderBy below already owns final row order.
+      .repartition(s.sparkContext.defaultParallelism)
       .map { case (_, t) =>
         // grid scored by fast HR walk-forward; the winning config's FINAL
         // parameters go HR → CSS (Nelder–Mead) → exact Kalman-filter MLE

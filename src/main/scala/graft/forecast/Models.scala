@@ -45,15 +45,24 @@ object Models {
 
   /** M3 walk-forward for SES (`lib.py:79-94`): predict 1 step, append the
     * actual, refit, repeat across the test slice. Returns (mse, predictions).
+    *
+    * O(n), not O(n²) (r14 optimization round): the reference refits the
+    * level over the full history each step, but the SES fold is strictly
+    * left-to-right, so refitting history + [next] performs EXACTLY the
+    * previous fold's IEEE operations followed by one more smoothing step
+    * — carrying the level forward is bit-identical to a full refit per
+    * step (pinned by ModelsSpec's refit-equivalence case) and drops the
+    * per-profile cost from O(n²) to O(n), which is what matters once a
+    * profile's history is years of weeks.
     */
   def sesWalkForward(xs: Array[Double], alpha: Double = 0.6): (Double, Array[Double]) = {
     val (train, test) = split75(xs)
-    val history = scala.collection.mutable.ArrayBuffer.from(train)
     val preds = new Array[Double](test.length)
+    var level = sesLevel(train, alpha) // throws on empty train, as the per-step refit did
     var i = 0
     while (i < test.length) {
-      preds(i) = sesForecast(history.toArray, alpha)
-      history += test(i)
+      preds(i) = level
+      level = alpha * test(i) + (1 - alpha) * level
       i += 1
     }
     (mse(preds, test), preds)

@@ -124,7 +124,20 @@ object Glm {
   }
 
   val logitIrls: Q = (s, d) => {
-    val f = feats(s, d).persist()
+    // Scale-adaptive spread before the iterative passes (r14 optimization
+    // round, guide §2.6 idle capacity): the 4 IRLS passes + the deviance
+    // pass are CPU-bound re-scans of this persisted table (18 round()+
+    // decimal casts per row per pass), so its PARTITIONING caps the whole
+    // query's parallelism. A small corpus is row-group-bound (sf0.1:
+    // 3 splits → 3 of 32 cores busy; measured 31.5 s in the full sweep);
+    // paying ONE narrow-row shuffle to spread it measured ~10× (3.2 s,
+    // ProfileQ min-of-2). When the
+    // scan already fills the cluster (the 100 TB case) the condition is
+    // false and no shuffle is added. Decimal sums are order-free, so the
+    // repartition cannot change any aggregate.
+    val cpus = s.sparkContext.defaultParallelism
+    val raw  = feats(s, d)
+    val f = (if (raw.rdd.getNumPartitions < cpus) raw.repartition(cpus) else raw).persist()
     try {
       var beta = Array(0.0, 0.0, 0.0, 0.0)
       val xs: Array[Column] = Array(lit(1.0), $"x1", $"x2", $"x3")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.syntax._
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics — PageRank over the part↔supplier
@@ -31,21 +31,37 @@ object Graph {
   val damping    = 0.85
 
   /** Undirected bipartite edges: one row per distinct (part, supplier)
-    * pair in lineitem, both directions, node ids disambiguated with a
-    * p/s prefix.
+    * pair in lineitem, both directions. Node ids are LONGS through the
+    * whole iteration (r14 optimization round, guide §2.3 narrower
+    * types): part nodes keep their key, supplier nodes map to
+    * −(suppkey+1) — an injective encoding, so group membership (and
+    * therefore every exact decimal contribution sum) is unchanged vs the
+    * old "p"/"s"-prefixed strings, while the distinct, the repartition,
+    * both per-round hash ops (join probe, dst aggregation) and 10 rounds
+    * of shuffle all carry an 8-byte long instead of a 16+-byte UTF8
+    * string. The long join key also gets Spark's specialized
+    * LongHashedRelation for the per-round broadcast probe. The p/s
+    * string form is reconstructed once, on the final node-count-sized
+    * result ([[pagerankNodeName]]).
     */
   private def edgeList(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables
       .lineitem(s, d)
       .select(
-        concat(lit("p"), $"l_partkey").as("p"),
-        concat(lit("s"), $"l_suppkey").as("q")
+        $"l_partkey".cast("long").as("p"),
+        (-$"l_suppkey".cast("long") - 1L).as("q")
       )
       .distinct()
     pairs
       .select($"p".as("src"), $"q".as("dst"))
       .unionAll(pairs.select($"q".as("src"), $"p".as("dst")))
   }
+
+  /** Decode the long node id back to the oracle's "p<partkey>" /
+    * "s<suppkey>" name (see [[edgeList]]).
+    */
+  private def pagerankNodeName(id: Column): Column =
+    when(id >= 0, concat(lit("p"), id)).otherwise(concat(lit("s"), -id - 1L))
 
   val gPagerank: Q = (s, d) => {
     val cpus = s.sparkContext.defaultParallelism
@@ -90,7 +106,7 @@ object Graph {
           .cutLineage()
       }
       ranks
-        .select($"node", round($"rank", 9).as("rank"))
+        .select(pagerankNodeName($"node").as("node"), round($"rank", 9).as("rank"))
         .orderBy($"node")
     } finally {
       edgesDeg.unpersist()

@@ -75,6 +75,26 @@ object PrDebug {
       edgesDeg.unpersist(); outdeg.unpersist()
     }
 
+    if (sys.env.get("PR_MODE").contains("plan")) {
+      // dump the EXECUTED round-1 plan of the production (long-id) shape
+      val el = longEdges()
+      val edges = el.repartition(cpus, col("src")).persist()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+      val edgesDeg = edges.join(outdeg, "src").persist()
+      val n = outdeg.count(); edgesDeg.count()
+      val jump = 0.15 / n
+      val ranks = outdeg.select(col("src").as("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+      val next = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(jump) + lit(0.85) *
+          sum(col("contrib").cast("decimal(38,18)")).cast("double")).as("rank"))
+      next.write.format("noop").mode("overwrite").save()
+      println(next.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      spark.stop(); return
+    }
     // warmup then measured, mirroring Bench's discarded pass
     loop("warmup (A)", strEdges(), decimalSum = true, rounds = 3)
     loop(s"A1 bypass=$bypass str+dec", strEdges(), decimalSum = true)

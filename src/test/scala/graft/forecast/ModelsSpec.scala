@@ -34,6 +34,35 @@ class ModelsSpec extends AnyFunSuite {
     assert(m == 0.0)
   }
 
+  test("SES walk-forward carried level is BIT-identical to per-step full refit") {
+    // r14 optimization: sesWalkForward carries the level forward instead
+    // of refolding the whole history each test step. The fold is strictly
+    // left-to-right, so the carried level must equal the full refit
+    // exactly (==, not a tolerance) on arbitrary series.
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 20) {
+      val xs = Array.fill(8 + rnd.nextInt(60))(
+        (rnd.nextDouble() - 0.3) * math.pow(10, rnd.nextInt(7) - 3))
+      val (train, test) = Models.split75(xs)
+      if (train.nonEmpty && test.nonEmpty) {
+        val naive = {
+          val history = scala.collection.mutable.ArrayBuffer.from(train)
+          val preds = new Array[Double](test.length)
+          var i = 0
+          while (i < test.length) {
+            preds(i) = Models.sesForecast(history.toArray, 0.6)
+            history += test(i)
+            i += 1
+          }
+          (Models.mse(preds, test), preds)
+        }
+        val fast = Models.sesWalkForward(xs, 0.6)
+        assert(fast._1 == naive._1, s"trial $trial mse")
+        assert(fast._2.sameElements(naive._2), s"trial $trial preds")
+      }
+    }
+  }
+
   test("fixed-param Holt recursion matches hand computation") {
     // xs = [10, 12, 15]; l0=10, b0=2
     // step1: l=.8*12+.2*12=12, b=.2*(12-10)+.8*2=2
