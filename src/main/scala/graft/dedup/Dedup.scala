@@ -839,7 +839,14 @@ object Dedup {
     val mod = math.max(1L, math.ceil(n / recallAuditCap.toDouble).toLong)
     val sh = docs.filter(sampleHash($"doc_id") % mod === 0)
       .select($"doc_id", shUdf($"text").as("sh")).filter(size($"sh") > 0)
-    val exact = sh.as("a")
+    // the ground-truth pass is a broadcast NESTED-LOOP self-join (the
+    // `<` condition has no equi key), so the STREAMED side's partition
+    // count caps it: at sf0.1 the doc scan is one split and all ~n²/2
+    // jaccard set-ops ran in a single 8.1 s task (r14 ProfileQ).
+    // spreadAcrossCores pays one sample-sized shuffle to run the probe
+    // cluster-wide; the pair set (and the exact-count aggregate) is
+    // row-order-free.
+    val exact = sh.spreadAcrossCores().as("a")
       .join(broadcast(sh.as("b")), $"a.doc_id" < $"b.doc_id")
       .select(
         $"a.doc_id".as("doc_a"),

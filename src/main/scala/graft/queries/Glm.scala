@@ -135,9 +135,7 @@ object Glm {
     // scan already fills the cluster (the 100 TB case) the condition is
     // false and no shuffle is added. Decimal sums are order-free, so the
     // repartition cannot change any aggregate.
-    val cpus = s.sparkContext.defaultParallelism
-    val raw  = feats(s, d)
-    val f = (if (raw.rdd.getNumPartitions < cpus) raw.repartition(cpus) else raw).persist()
+    val f = feats(s, d).spreadAcrossCores().persist()
     try {
       var beta = Array(0.0, 0.0, 0.0, 0.0)
       val xs: Array[Column] = Array(lit(1.0), $"x1", $"x2", $"x3")

@@ -200,16 +200,40 @@ object Graph {
               .select(col("a.dst").as("x"), col("b.dst").as("y"))
             val closing = de.select(
               least($"src", $"dst").as("x"), greatest($"src", $"dst").as("y"))
-            if (passes == 1)
-              candOf(de).join(closing, Seq("x", "y"), "left_semi").count()
+            // Bloom-prefilter the wedges BEFORE the closing-edge exchange
+            // (r14 optimization round, guide §3.2): the semi join used to
+            // shuffle every candidate pair — W ≈ O(m^1.5) rows, 350 MB at
+            // sf0.1 (88 s of task time in the two join jobs) — to probe an
+            // edge set that is orders of magnitude smaller. One distributed
+            // bloom build over the closing edges (native codegen
+            // BloomFilterAggregate/MightContain via RuntimeFilter, ~10
+            // bits/edge ≈ 1% FP) lets ~all non-triangle wedges exit
+            // map-side; only survivors (true triangles + ~1% FP) reach the
+            // exchange and the EXACT semi join, so the count is provably
+            // unchanged (no false negatives). The filter is |E|-sized —
+            // the same driver-size class as a broadcast join's build side
+            // — while the thing it deletes is the W-sized shuffle.
+            val pairKey = col("x").cast("long") * lit(4294967296L) + col("y").cast("long")
+            val edgeCount = de.count()
+            if (edgeCount == 0L) 0L
             else {
-              val closingP = closing.persist()
-              try {
-                (0 until passes).map { i =>
-                  val dei = de.filter(pmod(hash($"src"), lit(passes)) === i)
-                  candOf(dei).join(closingP, Seq("x", "y"), "left_semi").count()
-                }.sum
-              } finally closingP.unpersist()
+              val bloom = RuntimeFilter.buildBloom(
+                closing, pairKey,
+                expectedKeys = edgeCount,
+                numBits = math.max(edgeCount * 10L, 1L << 20))
+              def pruned(cand: DataFrame) =
+                cand.filter(RuntimeFilter.mightContain(spark, bloom, pairKey))
+              if (passes == 1)
+                pruned(candOf(de)).join(closing, Seq("x", "y"), "left_semi").count()
+              else {
+                val closingP = closing.persist()
+                try {
+                  (0 until passes).map { i =>
+                    val dei = de.filter(pmod(hash($"src"), lit(passes)) === i)
+                    pruned(candOf(dei)).join(closingP, Seq("x", "y"), "left_semi").count()
+                  }.sum
+                } finally closingP.unpersist()
+              }
             }
           } finally de.unpersist()
         (tri, wedges)

@@ -75,7 +75,16 @@ object Pca {
       s"Pca.covFrom: the per-row triangle expansion is contracted to d <= $maxExpansionDims " +
         s"(got $dims); implement the per-partition Gram-matrix sibling before raising this")
     val muLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(mu.map(lit)): _*)
-    val cent  = e.select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
+    val cent0 = e.select($"vec_id", zip_with($"v", muLit, (x, m) => x - m).as("c"))
+    // Scale-adaptive spread before the quadratic-in-d expansion (r14
+    // optimization round, guide §2.6): the per-row cost here is ~2080
+    // decimal products, so the SCAN's split count caps the whole
+    // covariance stage — at sf0.1 the embedding file is one split and the
+    // expansion ran as a single 6.4 s task with 31 cores idle (ProfileQ).
+    // One narrow shuffle of the centered vectors spreads it; decimal sums
+    // are order-free so the moments are bit-identical. At 100 TB the scan
+    // has >= cluster-width splits and the condition adds no shuffle.
+    val cent = cent0.spreadAcrossCores()
     // Row-local upper-triangle expansion: each row emits its own
     // d(d+1)/2 (i, j, xi·xj) products via nested transform+flatten —
     // no second scan of the corpus, no self-join, no pre-agg shuffle.

@@ -19,4 +19,21 @@ object syntax {
     def cutLineage(eager: Boolean = true): org.apache.spark.sql.Dataset[T] =
       Checkpoints.cut(ds, eager)
   }
+
+  /** Scale-adaptive spread before a CPU-heavy stage (r14 optimization
+    * round, guide §2.6 idle capacity): when the frame's partition count
+    * cannot fill the cluster — a small corpus whose scan is bound by
+    * file splits/row groups — pay one round-robin shuffle so the
+    * downstream per-row work (iterative re-scans, quadratic expansions,
+    * broadcast nested-loop probes) runs cluster-wide. At scale the scan
+    * already has >= parallelism splits and this is the identity. Only
+    * sound above order-free consumers (exact decimal sums, joins,
+    * per-row maps): a round-robin shuffle permutes row order.
+    */
+  implicit class DataFrameSpreadOps(private val df: org.apache.spark.sql.DataFrame) extends AnyVal {
+    def spreadAcrossCores(): org.apache.spark.sql.DataFrame = {
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    }
+  }
 }
