@@ -156,17 +156,23 @@ object SqlSurfaceQueries {
     // through a Filter). Rollup semantics are weeklySeries(minWeeks=5)
     // verbatim: same date cut, same DECIMAL(18,6) sum, strict > 5 week
     // filter, week-ordered series via array_sort(struct(week, w)).
-    // r14 optimization round: the collect_list agg and the per-profile
-    // forecast are SPLIT across a REPARTITION hint — forecast_arima runs
-    // the whole 50-config grid + MLE chain per profile (~280 ms each),
-    // and with it in the aggregate's own projection AQE coalesced the
-    // profile-count-sized exchange to ONE partition, serializing every
-    // fit on one core (7.1 s in the r14 full sweep). The hint needs the
-    // EXPLICIT partition count (round-robin, sized from the session's
-    // parallelism, not a constant): a bare REPARTITION(col) leaves the
-    // count to AQE, which re-coalesced the byte-tiny exchange to 1 —
-    // byte-based coalescing is blind to CPU-heavy projections. Same
-    // rows, same fold per profile, same result (oracle/golden unchanged).
+    // r15 optimization round (fixing the r14 attempt): forecast_arima
+    // runs the whole 50-config grid + MLE chain per profile (~280 ms
+    // each). The r14 rewrite moved it into a plain projection above the
+    // agg behind a REPARTITION hint — but Catalyst pushed the IS NOT
+    // NULL filter below the projection as isnotnull(forecast_arima(xs)),
+    // duplicating the fit, and BOTH copies ran below the hint's
+    // exchange. The r15 shape keeps the fit in the aggregate's OWN
+    // result projection (a filter on a non-grouping output can never
+    // push into an Aggregate ⇒ provably single evaluation, the plan
+    // guard in SqlSurfaceSpec pins it) and widens the aggregate itself:
+    // the rollup is hash-REPARTITIONed on profile_name with an EXPLICIT
+    // count (REPARTITION_BY_NUM origin — AQE's coalescing skips it,
+    // unlike the agg's own byte-tiny exchange which AQE collapsed to 1
+    // partition, serializing every fit on one core). GROUP BY
+    // profile_name reuses that partitioning, so the fits run spread
+    // across cores. Same rows, same fold per profile, same result
+    // (oracle/golden unchanged).
     "sql_arima_auto" -> ((s, d) => {
       GraftFunctions.register(s)
       val spread = s.sparkContext.defaultParallelism
@@ -174,11 +180,11 @@ object SqlSurfaceQueries {
         s"""SELECT profile_name, f.best_config, f.mse, f.prediction,
            |  f.std_error, f.lower_bound, f.upper_bound
            |FROM (
-           |  SELECT /*+ REPARTITION($spread) */ profile_name, forecast_arima(xs) AS f
+           |  SELECT profile_name,
+           |    forecast_arima(transform(array_sort(collect_list(struct(week_date, weight))),
+           |                   x -> x.weight)) AS f
            |  FROM (
-           |    SELECT profile_name,
-           |      transform(array_sort(collect_list(struct(week_date, weight))),
-           |                x -> x.weight) AS xs
+           |    SELECT /*+ REPARTITION($spread, profile_name) */ profile_name, week_date, weight
            |    FROM (
            |      SELECT p_brand AS profile_name,
            |        CAST(date_trunc('week', l_shipdate) AS DATE) AS week_date,
@@ -186,9 +192,9 @@ object SqlSurfaceQueries {
            |      FROM parquet.`$d/lineitem.parquet` JOIN parquet.`$d/part.parquet`
            |        ON l_partkey = p_partkey
            |      WHERE l_shipdate < TIMESTAMP '2001-06-01'
-           |      GROUP BY 1, 2)
-           |    GROUP BY profile_name
-           |    HAVING count(*) > 5))
+           |      GROUP BY 1, 2))
+           |  GROUP BY profile_name
+           |  HAVING count(*) > 5)
            |WHERE f IS NOT NULL
            |ORDER BY profile_name""".stripMargin)
     }),

@@ -213,16 +213,34 @@ object Graph {
             // unchanged (no false negatives). The filter is |E|-sized —
             // the same driver-size class as a broadcast join's build side
             // — while the thing it deletes is the W-sized shuffle.
-            val pairKey = col("x").cast("long") * lit(4294967296L) + col("y").cast("long")
+            // r15: hash the pair instead of packing it into a long —
+            // x*2^32 + y overflows for node ids >= 2^31 (throws under
+            // ANSI mode) and assumed a 32-bit id range; xxhash64(x, y)
+            // has neither problem, and build/probe hash identically so
+            // the no-false-negatives property is unchanged.
+            val pairKey = xxhash64(col("x"), col("y"))
             val edgeCount = de.count()
+            // r15: BloomFilterAggregate hard-require()s its arguments
+            // against the session caps (maxNumItems default 4M,
+            // maxNumBits default 2^26) — data-dependent sizing crashed
+            // at scale. Clamp to the caps (FP-independent: the exact
+            // semi join absorbs false positives), and skip the bloom
+            // entirely when the edge set would saturate it (< 2 bits
+            // per key ⇒ FP → 1, all probe cost and no pruning).
+            val maxItems = spark.conf
+              .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+            val maxBits = spark.conf
+              .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
             if (edgeCount == 0L) 0L
             else {
-              val bloom = RuntimeFilter.buildBloom(
-                closing, pairKey,
-                expectedKeys = edgeCount,
-                numBits = math.max(edgeCount * 10L, 1L << 20))
-              def pruned(cand: DataFrame) =
-                cand.filter(RuntimeFilter.mightContain(spark, bloom, pairKey))
+              val bloomOpt =
+                if (edgeCount > maxBits / 2) None
+                else Some(RuntimeFilter.buildBloom(
+                  closing, pairKey,
+                  expectedKeys = math.min(edgeCount, maxItems),
+                  numBits = math.min(math.max(edgeCount * 10L, 1L << 20), maxBits)))
+              def pruned(cand: DataFrame) = bloomOpt.fold(cand)(b =>
+                cand.filter(RuntimeFilter.mightContain(spark, b, pairKey)))
               if (passes == 1)
                 pruned(candOf(de)).join(closing, Seq("x", "y"), "left_semi").count()
               else {
