@@ -41,6 +41,13 @@ object ForecastJobs {
     * mirroring `arima_models.py:155-162`.
     */
   def weeklySeries(s: SparkSession, dir: String, minWeeks: Int): DataFrame = {
+    // r15 note: a spreadAcrossCores() on the lineitem slice was measured
+    // and REVERTED — the single-row-group scan task still pays the
+    // decode + exchange write (~640 ms, unchanged), and the join+agg it
+    // parallelizes was only ~200 ms of the original single task, so the
+    // extra exchange + stage was a net wash locally and pure overhead.
+    // The scan decode itself is the floor here; it parallelizes on its
+    // own once the input has >= parallelism row groups.
     val li = Tables.lineitem(s, dir)
     val p  = Tables.part(s, dir)
     val weekly = li

@@ -436,6 +436,12 @@ object Multimodal {
     Tables
       .documents(s, d)
       .select($"doc_id")
+      // r15 (guide §2.6): the PNG encode/decode loop — ~8 frames per doc,
+      // 1.5 s of CPU at sf0.1 — ran on the single-row-group scan's ONE
+      // task; spread the doc_id list so the codec work runs cluster-wide
+      // (identity when the scan has >= parallelism splits; per-doc work
+      // is row-independent, the trailing orderBy fixes output order)
+      .spreadAcrossCores()
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)

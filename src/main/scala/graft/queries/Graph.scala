@@ -92,19 +92,41 @@ object Graph {
       // 0.15 literally, NOT (1 - damping): IEEE 1.0 - 0.85 is
       // 0.15000000000000002 and the oracle's 0.15 would diverge
       val jump = 0.15 / n
-      var ranks = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
-      for (_ <- 1 to iterations) {
-        val contribs = edgesDeg
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .select($"dst", ($"rank" / $"outdeg").as("contrib"))
-        ranks = contribs
-          .groupBy($"dst".as("node"))
-          .agg(
-            (lit(jump) + lit(damping) *
-              sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
-          )
-          .cutLineage()
-      }
+      // r15 round-loop driver-overhead cut (PrDebug v3 A/B, 0.40 →
+      // 0.29-0.34 s/round): (1) AQE off for the loop's scope — every
+      // round re-planned its two query stages and ran extra
+      // stage-materialization jobs to re-decide a join strategy that is
+      // fixed by construction (edgesDeg pre-partitioned + node-sized
+      // rank table), ~80 ms/round of driver work that does not shrink
+      // with cluster size; restored after the loop. (2) Intermediate
+      // cuts are LAZY (blocks still persist on first computation, so
+      // nothing recomputes) and the LAST round cuts eagerly INSIDE the
+      // AQE-off scope, so all ten rounds execute here and the per-round
+      // checkpoint-materialization job + its scheduling gap collapse
+      // into the next round's job. Lazy is only safe for
+      // localCheckpoint (persist-backed); the reliable-checkpoint path
+      // (spark.graft.iter.checkpointDir) would RECOMPUTE each round to
+      // write its files, so it keeps eager cuts.
+      val lazyCutOk = s.conf.getOption(graft.Checkpoints.dirKey).isEmpty
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val ranks =
+        try {
+          var r = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
+          for (i <- 1 to iterations) {
+            val contribs = edgesDeg
+              .join(r.withColumnRenamed("node", "src"), "src")
+              .select($"dst", ($"rank" / $"outdeg").as("contrib"))
+            r = contribs
+              .groupBy($"dst".as("node"))
+              .agg(
+                (lit(jump) + lit(damping) *
+                  sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
+              )
+              .cutLineage(eager = i == iterations || !lazyCutOk)
+          }
+          r
+        } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       ranks
         .select(pagerankNodeName($"node").as("node"), round($"rank", 9).as("rank"))
         .orderBy($"node")

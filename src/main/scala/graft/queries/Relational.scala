@@ -681,11 +681,18 @@ object Relational {
     // probe filter pins o_orderdate to 1997 — so the fact scan needs only
     // a 13-month slice. Catalyst cannot derive this (the range variable
     // reaches the join through the bin equi-key).
+    // r15 (guide §2.6): the single-row-group sf0.1 lineitem scan ran the
+    // whole broadcast join + refine + agg on ONE task (1.57 s of 1.6 s
+    // single-task job time in the profile); spread the filtered 3-column
+    // slice so the candidate-pair work runs cluster-wide. Identity when
+    // the scan has >= parallelism splits. Order-free consumers only
+    // (count agg + equi join).
     val li = Tables
       .lineitem(s, d)
       .filter($"l_shipdate" >= lit("1997-01-01").cast("date") &&
         $"l_shipdate" < lit("1998-02-01").cast("date"))
       .select($"l_orderkey", $"l_shipdate", trunc($"l_shipdate", "week").as("l_bin"))
+      .spreadAcrossCores()
     // one scan + explode beats a union of scans (round 2: the union
     // re-read the filtered orders projection once per bin offset)
     val expanded = o.select(

@@ -75,6 +75,16 @@ object Bpe {
     // unpersist races the other's merge rounds (the gapfillJob
     // empty-stage mechanism). Checkpoint blocks are invocation-private.
     val wf = wordFreq(s, dir).cutLineage()
+    // r15 (the g_pagerank round-loop lesson): each of the R rounds is a
+    // tiny, fixed-shape vocab-sized query — AQE re-planned its two query
+    // stages and ran extra stage-materialization jobs per round, pure
+    // driver overhead that does not shrink with cluster size (the r15
+    // text_bpe_encode profile: 38 one-task jobs, 30-200 ms scheduling
+    // gap each, work 3-40 ms). Plans and results are unchanged — AQE is
+    // restored after the loop, before the corpus-sized encode/consumer
+    // query runs.
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val out    = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -99,7 +109,8 @@ object Bpe {
         out    += ((r, w.getString(0), w.getString(1), w.getLong(2)))
       }
       out.toSeq
-    } finally () // checkpoint blocks reclaimed by the ContextCleaner once wf is unreferenced
+      // checkpoint blocks reclaimed by the ContextCleaner once wf is unreferenced
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   /** Driver query: the learned merge table. */

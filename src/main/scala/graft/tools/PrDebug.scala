@@ -95,6 +95,99 @@ object PrDebug {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       spark.stop(); return
     }
+    // r15: production-shape (long ids) round-loop variants — eager cut
+    // (the shipping shape), lazy cut, no cut, and a co-partitioned RDD
+    // loop with the exact same decimal arithmetic (one shuffle per
+    // round, zero per-round planning/AQE/broadcast driver work).
+    def prodEdges(): DataFrame = {
+      val pairs = Tables.lineitem(spark, d)
+        .select($"l_partkey".cast("long").as("p"), (-$"l_suppkey".cast("long") - 1L).as("q"))
+        .distinct()
+      pairs.select($"p".as("src"), $"q".as("dst"))
+        .unionAll(pairs.select($"q".as("src"), $"p".as("dst")))
+    }
+    def dfLoop(label: String, eagerCut: Boolean, cut: Boolean = true, rounds: Int = 10,
+               bcastRanks: Boolean = false): Unit = {
+      val edges = prodEdges().repartition(cpus, col("src")).persist()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+      val edgesDeg = edges.join(outdeg, "src").persist()
+      val n = outdeg.count()
+      edgesDeg.count()
+      edges.unpersist()
+      val jump = 0.15 / n
+      val t0 = System.nanoTime()
+      var ranks = outdeg.select(col("src").as("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+      for (r <- 1 to rounds) {
+        val rside = ranks.withColumnRenamed("node", "src")
+        val next = edgesDeg
+          .join(if (bcastRanks) broadcast(rside) else rside, "src")
+          .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+          .groupBy(col("dst").as("node"))
+          .agg((lit(jump) + lit(0.85) *
+            sum(col("contrib").cast("decimal(38,18)")).cast("double")).as("rank"))
+        ranks = if (cut) next.localCheckpoint(eagerCut) else next
+      }
+      val cnt = ranks.count()
+      val chk = ranks.agg(sum(col("rank"))).head().getDouble(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"- $label: $rounds rounds in $wall%.2f s (${wall / rounds}%.3f s/round), n=$cnt, sum=$chk%.12f")
+      edgesDeg.unpersist(); outdeg.unpersist()
+    }
+    def rddLoop(label: String, rounds: Int = 10): Unit = {
+      import org.apache.spark.HashPartitioner
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      val part = new HashPartitioner(cpus)
+      val e0 = prodEdges().as[(Long, Long)].rdd.partitionBy(part)
+      val outdeg = e0.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      val edgesDeg = e0.join(outdeg).persist() // (src, (dst, outdeg)), hash(src)
+      val n = outdeg.count()
+      edgesDeg.count()
+      val jump = 0.15 / n
+      val t0 = System.nanoTime()
+      var ranks = outdeg.mapValues(_ => 1.0 / n) // hash(node), same partitioner
+      for (r <- 1 to rounds) {
+        val contribs = edgesDeg.join(ranks) // narrow: both hash(src)
+          .map { case (_, ((dst, deg), rank)) =>
+            // Spark Cast(double -> decimal(38,18)): BigDecimal.valueOf
+            // (shortest repr) then setScale(18, HALF_UP)
+            (dst, JBD.valueOf(rank / deg).setScale(18, RoundingMode.HALF_UP))
+          }
+        ranks = contribs.reduceByKey(part, _.add(_))
+          .mapValues(s => jump + 0.85 * s.doubleValue)
+      }
+      val cnt = ranks.count()
+      val chk = ranks.values.sum()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"- $label: $rounds rounds in $wall%.2f s (${wall / rounds}%.3f s/round), n=$cnt, sum=$chk%.12f")
+      edgesDeg.unpersist()
+    }
+    if (sys.env.get("PR_MODE").contains("v2")) {
+      dfLoop("warmup", eagerCut = true, rounds = 3)
+      dfLoop("C1 df eager-cut", eagerCut = true)
+      dfLoop("C2 df eager-cut", eagerCut = true)
+      dfLoop("D1 df lazy-cut", eagerCut = false)
+      dfLoop("D2 df lazy-cut", eagerCut = false)
+      rddLoop("E1 rdd co-part")
+      rddLoop("E2 rdd co-part")
+      spark.stop(); return
+    }
+    if (sys.env.get("PR_MODE").contains("v3")) {
+      def withAqe(on: Boolean)(body: => Unit): Unit = {
+        spark.conf.set("spark.sql.adaptive.enabled", on.toString)
+        try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      dfLoop("warmup", eagerCut = true, rounds = 3)
+      withAqe(false) { dfLoop("F1 df eager-cut aqe-off", eagerCut = true) }
+      withAqe(false) { dfLoop("F2 df eager-cut aqe-off", eagerCut = true) }
+      withAqe(false) { dfLoop("G1 df lazy-cut aqe-off", eagerCut = false) }
+      withAqe(false) { dfLoop("G2 df lazy-cut aqe-off", eagerCut = false) }
+      dfLoop("H1 df lazy-cut aqe-on", eagerCut = false)
+      withAqe(false) { dfLoop("I1 lazy aqe-off bcast", eagerCut = false, bcastRanks = true) }
+      withAqe(false) { dfLoop("I2 lazy aqe-off bcast", eagerCut = false, bcastRanks = true) }
+      dfLoop("J1 lazy aqe-on bcast", eagerCut = false, bcastRanks = true)
+      dfLoop("J2 lazy aqe-on bcast", eagerCut = false, bcastRanks = true)
+      spark.stop(); return
+    }
     // warmup then measured, mirroring Bench's discarded pass
     loop("warmup (A)", strEdges(), decimalSum = true, rounds = 3)
     loop(s"A1 bypass=$bypass str+dec", strEdges(), decimalSum = true)
