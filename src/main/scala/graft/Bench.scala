@@ -97,6 +97,9 @@ object Bench {
       // the bypass writer's per-map-task file fan-out dominated small
       // local exchanges and never runs at production partition counts
       .config(GraftSession.shuffleWriterConf._1, GraftSession.shuffleWriterConf._2)
+      // AQE coalesce floor (see GraftSession.aqeCoalesceFloorConf): stop
+      // byte-tiny/CPU-heavy post-shuffle stages from collapsing to 1 task
+      .config(GraftSession.aqeCoalesceFloorConf._1, GraftSession.aqeCoalesceFloorConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

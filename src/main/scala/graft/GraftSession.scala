@@ -33,6 +33,24 @@ object GraftSession {
     ("spark.shuffle.sort.bypassMergeThreshold",
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "1"))
 
+  /** AQE partition-coalescing floor (r15, guide §2.2/§2.5): with
+    * `parallelismFirst` (default true) AQE coalesces a post-shuffle
+    * stage to `max(bytes / defaultParallelism, minPartitionSize)`-sized
+    * partitions, and the stock 1 MB floor collapses byte-tiny
+    * shuffles to ONE task — which serialized every CPU-heavy projection
+    * over a small exchange (the r14 systemic pattern: arima fits, IRLS,
+    * PCA, LSH audits; r15 profiles: e_anomalies' z-score window 283 ms
+    * and w_sessionize's session window 132 ms, each on 1 task under a
+    * ~1.4 MB exchange). 64 KB keeps full parallelism for those stages.
+    * Scale-adaptive by construction: on a 100 TB shuffle,
+    * bytes/parallelism is orders of magnitude above either floor, so
+    * the knob never engages — it only stops local/small-stage
+    * serialization. Env-overridable for A/B.
+    */
+  val aqeCoalesceFloorConf: (String, String) =
+    ("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64kb"))
+
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     // Same SPARK_GRAFT_MASTER override as Verify (r14): lets Stress/Bench
     // run under local-cluster[...] executor JVMs without a code change.
@@ -48,6 +66,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config(shuffleWriterConf._1, shuffleWriterConf._2)
+      .config(aqeCoalesceFloorConf._1, aqeCoalesceFloorConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

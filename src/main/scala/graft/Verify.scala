@@ -52,6 +52,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // sort-based shuffle writer (see GraftSession.shuffleWriterConf)
       .config(GraftSession.shuffleWriterConf._1, GraftSession.shuffleWriterConf._2)
+      // AQE coalesce floor (see GraftSession.aqeCoalesceFloorConf)
+      .config(GraftSession.aqeCoalesceFloorConf._1, GraftSession.aqeCoalesceFloorConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

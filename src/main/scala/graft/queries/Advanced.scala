@@ -721,25 +721,42 @@ object Advanced {
 
   /** Anomaly detection: per-event-type z-score outliers. Moments come
     * from DECIMAL-exact sums (order-free) so mean/std — and therefore the
-    * outlier *set* — are deterministic cross-engine; the window broadcast
-    * joins the per-type moments back without a second scan.
+    * outlier *set* — are deterministic cross-engine.
+    *
+    * r15 shape (guide §2.3 aggregate-before-shuffle + §3.1): the r14
+    * form computed the moments with a `Window.partitionBy(event_type)`,
+    * which shuffles the WHOLE event stream on a key with only a handful
+    * of distinct values — at 100 TB that is a full-corpus exchange whose
+    * parallelism is bounded by the type count (locally: one 283 ms
+    * single task under a 1.4 MB exchange), and window stages get no AQE
+    * skew handling. Computing the per-type moments with a groupBy (map-
+    * side partial agg: type-count-sized shuffle) and BROADCAST-joining
+    * them back means the corpus itself never shuffles at all; the
+    * z-score pass is map-side. Same DECIMAL sums, same per-row IEEE
+    * arithmetic ⇒ bit-identical rows (oracle unchanged).
     */
   val eAnomalies: Q = (s, d) => {
-    val w = Window.partitionBy($"event_type")
-    val sumV  = sum($"value".cast(DecimalType(18, 6))).over(w).cast(DoubleType)
-    val sumV2 = sum(($"value" * $"value").cast(DecimalType(24, 8))).over(w).cast(DoubleType)
-    val n     = count(lit(1)).over(w)
-    Tables
+    val moments = Tables
       .events(s, d)
-      .withColumn("mean_v", sumV / n)
+      .groupBy($"event_type")
+      .agg(
+        sum($"value".cast(DecimalType(18, 6))).cast(DoubleType).as("s_v"),
+        sum(($"value" * $"value").cast(DecimalType(24, 8))).cast(DoubleType).as("s_v2"),
+        count(lit(1)).as("n")
+      )
+      .withColumn("mean_v", $"s_v" / $"n")
       // n=1 groups have no sample variance (n-1 = 0 would ANSI
       // divide-by-zero; chaos probe r11) — they can't have outliers
-      .withColumn("var_v", when(n > 1, (sumV2 - sumV * sumV / n) / (n - lit(1))))
+      .withColumn("var_v", when($"n" > 1, ($"s_v2" - $"s_v" * $"s_v" / $"n") / ($"n" - lit(1))))
       // a degenerate (constant-value) type has no outliers by definition;
       // without the guard, cancellation can push var_v epsilon-negative —
       // Spark's sqrt yields NaN while DuckDB ERRORS, crashing the oracle
       // (r3 self-review)
       .filter($"var_v" > 0)
+      .select($"event_type", $"mean_v", $"var_v")
+    Tables
+      .events(s, d)
+      .join(broadcast(moments), Seq("event_type"))
       .withColumn("z", ($"value" - $"mean_v") / sqrt($"var_v"))
       .filter(abs($"z") > 3.0)
       .select($"event_id", $"event_type", $"value", round($"z", 6).as("z_score"))

@@ -114,8 +114,16 @@ object Graph {
         try {
           var r = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
           for (i <- 1 to iterations) {
+            // SHUFFLE_HASH on the node-sized rank side (guide §3.1): with
+            // AQE off the static planner cannot see the rank table's size
+            // (lazy-checkpointed LogicalRDD ⇒ unknown stats) and falls
+            // back to sort-merge, re-SORTING the full edge frame every
+            // round (~2× round CPU measured). The hash build per
+            // partition is rank-rows/partitions — the small side by
+            // construction at any scale; both sides are already
+            // co-partitioned on src, so the join stays exchange-free.
             val contribs = edgesDeg
-              .join(r.withColumnRenamed("node", "src"), "src")
+              .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
               .select($"dst", ($"rank" / $"outdeg").as("contrib"))
             r = contribs
               .groupBy($"dst".as("node"))

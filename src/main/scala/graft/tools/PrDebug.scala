@@ -118,9 +118,13 @@ object PrDebug {
       val t0 = System.nanoTime()
       var ranks = outdeg.select(col("src").as("node"), lit(1.0 / n).as("rank")).localCheckpoint()
       for (r <- 1 to rounds) {
-        val rside = ranks.withColumnRenamed("node", "src")
+        val rside0 = ranks.withColumnRenamed("node", "src")
+        val rside =
+          if (bcastRanks) broadcast(rside0)
+          else if (sys.env.get("PR_SHJ").contains("1")) rside0.hint("shuffle_hash")
+          else rside0
         val next = edgesDeg
-          .join(if (bcastRanks) broadcast(rside) else rside, "src")
+          .join(rside, "src")
           .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
           .groupBy(col("dst").as("node"))
           .agg((lit(jump) + lit(0.85) *
