@@ -92,49 +92,34 @@ object Graph {
       // 0.15 literally, NOT (1 - damping): IEEE 1.0 - 0.85 is
       // 0.15000000000000002 and the oracle's 0.15 would diverge
       val jump = 0.15 / n
-      // r15 round-loop driver-overhead cut (PrDebug v3 A/B, 0.40 →
-      // 0.29-0.34 s/round): (1) AQE off for the loop's scope — every
-      // round re-planned its two query stages and ran extra
-      // stage-materialization jobs to re-decide a join strategy that is
-      // fixed by construction (edgesDeg pre-partitioned + node-sized
-      // rank table), ~80 ms/round of driver work that does not shrink
-      // with cluster size; restored after the loop. (2) Intermediate
-      // cuts are LAZY (blocks still persist on first computation, so
-      // nothing recomputes) and the LAST round cuts eagerly INSIDE the
-      // AQE-off scope, so all ten rounds execute here and the per-round
-      // checkpoint-materialization job + its scheduling gap collapse
-      // into the next round's job. Lazy is only safe for
-      // localCheckpoint (persist-backed); the reliable-checkpoint path
-      // (spark.graft.iter.checkpointDir) would RECOMPUTE each round to
-      // write its files, so it keeps eager cuts.
-      val lazyCutOk = s.conf.getOption(graft.Checkpoints.dirKey).isEmpty
-      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      val ranks =
-        try {
-          var r = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
-          for (i <- 1 to iterations) {
-            // SHUFFLE_HASH on the node-sized rank side (guide §3.1): with
-            // AQE off the static planner cannot see the rank table's size
-            // (lazy-checkpointed LogicalRDD ⇒ unknown stats) and falls
-            // back to sort-merge, re-SORTING the full edge frame every
-            // round (~2× round CPU measured). The hash build per
-            // partition is rank-rows/partitions — the small side by
-            // construction at any scale; both sides are already
-            // co-partitioned on src, so the join stays exchange-free.
-            val contribs = edgesDeg
-              .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
-              .select($"dst", ($"rank" / $"outdeg").as("contrib"))
-            r = contribs
-              .groupBy($"dst".as("node"))
-              .agg(
-                (lit(jump) + lit(damping) *
-                  sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
-              )
-              .cutLineage(eager = i == iterations || !lazyCutOk)
-          }
-          r
-        } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // r15 round-loop driver-overhead cut — AQE-off scope + lazy
+      // intermediate cuts with an eager final cut, see
+      // [[graft.Checkpoints.quietLoop]] (PrDebug v3 A/B: 0.40 →
+      // 0.29-0.34 s/round).
+      val ranks = graft.Checkpoints.quietLoop(s) { lazyCutOk =>
+        var r = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
+        for (i <- 1 to iterations) {
+          // SHUFFLE_HASH on the node-sized rank side (guide §3.1): with
+          // AQE off the static planner cannot see the rank table's size
+          // (lazy-checkpointed LogicalRDD ⇒ unknown stats) and falls
+          // back to sort-merge, re-SORTING the full edge frame every
+          // round (~2× round CPU measured). The hash build per
+          // partition is rank-rows/partitions — the small side by
+          // construction at any scale; both sides are already
+          // co-partitioned on src, so the join stays exchange-free.
+          val contribs = edgesDeg
+            .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+            .select($"dst", ($"rank" / $"outdeg").as("contrib"))
+          r = contribs
+            .groupBy($"dst".as("node"))
+            .agg(
+              (lit(jump) + lit(damping) *
+                sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
+            )
+            .cutLineage(eager = i == iterations || !lazyCutOk)
+        }
+        r
+      }
       ranks
         .select(pagerankNodeName($"node").as("node"), round($"rank", 9).as("rank"))
         .orderBy($"node")
@@ -323,23 +308,29 @@ object Graph {
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
       .repartition(s.sparkContext.defaultParallelism, $"src")
       .cutLineage()
-    locally {
-      var reached = Tables
+    // r15: quietLoop + SHUFFLE_HASH on the compact frontier (see
+    // gPagerank / Checkpoints.quietLoop) — the frontier is hash(node)-
+    // partitioned from the previous round's aggregate, co-partitioned
+    // with bi on src, so the round join stays exchange- and sort-free.
+    val reached = graft.Checkpoints.quietLoop(s) { lazyCutOk =>
+      var rd = Tables
         .part(s, d)
         .filter($"p_brand" === hopSeedBrand)
         .select($"p_partkey".as("node"), lit(0).as("hop"))
         .cutLineage()
       for (h <- 1 to maxHops) {
-        val frontier = reached.filter($"hop" === h - 1).select($"node".as("src"))
-        val nxt      = bi.join(frontier, "src").select($"dst".as("node"), lit(h).as("hop"))
-        reached = reached
+        val frontier =
+          rd.filter($"hop" === h - 1).select($"node".as("src")).hint("shuffle_hash")
+        val nxt = bi.join(frontier, "src").select($"dst".as("node"), lit(h).as("hop"))
+        rd = rd
           .unionAll(nxt)
           .groupBy($"node")
           .agg(min($"hop").as("hop"))
-          .cutLineage()
+          .cutLineage(eager = h == maxHops || !lazyCutOk)
       }
-      reached.select($"node", $"hop".as("min_hops")).orderBy($"node")
+      rd
     }
+    reached.select($"node", $"hop".as("min_hops")).orderBy($"node")
   }
 
   val aaTopK = 20
@@ -431,42 +422,51 @@ object Graph {
     */
   val gLabelProp: Q = (s, d) => {
     val e = coEdges(s, d)
-    // localCheckpoint, not persist (r11): plan-identical to gHops's `bi`
-    // — see the race note there.
+    // r15: pre-partition on DST, not src — the per-round neighbor join
+    // is keyed on dst (`bi ⋈ labels(dst)`), so the src partitioning
+    // never served it: locally AQE broadcast the label table per round,
+    // and at 100 TB (labels too big to broadcast) the EDGE side — the
+    // 100 TB side — would have re-shuffled every round. dst-partitioned,
+    // the join is exchange-free against the hash(node)-partitioned label
+    // table at any scale. localCheckpoint, not persist (r11): see the
+    // race note at gHops.
     val bi = e
       .select($"u".as("src"), $"v".as("dst"))
       .unionAll(e.select($"v".as("src"), $"u".as("dst")))
-      .repartition(s.sparkContext.defaultParallelism, $"src")
+      .repartition(s.sparkContext.defaultParallelism, $"dst")
       .cutLineage()
-    locally {
-      var labels = bi
-        .select($"src".as("node"))
+    // r15: quietLoop + SHUFFLE_HASH on the compact label side (see
+    // gPagerank / Checkpoints.quietLoop).
+    val labels = graft.Checkpoints.quietLoop(s) { lazyCutOk =>
+      var lb = bi
+        .select($"dst".as("node"))
         .distinct()
         .select($"node", $"node".as("label"))
         .cutLineage()
-      for (_ <- 1 to lpRounds) {
+      for (r <- 1 to lpRounds) {
         val nb = bi
-          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .join(lb.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
           .groupBy($"src", $"label")
           .agg(count(lit(1)).as("c"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"src")
           .orderBy($"c".desc, $"label".asc)
-        labels = nb
+        lb = nb
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
           .select($"src".as("node"), $"label")
-          .cutLineage()
+          .cutLineage(eager = r == lpRounds || !lazyCutOk)
       }
-      val sz = org.apache.spark.sql.expressions.Window.partitionBy($"label")
-      labels
-        .select(
-          $"node",
-          $"label".as("community"),
-          count(lit(1)).over(sz).as("community_size")
-        )
-        .orderBy($"node")
+      lb
     }
+    val sz = org.apache.spark.sql.expressions.Window.partitionBy($"label")
+    labels
+      .select(
+        $"node",
+        $"label".as("community"),
+        count(lit(1)).over(sz).as("community_size")
+      )
+      .orderBy($"node")
   }
 
   val ssspRounds = 6
@@ -511,20 +511,28 @@ object Graph {
       .repartition(s.sparkContext.defaultParallelism, $"src")
       .persist()
     try {
-      var dist = Tables
-        .part(s, d)
-        .filter($"p_brand" === hopSeedBrand)
-        .select($"p_partkey".as("node"), lit(0).as("dist"))
-        .cutLineage()
-      for (_ <- 1 to ssspRounds) {
-        val relaxed = bi
-          .join(dist.withColumnRenamed("node", "src"), "src")
-          .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
-        dist = dist
-          .unionAll(relaxed)
-          .groupBy($"node")
-          .agg(min($"dist").as("dist"))
+      // r15: quietLoop + SHUFFLE_HASH on the compact distance table (see
+      // gPagerank / Checkpoints.quietLoop) — dist is hash(node)-
+      // partitioned from the previous round's min-aggregate,
+      // co-partitioned with bi on src, so the relaxation join stays
+      // exchange- and sort-free.
+      val dist = graft.Checkpoints.quietLoop(s) { lazyCutOk =>
+        var dt = Tables
+          .part(s, d)
+          .filter($"p_brand" === hopSeedBrand)
+          .select($"p_partkey".as("node"), lit(0).as("dist"))
           .cutLineage()
+        for (r <- 1 to ssspRounds) {
+          val relaxed = bi
+            .join(dt.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+            .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
+          dt = dt
+            .unionAll(relaxed)
+            .groupBy($"node")
+            .agg(min($"dist").as("dist"))
+            .cutLineage(eager = r == ssspRounds || !lazyCutOk)
+        }
+        dt
       }
       dist.select($"node", $"dist").orderBy($"node")
     } finally bi.unpersist()
