@@ -145,6 +145,9 @@ object Audio {
     Tables
       .documents(s, d)
       .select($"doc_id")
+      // r15: same spread as Multimodal.imageBlobs — the WAV synth loop
+      // ran on the single-row-group scan's one task (see that note)
+      .spreadAcrossCores()
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -332,6 +335,8 @@ object Audio {
     Tables
       .documents(s, d)
       .select($"doc_id")
+      // r15: same spread as audioBlobs — synth+codec loop on one task
+      .spreadAcrossCores()
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)

@@ -171,6 +171,12 @@ object Multimodal {
     Tables
       .documents(s, d)
       .select($"doc_id")
+      // r15 (the mm_scene_cut fix, applied to the whole codec family):
+      // the render+PNG-encode loop ran on the single-row-group scan's
+      // one task; spread the doc_id list so it runs cluster-wide
+      // (identity when the scan has >= parallelism splits; per-doc work
+      // is row-independent and every consumer orders its own output)
+      .spreadAcrossCores()
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -372,6 +378,9 @@ object Multimodal {
     val f = Tables
       .documents(s, d)
       .select($"doc_id")
+      // r15: same spread as imageBlobs — the per-doc frame render+encode
+      // loop ran on the single-row-group scan's one task
+      .spreadAcrossCores()
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)

@@ -1579,25 +1579,37 @@ object TextAnalysis {
       .repartition(s.sparkContext.defaultParallelism, $"src")
       .persist()
     val outw = edges.groupBy($"src").agg(sum($"w").as("outw")).persist()
+    // r15: g_pagerank's round treatment, applied verbatim. (1) The
+    // outw join is iteration-invariant — fuse it onto the edge frame
+    // ONCE (the r11 edgesDeg lesson) instead of re-joining every round;
+    // the contrib arithmetic stays rank / outw * w. (2) quietLoop + lazy
+    // cuts + SHUFFLE_HASH on the compact rank table (see
+    // Checkpoints.quietLoop / Graph.gPagerank).
+    val edgesW = edges.join(outw, "src").persist()
     try {
       val n    = outw.count()
       val jump = 0.15 / n
-      var ranks = outw.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
-      for (_ <- 1 to trIters) {
-        val contribs = edges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(outw, "src")
-          .select($"dst", ($"rank" / $"outw" * $"w").as("contrib"))
-        ranks = contribs
-          .groupBy($"dst".as("node"))
-          .agg(
-            (lit(jump) + lit(0.85) *
-              sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
-          )
-          .cutLineage()
+      edgesW.count() // materialize off the cached edges…
+      edges.unpersist() // …then release: rounds read edgesW + outw only
+      val ranks = graft.Checkpoints.quietLoop(s) { lazyCutOk =>
+        var r = outw.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
+        for (i <- 1 to trIters) {
+          val contribs = edgesW
+            .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+            .select($"dst", ($"rank" / $"outw" * $"w").as("contrib"))
+          r = contribs
+            .groupBy($"dst".as("node"))
+            .agg(
+              (lit(jump) + lit(0.85) *
+                sum($"contrib".cast("decimal(38,18)")).cast("double")).as("rank")
+            )
+            .cutLineage(eager = i == trIters || !lazyCutOk)
+        }
+        r
       }
       ranks.select($"node".as("word"), round($"rank", 9).as("rank")).orderBy($"word")
     } finally {
+      edgesW.unpersist()
       edges.unpersist()
       outw.unpersist()
     }
