@@ -35,12 +35,19 @@ object Retrieval {
 
   private val dec = DecimalType(20, 9)
 
-  /** (doc_id, token, tf) + per-doc length — one pass over the corpus. */
+  /** (doc_id, token, tf) + per-doc length — one pass over the corpus.
+    *
+    * r15 (guide §2.3 aggregate-before-shuffle): `dl` is derived from the
+    * tf table (`dl = Σ_token tf` per doc — the same integer by
+    * definition) instead of re-tokenizing the corpus a second time; the
+    * corpus is exploded ONCE and the dl aggregation's input is
+    * vocabulary-sized, not corpus-sized, at any scale.
+    */
   private def termFreqs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val toks = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("token"))
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     (tf, dl)
   }
 
