@@ -65,30 +65,32 @@ object Graph {
 
   val gPagerank: Q = (s, d) => {
     val cpus = s.sparkContext.defaultParallelism
-    val edges = edgeList(s, d).repartition(cpus, $"src").persist()
-    // persisted: consumed by the init, the node count, and the fused
-    // frame below (node-count-sized, cheap to hold)
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
     // degree-ANNOTATED edge frame, built once (judge r11 next-round #4):
-    // the edges⋈outdeg join is iteration-invariant, so fusing the degree
-    // onto the edge frame removes one full-edge join from every one of
-    // the `iterations` rounds — each round now joins only the compact
-    // rank table against this persisted, src-partitioned frame. The
-    // contrib arithmetic stays rank/outdeg (NOT rank * precomputed
-    // 1/outdeg: IEEE x/y and x*(1/y) differ, and the oracle divides).
-    // The raw edge frame is cached ONLY through the build (released as
-    // soon as edgesDeg materializes): holding all three frames for the
-    // whole query overflowed the ×100 storage pool, and LRU eviction
-    // recomputed the edge build every round (measured 871 s vs 587 s —
-    // BENCH_LOCAL §r12); un-caching edges entirely instead re-ran the
-    // edge build twice at ×1 and cost the bench row ~2.5 s.
-    val edgesDeg = edges.join(outdeg, "src").persist()
+    // the per-src degree is iteration-invariant, so fusing it onto the
+    // edge frame removes one full-edge join from every round — each
+    // round joins only the compact rank table against this persisted,
+    // src-partitioned frame. The contrib arithmetic stays rank/outdeg
+    // (NOT rank * precomputed 1/outdeg: IEEE x/y and x*(1/y) differ,
+    // and the oracle divides).
+    //
+    // r15: the degree now comes from a WINDOW over the repartitioned
+    // edges instead of an edges⋈outdeg join — the window's partitionBy
+    // reuses the repartition's hash(src) layout (no exchange, one
+    // in-partition sort), which collapses the old three-frame build
+    // (edges.persist → outdeg agg+persist → join+persist, two counts,
+    // staged unpersists — ~6 setup jobs with scheduling gaps) into ONE
+    // persisted frame. The same count per src, the same contrib values.
+    val edgesDeg = edgeList(s, d)
+      .repartition(cpus, $"src")
+      .withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"src")))
+      .persist()
     try {
       // every edge endpoint appears as a src (edges are undirected), so
-      // the src side IS the node set — no dangling-mass term needed
-      val n = outdeg.count()
-      edgesDeg.count() // materialize the fused frame off the cached build…
-      edges.unpersist() // …then release it: iterations read edgesDeg+outdeg only
+      // the src side IS the node set — no dangling-mass term needed.
+      // distinct() reuses the cached hash(src) partitioning: no exchange.
+      val nodes = edgesDeg.select($"src").distinct()
+      val n = nodes.count()
       // 0.15 literally, NOT (1 - damping): IEEE 1.0 - 0.85 is
       // 0.15000000000000002 and the oracle's 0.15 would diverge
       val jump = 0.15 / n
@@ -97,7 +99,7 @@ object Graph {
       // [[graft.Checkpoints.quietLoop]] (PrDebug v3 A/B: 0.40 →
       // 0.29-0.34 s/round).
       val ranks = graft.Checkpoints.quietLoop(s) { lazyCutOk =>
-        var r = outdeg.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
+        var r = nodes.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
         for (i <- 1 to iterations) {
           // SHUFFLE_HASH on the node-sized rank side (guide §3.1): with
           // AQE off the static planner cannot see the rank table's size
@@ -123,11 +125,7 @@ object Graph {
       ranks
         .select(pagerankNodeName($"node").as("node"), round($"rank", 9).as("rank"))
         .orderBy($"node")
-    } finally {
-      edgesDeg.unpersist()
-      outdeg.unpersist()
-      edges.unpersist() // no-op on the success path (already released); covers error paths
-    }
+    } finally edgesDeg.unpersist()
   }
 
   /** Undirected co-purchase edges: distinct part pairs sharing an order —

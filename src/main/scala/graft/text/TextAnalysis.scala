@@ -1572,27 +1572,27 @@ object TextAnalysis {
         element_at(split($"bigram", " ", -1), 2).as("q")
       )
       .filter($"p" =!= $"q")
-    val edges = e0
+    // r15: g_pagerank's treatment, applied verbatim. (1) The per-src
+    // out-weight is iteration-invariant — fused onto the edge frame
+    // ONCE via a WINDOW that reuses the repartition's hash(src) layout
+    // (no exchange, no join, one persisted frame) instead of being
+    // re-joined every round; the contrib arithmetic stays
+    // rank / outw * w. (2) quietLoop + lazy cuts + SHUFFLE_HASH on the
+    // compact rank table (see Checkpoints.quietLoop / Graph.gPagerank).
+    val edgesW = e0
       .unionAll(e0.select($"q".as("p"), $"p".as("q")))
       .groupBy($"p".as("src"), $"q".as("dst"))
       .agg(count(lit(1)).as("w"))
       .repartition(s.sparkContext.defaultParallelism, $"src")
+      .withColumn("outw",
+        sum($"w").over(org.apache.spark.sql.expressions.Window.partitionBy($"src")))
       .persist()
-    val outw = edges.groupBy($"src").agg(sum($"w").as("outw")).persist()
-    // r15: g_pagerank's round treatment, applied verbatim. (1) The
-    // outw join is iteration-invariant — fuse it onto the edge frame
-    // ONCE (the r11 edgesDeg lesson) instead of re-joining every round;
-    // the contrib arithmetic stays rank / outw * w. (2) quietLoop + lazy
-    // cuts + SHUFFLE_HASH on the compact rank table (see
-    // Checkpoints.quietLoop / Graph.gPagerank).
-    val edgesW = edges.join(outw, "src").persist()
     try {
-      val n    = outw.count()
+      val nodes = edgesW.select($"src").distinct()
+      val n    = nodes.count()
       val jump = 0.15 / n
-      edgesW.count() // materialize off the cached edges…
-      edges.unpersist() // …then release: rounds read edgesW + outw only
       val ranks = graft.Checkpoints.quietLoop(s) { lazyCutOk =>
-        var r = outw.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
+        var r = nodes.select($"src".as("node"), lit(1.0 / n).as("rank")).cutLineage()
         for (i <- 1 to trIters) {
           val contribs = edgesW
             .join(r.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
@@ -1608,11 +1608,7 @@ object TextAnalysis {
         r
       }
       ranks.select($"node".as("word"), round($"rank", 9).as("rank")).orderBy($"word")
-    } finally {
-      edgesW.unpersist()
-      edges.unpersist()
-      outw.unpersist()
-    }
+    } finally edgesW.unpersist()
   }
 
   /** Zipf's-law fit — the one-number health check of a corpus's token
