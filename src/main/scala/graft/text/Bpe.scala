@@ -65,16 +65,88 @@ object Bpe {
       .filter($"word" =!= "")
       .groupBy($"word").agg(count(lit(1)).as("freq"))
 
+  /** Vocabulary size at or below which the R merge rounds run on the
+    * driver instead of as R sequential Spark jobs — the same
+    * small-side special case as [[graft.dedup.Dedup.ccDriverThreshold]]
+    * (and the same reasoning as a broadcast-join threshold): the
+    * training state is the word-frequency table, Zipf-bounded and tiny
+    * relative to the corpus, and each distributed round costs a fixed
+    * driver toll (plan + job + collect ≈ 100-200 ms) that dwarfs the
+    * vocab-sized compute at gate SFs. The driver loop is the SAME
+    * algorithm — segment by learned merges, freq-weighted adjacent-pair
+    * counts, argmax by (count DESC, pair ASC with unsigned-UTF8-byte
+    * string order, Spark's binary comparison) — so the learned table is
+    * bit-identical (the end-to-end DuckDB oracle and SqlSurface parity
+    * specs pin it). Above the threshold (production vocabularies) the
+    * distributed path runs unchanged.
+    */
+  val bpeDriverVocabThreshold = 200000L
+
+  /** Spark's string ordering is unsigned byte-wise over UTF-8. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The R merge rounds on the collected (word, freq) table — exactly
+    * the distributed loop's arithmetic and tie order.
+    */
+  private def trainMergesDriver(wf: Array[(String, Long)]): Seq[(Int, String, String, Long)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val out    = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    (1 to bpeMerges).foreach { r =>
+      val cur = merges.toList
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      wf.foreach { case (w, freq) =>
+        applyMerges(w, cur).sliding(2).foreach {
+          case Seq(x, y) => cnt.updateWith((x, y))(c => Some(c.getOrElse(0L) + freq))
+          case _         => ()
+        }
+      }
+      require(cnt.nonEmpty,
+        s"vocabulary fully merged after ${r - 1} rounds — lower bpeMerges")
+      val ((mx, my), c) = cnt.reduceLeft { (a, b) =>
+        // keep a unless b wins: count DESC, then pair ASC byte-wise
+        if (b._2 > a._2) b
+        else if (b._2 < a._2) a
+        else if (utf8Lt(b._1._1, a._1._1)) b
+        else if (utf8Lt(a._1._1, b._1._1)) a
+        else if (utf8Lt(b._1._2, a._1._2)) b
+        else a
+      }
+      merges += ((mx, my))
+      out    += ((r, mx, my, c))
+    }
+    out.toSeq
+  }
+
   /** Train the merge table: R rounds of freq-weighted pair counting
     * over the segmented vocabulary.
     */
-  def trainMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+  def trainMerges(s: SparkSession, dir: String,
+      driverThreshold: Long = bpeDriverVocabThreshold): Seq[(Int, String, String, Long)] = {
     // localCheckpoint, not persist (r10): text_bpe_train and
     // text_bpe_encode both build this IDENTICAL word-frequency plan, so
     // persist() entries are shared context-wide and the first finisher's
     // unpersist races the other's merge rounds (the gapfillJob
     // empty-stage mechanism). Checkpoint blocks are invocation-private.
     val wf = wordFreq(s, dir).cutLineage()
+    // r15: driver-side rounds for driver-sized vocabularies (see
+    // [[bpeDriverVocabThreshold]]) — the corpus-sized shuffle (word
+    // count) has already happened above; only the Zipf-bounded state
+    // crosses to the driver, broadcast-threshold style.
+    val vocabN = wf.count()
+    if (vocabN <= driverThreshold) {
+      val rows = wf.collect().map(r => (r.getString(0), r.getLong(1)))
+      return trainMergesDriver(rows)
+    }
     // r15 (the g_pagerank round-loop lesson): each of the R rounds is a
     // tiny, fixed-shape vocab-sized query — AQE re-planned its two query
     // stages and ran extra stage-materialization jobs per round, pure

@@ -47,6 +47,15 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver-side rounds equal the distributed rounds exactly (r15 threshold path)") {
+    // threshold 0 forces the distributed R-round loop; the default takes
+    // the driver loop at this vocabulary size — the learned table (ranks,
+    // symbols, weighted counts) must be identical, tie-breaks included
+    val viaDriver      = Bpe.trainMerges(spark, sf0001)
+    val viaDistributed = Bpe.trainMerges(spark, sf0001, driverThreshold = 0L)
+    assert(viaDriver == viaDistributed)
+  }
+
   test("driver queries: merge table shape and encode conservation") {
     val train = Bpe.textBpeTrain(spark, sf0001).collect()
     assert(train.length == Bpe.bpeMerges)
